@@ -1,0 +1,383 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.dsl.Q
+
+/** Typed row for the Dataset[T] (deserialize) parity query — the analogue
+  * of the reference's serde target structs (reference src/lib.rs:108-114).
+  */
+case class OrderRow(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+
+/** The per-operator query/oracle inventory (SURVEY.md §2 coverage).
+  *
+  * Conventions:
+  *  - every Spark output column is aliased to the same name as in the
+  *    DuckDB oracle (driver compare sorts columns by name);
+  *  - multi-row float aggregates rounded identically on both sides;
+  *  - each query notes the SURVEY §2 operator row(s) it covers.
+  */
+object Queries {
+
+  private def cat(spark: SparkSession, dir: String) = Catalog(spark, dir)
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- core
+
+  /** §2.1 #1 TableScan: full column-pruned scan. */
+  private val q01_scan: QFn = (s, d) =>
+    Q(cat(s, d), "lineitem").select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_returnflag")).df
+
+  /** §2.1 #2 Filter: conjunctive predicate, pushed to the parquet scan. */
+  private val q02_filter: QFn = (s, d) =>
+    Q(cat(s, d), "lineitem")
+      .where(col("l_quantity") > 25 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount")).df
+
+  /** §2.1 #3 Select: per-row expression eval (arithmetic + string concat),
+    * the reference's SelectBuilder column/value surface. */
+  private val q03_project: QFn = (s, d) =>
+    Q(cat(s, d), "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+      concat_ws("/", col("l_returnflag"), col("l_linestatus")).as("flag_status"),
+      (col("l_quantity") * lit(3.0)).as("qty3")).df
+
+  /** §2.1 #4 Select-Aggregate: TPC-H Q1-shaped grouped aggregation
+    * (sum/avg/count) with SQL GROUP BY semantics (not adjacency runs). */
+  private val q04_agg: QFn = (s, d) =>
+    Q(cat(s, d), "lineitem")
+      .where(col("l_quantity") > 1)
+      .groupAgg(
+        keys = Seq(col("l_returnflag"), col("l_linestatus")),
+        aggs = Seq(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("n"))).df
+
+  /** §2.1 #5 Take (limit) as deterministic top-k: Spark plans
+    * TakeOrderedAndProject — no global sort materialization. */
+  private val q05_topk: QFn = (s, d) =>
+    Q(cat(s, d), "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .sort(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .take(100).df
+
+  /** §2.1 #6 Skip (offset) — correct semantics (reference skip.rs:30 bug
+    * fixed): rows 101-200 of the same deterministic order. */
+  private val q06_skip: QFn = (s, d) =>
+    Q(cat(s, d), "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .sort(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .skip(100).take(100).df
+
+  /** §2.1 #7 NestedLoop: genuinely non-equi condition so Spark plans
+    * BroadcastNestedLoopJoin — the distributed form of the reference's
+    * rescan-inner loop. */
+  private val q07_loop_join: QFn = (s, d) =>
+    Q(cat(s, d), "supplier")
+      .loopJoin(Q(cat(s, d), "nation"),
+        col("s_nationkey") < col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_nationkey"),
+        col("n_name")).df
+
+  /** §2.1 #8 HashMatch: fact-fact equi-join (shuffle-hash build side =
+    * right, matching the reference's build+probe shape). */
+  private val q08_hash_join: QFn = (s, d) =>
+    Q(cat(s, d), "lineitem")
+      .hashJoin(Q(cat(s, d), "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("o_totalprice")).df
+
+  /** §2.1 #8 variant: broadcast hash join on a dimension-sized build side —
+    * the 100 TB plan for every fact⋈dim join (zero shuffle). */
+  private val q09_broadcast_join: QFn = (s, d) =>
+    Q(cat(s, d), "lineitem")
+      .broadcastJoin(Q(cat(s, d), "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_name"),
+        col("s_acctbal")).df
+
+  /** §2.1 #9 InMemorySort → distributed range sort (standard asc/desc;
+    * the reference's inverted-ascending quirk is not replicated). */
+  private val q10_sort: QFn = (s, d) =>
+    Q(cat(s, d), "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_returnflag"))
+      .sort(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc).df
+
+  /** §2.3 Distinct (reference roadmap README.md:94). */
+  private val q11_distinct: QFn = (s, d) =>
+    Q(cat(s, d), "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct.df
+
+  /** §2.3 Concatenate (reference roadmap README.md:82) = UNION ALL. */
+  private val q12_union: QFn = (s, d) => {
+    val n = Q(cat(s, d), "nation").select(col("n_nationkey").as("k"),
+      col("n_name").as("name"))
+    val r = Q(cat(s, d), "region").select(col("r_regionkey").as("k"),
+      col("r_name").as("name"))
+    n.concat(r).df
+  }
+
+  /** §2.1 #4 countWhen: the reference's truthiness-conditional count
+    * (select.rs:247-263) as count(when(cond)). */
+  private val q13_count_when: QFn = (s, d) => {
+    val q = Q(cat(s, d), "lineitem")
+    q.groupAgg(
+      keys = Seq(col("l_returnflag")),
+      aggs = Seq(
+        count(lit(1)).as("n_rows"),
+        q.countWhen(col("l_quantity") > 25).as("n_big"),
+        q.countWhen(col("l_discount") < 0.05).as("n_lowdisc"))).df
+  }
+
+  /** §7.2 flagship pipeline: scan ⋈ scan hash join → filter → group/max —
+    * the reference's showcase chain (benches/10K_hash_match.rs:86-102). */
+  private val q14_pipeline: QFn = (s, d) =>
+    Q(cat(s, d), "lineitem")
+      .hashJoin(Q(cat(s, d), "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("o_orderstatus") =!= "X")
+      .groupAgg(
+        keys = Seq(col("o_orderpriority")),
+        aggs = Seq(
+          max(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("max_rev"),
+          count(lit(1)).as("n"))).df
+
+  /** Window functions (beyond-reference capability): top-3 orders per
+    * customer by row_number — partitioned window, no driver collect. */
+  private val q15_window_rank: QFn = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Q(cat(s, d), "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  /** TPC-H Q3-shaped 3-way join + group + deterministic top-10. */
+  private val q16_revenue_top: QFn = (s, d) =>
+    Q(cat(s, d), "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .broadcastJoin(Q(cat(s, d), "orders"),
+        col("c_custkey") === col("o_custkey")) // dim side broadcast…
+      .hashJoin(Q(cat(s, d), "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupAgg(
+        keys = Seq(col("l_orderkey"), col("o_orderdate").cast("date").as("odate")),
+        aggs = Seq(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue")))
+      .sort(col("revenue").desc, col("l_orderkey").asc)
+      .take(10).df
+
+  /** TPC-H Q5-shaped star join: region→nation→customer→orders→lineitem,
+    * revenue per nation. Dimensions broadcast; the single shuffle is the
+    * orders⋈lineitem key — the plan that survives 100×. */
+  private val q17_nation_revenue: QFn = (s, d) => {
+    val c = cat(s, d)
+    Q(c, "lineitem")
+      .hashJoin(Q(c, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .broadcastJoin(Q(c, "customer"), col("o_custkey") === col("c_custkey"))
+      .broadcastJoin(Q(c, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .broadcastJoin(Q(c, "region"), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name").isin("ASIA", "EUROPE"))
+      .groupAgg(
+        keys = Seq(col("r_name"), col("n_name")),
+        aggs = Seq(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))).df
+  }
+
+  /** Semi join (EXISTS) — free capability beyond the reference's inner-only
+    * join surface (SURVEY §7.3 step 3). */
+  private val q18_semi: QFn = (s, d) =>
+    Q(cat(s, d), "customer")
+      .df.join(cat(s, d).table("orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Anti join (NOT EXISTS): customers with no very large order (plain
+    * no-orders-at-all is empty at sf0.01 — every customer has orders). */
+  private val q19_anti: QFn = (s, d) =>
+    Q(cat(s, d), "customer")
+      .df.join(
+        cat(s, d).table("orders").filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** ROLLUP grouping sets (beyond-reference capability). */
+  private val q20_rollup: QFn = (s, d) =>
+    cat(s, d).table("lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** §2.3 Constant Scan (reference roadmap README.md:83) = LocalRelation. */
+  private val q21_constant: QFn = (s, _) => {
+    import s.implicits._
+    Seq((1, "URGENT"), (2, "HIGH"), (3, "MEDIUM"), (4, "NOT SPECIFIED"),
+      (5, "LOW")).toDF("pri_id", "pri_name")
+  }
+
+  /** §2.1 #10 Deserialize: Dataset[OrderRow] with a typed filter+map —
+    * the reference's serde-into-struct surface (deserializing.rs). The
+    * lambda math mirrors the SQL oracle exactly (floor on positives). */
+  private val q22_typed: QFn = (s, d) => {
+    import s.implicits._
+    Q(cat(s, d), "orders").as[OrderRow]
+      .filter((o: OrderRow) => o.o_totalprice > 300000.0)
+      .map((o: OrderRow) => (o.o_orderkey, o.o_custkey,
+        (o.o_totalprice / 100000.0).toLong))
+      .toDF("o_orderkey", "o_custkey", "price_bucket")
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val all: Map[String, QFn] = Map(
+    "q01_scan" -> q01_scan,
+    "q02_filter" -> q02_filter,
+    "q03_project" -> q03_project,
+    "q04_agg" -> q04_agg,
+    "q05_topk" -> q05_topk,
+    "q06_skip" -> q06_skip,
+    "q07_loop_join" -> q07_loop_join,
+    "q08_hash_join" -> q08_hash_join,
+    "q09_broadcast_join" -> q09_broadcast_join,
+    "q10_sort" -> q10_sort,
+    "q11_distinct" -> q11_distinct,
+    "q12_union" -> q12_union,
+    "q13_count_when" -> q13_count_when,
+    "q14_pipeline" -> q14_pipeline,
+    "q15_window_rank" -> q15_window_rank,
+    "q16_revenue_top" -> q16_revenue_top,
+    "q17_nation_revenue" -> q17_nation_revenue,
+    "q18_semi" -> q18_semi,
+    "q19_anti" -> q19_anti,
+    "q20_rollup" -> q20_rollup,
+    "q21_constant" -> q21_constant,
+    "q22_typed" -> q22_typed,
+  ) ++ ExtensionQueries.all
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |       l_extendedprice, l_returnflag FROM lineitem""".stripMargin,
+    "q02_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        | WHERE l_quantity > 25 AND l_returnflag = 'R'""".stripMargin,
+    "q03_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1.0 - l_discount) AS revenue,
+        |       l_returnflag || '/' || l_linestatus AS flag_status,
+        |       l_quantity * 3.0 AS qty3 FROM lineitem""".stripMargin,
+    "q04_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       count(*) AS n
+        |  FROM lineitem WHERE l_quantity > 1
+        | GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q05_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        | ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        | LIMIT 100""".stripMargin,
+    "q06_skip" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        | ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        | LIMIT 100 OFFSET 100""".stripMargin,
+    "q07_loop_join" ->
+      """SELECT s_suppkey, s_name, n_nationkey, n_name
+        |  FROM supplier JOIN nation ON s_nationkey < n_nationkey""".stripMargin,
+    "q08_hash_join" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "q09_broadcast_join" ->
+      """SELECT l_orderkey, l_linenumber, s_name, s_acctbal
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+    "q10_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |  FROM lineitem
+        | ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    "q11_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q12_union" ->
+      """SELECT n_nationkey AS k, n_name AS name FROM nation
+        | UNION ALL
+        |SELECT r_regionkey AS k, r_name AS name FROM region""".stripMargin,
+    "q13_count_when" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |       count(*) FILTER (WHERE l_discount < 0.05) AS n_lowdisc
+        |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q14_pipeline" ->
+      """SELECT o_orderpriority,
+        |       max(l_extendedprice * (1.0 - l_discount)) AS max_rev,
+        |       count(*) AS n
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus <> 'X'
+        | GROUP BY o_orderpriority""".stripMargin,
+    "q15_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |    FROM orders) t
+        | WHERE rn <= 3""".stripMargin,
+    "q16_revenue_top" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        | WHERE c_mktsegment = 'BUILDING'
+        | GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        | ORDER BY revenue DESC, l_orderkey ASC
+        | LIMIT 10""".stripMargin,
+    "q17_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name IN ('ASIA', 'EUROPE')
+        | GROUP BY r_name, n_name""".stripMargin,
+    "q18_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q19_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c.c_custkey
+        |                      AND o.o_totalprice > 400000.0)""".stripMargin,
+    "q20_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem
+        | GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q21_constant" ->
+      """SELECT * FROM (VALUES (1, 'URGENT'), (2, 'HIGH'), (3, 'MEDIUM'),
+        | (4, 'NOT SPECIFIED'), (5, 'LOW')) AS t(pri_id, pri_name)""".stripMargin,
+    "q22_typed" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS price_bucket
+        |  FROM orders WHERE o_totalprice > 300000.0""".stripMargin,
+  ) ++ ExtensionQueries.oracles
+}

@@ -1,0 +1,58 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Named-table catalog over a directory of Parquet tables.
+  *
+  * The analogue of the reference's `Storage`/`Collection` pair
+  * (reference: src/storage/mod.rs:35-83 create/get/delete_collection;
+  * src/collection/mod.rs:15-21), with the log-structured storage layer
+  * replaced by Parquet — Spark's columnar scan + predicate pushdown
+  * supersede the reference's newest-file-first log scan, and the
+  * schema-on-first-row check (src/collection/mod.rs:52-59,
+  * log_entry.rs:126-141) becomes an explicit StructType equality gate on
+  * the write path.
+  *
+  * At 100 TB a "table" is a partitioned directory tree; everything here is
+  * path-based so the same code runs against a data-lake layout. Nothing is
+  * collected to the driver.
+  */
+final case class Catalog(spark: SparkSession, dir: String) {
+
+  /** Scan a named table. Equivalent of `collection.table_scan(txn)`
+    * (reference: src/operators/sourcing/table_scan.rs:16-141) for plain
+    * (non-versioned) tables; MVCC-versioned tables live in [[graft.mvcc]].
+    */
+  def table(name: String): DataFrame =
+    spark.read.parquet(path(name))
+
+  def path(name: String): String = s"$dir/$name.parquet"
+
+  def schema(name: String): StructType = table(name).schema
+
+  /** Write-path schema gate, the analogue of the reference's
+    * `is_same_shape` check (src/collection/mod.rs:52-59): appending rows
+    * whose shape differs from the live table is a SchemaError there and an
+    * IllegalArgumentException here. (Parquet would otherwise happily write
+    * a mixed-schema directory.)
+    */
+  def append(name: String, rows: DataFrame): Unit = {
+    val existing = schema(name)
+    require(
+      sameShape(existing, rows.schema),
+      s"schema mismatch appending to '$name': table=$existing incoming=${rows.schema}")
+    rows.write.mode("append").parquet(path(name))
+  }
+
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).sameElements(
+      b.fields.map(f => (f.name, f.dataType)))
+}
+
+object Catalog {
+  /** The driver-generated TPC-H-ish fixture tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+}

@@ -1,0 +1,114 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+
+/** Fluent operator-chain DSL — the reference's `DBOperator` chaining
+  * surface (reference: src/operators/mod.rs:42-87) re-expressed as a thin,
+  * zero-cost wrapper over DataFrame.
+  *
+  * Design rule: every method delegates to a *declarative* DataFrame op so
+  * Catalyst sees the whole plan (pushdown, pruning, join planning, AQE all
+  * apply). The wrapper adds nothing physical — `Q` is the lazy chain, and
+  * like the reference nothing executes until a sink (`collect`, `write`).
+  *
+  * Reference quirks deliberately fixed (SURVEY §7.5):
+  *  - `skip` here is a correct offset (reference skip.rs:30 truncates
+  *    collect);
+  *  - `sort` uses standard asc/desc (reference in_memory_sort.rs:58-62
+  *    inverts ascending);
+  *  - aggregation is true SQL GROUP BY, not adjacency-run fold
+  *    (reference select.rs:90-123).
+  */
+final case class Q(df: DataFrame) {
+
+  /** Row predicate — reference Filter (src/operators/linear/filter.rs:25-39). */
+  def where(cond: Column): Q = Q(df.filter(cond))
+
+  /** Projection / expression eval — reference Select builder `column`/`value`
+    * (src/operators/linear/select.rs:209-269). */
+  def select(cols: Column*): Q = Q(df.select(cols: _*))
+
+  /** Positional column access, the reference's `builder.column(i)`
+    * (select.rs:265-269): rows there are positional, not named. */
+  def column(i: Int): Column = col(df.columns(i))
+
+  /** Select-aggregate — reference auto-detected aggregation
+    * (select.rs:78-207). Plain columns form the GROUP BY key; Sum/Count/
+    * Max/Min builders become aggregates. Spark's hash aggregate (partial
+    * map-side combine + shuffle on the key) supersedes the reference's
+    * sorted-adjacency requirement and scales to any key cardinality.
+    */
+  def groupAgg(keys: Seq[Column], aggs: Seq[Column]): Q =
+    if (keys.isEmpty) Q(df.agg(aggs.head, aggs.tail: _*))
+    else Q(df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*))
+
+  /** countWhen — reference truthiness-aware conditional count
+    * (select.rs:247-263), as SQL count-if. */
+  def countWhen(cond: Column): Column =
+    org.apache.spark.sql.functions.count(when(cond, 1))
+
+  /** Limit — reference Take (src/operators/linear/take.rs). */
+  def take(n: Int): Q = Q(df.limit(n))
+
+  /** Correct offset — reference Skip (src/operators/linear/skip.rs), with
+    * its emit-None-per-skipped-row bug fixed. Only meaningful after an
+    * explicit sort (Spark output order is otherwise partition-dependent).
+    */
+  def skip(n: Int): Q = Q(df.offset(n))
+
+  /** Hash equi-join, build side = right — reference HashMatch
+    * (src/operators/joining/hash_match.rs:54-119). Small right sides are
+    * broadcast (no shuffle at all); large ones shuffle-hash rather than
+    * sort-merge, matching the reference's build+probe shape but spillable
+    * and partitioned. AQE may still switch strategy at runtime — that is
+    * the point.
+    */
+  def hashJoin(right: Q, cond: Column, joinType: String = "inner"): Q =
+    Q(df.join(right.df.hint("shuffle_hash"), cond, joinType))
+
+  /** Broadcast hash join for dimension-sized right sides. */
+  def broadcastJoin(right: Q, cond: Column, joinType: String = "inner"): Q =
+    Q(df.join(broadcast(right.df), cond, joinType))
+
+  /** Nested-loop join — reference NestedLoop
+    * (src/operators/joining/nested_loop.rs:28-70). For the equi-key form
+    * Spark will (rightly) still pick a hash strategy; a genuinely
+    * non-equi condition plans as BroadcastNestedLoopJoin, the distributed
+    * equivalent of the reference's rescan-inner loop.
+    */
+  def loopJoin(right: Q, cond: Column, joinType: String = "inner"): Q =
+    Q(df.join(right.df, cond, joinType))
+
+  /** Sort — reference InMemorySort (src/operators/sorting/in_memory_sort.rs),
+    * but distributed: range-partition + per-partition sort, spillable. */
+  def sort(cols: Column*): Q = Q(df.orderBy(cols: _*))
+
+  /** Roadmap ops the reference declares but never built
+    * (reference README.md:82,94): free in Spark. */
+  def concat(other: Q): Q = Q(df.unionByName(other.df))
+  def distinct: Q = Q(df.distinct())
+  def distinctOn(cols: String*): Q = Q(df.dropDuplicates(cols))
+
+  /** Spool (reference README.md:84-88, empty stub): cache the subtree. */
+  def spool(): Q = Q(df.cache())
+
+  /** Typed output — reference Deserialize (src/operators/deserializing.rs)
+    * ≡ Dataset[T]. Extra-trailing-column tolerance
+    * (object_deserializer.rs:229-253) is matched by selecting the case
+    * class's fields before `as`.
+    */
+  def as[T <: Product: Encoder]: Dataset[T] = {
+    val enc = implicitly[Encoder[T]]
+    val wanted = enc.schema.fieldNames
+    df.select(wanted.map(col).toIndexedSeq: _*).as[T]
+  }
+
+  def collect(): Array[org.apache.spark.sql.Row] = df.collect()
+  def count(): Long = df.count()
+}
+
+object Q {
+  def apply(catalog: graft.catalog.Catalog, table: String): Q =
+    Q(catalog.table(table))
+}

@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession lifecycle + engine configuration.
+  *
+  * Plays the role of the reference engine's `Storage` handle
+  * (reference: src/storage/mod.rs:17-84 — open the database, hand out
+  * collections), re-expressed as a configured SparkSession factory.
+  *
+  * Scale posture: these defaults are written for a real cluster and only
+  * *parameterized* for local[32] testing —
+  *   - AQE on: runtime re-planning (join-strategy switch, skew-join split,
+  *     partition coalescing) is the scale-path answer to the reference's
+  *     unfinished `cost_hint` adaptive-join plan (src/operators/mod.rs:33-40).
+  *   - shuffle.partitions: 32 locally; on a 1000-executor cluster this is
+  *     overridden upward (AQE coalescing makes the exact number forgiving).
+  *   - autoBroadcastJoinThreshold left at default (10 MB): dimension tables
+  *     (region/nation/supplier/part at any SF we test) broadcast; fact-fact
+  *     joins shuffle on their keys.
+  */
+object GraftSession {
+
+  def builder(
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+      // type for; surface it as a raw long (ns since epoch) and convert
+      // explicitly where needed.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Get-or-create with graft defaults (idempotent for tests). */
+  def getOrCreate(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.dsl.Q
+
+/** Per-operator semantics tests for the DSL core (SURVEY §2.1), including
+  * regression tests for the reference quirks we deliberately fix
+  * (SURVEY §7.5 #2).
+  */
+class CoreOpsSpec extends SparkTestBase {
+
+  private lazy val cat = Catalog(spark, sf)
+
+  test("scan reads all fixture tables with non-empty schemas") {
+    Catalog.tableNames.foreach { t =>
+      val df = cat.table(t)
+      assert(df.schema.fields.nonEmpty, t)
+      assert(df.limit(1).count() == 1, t)
+    }
+  }
+
+  test("filter matches manual predicate") {
+    val n = Q(cat, "lineitem").where(col("l_quantity") > 25).count()
+    val all = Q(cat, "lineitem").count()
+    assert(n > 0 && n < all)
+  }
+
+  test("take/skip: correct offset semantics (reference skip.rs:30 truncates)") {
+    val sorted = Q(cat, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .sort(col("l_orderkey").asc, col("l_linenumber").asc)
+    val first10 = sorted.take(10).collect().map(_.toSeq)
+    val rows5to10 = sorted.skip(5).take(5).collect().map(_.toSeq)
+    // skip(5).take(5) must equal rows 5..10 of the same order — the
+    // reference's bug would yield 0 rows here.
+    assert(rows5to10.toSeq == first10.drop(5).toSeq)
+  }
+
+  test("sort: standard ascending (reference in_memory_sort.rs:58-62 inverts)") {
+    val asc = Q(cat, "orders").select(col("o_totalprice"))
+      .sort(col("o_totalprice").asc).take(1).collect().head.getDouble(0)
+    val min = Q(cat, "orders").df.agg(org.apache.spark.sql.functions.min("o_totalprice"))
+      .collect().head.getDouble(0)
+    assert(asc == min)
+  }
+
+  test("groupAgg: true min (reference select.rs:195-201 mutates min→max)") {
+    val got = Q(cat, "lineitem").groupAgg(
+      keys = Seq(col("l_returnflag")),
+      aggs = Seq(org.apache.spark.sql.functions.min(col("l_quantity")).as("mn"),
+        org.apache.spark.sql.functions.max(col("l_quantity")).as("mx")))
+      .collect()
+    got.foreach(r => assert(r.getDouble(1) <= r.getDouble(2)))
+  }
+
+  test("groupAgg with no keys aggregates the whole stream") {
+    val r = Q(cat, "lineitem").groupAgg(Seq(), Seq(count(lit(1)).as("n")))
+      .collect()
+    assert(r.length == 1 && r.head.getLong(0) > 0)
+  }
+
+  test("hashJoin equals loopJoin output (same inner-join semantics)") {
+    val l = Q(cat, "supplier")
+    val r = Q(cat, "nation")
+    val h = l.hashJoin(r, col("s_nationkey") === col("n_nationkey")).count()
+    val nl = l.loopJoin(r, col("s_nationkey") === col("n_nationkey")).count()
+    assert(h == nl && h > 0)
+  }
+
+  test("join preserves duplicate matches (reference hash_match.rs:91-99)") {
+    // every lineitem row matches exactly one order: output = lineitem count
+    val n = Q(cat, "lineitem")
+      .hashJoin(Q(cat, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(n == Q(cat, "lineitem").count())
+  }
+
+  test("countWhen counts only matching rows") {
+    val q = Q(cat, "lineitem")
+    val r = q.groupAgg(Seq(),
+      Seq(q.countWhen(col("l_quantity") > 25).as("big"),
+        count(lit(1)).as("all"))).collect().head
+    assert(r.getLong(0) > 0 && r.getLong(0) < r.getLong(1))
+  }
+
+  test("distinct + union (roadmap ops)") {
+    val u = Q(cat, "nation").select(col("n_nationkey").as("k"))
+      .concat(Q(cat, "region").select(col("r_regionkey").as("k")))
+    assert(u.count() == 30)
+    assert(u.distinct.count() == 25) // region keys ⊂ nation keys
+  }
+
+  test("typed Dataset round-trip tolerates extra trailing columns " +
+    "(reference object_deserializer.rs:229-253)") {
+    import spark.implicits._
+    val ds = Q(cat, "orders").as[OrderRow] // orders has 6 cols, OrderRow 3
+    val row = ds.head()
+    assert(row.o_totalprice > 0.0)
+    assert(ds.count() == Q(cat, "orders").count())
+  }
+
+  test("catalog append enforces shape; mismatch rejected (reference SchemaError)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val tmp = Catalog(spark, dir)
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(tmp.path("t"))
+    tmp.append("t", Seq((3, "c")).toDF("k", "v"))
+    assert(tmp.table("t").count() == 3)
+    intercept[IllegalArgumentException] {
+      tmp.append("t", Seq((1.5, 2.5)).toDF("k", "v")) // wrong types
+    }
+    intercept[IllegalArgumentException] {
+      tmp.append("t", Seq(("a", 1)).toDF("v", "k")) // wrong order
+    }
+  }
+}

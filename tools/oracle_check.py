@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local pre-flight mirror of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each query parquet in <verifyOutDir>, runs the matching oracle SQL from
+oracle_sql.json in DuckDB against the <sfDir> tables and compares:
+row count, column names, and a hash of the column-name-sorted,
+row-sorted values (the same normalization the driver describes).
+"""
+import sys, os, json, glob
+import duckdb
+
+def norm(rel):
+    df = rel.fetchdf()
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize values: floats to repr, others to str
+    rows = []
+    for t in df.itertuples(index=False):
+        rows.append(tuple(repr(v) for v in t))
+    rows.sort()
+    return list(df.columns), rows
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for name in ["region","nation","customer","supplier","part","orders",
+                 "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    qdirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
+    for qd in qdirs:
+        q = os.path.basename(qd)
+        got_rel = con.sql(f"SELECT * FROM read_parquet('{qd}/*.parquet')")
+        got_cols, got_rows = norm(got_rel)
+        if q not in oracle:
+            results[q] = f"ROWS_ONLY rows={len(got_rows)}" + (" EMPTY!" if not got_rows else "")
+            continue
+        try:
+            exp_cols, exp_rows = norm(con.sql(oracle[q]))
+        except Exception as e:
+            results[q] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        if got_cols != exp_cols:
+            results[q] = f"SCHEMA_MISMATCH got={got_cols} exp={exp_cols}"
+        elif len(got_rows) != len(exp_rows):
+            results[q] = f"ROWCOUNT got={len(got_rows)} exp={len(exp_rows)}"
+        elif got_rows != exp_rows:
+            bad = sum(1 for a, b in zip(got_rows, exp_rows) if a != b)
+            i = next(i for i, (a, b) in enumerate(zip(got_rows, exp_rows)) if a != b)
+            results[q] = (f"VALUE_MISMATCH {bad}/{len(got_rows)} rows differ; "
+                          f"first@{i}: got={got_rows[i]} exp={exp_rows[i]}")
+        else:
+            results[q] = f"OK rows={len(got_rows)}"
+    width = max(len(q) for q in results)
+    fails = 0
+    for q in sorted(results):
+        print(f"{q:<{width}}  {results[q]}")
+        if not results[q].startswith(("OK", "ROWS_ONLY")):
+            fails += 1
+    print(f"\n{len(results) - fails}/{len(results)} pass")
+    return 1 if fails else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
