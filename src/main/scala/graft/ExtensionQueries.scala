@@ -1,14 +1,513 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Training-data-pipeline extension queries (dedup, similarity, text,
-  * multimodal, events) — populated milestone by milestone. Kept separate
-  * from the core operator inventory in [[Queries]].
+import graft.catalog.Catalog
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.mvcc.LogTable
+
+/** Training-data-pipeline extension queries — dedup (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine), similarity search (brute
+  * force + LSH-bucketed ANN), text analysis (token counting, quality,
+  * language-ID, fingerprinting), multimodal metadata, event-stream
+  * windows/sessionization, and the MVCC snapshot recipe.
+  *
+  * All hashing is engine-portable md5-derived (see [[TF.hash60]]), so
+  * even MinHash signatures, SimHash values, and LSH candidate pairs are
+  * *fully oracle-checked* against DuckDB — not rows-only.
+  *
+  * Scale design notes are on each query; the recurring shape is:
+  * per-row map work (no shuffle) → blocked/bucketed self-join (equi
+  * shuffle on the block key) → verify step. Brute-force variants exist
+  * as correctness baselines; the LSH variants are the 100 TB path.
   */
 object ExtensionQueries {
   type QFn = (SparkSession, String) => DataFrame
 
-  val all: Map[String, QFn] = Map()
-  val oracles: Map[String, String] = Map()
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Catalog(s, d).table("documents")
+  private def embs(s: SparkSession, d: String): DataFrame =
+    Catalog(s, d).table("embeddings")
+  private def events(s: SparkSession, d: String): DataFrame =
+    Catalog(s, d).table("events")
+
+  // ---------------------------------------------------------- text analysis
+
+  /** Token counting: whitespace tokens + BPE-ish subword estimate.
+    * Pure map work — scales linearly, no shuffle. */
+  private val x01_tokens: QFn = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"), col("n_chars"),
+      TF.tokenCount(col("text")).as("n_tokens"),
+      TF.bpeTokenCount(col("text")).as("n_bpe"))
+
+  /** Quality scoring: length/stopword/alpha ratios + composite score. */
+  private val x02_quality: QFn = (s, d) => {
+    val nw = TF.tokenCount(col("text"))
+    val norm = TF.normText(col("text"))
+    val stopRaw = TF.stopwordHits(TF.words(col("text")),
+      Seq("the", "and", "of", "to", "in", "is", "a")).cast("double") / nw
+    val alphaRaw = regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
+      length(col("text"))
+    val lenRaw = least(nw.cast("double") / lit(100.0), lit(1.0))
+    docs(s, d).select(
+      col("doc_id"),
+      nw.as("n_words"),
+      round((length(norm) - (nw - 1)).cast("double") / nw, 4).as("avg_wlen"),
+      round(stopRaw, 4).as("stop_ratio"),
+      round(alphaRaw, 4).as("alpha_ratio"),
+      round((lit(0.4) * stopRaw + lit(0.3) * lenRaw) + lit(0.3) * alphaRaw, 4)
+        .as("quality"))
+  }
+
+  /** Language-ID: stopword-profile argmax (deterministic tie order). */
+  private val x03_langid: QFn = (s, d) =>
+    docs(s, d).select(col("doc_id"), col("lang"),
+      TF.langId(col("text")).as("pred_lang"))
+
+  /** Exact dedup: hash-groupBy on normalized text; canonical = min id.
+    * The one shuffle is on the content hash — uniform keys, no skew. */
+  private val x04_dedup_exact: QFn = (s, d) =>
+    docs(s, d)
+      .groupBy(md5(TF.normText(col("text"))).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Document fingerprinting: full md5 + 60-bit prefix fingerprint. */
+  private val x05_fingerprint: QFn = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      md5(TF.normText(col("text"))).as("fp"),
+      TF.hash60(TF.normText(col("text")), "").as("fp60"))
+
+  // ------------------------------------------------------------------ dedup
+
+  private val NumHashes = 8
+  private val ShingleK = 3
+
+  private def minhashCols: Seq[Column] = {
+    val sh = TF.shingles(col("text"), ShingleK)
+    (0 until NumHashes).map(i => TF.minhash(sh, i).as(s"mh$i"))
+  }
+
+  /** MinHash signatures (8 hashes over 3-word shingles) — map-side only;
+    * signature is 64 bytes/doc regardless of document size. */
+  private val x06_minhash_sig: QFn = (s, d) =>
+    docs(s, d).select(col("doc_id") +: minhashCols: _*)
+
+  /** MinHash + LSH near-dup pairs: 4 bands × 2 rows; candidates share a
+    * band key; verified with true shingle-set Jaccard ≥ 0.8.
+    *
+    * 100 TB shape: explode to (band, key) — 4 rows/doc — then an *equi*
+    * self-join on the band key. No quadratic blow-up: work is
+    * sum(bucket²) over near-uniform md5 buckets. Skewed mega-buckets
+    * (boilerplate docs) are handled by AQE skew-join splitting.
+    */
+  private val x07_minhash_lsh_pairs: QFn = (s, d) => {
+    val sig = docs(s, d)
+      .select(col("doc_id") +:
+        array_distinct(TF.shingles(col("text"), ShingleK)).as("sh_set") +:
+        minhashCols: _*)
+    val banded = sig.select(col("doc_id"), col("sh_set"),
+      posexplode(array((0 until 4).map(b =>
+        concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
+        .as(Seq("band", "key")))
+    val a = banded.select(col("doc_id").as("a_id"), col("sh_set").as("a_sh"),
+      col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("b_id"), col("sh_set").as("b_sh"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))), 4).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .distinct()
+  }
+
+  /** SimHash values (60-bit, word-multiset votes). */
+  private val x08_simhash: QFn = (s, d) =>
+    docs(s, d).select(col("doc_id"), TF.simhash(col("text")).as("sh"))
+
+  /** SimHash near-dup pairs: hamming ≤ 6 within a language block. */
+  private val x09_simhash_pairs: QFn = (s, d) => {
+    val sh = docs(s, d).select(col("doc_id"), col("lang"),
+      TF.simhash(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("sh").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("lang"), col("sh").as("b_sh"))
+    a.join(b, Seq("lang")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+  }
+
+  /** Character-4-gram Jaccard near-dup pairs, blocked by (lang, length
+    * band) — the brute-force baseline. Blocking keeps the self-join equi
+    * (shuffle on the block key); LSH (x07) is the unblocked scale path.
+    */
+  private val x10_ngram_jaccard: QFn = (s, d) => {
+    val norm = TF.normText(col("text"))
+    val grams = when(length(norm) >= 4,
+      array_distinct(transform(sequence(lit(1), length(norm) - 3),
+        i => call_function("substring", norm, i, lit(4)))))
+      .otherwise(array().cast("array<string>"))
+    val g = docs(s, d).select(col("doc_id"), col("lang"),
+      expr("n_chars div 64").as("len_band"), grams.as("grams"))
+    val a = g.select(col("doc_id").as("a_id"), col("lang"), col("len_band"),
+      col("grams").as("a_g"))
+    val b = g.select(col("doc_id").as("b_id"), col("lang"), col("len_band"),
+      col("grams").as("b_g"))
+    a.join(b, Seq("lang", "len_band")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_g"), col("b_g"))).cast("double") /
+          size(array_union(col("a_g"), col("b_g"))), 4).as("jac"))
+      .filter(col("jac") >= 0.8)
+  }
+
+  // ------------------------------------------------------------- similarity
+
+  /** Embedding near-dup pairs: brute-force cosine ≥ 0.45 (the fixture's
+    * top of distribution). Baseline; x13 is the bucketed scale path. */
+  private val x11_cosine_pairs: QFn = (s, d) => {
+    val e = embs(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VF.cosine(col("a_e"), col("b_e")), 6).as("cos"))
+      .filter(col("cos") >= 0.45)
+  }
+
+  /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10 —
+    * the exact-ANN baseline. TakeOrdered per query via window rank. */
+  private val x12_ann_topk: QFn = (s, d) => {
+    val e = embs(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_e"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VF.cosine(col("q_e"), col("n_e")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
+  /** LSH-bucketed ANN: sign-bucket on the first 8 coordinates, top-3
+    * neighbors *within bucket* per query. The join is equi on the bucket
+    * key — sum(bucket²) work instead of n², shuffle-partitioned, the
+    * shape that survives 100 TB. (IVF = same plan with learned centroid
+    * ids as the bucket key.)
+    */
+  private val x13_ann_lsh: QFn = (s, d) => {
+    val e = embs(s, d).select(col("vec_id"), col("embedding"),
+      VF.signBucket(col("embedding"), 8).as("bucket"))
+    val a = e.select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+      col("bucket"))
+    val b = e.select(col("vec_id").as("n_id"), col("embedding").as("n_e"),
+      col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    a.join(b, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VF.cosine(col("q_e"), col("n_e")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Multimodal metadata extraction: media columns are opaque binary +
+    * typed metadata. The container has no image/audio codecs, so decode
+    * is a deterministic fake keyed on content hash (clearly marked; see
+    * [[graft.multimodal.MediaPipeline]] for the mapPartitions plumbing)
+    * — the *derivation* below is the real, oracle-checked part.
+    */
+  private val x14_media_meta: QFn = (s, d) =>
+    docs(s, d)
+      .withColumn("h1", TF.hash60(col("text"), "media|"))
+      .selectExpr("doc_id",
+        "256 + h1 % 1024 AS width",
+        "256 + (h1 div 1024) % 1024 AS height",
+        "cast(1 + h1 % 30 AS BIGINT) AS n_frames")
+
+  // ----------------------------------------------------------------- events
+
+  /** Tumbling 1-hour window aggregation over the event stream (batch
+    * form; the streaming form with watermark lives in graft.streaming).
+    * `ts` surfaces as raw ns (nanosAsLong) — bucket via integer div. */
+  private val x15_events_window: QFn = (s, d) =>
+    events(s, d)
+      .selectExpr("ts div 3600000000000 AS hour_bucket", "event_type", "value")
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+
+  /** Sessionization: 30-minute inactivity gap, per-user session count —
+    * the batch (window-lag) form of mapGroupsWithState sessionization. */
+  private val x16_sessionize: QFn = (s, d) => {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTime))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > 1800000000000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+  }
+
+  // ------------------------------------------------------------------- mvcc
+
+  /** MVCC snapshot over a log-table built deterministically from
+    * `orders`: txn1 = base upserts, txn2 = price update on keys %10=0,
+    * txn3 = tombstone keys %7=0, txn4 = *uncommitted* update (%3=0,
+    * excluded — no commit marker). Snapshot at txn 3 via
+    * [[LogTable.snapshot]] (newest committed version per rid, tombstones
+    * drop rows) — the reference's table_scan visibility as a window. */
+  private val x17_mvcc_snapshot: QFn = (s, d) => {
+    val o = Catalog(s, d).table("orders")
+      .select(col("o_orderkey").as("rid"), col("o_totalprice").as("price"))
+    val base = LogTable.upserts(o, 1L, col("rid"))
+    val upd = LogTable.upserts(
+      o.filter(col("rid") % 10 === 0)
+        .withColumn("price", col("price") + 1000.0),
+      2L, col("rid"))
+    val del = LogTable.deletes(o.filter(col("rid") % 7 === 0), 3L, col("rid"))
+    val uncommitted = LogTable.upserts(
+      o.filter(col("rid") % 3 === 0).withColumn("price", col("price") * 2.0),
+      4L, col("rid"))
+    val log = base.unionByName(upd)
+      .unionByName(del, allowMissingColumns = true)
+      .unionByName(uncommitted)
+      .unionByName(LogTable.commitMarker(s, 1L), allowMissingColumns = true)
+      .unionByName(LogTable.commitMarker(s, 2L), allowMissingColumns = true)
+      .unionByName(LogTable.commitMarker(s, 3L), allowMissingColumns = true)
+    LogTable.snapshot(log, asOf = 3L)
+      .select(col("rid"), round(col("price"), 2).as("price"))
+  }
+
+  // --------------------------------------------------------------- registry
+
+  val all: Map[String, QFn] = Map(
+    "x01_tokens" -> x01_tokens,
+    "x02_quality" -> x02_quality,
+    "x03_langid" -> x03_langid,
+    "x04_dedup_exact" -> x04_dedup_exact,
+    "x05_fingerprint" -> x05_fingerprint,
+    "x06_minhash_sig" -> x06_minhash_sig,
+    "x07_minhash_lsh_pairs" -> x07_minhash_lsh_pairs,
+    "x08_simhash" -> x08_simhash,
+    "x09_simhash_pairs" -> x09_simhash_pairs,
+    "x10_ngram_jaccard" -> x10_ngram_jaccard,
+    "x11_cosine_pairs" -> x11_cosine_pairs,
+    "x12_ann_topk" -> x12_ann_topk,
+    "x13_ann_lsh" -> x13_ann_lsh,
+    "x14_media_meta" -> x14_media_meta,
+    "x15_events_window" -> x15_events_window,
+    "x16_sessionize" -> x16_sessionize,
+    "x17_mvcc_snapshot" -> x17_mvcc_snapshot,
+  )
+
+  // DuckDB mirrors. Shared SQL fragments:
+  private val NT = "regexp_replace(lower(trim(text)),'\\s+',' ','g')"
+  private def H60(expr: String) =
+    s"('0x'||substring(md5($expr),1,15))::BIGINT"
+
+  val oracles: Map[String, String] = Map(
+    "x01_tokens" ->
+      s"""SELECT doc_id, n_chars,
+         |       len(string_split($NT,' ')) AS n_tokens,
+         |       len(regexp_extract_all(text,'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe
+         |  FROM documents""".stripMargin,
+    "x02_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $NT AS nt,
+         |         len(string_split($NT,' ')) AS nw,
+         |         len(list_filter(string_split($NT,' '),
+         |             w -> w IN ('the','and','of','to','in','is','a')))::DOUBLE
+         |           / len(string_split($NT,' ')) AS stop_raw,
+         |         len(regexp_extract_all(text,'[A-Za-z]'))::DOUBLE / length(text) AS alpha_raw,
+         |         least(len(string_split($NT,' '))::DOUBLE / 100.0, 1.0) AS len_raw
+         |    FROM documents)
+         |SELECT doc_id, nw AS n_words,
+         |       round((length(nt) - (nw - 1))::DOUBLE / nw, 4) AS avg_wlen,
+         |       round(stop_raw, 4) AS stop_ratio,
+         |       round(alpha_raw, 4) AS alpha_ratio,
+         |       round((0.4*stop_raw + 0.3*len_raw) + 0.3*alpha_raw, 4) AS quality
+         |  FROM t""".stripMargin,
+    "x03_langid" -> {
+      val hits = graft.functions.TextFunctions.langStops.map { case (lang, stops) =>
+        s"len(list_filter(ws, w -> w IN (${stops.map("'" + _ + "'").mkString(",")}))) AS h_$lang"
+      }.mkString(",\n         ")
+      val langs = graft.functions.TextFunctions.langStops.map(_._1)
+      val maxh = s"greatest(${langs.map("h_" + _).mkString(",")})"
+      val cases = langs.map(l => s"WHEN h_$l = $maxh THEN '$l'").mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $hits
+         |    FROM (SELECT doc_id, lang, string_split($NT,' ') AS ws FROM documents))
+         |SELECT doc_id, lang,
+         |       CASE WHEN $maxh = 0 THEN 'und' $cases ELSE 'und' END AS pred_lang
+         |  FROM t""".stripMargin
+    },
+    "x04_dedup_exact" ->
+      s"""SELECT md5($NT) AS content_hash, min(doc_id) AS keep_id,
+         |       count(*) AS n_copies
+         |  FROM documents GROUP BY md5($NT)""".stripMargin,
+    "x05_fingerprint" ->
+      s"""SELECT doc_id, md5($NT) AS fp, ${H60(NT)} AS fp60 FROM documents""",
+    "x06_minhash_sig" -> {
+      val mhs = (0 until NumHashes).map(i =>
+        s"coalesce(list_min(list_transform(sh, s -> ${H60(s"'mh$i|'||s")})), -1) AS mh$i")
+        .mkString(",\n       ")
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+         |s AS (SELECT doc_id,
+         |             [array_to_string(ws[i:i+${ShingleK - 1}],' ')
+         |              for i in range(1, len(ws)-${ShingleK - 2})] AS sh FROM w)
+         |SELECT doc_id, $mhs FROM s""".stripMargin
+    },
+    "x07_minhash_lsh_pairs" -> {
+      val mhs = (0 until NumHashes).map(i =>
+        s"coalesce(list_min(list_transform(sh, s -> ${H60(s"'mh$i|'||s")})), -1) AS mh$i")
+        .mkString(",\n       ")
+      val bands = (0 until 4).map(bd =>
+        s"SELECT doc_id, sh_set, $bd AS band, mh${2 * bd}||':'||mh${2 * bd + 1} AS key FROM sig")
+        .mkString("\n UNION ALL\n")
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+         |s AS (SELECT doc_id,
+         |             [array_to_string(ws[i:i+${ShingleK - 1}],' ')
+         |              for i in range(1, len(ws)-${ShingleK - 2})] AS sh FROM w),
+         |sig AS (SELECT doc_id, list_distinct(sh) AS sh_set, $mhs FROM s),
+         |banded AS ($bands)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       round(len(list_intersect(a.sh_set,b.sh_set))::DOUBLE /
+         |             len(list_distinct(list_concat(a.sh_set,b.sh_set))), 4) AS jac
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         | WHERE round(len(list_intersect(a.sh_set,b.sh_set))::DOUBLE /
+         |             len(list_distinct(list_concat(a.sh_set,b.sh_set))), 4) >= 0.8""".stripMargin
+    },
+    "x08_simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_transform(string_split($NT,' '), w -> ${H60("'sh|'||w")}) AS hs
+         |    FROM documents)
+         |SELECT doc_id,
+         |       list_sum([CASE WHEN 2*len(list_filter(hs, h -> ((h >> i) & 1) = 1)) - len(hs) > 0
+         |                      THEN 1::BIGINT << i ELSE 0::BIGINT END
+         |                 for i in range(0, 60)])::BIGINT AS sh
+         |  FROM t""".stripMargin,
+    "x09_simhash_pairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         list_transform(string_split($NT,' '), w -> ${H60("'sh|'||w")}) AS hs
+         |    FROM documents),
+         |sh AS (SELECT doc_id, lang,
+         |       list_sum([CASE WHEN 2*len(list_filter(hs, h -> ((h >> i) & 1) = 1)) - len(hs) > 0
+         |                      THEN 1::BIGINT << i ELSE 0::BIGINT END
+         |                 for i in range(0, 60)]) AS sh FROM t)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.sh, b.sh)) <= 6""".stripMargin,
+    "x10_ngram_jaccard" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lang, n_chars // 64 AS len_band,
+         |         list_distinct([substring(nt, i, 4)
+         |                        for i in range(1, length(nt)-2)]) AS grams
+         |    FROM (SELECT doc_id, lang, n_chars, $NT AS nt FROM documents))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       round(len(list_intersect(a.grams,b.grams))::DOUBLE /
+         |             len(list_distinct(list_concat(a.grams,b.grams))), 4) AS jac
+         |  FROM g a JOIN g b
+         |    ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+         | WHERE round(len(list_intersect(a.grams,b.grams))::DOUBLE /
+         |             len(list_distinct(list_concat(a.grams,b.grams))), 4) >= 0.8""".stripMargin,
+    "x11_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(
+        |         list_aggregate(list_transform(list_zip(a.embedding,b.embedding),
+        |           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum') /
+        |         (sqrt(list_aggregate(list_transform(list_zip(a.embedding,a.embedding),
+        |           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum')) *
+        |          sqrt(list_aggregate(list_transform(list_zip(b.embedding,b.embedding),
+        |           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum'))), 6) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, cos FROM c WHERE cos >= 0.45""".stripMargin,
+    "x12_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_e FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT q.q_id, n.vec_id AS n_id,
+        |       round(
+        |         list_aggregate(list_transform(list_zip(q.q_e,n.embedding),
+        |           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum') /
+        |         (sqrt(list_aggregate(list_transform(list_zip(q.q_e,q.q_e),
+        |           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum')) *
+        |          sqrt(list_aggregate(list_transform(list_zip(n.embedding,n.embedding),
+        |           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum'))), 6) AS cos
+        |  FROM q CROSS JOIN embeddings n WHERE q.q_id <> n.vec_id)
+        |SELECT q_id, n_id, cos, rnk FROM (
+        |  SELECT q_id, n_id, cos,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+        |    FROM c) WHERE rnk <= 5""".stripMargin,
+    "x13_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |       array_to_string(list_transform(embedding[1:8],
+        |         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM embeddings),
+        |c AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |       round(
+        |         list_aggregate(list_transform(list_zip(a.embedding,b.embedding),
+        |           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum') /
+        |         (sqrt(list_aggregate(list_transform(list_zip(a.embedding,a.embedding),
+        |           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum')) *
+        |          sqrt(list_aggregate(list_transform(list_zip(b.embedding,b.embedding),
+        |           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum'))), 6) AS cos
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        |SELECT q_id, n_id, cos, rnk FROM (
+        |  SELECT q_id, n_id, cos,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+        |    FROM c) WHERE rnk <= 3""".stripMargin,
+    "x14_media_meta" ->
+      s"""SELECT doc_id,
+         |       256 + ${H60("'media|'||text")} % 1024 AS width,
+         |       256 + (${H60("'media|'||text")} // 1024) % 1024 AS height,
+         |       1 + ${H60("'media|'||text")} % 30 AS n_frames
+         |  FROM documents""".stripMargin,
+    "x15_events_window" ->
+      """SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
+        |       count(*) AS n, round(sum(value),2) AS sum_value,
+        |       round(avg(value),4) AS avg_value
+        |  FROM events GROUP BY 1, 2""".stripMargin,
+    "x16_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |         lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_ns(ts), event_id) AS prev
+        |    FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |       sum(CASE WHEN prev IS NULL OR tns - prev > 1800000000000
+        |                THEN 1::BIGINT ELSE 0::BIGINT END)::BIGINT AS n_sessions
+        |  FROM t GROUP BY user_id""".stripMargin,
+    "x17_mvcc_snapshot" ->
+      """WITH log AS (
+        |  SELECT 1::BIGINT AS txn, 'U' AS op, o_orderkey AS rid, o_totalprice AS price FROM orders
+        |  UNION ALL
+        |  SELECT 2, 'U', o_orderkey, o_totalprice + 1000.0 FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 3, 'D', o_orderkey, NULL FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 4, 'U', o_orderkey, o_totalprice * 2.0 FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT 1, 'C', NULL, NULL
+        |  UNION ALL SELECT 2, 'C', NULL, NULL
+        |  UNION ALL SELECT 3, 'C', NULL, NULL),
+        |vis AS (
+        |  SELECT * FROM log
+        |   WHERE op IN ('U','D') AND txn <= 3
+        |     AND txn IN (SELECT txn FROM log WHERE op = 'C' AND txn <= 3)),
+        |snap AS (
+        |  SELECT * FROM vis
+        |  QUALIFY row_number() OVER (PARTITION BY rid ORDER BY txn DESC) = 1)
+        |SELECT rid, round(price, 2) AS price FROM snap WHERE op = 'U'""".stripMargin,
+  )
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Semantic tests for the dedup/similarity/text extensions with *planted*
+  * near-duplicates — the oracle queries verify engine-parity on fixture
+  * data; these verify the algorithms do what they claim on known inputs.
+  */
+class ExtensionsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while birds sing morning songs"
+
+  private lazy val planted = Seq(
+    (0L, base),
+    (1L, base.replace("lazy", "sleepy")), // near-dup of 0 (one word)
+    (2L, base),                           // exact dup of 0
+    (3L, "completely different content about spark query engines and " +
+      "distributed columnar execution with shuffles joins and aggregates everywhere"),
+    (4L, "yet another unrelated short document mentioning parquet files only once here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text") {
+    val groups = planted
+      .groupBy(md5(TF.normText(col("text"))).as("h"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+      .collect()
+    assert(groups.length == 4) // 0 and 2 collapse
+    assert(groups.exists(r => r.getLong(1) == 0L && r.getLong(2) == 2L))
+  }
+
+  test("minhash: identical docs share full signature; near-dups share most; unrelated share none") {
+    val sh = TF.shingles(col("text"), 3)
+    val sig = planted.select(col("doc_id") +:
+      (0 until 8).map(i => TF.minhash(sh, i).as(s"mh$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sig(0L) == sig(2L), "exact dup must have identical signature")
+    val shared01 = sig(0L).zip(sig(1L)).count { case (a, b) => a == b }
+    assert(shared01 >= 4, s"near-dup should share most minhashes, got $shared01/8")
+    val shared03 = sig(0L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(shared03 == 0, "unrelated docs should share no minhashes")
+  }
+
+  test("simhash: hamming(near-dups) small, hamming(unrelated) large") {
+    val sh = planted.select(col("doc_id"), TF.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) == 0)
+    assert(ham(sh(0L), sh(1L)) <= 10, s"near-dup hamming ${ham(sh(0L), sh(1L))}")
+    assert(ham(sh(0L), sh(3L)) > 10, s"unrelated hamming ${ham(sh(0L), sh(3L))}")
+  }
+
+  test("shingles guard: docs shorter than k yield empty array, not [1,0] sequence") {
+    val out = Seq((1L, "two words"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+      .select(size(TF.shingles(col("text"), 3)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(0, 2))
+  }
+
+  test("cosine: self-similarity 1.0, orthogonal 0.0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (3L, Array(3.0f, 4.0f), Array(3.0f, 4.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select(round(VF.cosine(col("a"), col("b")), 9)).as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 0.0, 1.0))
+  }
+
+  test("langId picks the language with most stopword hits, und when none") {
+    val out = Seq(
+      (1L, "the cat and the dog in the house"),
+      (2L, "el perro y la casa de los gatos"),
+      (3L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TF.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+}
