@@ -244,6 +244,23 @@ object Queries {
       .toDF("o_orderkey", "o_custkey", "price_bucket")
   }
 
+  /** §3.2/§4.1 declarative Condition IR end-to-end: built with the
+    * Condition DSL, CNF-normalized (the rewrite the reference builds but
+    * never wires, query/mod.rs:52-54), compiled to a Catalyst Column.
+    * Exercises ==/!=/</LIKE/NOT/LEN and the normalizer on a real filter.
+    */
+  private val q23_condition: QFn = (s, d) => {
+    import graft.conditions.Condition._
+    val cond =
+      ((c("o_orderpriority") like "1%") || (c("o_totalprice") < v(50000.0))) &&
+        !(c("o_orderstatus") !== v("F")) &&
+        (len(c("o_orderpriority")) >= v(5))
+    Q(cat(s, d), "orders")
+      .where(cond.normalize.column)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority")).df
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, QFn] = Map(
@@ -269,6 +286,7 @@ object Queries {
     "q20_rollup" -> q20_rollup,
     "q21_constant" -> q21_constant,
     "q22_typed" -> q22_typed,
+    "q23_condition" -> q23_condition,
   ) ++ ExtensionQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -379,5 +397,11 @@ object Queries {
       """SELECT o_orderkey, o_custkey,
         |       CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS price_bucket
         |  FROM orders WHERE o_totalprice > 300000.0""".stripMargin,
+    "q23_condition" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |  FROM orders
+        | WHERE (o_orderpriority LIKE '1%' OR o_totalprice < 50000.0)
+        |   AND NOT (o_orderstatus <> 'F')
+        |   AND length(o_orderpriority) >= 5""".stripMargin,
   ) ++ ExtensionQueries.oracles
 }

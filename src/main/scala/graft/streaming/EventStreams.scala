@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape —
+  * the streaming capability the reference only roadmaps (its `spools` /
+  * streaming modules are empty stubs; reference README.md:84-88).
+  *
+  * Batch/stream parity: every transform here is the streaming twin of a
+  * batch query in [[graft.ExtensionQueries]] (x15 tumbling windows, x16
+  * sessionization), so correctness is oracle-checked on the batch side
+  * and the streaming side is spec-checked for incremental semantics
+  * (watermark, late-data drop, stateful sessions).
+  *
+  * Scale notes (100 TB/day ingest): state is keyed by (window) or
+  * (user, session) — partitioned by key across executors; watermarks
+  * bound state size; output mode Append emits finalized windows only,
+  * so downstream sinks see immutable facts.
+  */
+object EventStreams {
+
+  /** events.parquet surfaces `ts` as raw ns (nanosAsLong); convert to a
+    * proper timestamp for event-time semantics. Exact: µs < 2^53. */
+  def tsFromNs(nsCol: Column): Column =
+    timestamp_micros(floor(nsCol / lit(1000)).cast("long"))
+
+  /** Tumbling event-time window counts with watermark — the streaming
+    * twin of batch x15_events_window. */
+  def tumblingCounts(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", tsFromNs(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Native session windows (30-min gap) — the declarative form of
+    * batch x16_sessionize. */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", tsFromNs(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  // ---- custom state: flatMapGroupsWithState sessionization ---------------
+
+  case class Ev(user_id: Long, ts_ns: Long, event_type: String)
+  case class SessState(startNs: Long, lastNs: Long, n: Int)
+  case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Int)
+
+  val GapNs: Long = 30L * 60 * 1000000000L
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * escape hatch for session semantics `session_window` can't express
+    * (e.g. cap-by-count, value-dependent gaps). Event-time timeout keyed
+    * on the watermark finalizes idle sessions.
+    */
+  def sessionizeStateful(
+      events: Dataset[Ev],
+      watermarkDelay: String = "2 hours")(implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withColumn("event_time", tsFromNs(col("ts_ns")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => Session(uid, s.startNs, s.lastNs, s.n)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts_ns)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ns - s.lastNs <= GapNs =>
+                  cur = Some(s.copy(lastNs = e.ts_ns, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(uid, s.startNs, s.lastNs, s.n)
+                  cur = Some(SessState(e.ts_ns, e.ts_ns, 1))
+                case None =>
+                  cur = Some(SessState(e.ts_ns, e.ts_ns, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // finalize when no event lands within gap of the watermark
+              state.setTimeoutTimestamp(s.lastNs / 1000000L + GapNs / 1000000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

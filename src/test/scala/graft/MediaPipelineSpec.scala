@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StructType}
+
+import graft.catalog.Catalog
+import graft.multimodal.MediaPipeline
+
+/** Multimodal plumbing: schema, batch shape, partition preservation, and
+  * determinism of the (stubbed) decode over real fixture rows.
+  */
+class MediaPipelineSpec extends SparkTestBase {
+
+  private lazy val docs = Catalog(spark, sf).table("documents").limit(50)
+
+  test("withPayload attaches a 16-byte binary column") {
+    val df = MediaPipeline.withPayload(docs, "text")
+    assert(df.schema("media").dataType == BinaryType)
+    val lens = df.select(length(col("media"))).distinct().collect().map(_.getInt(0))
+    assert(lens.toSeq == Seq(16))
+  }
+
+  test("extractMeta appends the media_meta struct, deterministic, no shuffle") {
+    val withM = MediaPipeline.withPayload(docs, "text").repartition(4)
+    val out = MediaPipeline.extractMeta(withM)
+    assert(out.schema("media_meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("format", "width", "height", "nFrames"))
+    // narrow transform: partition count preserved
+    assert(out.rdd.getNumPartitions == 4)
+    // deterministic: two runs agree
+    val a = out.select(col("doc_id"), col("media_meta.width")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = out.select(col("doc_id"), col("media_meta.width")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b && a.values.forall(w => w >= 256 && w < 256 + 1024))
+    // matches a driver-side decode of the same payload
+    val row = withM.select(col("doc_id"), col("media")).limit(1).collect().head
+    val local = MediaPipeline.decodeStub(row.getAs[Array[Byte]](1))
+    val dist = out.filter(col("doc_id") === row.getLong(0))
+      .select("media_meta.*").collect().head
+    assert(dist.getString(0) == local.format && dist.getInt(1) == local.width &&
+      dist.getInt(2) == local.height && dist.getInt(3) == local.nFrames)
+  }
+
+  test("resizeStub truncates payloads; sampleFrames strides frames") {
+    val withM = MediaPipeline.withPayload(docs, "text")
+    val resized = MediaPipeline.resizeStub(withM, maxBytes = 4)
+    val lens = resized.select(length(col("media"))).distinct().collect().map(_.getInt(0))
+    assert(lens.toSeq == Seq(4))
+    val framed = MediaPipeline.sampleFrames(withM, frameBytes = 4, stride = 2)
+    val n = framed.select(size(col("frames"))).distinct().collect().map(_.getInt(0))
+    // 16 bytes / 4 = 4 frames (indices 0..3), stride 2 keeps 0 and 2
+    assert(n.toSeq == Seq(2))
+    val flens = framed.select(explode(col("frames")).as("f"))
+      .select(length(col("f"))).distinct().collect().map(_.getInt(0))
+    assert(flens.toSeq == Seq(4))
+  }
+}

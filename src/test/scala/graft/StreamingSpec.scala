@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+/** Incremental-semantics tests for the streaming surface: event-time
+  * windows finalize on watermark advance; late data beyond the watermark
+  * is dropped; stateful sessions close on gap.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // 1h in ns
+  private def ev(uid: Long, ns: Long, t: String = "click") = Ev(uid, ns, t)
+
+  test("tumbling window with watermark finalizes windows and drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = EventStreams.tumblingCounts(
+      input.toDF().withColumnRenamed("ts_ns", "ts").withColumn("value",
+        org.apache.spark.sql.functions.lit(1.0)),
+      windowDur = "1 hour", watermarkDelay = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour-0 events, then advance watermark far past hour 0
+      input.addData(ev(1, 10), ev(1, 20), ev(2, 30, "buy"))
+      q.processAllAvailable()
+      input.addData(ev(1, 5 * H)) // watermark -> 4h: hour-0 windows finalize
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .selectExpr("event_type", "n").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("click" -> 2L, "buy" -> 1L))
+      // late arrival into hour 0 — behind watermark, must be dropped
+      input.addData(ev(9, 40))
+      q.processAllAvailable()
+      val total = spark.table("tumbling_test").count()
+      input.addData(ev(1, 10 * H)) // push watermark again
+      q.processAllAvailable()
+      val after = spark.table("tumbling_test")
+        .selectExpr("sum(n)").as[Long].collect().head
+      assert(after == 4L, "late row dropped; only the 10h window's row added")
+      assert(spark.table("tumbling_test").count() == total + 1)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on 30-min gap") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val input = MemoryStream[Ev]
+    val sessions = EventStreams.sessionizeStateful(
+      input.toDS(), watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val M = 60L * 1000000000L
+      // base offset: rows exactly at the initial watermark (epoch 0) are
+      // dropped by stateful operators — keep event times strictly above it
+      val B = H
+      // user 1: two bursts 40 min apart -> first closes when second arrives
+      input.addData(ev(1, B), ev(1, B + 5 * M), ev(1, B + 10 * M))
+      q.processAllAvailable()
+      input.addData(ev(1, B + 50 * M), ev(1, B + 55 * M))
+      q.processAllAvailable()
+      val closed = spark.table("sess_test").as[EventStreams.Session].collect()
+      assert(closed.length == 1)
+      assert(closed.head.user_id == 1L && closed.head.n_events == 3 &&
+        closed.head.start_ns == B && closed.head.end_ns == B + 10 * M)
+    } finally q.stop()
+  }
+
+  test("native session_window groups events by gap (batch parity check)") {
+    val M = 60L * 1000000000L
+    val batch = Seq(ev(1, 0), ev(1, 5 * M), ev(1, 50 * M), ev(2, 0))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventStreams.sessionCounts(batch) // batch DF: no watermark needed
+      .selectExpr("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+}
