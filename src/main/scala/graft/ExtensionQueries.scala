@@ -86,9 +86,12 @@ object ExtensionQueries {
   private val NumHashes = 8
   private val ShingleK = 3
 
+  /** One fused pass computes all signatures (native minhash_sigs
+    * expression; values identical to the declarative [[TF.minhash]] —
+    * see ExtensionsSpec); mh0..mh7 are projections of the array. */
   private def minhashCols: Seq[Column] = {
-    val sh = TF.shingles(col("text"), ShingleK)
-    (0 until NumHashes).map(i => TF.minhash(sh, i).as(s"mh$i"))
+    val sigs = TF.minhashSigsFast(TF.shingles(col("text"), ShingleK), NumHashes)
+    (0 until NumHashes).map(i => element_at(sigs, i + 1).as(s"mh$i"))
   }
 
   /** MinHash signatures (8 hashes over 3-word shingles) — map-side only;
@@ -126,14 +129,15 @@ object ExtensionQueries {
       .distinct()
   }
 
-  /** SimHash values (60-bit, word-multiset votes). */
+  /** SimHash values (60-bit, word-multiset votes; fused native form —
+    * identical to [[TF.simhash]], see ExtensionsSpec). */
   private val x08_simhash: QFn = (s, d) =>
-    docs(s, d).select(col("doc_id"), TF.simhash(col("text")).as("sh"))
+    docs(s, d).select(col("doc_id"), TF.simhashFast(col("text")).as("sh"))
 
   /** SimHash near-dup pairs: hamming ≤ 6 within a language block. */
   private val x09_simhash_pairs: QFn = (s, d) => {
     val sh = docs(s, d).select(col("doc_id"), col("lang"),
-      TF.simhash(col("text")).as("sh"))
+      TF.simhashFast(col("text")).as("sh"))
     val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("sh").as("a_sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("lang"), col("sh").as("b_sh"))
     a.join(b, Seq("lang")).filter(col("a_id") < col("b_id"))
@@ -148,10 +152,13 @@ object ExtensionQueries {
     */
   private val x10_ngram_jaccard: QFn = (s, d) => {
     val norm = TF.normText(col("text"))
-    val grams = when(length(norm) >= 4,
+    val gramStrs = when(length(norm) >= 4,
       array_distinct(transform(sequence(lit(1), length(norm) - 3),
         i => call_function("substring", norm, i, lit(4)))))
       .otherwise(array().cast("array<string>"))
+    // hash grams to 60-bit longs (native, oracle-identical): set ops on
+    // longs beat set ops on strings, and the set Jaccard is unchanged
+    val grams = TF.hash60AllFast(gramStrs, "")
     val g = docs(s, d).select(col("doc_id"), col("lang"),
       expr("n_chars div 64").as("len_band"), grams.as("grams"))
     val a = g.select(col("doc_id").as("a_id"), col("lang"), col("len_band"),
@@ -175,7 +182,7 @@ object ExtensionQueries {
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(VF.cosine(col("a_e"), col("b_e")), 6).as("cos"))
+        round(VF.cosineFast(col("a_e"), col("b_e")), 6).as("cos"))
       .filter(col("cos") >= 0.45)
   }
 
@@ -189,7 +196,7 @@ object ExtensionQueries {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(VF.cosine(col("q_e"), col("n_e")), 6).as("cos"))
+        round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
   }
@@ -210,7 +217,7 @@ object ExtensionQueries {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     a.join(b, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(VF.cosine(col("q_e"), col("n_e")), 6).as("cos"))
+        round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
   }
@@ -413,8 +420,10 @@ object ExtensionQueries {
     "x10_ngram_jaccard" ->
       s"""WITH g AS (
          |  SELECT doc_id, lang, n_chars // 64 AS len_band,
-         |         list_distinct([substring(nt, i, 4)
-         |                        for i in range(1, length(nt)-2)]) AS grams
+         |         list_transform(
+         |           list_distinct([substring(nt, i, 4)
+         |                          for i in range(1, length(nt)-2)]),
+         |           s -> ${H60("s")}) AS grams
          |    FROM (SELECT doc_id, lang, n_chars, $NT AS nt FROM documents))
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |       round(len(list_intersect(a.grams,b.grams))::DOUBLE /

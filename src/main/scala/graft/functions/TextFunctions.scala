@@ -87,6 +87,22 @@ object TextFunctions {
       (acc, b) => acc + b)
   }
 
+  // ---- native fused forms (graft.plans.TextHashExpressions, registered
+  // by GraftExtensions) — identical values, one JVM loop per row instead
+  // of per-element interpreted HOF lambdas. Use these in hot paths.
+
+  /** All `n` MinHash values at once as array<long> (≡ n × [[minhash]]). */
+  def minhashSigsFast(shingleCol: Column, n: Int): Column =
+    call_function("minhash_sigs", shingleCol, lit(n))
+
+  /** Fused [[simhash]] (≡ simhash(text), native). */
+  def simhashFast(text: Column): Column =
+    call_function("simhash60", words(text))
+
+  /** Element-wise hash60 with constant prefix (≡ transform(arr, hash60)). */
+  def hash60AllFast(arr: Column, prefix: String): Column =
+    call_function("hash60_all", arr, lit(prefix))
+
   /** Stopword-hit count against a fixed list (langid / quality). */
   def stopwordHits(wordArr: Column, stops: Seq[String]): Column =
     size(filter(wordArr, w => w.isin(stops.map(x => x: Any): _*))).cast("long")

@@ -33,6 +33,23 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Fused native form of [[cosine]] — the codegen'd custom Expression
+    * ([[graft.plans.CosineSimilarity]], registered as `cosine_sim` by
+    * GraftExtensions). Bit-identical to the declarative form (same
+    * float→double widening and fold order), one loop, no intermediate
+    * array allocation.
+    */
+  def cosineFast(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
+  /** Epsilon float equality — the reference's Decimal `==` semantics
+    * (reference object_field.rs:87-91: |a-b| < 1e-6). The literal `abs`
+    * form is rewritten to a pushdown-friendly range by
+    * [[graft.plans.EpsilonEqualityRewrite]].
+    */
+  def approxEqual(a: Column, b: Column, eps: Double = 1e-6): Column =
+    abs(a - b) < lit(eps)
+
   /** Axis-sign LSH bucket key: the sign bits of the first `nBits`
     * coordinates packed into a string key. Crude but deterministic and
     * engine-portable; production swaps in random hyperplanes from a

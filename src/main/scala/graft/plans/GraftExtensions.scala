@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, And, Expression, ExpressionInfo, GreaterThan, LessThan, Literal, Subtract}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Epsilon float equality, pushdown-friendly (SURVEY §1.2): the
+  * reference defines Decimal equality as `|a - b| < 1e-6`
+  * (reference: src/objects/object_field.rs:87-91). Written literally as
+  * `abs(col - v) < eps`, the `abs` call blocks parquet filter pushdown;
+  * this rule rewrites it into the equivalent open range
+  * `col > v - eps AND col < v + eps`, which the parquet source accepts
+  * (row-group min/max skipping at 100 TB).
+  *
+  * Semantics-preserving for all doubles: NaN fails both forms; ±Inf and
+  * overflowing bounds degrade to always-false/always-true consistently.
+  */
+object EpsilonEqualityRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(_.containsPattern(
+      org.apache.spark.sql.catalyst.trees.TreePattern.BINARY_COMPARISON)) {
+      case LessThan(Abs(Subtract(x, Literal(v: Double, DoubleType), f), _),
+          Literal(eps: Double, DoubleType)) if !x.foldable =>
+        range(x, v, eps)
+      case LessThan(Abs(Subtract(Literal(v: Double, DoubleType), x, f), _),
+          Literal(eps: Double, DoubleType)) if !x.foldable =>
+        range(x, v, eps)
+    }
+
+  private def range(x: Expression, v: Double, eps: Double): Expression =
+    And(
+      GreaterThan(x, Literal(v - eps, DoubleType)),
+      LessThan(x, Literal(v + eps, DoubleType)))
+}
+
+/** Engine extension point (SparkSessionExtensions): registers the
+  * custom Catalyst pieces — the `cosine_sim` native expression and the
+  * epsilon-equality pushdown rule. Installed by
+  * [[graft.engine.GraftSession]]; also usable via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => MinHashSigs(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (children: Seq[Expression]) => SimHash60(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("hash60_all"),
+      new ExpressionInfo(classOf[Hash60All].getName, "hash60_all"),
+      (children: Seq[Expression]) => Hash60All(children(0), children(1))))
+    ext.injectOptimizerRule(_ => EpsilonEqualityRewrite)
+  }
+}

@@ -1,0 +1,164 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native fused forms of the md5-based text-hash pipeline
+  * ([[graft.functions.TextFunctions]]): the declarative
+  * `transform`/`aggregate` higher-order functions evaluate their lambda
+  * per element *interpreted* — at sf0.1 the MinHash/SimHash pair queries
+  * spent ~60s/70s in that dispatch. These expressions compute the exact
+  * same values (same md5, same 60-bit hex-prefix parse, same fold order,
+  * DuckDB-oracle-identical) in one JVM loop per row.
+  *
+  * 60-bit hash contract (must match `conv(substring(md5(x),1,15),16,10)`
+  * and DuckDB `('0x'||substring(md5(x),1,15))::BIGINT`): the first 15
+  * hex chars of the md5 = big-endian u64 of digest bytes 0..7, shifted
+  * right by one nibble.
+  */
+object Md5Hash60 {
+  private val mdPool: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  def hash(prefix: Array[Byte], s: UTF8String): Long = {
+    val md = mdPool.get()
+    md.reset()
+    md.update(prefix)
+    md.update(s.getBytes)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+  def prefixBytes(p: String): Array[Byte] = p.getBytes(StandardCharsets.UTF_8)
+}
+
+/** `minhash_sigs(shingles, n)` → `array<bigint>`: the n MinHash values
+  * min_s(hash60("mh<i>|" ++ s)); -1 per hash for empty shingle arrays.
+  * One pass: n digests per shingle, no intermediate arrays. */
+case class MinHashSigs(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+      right.dataType == IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "minhash_sigs expects (array<string>, int literal)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  @transient private lazy val n = right.eval(null).asInstanceOf[Int]
+  @transient private lazy val prefixes =
+    (0 until n).map(i => Md5Hash60.prefixBytes(s"mh$i|")).toArray
+
+  override def nullSafeEval(shingles: Any, nAny: Any): Any = {
+    val arr = shingles.asInstanceOf[ArrayData]
+    val out = Array.fill(n)(Long.MaxValue)
+    var j = 0
+    val len = arr.numElements()
+    while (j < len) {
+      val s = arr.getUTF8String(j)
+      var i = 0
+      while (i < n) {
+        val h = Md5Hash60.hash(prefixes(i), s)
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    if (len == 0) new GenericArrayData(Array.fill(n)(-1L))
+    else new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `simhash60(words)` → 60-bit SimHash: per-word hash60("sh|" ++ w),
+  * ±1 votes per bit, bit set iff votes positive. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("simhash60 expects array<string>")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  @transient private lazy val prefix = Md5Hash60.prefixBytes("sh|")
+
+  override def nullSafeEval(words: Any): Any = {
+    val arr = words.asInstanceOf[ArrayData]
+    val votes = new Array[Int](60)
+    var j = 0
+    val len = arr.numElements()
+    while (j < len) {
+      val h = Md5Hash60.hash(prefix, arr.getUTF8String(j))
+      var i = 0
+      while (i < 60) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sh = 0L
+    var i = 0
+    while (i < 60) { if (votes(i) > 0) sh |= (1L << i); i += 1 }
+    sh
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `hash60_all(strings, prefix)` → `array<bigint>`: element-wise hash60
+  * with a constant seed prefix — the native form of
+  * `transform(arr, s -> hash60(prefix ++ s))`. */
+case class Hash60All(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+      right.dataType == StringType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "hash60_all expects (array<string>, string literal)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash60_all"
+
+  @transient private lazy val prefix =
+    right.eval(null).asInstanceOf[UTF8String].getBytes.clone()
+
+  override def nullSafeEval(strings: Any, p: Any): Any = {
+    val arr = strings.asInstanceOf[ArrayData]
+    val out = new Array[Long](arr.numElements())
+    var j = 0
+    while (j < out.length) {
+      out(j) = Md5Hash60.hash(prefix, arr.getUTF8String(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -63,6 +63,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out == Seq(0, 2))
   }
 
+  test("native minhash_sigs/simhash60 match the declarative forms exactly") {
+    val docs = graft.catalog.Catalog(spark, sf).table("documents").limit(100)
+    val sh = TF.shingles(col("text"), 3)
+    val declared = (0 until 8).map(i => TF.minhash(sh, i))
+    val fused = TF.minhashSigsFast(sh, 8)
+    val mhDiff = docs.select(
+      array(declared: _*).as("a"), fused.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mhDiff == 0L)
+    val shDiff = docs.select(TF.simhash(col("text")).as("a"),
+      TF.simhashFast(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(shDiff == 0L)
+    val hDiff = docs.select(
+      transform(TF.words(col("text")), w => TF.hash60(w, "sh|")).as("a"),
+      TF.hash60AllFast(TF.words(col("text")), "sh|").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(hDiff == 0L)
+  }
+
   test("cosine: self-similarity 1.0, orthogonal 0.0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
