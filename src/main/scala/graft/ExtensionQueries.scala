@@ -108,10 +108,10 @@ object ExtensionQueries {
     * (boilerplate docs) are handled by AQE skew-join splitting.
     */
   private val x07_minhash_lsh_pairs: QFn = (s, d) => {
+    val shSet = sort_array(array_distinct(TF.hash60AllFast(
+      array_distinct(TF.shingles(col("text"), ShingleK)), "")))
     val sig = docs(s, d)
-      .select(col("doc_id") +:
-        array_distinct(TF.shingles(col("text"), ShingleK)).as("sh_set") +:
-        minhashCols: _*)
+      .select(col("doc_id") +: shSet.as("sh_set") +: minhashCols: _*)
     val banded = sig.select(col("doc_id"), col("sh_set"),
       posexplode(array((0 until 4).map(b =>
         concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
@@ -123,8 +123,8 @@ object ExtensionQueries {
     a.join(b, Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))), 4).as("jac"))
+        round(call_function("jaccard_sorted", col("a_sh"), col("b_sh")), 4)
+          .as("jac"))
       .filter(col("jac") >= 0.8)
       .distinct()
   }
@@ -158,7 +158,7 @@ object ExtensionQueries {
       .otherwise(array().cast("array<string>"))
     // hash grams to 60-bit longs (native, oracle-identical): set ops on
     // longs beat set ops on strings, and the set Jaccard is unchanged
-    val grams = TF.hash60AllFast(gramStrs, "")
+    val grams = sort_array(array_distinct(TF.hash60AllFast(gramStrs, "")))
     val g = docs(s, d).select(col("doc_id"), col("lang"),
       expr("n_chars div 64").as("len_band"), grams.as("grams"))
     val a = g.select(col("doc_id").as("a_id"), col("lang"), col("len_band"),
@@ -167,8 +167,8 @@ object ExtensionQueries {
       col("grams").as("b_g"))
     a.join(b, Seq("lang", "len_band")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("a_g"), col("b_g"))).cast("double") /
-          size(array_union(col("a_g"), col("b_g"))), 4).as("jac"))
+        round(call_function("jaccard_sorted", col("a_g"), col("b_g")), 4)
+          .as("jac"))
       .filter(col("jac") >= 0.8)
   }
 
@@ -384,7 +384,10 @@ object ExtensionQueries {
          |s AS (SELECT doc_id,
          |             [array_to_string(ws[i:i+${ShingleK - 1}],' ')
          |              for i in range(1, len(ws)-${ShingleK - 2})] AS sh FROM w),
-         |sig AS (SELECT doc_id, list_distinct(sh) AS sh_set, $mhs FROM s),
+         |sig AS (SELECT doc_id,
+         |        list_distinct(list_transform(list_distinct(sh),
+         |                                     x -> ${H60("x")})) AS sh_set,
+         |        $mhs FROM s),
          |banded AS ($bands)
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          |       round(len(list_intersect(a.sh_set,b.sh_set))::DOUBLE /
@@ -420,10 +423,10 @@ object ExtensionQueries {
     "x10_ngram_jaccard" ->
       s"""WITH g AS (
          |  SELECT doc_id, lang, n_chars // 64 AS len_band,
-         |         list_transform(
+         |         list_distinct(list_transform(
          |           list_distinct([substring(nt, i, 4)
          |                          for i in range(1, length(nt)-2)]),
-         |           s -> ${H60("s")}) AS grams
+         |           s -> ${H60("s")})) AS grams
          |    FROM (SELECT doc_id, lang, n_chars, $NT AS nt FROM documents))
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |       round(len(list_intersect(a.grams,b.grams))::DOUBLE /

@@ -84,6 +84,23 @@ final case class Q(df: DataFrame) {
     * but distributed: range-partition + per-partition sort, spillable. */
   def sort(cols: Column*): Q = Q(df.orderBy(cols: _*))
 
+  /** Bucket sort — reference roadmap "In-Memory Bucket Sort"
+    * (README.md:97): explicit range-partition then sort within each
+    * partition. Same physical shape orderBy plans, exposed for when the
+    * caller wants partition-local ordering without a global guarantee
+    * (e.g. writing sorted runs per output file).
+    */
+  def bucketSort(partitions: Int, cols: Column*): Q =
+    Q(df.repartitionByRange(partitions, cols: _*).sortWithinPartitions(cols: _*))
+
+  /** Sort-merge join — reference roadmap "Merge Join" (README.md:101):
+    * force the merge strategy via hint (Spark's default for large
+    * equi-joins; AQE may still switch, which is the adaptive-join row of
+    * the same roadmap).
+    */
+  def mergeJoin(right: Q, cond: Column, joinType: String = "inner"): Q =
+    Q(df.join(right.df.hint("merge"), cond, joinType))
+
   /** Roadmap ops the reference declares but never built
     * (reference README.md:82,94): free in Spark. */
   def concat(other: Q): Q = Q(df.unionByName(other.df))

@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (children: Seq[Expression]) => SimHash60(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      (children: Seq[Expression]) => JaccardSorted(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("hash60_all"),
       new ExpressionInfo(classOf[Hash60All].getName, "hash60_all"),
       (children: Seq[Expression]) => Hash60All(children(0), children(1))))

@@ -127,6 +127,49 @@ case class SimHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** `jaccard_sorted(a, b)` → double: set Jaccard |a∩b| / |a∪b| of two
+  * *sorted, distinct* `array<bigint>` columns via a single merge scan —
+  * no per-pair hash-set allocation (`array_intersect`/`array_union`
+  * build one per evaluation, the dominant cost of the brute-force
+  * near-dup pair queries). Callers sort once map-side
+  * (`sort_array(array_distinct(...))`); the pairwise join then does
+  * O(n) comparisons per pair. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "jaccard_sorted expects (array<bigint>, array<bigint>), sorted distinct")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `hash60_all(strings, prefix)` → `array<bigint>`: element-wise hash60
   * with a constant seed prefix — the native form of
   * `transform(arr, s -> hash60(prefix ++ s))`. */

@@ -21,6 +21,21 @@ class CoreOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bucketSort orders within partitions; mergeJoin plans SortMergeJoin") {
+    val sorted = Q(cat, "orders").bucketSort(4, col("o_totalprice").asc)
+    // every partition locally sorted
+    val ok = sorted.df.select(col("o_totalprice")).rdd
+      .mapPartitions { it =>
+        val v = it.map(_.getDouble(0)).toSeq
+        Iterator(v == v.sorted)
+      }.collect()
+    assert(ok.forall(identity))
+    val mj = Q(cat, "lineitem").mergeJoin(Q(cat, "orders"),
+      col("l_orderkey") === col("o_orderkey"))
+    assert(mj.df.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    assert(mj.count() == Q(cat, "lineitem").count())
+  }
+
   test("filter matches manual predicate") {
     val n = Q(cat, "lineitem").where(col("l_quantity") > 25).count()
     val all = Q(cat, "lineitem").count()
