@@ -90,7 +90,7 @@ object ExtensionQueries {
     * expression; values identical to the declarative [[TF.minhash]] —
     * see ExtensionsSpec); mh0..mh7 are projections of the array. */
   private def minhashCols: Seq[Column] = {
-    val sigs = TF.minhashSigsFast(TF.shingles(col("text"), ShingleK), NumHashes)
+    val sigs = TF.minhashSigsFast(TF.words(col("text")), ShingleK, NumHashes)
     (0 until NumHashes).map(i => element_at(sigs, i + 1).as(s"mh$i"))
   }
 
@@ -108,8 +108,7 @@ object ExtensionQueries {
     * (boilerplate docs) are handled by AQE skew-join splitting.
     */
   private val x07_minhash_lsh_pairs: QFn = (s, d) => {
-    val shSet = sort_array(array_distinct(TF.hash60AllFast(
-      array_distinct(TF.shingles(col("text"), ShingleK)), "")))
+    val shSet = TF.shingleSetFast(TF.words(col("text")), ShingleK)
     val sig = docs(s, d)
       .select(col("doc_id") +: shSet.as("sh_set") +: minhashCols: _*)
     val banded = sig.select(col("doc_id"), col("sh_set"),
@@ -152,13 +151,9 @@ object ExtensionQueries {
     */
   private val x10_ngram_jaccard: QFn = (s, d) => {
     val norm = TF.normText(col("text"))
-    val gramStrs = when(length(norm) >= 4,
-      array_distinct(transform(sequence(lit(1), length(norm) - 3),
-        i => call_function("substring", norm, i, lit(4)))))
-      .otherwise(array().cast("array<string>"))
-    // hash grams to 60-bit longs (native, oracle-identical): set ops on
-    // longs beat set ops on strings, and the set Jaccard is unchanged
-    val grams = sort_array(array_distinct(TF.hash60AllFast(gramStrs, "")))
+    // hashed-gram sets (native, oracle-identical): set ops on 60-bit
+    // longs instead of strings; the set Jaccard is unchanged
+    val grams = TF.chargramSetFast(norm, 4)
     val g = docs(s, d).select(col("doc_id"), col("lang"),
       expr("n_chars div 64").as("len_band"), grams.as("grams"))
     val a = g.select(col("doc_id").as("a_id"), col("lang"), col("len_band"),

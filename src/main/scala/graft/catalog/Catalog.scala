@@ -45,6 +45,16 @@ final case class Catalog(spark: SparkSession, dir: String) {
     rows.write.mode("append").parquet(path(name))
   }
 
+  /** Hive-style partitioned write — the working analogue of the
+    * reference's index stubs (src/collection/indexes/, all no-ops):
+    * partition directories give partition *pruning* (the scan's
+    * PartitionFilters), the reference's intended index-seek capability,
+    * at any scale. Choose low-cardinality columns (date, category); at
+    * 100 TB this is the difference between scanning a day and a year.
+    */
+  def writePartitioned(name: String, rows: DataFrame, partitionCols: String*): Unit =
+    rows.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path(name))
+
   private def sameShape(a: StructType, b: StructType): Boolean =
     a.fields.map(f => (f.name, f.dataType)).sameElements(
       b.fields.map(f => (f.name, f.dataType)))

@@ -91,9 +91,20 @@ object TextFunctions {
   // by GraftExtensions) — identical values, one JVM loop per row instead
   // of per-element interpreted HOF lambdas. Use these in hot paths.
 
-  /** All `n` MinHash values at once as array<long> (≡ n × [[minhash]]). */
-  def minhashSigsFast(shingleCol: Column, n: Int): Column =
-    call_function("minhash_sigs", shingleCol, lit(n))
+  /** All `n` MinHash values over k-word shingles at once as array<long>
+    * (≡ n × [[minhash]] over [[shingles]]); shingle strings never
+    * materialize. */
+  def minhashSigsFast(wordsCol: Column, k: Int, n: Int): Column =
+    call_function("minhash_sigs", wordsCol, lit(k), lit(n))
+
+  /** Sorted distinct hash60 set of k-word shingles — jaccard_sorted-ready
+    * (≡ sort_array(array_distinct(hash60_all([[shingles]], "")))). */
+  def shingleSetFast(wordsCol: Column, k: Int): Column =
+    call_function("shingle_set", wordsCol, lit(k))
+
+  /** Sorted distinct hash60 set of character n-grams. */
+  def chargramSetFast(strCol: Column, n: Int): Column =
+    call_function("chargram_set", strCol, lit(n))
 
   /** Fused [[simhash]] (≡ simhash(text), native). */
   def simhashFast(text: Column): Column =

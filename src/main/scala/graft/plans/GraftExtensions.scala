@@ -52,7 +52,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
-      (children: Seq[Expression]) => MinHashSigs(children(0), children(1))))
+      (children: Seq[Expression]) =>
+        MinHashSigs(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (children: Seq[Expression]) => ShingleSet(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("chargram_set"),
+      new ExpressionInfo(classOf[CharGramSet].getName, "chargram_set"),
+      (children: Seq[Expression]) => CharGramSet(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),

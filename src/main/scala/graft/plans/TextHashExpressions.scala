@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -27,25 +27,108 @@ import org.apache.spark.unsafe.types.UTF8String
 object Md5Hash60 {
   private val mdPool: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private val Space = Array(' '.toByte)
 
   def hash(prefix: Array[Byte], s: UTF8String): Long = {
     val md = mdPool.get()
     md.reset()
     md.update(prefix)
     md.update(s.getBytes)
+    digest60(md)
+  }
+
+  /** hash60 of the k-word shingle `words[start..start+k)` joined with a
+    * single space — byte-identical to hashing
+    * `array_join(slice(words, start+1, k), " ")` without materializing
+    * the shingle string. */
+  def hashShingle(prefix: Array[Byte], words: ArrayData, start: Int, k: Int): Long = {
+    val md = mdPool.get()
+    md.reset()
+    md.update(prefix)
+    var i = 0
+    while (i < k) {
+      if (i > 0) md.update(Space)
+      md.update(words.getUTF8String(start + i).getBytes)
+      i += 1
+    }
+    digest60(md)
+  }
+
+  private def digest60(md: MessageDigest): Long = {
     val d = md.digest()
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     v >>> 4
   }
+
   def prefixBytes(p: String): Array[Byte] = p.getBytes(StandardCharsets.UTF_8)
+
+  /** Sort + dedup in place semantics: returns sorted distinct copy. */
+  def sortedDistinct(a: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return a
+    java.util.Arrays.sort(a)
+    var n = 1
+    var i = 1
+    while (i < a.length) {
+      if (a(i) != a(n - 1)) { a(n) = a(i); n += 1 }
+      i += 1
+    }
+    if (n == a.length) a else java.util.Arrays.copyOf(a, n)
+  }
 }
 
-/** `minhash_sigs(shingles, n)` → `array<bigint>`: the n MinHash values
-  * min_s(hash60("mh<i>|" ++ s)); -1 per hash for empty shingle arrays.
-  * One pass: n digests per shingle, no intermediate arrays. */
-case class MinHashSigs(left: Expression, right: Expression)
+/** `minhash_sigs(words, k, n)` → `array<bigint>`: the n MinHash values
+  * over k-word shingles, min_s(hash60("mh<i>|" ++ s)); -1 per hash when
+  * the doc has fewer than k words. Shingle strings are never
+  * materialized — the digest streams word bytes + space separators. */
+case class MinHashSigs(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType.isInstanceOf[ArrayType] &&
+      first.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+      second.dataType == IntegerType && second.foldable &&
+      third.dataType == IntegerType && third.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "minhash_sigs expects (array<string> words, int k literal, int n literal)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  @transient private lazy val k = second.eval(null).asInstanceOf[Int]
+  @transient private lazy val n = third.eval(null).asInstanceOf[Int]
+  @transient private lazy val prefixes =
+    (0 until n).map(i => Md5Hash60.prefixBytes(s"mh$i|")).toArray
+
+  override def nullSafeEval(words: Any, kAny: Any, nAny: Any): Any = {
+    val arr = words.asInstanceOf[ArrayData]
+    val nShingles = arr.numElements() - (k - 1)
+    if (nShingles <= 0) return new GenericArrayData(Array.fill(n)(-1L))
+    val out = Array.fill(n)(Long.MaxValue)
+    var j = 0
+    while (j < nShingles) {
+      var i = 0
+      while (i < n) {
+        val h = Md5Hash60.hashShingle(prefixes(i), arr, j, k)
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `shingle_set(words, k)` → sorted distinct `array<bigint>` of
+  * hash60(k-word shingle) — the verify-set for LSH candidates, ready for
+  * `jaccard_sorted`. ≡ sort_array(array_distinct(hash60_all(shingles))). */
+case class ShingleSet(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -54,32 +137,64 @@ case class MinHashSigs(left: Expression, right: Expression)
       right.dataType == IntegerType && right.foldable)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "minhash_sigs expects (array<string>, int literal)")
+      "shingle_set expects (array<string> words, int k literal)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sigs"
+  override def prettyName: String = "shingle_set"
 
-  @transient private lazy val n = right.eval(null).asInstanceOf[Int]
-  @transient private lazy val prefixes =
-    (0 until n).map(i => Md5Hash60.prefixBytes(s"mh$i|")).toArray
+  @transient private lazy val k = right.eval(null).asInstanceOf[Int]
+  private val emptyPrefix = Array.emptyByteArray
 
-  override def nullSafeEval(shingles: Any, nAny: Any): Any = {
-    val arr = shingles.asInstanceOf[ArrayData]
-    val out = Array.fill(n)(Long.MaxValue)
+  override def nullSafeEval(words: Any, kAny: Any): Any = {
+    val arr = words.asInstanceOf[ArrayData]
+    val nShingles = arr.numElements() - (k - 1)
+    if (nShingles <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nShingles)
     var j = 0
-    val len = arr.numElements()
-    while (j < len) {
-      val s = arr.getUTF8String(j)
-      var i = 0
-      while (i < n) {
-        val h = Md5Hash60.hash(prefixes(i), s)
-        if (h < out(i)) out(i) = h
-        i += 1
-      }
+    while (j < nShingles) {
+      out(j) = Md5Hash60.hashShingle(emptyPrefix, arr, j, k)
       j += 1
     }
-    if (len == 0) new GenericArrayData(Array.fill(n)(-1L))
-    else new GenericArrayData(out)
+    new GenericArrayData(Md5Hash60.sortedDistinct(out))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `chargram_set(str, n)` → sorted distinct `array<bigint>` of
+  * hash60(character n-gram). ≡ the declarative
+  * sort_array(array_distinct(hash60_all(substring-grams))). Character
+  * semantics: code points (matches Spark/DuckDB `substring`). */
+case class CharGramSet(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType &&
+      right.dataType == IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "chargram_set expects (string, int n literal)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "chargram_set"
+
+  @transient private lazy val n = right.eval(null).asInstanceOf[Int]
+  private val emptyPrefix = Array.emptyByteArray
+
+  override def nullSafeEval(str: Any, nAny: Any): Any = {
+    val s = str.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val nGrams = len - (n - 1)
+    if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      out(i) = Md5Hash60.hash(emptyPrefix, s.substringSQL(i + 1, n))
+      i += 1
+    }
+    new GenericArrayData(Md5Hash60.sortedDistinct(out))
   }
 
   override protected def withNewChildrenInternal(

@@ -9,6 +9,8 @@ import graft.dsl.Q
   * regression tests for the reference quirks we deliberately fix
   * (SURVEY §7.5 #2).
   */
+case class RtRow(id: Long, qty: Double, tag: String, ok: Boolean)
+
 class CoreOpsSpec extends SparkTestBase {
 
   private lazy val cat = Catalog(spark, sf)
@@ -34,6 +36,37 @@ class CoreOpsSpec extends SparkTestBase {
       col("l_orderkey") === col("o_orderkey"))
     assert(mj.df.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
     assert(mj.count() == Q(cat, "lineitem").count())
+  }
+
+  test("writePartitioned gives partition pruning (the reference's index-seek)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val pcat = Catalog(spark, tmp)
+    pcat.writePartitioned("orders_bystatus", cat.table("orders"), "o_orderstatus")
+    val pruned = pcat.table("orders_bystatus").filter(col("o_orderstatus") === "F")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(o_orderstatus"), scan)
+    assert(pruned.count() ==
+      cat.table("orders").filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("Dataset[T] encode/decode round-trips random rows (SURVEY §5.2.3, ≡ object_deserializer tests)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      id <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      q <- Gen.oneOf(Gen.chooseNum(-1e18, 1e18), Gen.oneOf(0.0, -0.0,
+        Double.MaxValue, Double.MinPositiveValue, Double.NaN))
+      t <- Gen.asciiPrintableStr
+      b <- Gen.oneOf(true, false)
+    } yield RtRow(id, q, t, b)
+    val rows = (1 to 50).map(i =>
+      gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val back = rows.toDS().collect().toSeq
+    assert(back.map(r => (r.id, r.tag, r.ok)) == rows.map(r => (r.id, r.tag, r.ok)))
+    assert(back.map(_.qty).zip(rows.map(_.qty)).forall { case (a, b) =>
+      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+    }, "doubles (incl. NaN/-0.0) must round-trip bit-exactly")
   }
 
   test("filter matches manual predicate") {

@@ -67,7 +67,7 @@ class ExtensionsSpec extends SparkTestBase {
     val docs = graft.catalog.Catalog(spark, sf).table("documents").limit(100)
     val sh = TF.shingles(col("text"), 3)
     val declared = (0 until 8).map(i => TF.minhash(sh, i))
-    val fused = TF.minhashSigsFast(sh, 8)
+    val fused = TF.minhashSigsFast(TF.words(col("text")), 3, 8)
     val mhDiff = docs.select(
       array(declared: _*).as("a"), fused.as("b"))
       .filter(col("a") =!= col("b")).count()
@@ -81,6 +81,20 @@ class ExtensionsSpec extends SparkTestBase {
       TF.hash60AllFast(TF.words(col("text")), "sh|").as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(hDiff == 0L)
+    val ssDiff = docs.select(
+      sort_array(array_distinct(TF.hash60AllFast(
+        array_distinct(TF.shingles(col("text"), 3)), ""))).as("a"),
+      TF.shingleSetFast(TF.words(col("text")), 3).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(ssDiff == 0L)
+    val norm = TF.normText(col("text"))
+    val gramStrs = array_distinct(transform(sequence(lit(1), length(norm) - 3),
+      i => call_function("substring", norm, i, lit(4))))
+    val cgDiff = docs.select(
+      sort_array(array_distinct(TF.hash60AllFast(gramStrs, ""))).as("a"),
+      TF.chargramSetFast(norm, 4).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(cgDiff == 0L)
   }
 
   test("cosine: self-similarity 1.0, orthogonal 0.0") {
