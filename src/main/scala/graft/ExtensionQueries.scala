@@ -217,6 +217,39 @@ object ExtensionQueries {
       .filter(col("rnk") <= 3)
   }
 
+  /** IVF-style ANN: assign every vector to its nearest "centroid" (the
+    * first 16 vectors stand in for trained k-means centroids — the
+    * assignment/search plan is what matters), then search only within
+    * the query's cell (nprobe=1).
+    *
+    * 100 TB shape: the centroid set is tiny and *broadcast* — assignment
+    * is a map-side argmax, no shuffle; the search join is equi on
+    * cell id. Swapping in real trained centroids changes recall, not the
+    * plan. */
+  private val x18_ann_ivf: QFn = (s, d) => {
+    val e = embs(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val cells = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"),
+        col("c_id"), VF.cosineFast(col("embedding"), col("c_e")).as("c_cos"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    val q = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"), col("cell"))
+    val c = cells.select(col("vec_id").as("n_id"), col("embedding").as("n_e"),
+      col("cell"))
+    val byQ = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= 3)
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal metadata extraction: media columns are opaque binary +
@@ -309,12 +342,20 @@ object ExtensionQueries {
     "x15_events_window" -> x15_events_window,
     "x16_sessionize" -> x16_sessionize,
     "x17_mvcc_snapshot" -> x17_mvcc_snapshot,
+    "x18_ann_ivf" -> x18_ann_ivf,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
   private val NT = "regexp_replace(lower(trim(text)),'\\s+',' ','g')"
   private def H60(expr: String) =
     s"('0x'||substring(md5($expr),1,15))::BIGINT"
+  /** Dot product with the exact fold order of cosine_sim / zip_with. */
+  private def DOT(a: String, b: String) =
+    s"""list_aggregate(list_transform(list_zip($a,$b),
+       |           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum')""".stripMargin
+  private def COS(a: String, b: String) =
+    s"""${DOT(a, b)} /
+       |         (sqrt(${DOT(a, a)}) * sqrt(${DOT(b, b)}))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->
@@ -496,6 +537,26 @@ object ExtensionQueries {
         |       sum(CASE WHEN prev IS NULL OR tns - prev > 1800000000000
         |                THEN 1::BIGINT ELSE 0::BIGINT END)::BIGINT AS n_sessions
         |  FROM t GROUP BY user_id""".stripMargin,
+    "x18_ann_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_e
+         |                FROM embeddings WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${COS("e.embedding", "c.c_e")} DESC, c.c_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |cells AS (SELECT vec_id, embedding, c_id AS cell FROM asg WHERE rn = 1),
+         |cand AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |         round(${COS("q.embedding", "n.embedding")}, 6) AS cos
+         |    FROM cells q JOIN cells n
+         |      ON q.cell = n.cell AND q.vec_id <> n.vec_id
+         |   WHERE q.vec_id < 10)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT q_id, n_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY cos DESC, n_id ASC) AS rnk
+         |    FROM cand) WHERE rnk <= 3""".stripMargin,
     "x17_mvcc_snapshot" ->
       """WITH log AS (
         |  SELECT 1::BIGINT AS txn, 'U' AS op, o_orderkey AS rid, o_totalprice AS price FROM orders

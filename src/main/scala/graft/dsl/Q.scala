@@ -101,6 +101,29 @@ final case class Q(df: DataFrame) {
   def mergeJoin(right: Q, cond: Column, joinType: String = "inner"): Q =
     Q(df.join(right.df.hint("merge"), cond, joinType))
 
+  /** Salted equi-join for skewed keys: the probe (left) side scatters
+    * each row to one of `saltFactor` sub-keys; the build (right) side is
+    * replicated across all of them — the hot key's rows spread over
+    * `saltFactor` shuffle partitions instead of one straggler task.
+    * Result is identical to a plain inner equi-join (every left row
+    * still meets every matching right row exactly once).
+    *
+    * AQE's skew-join split handles most cases automatically
+    * (GraftSession enables it); explicit salting is for when the skew is
+    * in an *aggregation* upstream or AQE's thresholds don't trigger.
+    */
+  def saltedJoin(right: Q, leftKey: Column, rightKey: Column,
+      saltFactor: Int): Q = {
+    val salted = df.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor)).cast("int"))
+    val replicated = right.df.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    Q(salted
+      .join(replicated, salted("__salt") === replicated("__salt") &&
+        leftKey === rightKey, "inner")
+      .drop("__salt"))
+  }
+
   /** Roadmap ops the reference declares but never built
     * (reference README.md:82,94): free in Spark. */
   def concat(other: Q): Q = Q(df.unionByName(other.df))

@@ -69,6 +69,19 @@ class CoreOpsSpec extends SparkTestBase {
     }, "doubles (incl. NaN/-0.0) must round-trip bit-exactly")
   }
 
+  test("saltedJoin equals plain join and spreads the hot key over salts") {
+    import spark.implicits._
+    // skew: one key carries 10k rows, the rest 1 each
+    val left = (Seq.fill(10000)(1L) ++ (2L to 100L)).toDF("k")
+    val right = Seq((1L, "hot"), (2L, "a"), (50L, "b")).toDF("rk", "v")
+    val plain = left.join(right, col("k") === col("rk")).count()
+    val salted = Q(left).saltedJoin(Q(right), col("k"), col("rk"), 8)
+    assert(salted.count() == plain && plain == 10002L)
+    // shuffle key includes the salt: hot key hashes to many partitions
+    val plan = salted.df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan)
+  }
+
   test("filter matches manual predicate") {
     val n = Q(cat, "lineitem").where(col("l_quantity") > 25).count()
     val all = Q(cat, "lineitem").count()

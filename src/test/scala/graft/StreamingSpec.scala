@@ -74,6 +74,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source stream over events.parquet matches the batch window aggregation") {
+    import org.apache.spark.sql.functions._
+    val batchEvents = graft.catalog.Catalog(spark, sf).table("events")
+    // file streams consume directories: stage the fixture into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamEvents = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(dir.toString)
+    val agg = EventStreams.tumblingCounts(streamEvents,
+      windowDur = "1 hour", watermarkDelay = "2 hours")
+    val q = agg.writeStream.format("memory").queryName("file_stream_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_test")
+        .select(col("window.start").cast("long").as("w"), col("event_type"),
+          col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = EventStreams.tumblingCounts(batchEvents)
+        .select(col("window.start").cast("long").as("w"), col("event_type"),
+          col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch && batch.nonEmpty,
+        s"stream=${streamed.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
   test("native session_window groups events by gap (batch parity check)") {
     val M = 60L * 1000000000L
     val batch = Seq(ev(1, 0), ev(1, 5 * M), ev(1, 50 * M), ev(2, 0))
