@@ -131,6 +131,21 @@ class ConditionSpec extends SparkTestBase {
     }
   }
 
+  test("TypedQuery (entry point B): accumulated conditions reach the plan, typed collect") {
+    import spark.implicits._
+    import graft.dsl.TypedQuery
+    val q = TypedQuery[OrderRow](Catalog(spark, sf), "orders")
+      .filter(c("o_totalprice") > v(200000.0))
+      .filter(!(c("o_orderkey") !== c("o_orderkey"))) // tautology, exercises normalize
+    val rows = q.collect()
+    val expected = Catalog(spark, sf).table("orders")
+      .filter(col("o_totalprice") > 200000.0).count()
+    assert(rows.length.toLong == expected && rows.forall(_.o_totalprice > 200000.0))
+    // the condition is pushed into the parquet scan
+    val scan = q.ds.queryExecution.executedPlan.toString
+    assert(scan.contains("GreaterThan(o_totalprice,200000.0)"), scan)
+  }
+
   test("compiles to a Spark filter equal to the hand-written Column") {
     val cond = (c("l_quantity") > v(25)) &&
       (c("l_returnflag") like "R%") && !(c("l_linestatus") !== v("F"))
