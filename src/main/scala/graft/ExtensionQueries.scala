@@ -250,6 +250,46 @@ object ExtensionQueries {
       .filter(col("rnk") <= 3)
   }
 
+  /** Embedding-cosine dedup *decision*: from the near-dup pairs (x11's
+    * definition), drop every vector that has a more-canonical (lower-id)
+    * near-duplicate — the keep/drop list a dedup pipeline acts on. */
+  private val x19_embed_dedup: QFn = (s, d) => {
+    val e = embs(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
+    val pairs = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VF.cosineFast(col("a_e"), col("b_e")), 6).as("cos"))
+      .filter(col("cos") >= 0.45)
+    pairs.groupBy(col("b_id").as("drop_id"))
+      .agg(min(col("a_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** End-to-end corpus cleaning — the composition a training-data
+    * pipeline actually runs: exact-dedup (keep lowest doc_id per content
+    * hash) → quality floor → confident language-ID → token accounting.
+    * Every stage is a previous oracle-checked query; this checks the
+    * composition. Shuffles: one groupBy(content hash) + one broadcast-able
+    * self-semi-join; everything else is map-side. */
+  private val x20_corpus_clean: QFn = (s, d) => {
+    val nw = TF.tokenCount(col("text"))
+    val alphaRaw = regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
+      length(col("text"))
+    val scored = docs(s, d).select(
+      col("doc_id"), col("lang"), col("text"),
+      nw.as("n_tokens"),
+      TF.langId(col("text")).as("pred_lang"),
+      alphaRaw.as("alpha"),
+      md5(TF.normText(col("text"))).as("chash"))
+    val canonical = scored.groupBy("chash")
+      .agg(min(col("doc_id")).as("doc_id"))
+    scored
+      .join(canonical, Seq("chash", "doc_id"), "left_semi") // exact dedup
+      .filter(col("n_tokens") >= 20 && col("alpha") >= 0.5) // quality floor
+      .filter(col("pred_lang") === col("lang"))             // confident langid
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal metadata extraction: media columns are opaque binary +
@@ -343,6 +383,8 @@ object ExtensionQueries {
     "x16_sessionize" -> x16_sessionize,
     "x17_mvcc_snapshot" -> x17_mvcc_snapshot,
     "x18_ann_ivf" -> x18_ann_ivf,
+    "x19_embed_dedup" -> x19_embed_dedup,
+    "x20_corpus_clean" -> x20_corpus_clean,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -557,6 +599,35 @@ object ExtensionQueries {
          |         row_number() OVER (PARTITION BY q_id
          |                            ORDER BY cos DESC, n_id ASC) AS rnk
          |    FROM cand) WHERE rnk <= 3""".stripMargin,
+    "x19_embed_dedup" ->
+      s"""WITH c AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         round(${COS("a.embedding", "b.embedding")}, 6) AS cos
+         |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT b_id AS drop_id, min(a_id) AS canonical_id, count(*) AS n_dups
+         |  FROM c WHERE cos >= 0.45 GROUP BY b_id""".stripMargin,
+    "x20_corpus_clean" -> {
+      val hits = graft.functions.TextFunctions.langStops.map { case (lang, stops) =>
+        s"len(list_filter(ws, w -> w IN (${stops.map("'" + _ + "'").mkString(",")}))) AS h_$lang"
+      }.mkString(",\n         ")
+      val langs = graft.functions.TextFunctions.langStops.map(_._1)
+      val maxh = s"greatest(${langs.map("h_" + _).mkString(",")})"
+      val cases = langs.map(l => s"WHEN h_$l = $maxh THEN '$l'").mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, string_split($NT,' ') AS ws, $NT AS nt
+         |    FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang, len(ws) AS n_tokens,
+         |         (SELECT CASE WHEN $maxh = 0 THEN 'und' $cases ELSE 'und' END
+         |            FROM (SELECT $hits)) AS pred_lang,
+         |         len(regexp_extract_all(text,'[A-Za-z]'))::DOUBLE / length(text) AS alpha,
+         |         md5(nt) AS chash
+         |    FROM t),
+         |canon AS (SELECT chash, min(doc_id) AS doc_id FROM scored GROUP BY chash)
+         |SELECT s.doc_id, s.lang, s.n_tokens
+         |  FROM scored s JOIN canon c ON s.chash = c.chash AND s.doc_id = c.doc_id
+         | WHERE s.n_tokens >= 20 AND s.alpha >= 0.5 AND s.pred_lang = s.lang""".stripMargin
+    },
     "x17_mvcc_snapshot" ->
       """WITH log AS (
         |  SELECT 1::BIGINT AS txn, 'U' AS op, o_orderkey AS rid, o_totalprice AS price FROM orders

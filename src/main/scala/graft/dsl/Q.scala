@@ -146,6 +146,14 @@ final case class Q(df: DataFrame) {
 
   def collect(): Array[org.apache.spark.sql.Row] = df.collect()
   def count(): Long = df.count()
+
+  /** Cardinality/size estimate — the reference's `size_hint`/`cost_hint`
+    * plumbing (src/operators/mod.rs:29-40, used for preallocation and the
+    * planned adaptive join) ≡ Catalyst statistics; AQE refines them with
+    * runtime exchange metrics.
+    */
+  def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    df.queryExecution.optimizedPlan.stats
 }
 
 object Q {
