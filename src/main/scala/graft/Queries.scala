@@ -261,6 +261,43 @@ object Queries {
         col("o_orderpriority")).df
   }
 
+  /** Outer-join surface (free beyond the reference's inner-only joins,
+    * SURVEY §7.3 step 3): customers ⟕ their large orders — most rows
+    * carry nulls on the right. */
+  private val q24_outer: QFn = (s, d) =>
+    Q(cat(s, d), "customer")
+      .hashJoin(
+        Q(cat(s, d).table("orders").filter(col("o_totalprice") > 400000.0)),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice")).df
+
+  /** Date-function surface over the TIMESTAMP column (UTC session):
+    * monthly order volume. */
+  private val q25_date_agg: QFn = (s, d) =>
+    Q(cat(s, d), "orders").groupAgg(
+      keys = Seq(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m")),
+      aggs = Seq(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))).df
+
+  /** As-of join (operator Spark lacks natively; Q.asofJoin composes it
+    * as union → single key-sort shuffle → running last_value window):
+    * each click event gets the user's latest prior purchase value.
+    * Oracle = DuckDB's native ASOF JOIN. */
+  private val q26_asof_join: QFn = (s, d) => {
+    val ev = cat(s, d).table("events")
+    val clicks = Q(ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts")))
+    val purchases = Q(ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("value").as("last_purchase")))
+    clicks.asofJoin(purchases, keys = Seq("user_id"),
+      leftTime = "ts", rightTime = "p_ts", payload = Seq("last_purchase"))
+      // µs precision: DuckDB truncates parquet nano-timestamps to µs
+      .df.selectExpr("event_id", "user_id", "ts div 1000 AS ts_us",
+        "last_purchase")
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, QFn] = Map(
@@ -287,6 +324,9 @@ object Queries {
     "q21_constant" -> q21_constant,
     "q22_typed" -> q22_typed,
     "q23_condition" -> q23_condition,
+    "q24_outer" -> q24_outer,
+    "q25_date_agg" -> q25_date_agg,
+    "q26_asof_join" -> q26_asof_join,
   ) ++ ExtensionQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -403,5 +443,22 @@ object Queries {
         | WHERE (o_orderpriority LIKE '1%' OR o_totalprice < 50000.0)
         |   AND NOT (o_orderstatus <> 'F')
         |   AND length(o_orderpriority) >= 5""".stripMargin,
+    "q24_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |  FROM customer LEFT JOIN (SELECT * FROM orders
+        |                            WHERE o_totalprice > 400000.0) o
+        |    ON c_custkey = o.o_custkey""".stripMargin,
+    "q25_date_agg" ->
+      """SELECT year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY 1, 2""".stripMargin,
+    "q26_asof_join" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |       p.value AS last_purchase
+        |  FROM (SELECT event_id, user_id, ts FROM events
+        |         WHERE event_type = 'click') c
+        |  ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                   WHERE event_type = 'purchase') p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
   ) ++ ExtensionQueries.oracles
 }

@@ -124,6 +124,35 @@ final case class Q(df: DataFrame) {
       .drop("__salt"))
   }
 
+  /** As-of join — an operator neither the reference nor Spark has
+    * natively: for each left row, attach the *latest* right row with the
+    * same key whose `rightTime` ≤ the left row's `leftTime`.
+    *
+    * Not a range join (which would be quadratic per key): both sides
+    * union into one stream, sort by (key, time) once, and a running
+    * `last_value(..., ignoreNulls)` window carries the most recent right
+    * payload forward into each left row. ONE shuffle (the window's
+    * partition-by-key exchange), linear work — the composition that
+    * survives 100 TB. Right rows at exactly `leftTime` match (≤).
+    */
+  def asofJoin(right: Q, keys: Seq[String], leftTime: String,
+      rightTime: String, payload: Seq[String]): Q = {
+    import org.apache.spark.sql.expressions.Window
+    val l = df.withColumn("__t", col(leftTime)).withColumn("__isL", lit(1))
+    val r = right.df.withColumn("__t", col(rightTime)).withColumn("__isL", lit(0))
+    val unioned = l.unionByName(
+      r.select((keys ++ payload).map(col) :+ col("__t") :+ col("__isL"): _*),
+      allowMissingColumns = true)
+    // right rows sort before left rows at equal times → "≤" semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__isL").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(when(col("__isL") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    Q(carried.filter(col("__isL") === 1).drop("__t", "__isL"))
+  }
+
   /** Roadmap ops the reference declares but never built
     * (reference README.md:82,94): free in Spark. */
   def concat(other: Q): Q = Q(df.unionByName(other.df))

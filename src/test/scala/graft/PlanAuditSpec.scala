@@ -1,0 +1,61 @@
+package graft
+
+/** Physical-plan regressions: the scale properties that make these
+  * queries survive 100× data are asserted here so a refactor can't
+  * silently lose them (pushdown reaching the scan, broadcast vs shuffle
+  * choice, TakeOrdered for top-k, single window exchange for as-of).
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: both predicates pushed into the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("GreaterThan(l_quantity,25.0)"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p)
+  }
+
+  test("q01: scan reads only the projected columns") {
+    val p = plan("q01_scan")
+    assert(p.contains("l_extendedprice#") && p.contains("l_returnflag#"), p)
+    assert(!p.contains("l_tax#") && !p.contains("l_shipdate#"), p)
+  }
+
+  test("q09: dimension join broadcasts (no shuffle)") {
+    val p = plan("q09_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q08: fact-fact join hashes, not nested-loop") {
+    val p = plan("q08_hash_join")
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("q07: non-equi condition plans BroadcastNestedLoopJoin") {
+    val p = plan("q07_loop_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q05: sorted limit plans TakeOrderedAndProject (no full sort materialization)") {
+    val p = plan("q05_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q17: star join = broadcasts + exactly one pre-aggregation shuffle pair") {
+    val p = plan("q17_nation_revenue")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3, p)
+    // exchanges: 2 feeding the fact-fact ShuffledHashJoin + 1 for the final groupBy
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
+  }
+
+  test("q26: as-of join is one window exchange, not a range join") {
+    val p = plan("q26_asof_join")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.contains("NestedLoop"), p)
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"as-of join must shuffle exactly once:\n$p")
+  }
+}
