@@ -290,6 +290,34 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
 
+  /** TF-IDF term weighting — the classic corpus-statistics op a training
+    * pipeline runs for keyword extraction / quality signals. Three
+    * aggregations: term frequency per (doc, word), document frequency per
+    * word, corpus size; idf joined back and the tiny corpus-size scalar
+    * broadcast.
+    *
+    * 100 TB shape: tf groupBy shuffles on (doc_id, word) — near-uniform;
+    * df groupBy on word alone can skew on stopwords, which is exactly
+    * what AQE skew handling (or a two-level partial agg, already how
+    * Spark plans it) absorbs. No driver-side state: the corpus size is a
+    * 1-row broadcast, not a collected constant. */
+  private val x21_tfidf: QFn = (s, d) => {
+    val dd = docs(s, d)
+    val tf = dd
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("dfreq")) // one row per (doc,word) ⇒ doc count
+    val n = dd.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("word"))
+      .crossJoin(broadcast(n))
+      .filter(col("tf") >= 4)
+      .select(col("doc_id"), col("word"), col("tf"), col("dfreq"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("dfreq")), 4)
+          .as("tfidf"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal metadata extraction: media columns are opaque binary +
@@ -385,6 +413,7 @@ object ExtensionQueries {
     "x18_ann_ivf" -> x18_ann_ivf,
     "x19_embed_dedup" -> x19_embed_dedup,
     "x20_corpus_clean" -> x20_corpus_clean,
+    "x21_tfidf" -> x21_tfidf,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -628,6 +657,16 @@ object ExtensionQueries {
          |  FROM scored s JOIN canon c ON s.chash = c.chash AND s.doc_id = c.doc_id
          | WHERE s.n_tokens >= 20 AND s.alpha >= 0.5 AND s.pred_lang = s.lang""".stripMargin
     },
+    "x21_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
+         |             FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         |dfq AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT t.doc_id, t.word, t.tf, d.dfreq,
+         |       round(t.tf * ln(n.n_docs::DOUBLE / d.dfreq), 4) AS tfidf
+         |  FROM tf t JOIN dfq d USING (word) CROSS JOIN n
+         | WHERE t.tf >= 4""".stripMargin,
     "x17_mvcc_snapshot" ->
       """WITH log AS (
         |  SELECT 1::BIGINT AS txn, 'U' AS op, o_orderkey AS rid, o_totalprice AS price FROM orders

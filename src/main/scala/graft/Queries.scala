@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.dsl.Q
+import graft.functions.{TextFunctions => TF}
 
 /** Typed row for the Dataset[T] (deserialize) parity query — the analogue
   * of the reference's serde target structs (reference src/lib.rs:108-114).
@@ -298,6 +299,107 @@ object Queries {
         "last_purchase")
   }
 
+  /** Exact interpolated percentiles (beyond-reference capability; the
+    * sketch/approx form — approx_percentile, t-digest — lives in
+    * SketchSpec because approximate answers can't hash-match an oracle).
+    * percentile() is a full sort-based aggregate: one shuffle on the
+    * group key, spillable — at 100 TB the approx form is the default and
+    * this exact form is for small/medium groups. */
+  private val q27_quantiles: QFn = (s, d) =>
+    Q(cat(s, d), "lineitem").groupAgg(
+      keys = Seq(col("l_returnflag")),
+      aggs = Seq(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 2).as("p75"),
+        round(median(col("l_quantity")), 2).as("med_qty"))).df
+
+  /** Explode (lateral unnest) — the Generator/UDTF surface: word
+    * frequency over exploded document tokens. Explode is map-side (no
+    * shuffle); the one shuffle is the groupBy on the word. */
+  private val q28_explode: QFn = (s, d) =>
+    cat(s, d).table("documents")
+      .select(explode(TF.words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 3)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 100)
+
+  /** CUBE grouping sets (rollup is q20): all four grouping combinations
+    * in one pass — Spark plans a single Expand + one aggregation shuffle,
+    * not four scans. Null grouping markers are coalesced to 'ALL' so the
+    * oracle compare is null-free. */
+  private val q29_cube: QFn = (s, d) =>
+    cat(s, d).table("lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_price"))
+
+  /** Pivot (columns from values) — reshape surface: quantity totals per
+    * returnflag × linestatus as columns. Same single-shuffle plan as the
+    * equivalent conditional aggregation. */
+  private val q30_pivot: QFn = (s, d) =>
+    cat(s, d).table("lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+
+  /** Range (interval) join: events banded by value range — genuinely
+    * non-equi, plans BroadcastNestedLoopJoin against the tiny band table.
+    * 100 TB note: with *regular* bands the scalable rewrite is the
+    * map-side `floor(value/width)` equi-key (zero join at all); the
+    * non-equi form here is for irregular intervals, and stays viable
+    * exactly as long as the interval side is broadcast-small. */
+  private val q31_range_join: QFn = (s, d) => {
+    import s.implicits._
+    val bands = Seq((0L, 0.0, 100.0), (1L, 100.0, 200.0), (2L, 200.0, 300.0),
+      (3L, 300.0, 400.0), (4L, 400.0, 500.0)).toDF("band_id", "lo", "hi")
+    cat(s, d).table("events")
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+  }
+
+  /** Scalar subquery: filter against a single aggregated value, computed
+    * once and broadcast (no per-row re-evaluation). max() keeps the
+    * threshold order-independent-exact so the oracle compare is safe. */
+  private val q32_scalar_sub: QFn = (s, d) => {
+    val c = cat(s, d).table("customer")
+    val thresh = c.agg((max(col("c_acctbal")) - lit(5000.0)).as("thresh"))
+    c.crossJoin(broadcast(thresh))
+      .filter(col("c_acctbal") > col("thresh"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  /** Set operations INTERSECT/EXCEPT (the rest of the Concatenate family,
+    * reference roadmap README.md:82): customers with both open and
+    * finished orders, minus the very-large-order ones. Each set op is a
+    * distinct-aggregate — one shuffle on the full row as key. */
+  private val q33_setops: QFn = (s, d) => {
+    val o = cat(s, d).table("orders")
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val big = o.filter(col("o_totalprice") > 400000.0).select(col("o_custkey"))
+    f.intersect(p).except(big)
+  }
+
+  /** Exact distinct-count aggregates (the exact form of the HLL sketch in
+    * SketchSpec): Spark plans count(DISTINCT x) as a two-phase expand +
+    * partial aggregation — correct at any scale, with approx_count_distinct
+    * as the single-pass 100 TB default. */
+  private val q34_count_distinct: QFn = (s, d) =>
+    Q(cat(s, d), "lineitem").groupAgg(
+      keys = Seq(col("l_returnflag")),
+      aggs = Seq(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))).df
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, QFn] = Map(
@@ -327,6 +429,14 @@ object Queries {
     "q24_outer" -> q24_outer,
     "q25_date_agg" -> q25_date_agg,
     "q26_asof_join" -> q26_asof_join,
+    "q27_quantiles" -> q27_quantiles,
+    "q28_explode" -> q28_explode,
+    "q29_cube" -> q29_cube,
+    "q30_pivot" -> q30_pivot,
+    "q31_range_join" -> q31_range_join,
+    "q32_scalar_sub" -> q32_scalar_sub,
+    "q33_setops" -> q33_setops,
+    "q34_count_distinct" -> q34_count_distinct,
   ) ++ ExtensionQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -460,5 +570,52 @@ object Queries {
         |  ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
         |                   WHERE event_type = 'purchase') p
         |    ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "q27_quantiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+        |       round(quantile_cont(l_quantity, 0.5), 2) AS med_qty
+        |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q28_explode" ->
+      """SELECT word, count(*) AS n
+        |  FROM (SELECT unnest(string_split(
+        |          regexp_replace(lower(trim(text)),'\s+',' ','g'),' ')) AS word
+        |          FROM documents)
+        | WHERE length(word) >= 3
+        | GROUP BY word HAVING count(*) >= 100""".stripMargin,
+    "q29_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |  FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q30_pivot" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS "F",
+        |       round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS "O"
+        |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q31_range_join" ->
+      """SELECT band_id, count(*) AS n, round(sum(value), 2) AS sum_v
+        |  FROM events
+        |  JOIN (VALUES (0::BIGINT, 0.0, 100.0), (1, 100.0, 200.0),
+        |               (2, 200.0, 300.0), (3, 300.0, 400.0),
+        |               (4, 400.0, 500.0)) AS bands(band_id, lo, hi)
+        |    ON value >= lo AND value < hi
+        | GROUP BY band_id""".stripMargin,
+    "q32_scalar_sub" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        | WHERE c_acctbal > (SELECT max(c_acctbal) - 5000.0 FROM customer)""".stripMargin,
+    "q33_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0""".stripMargin,
+    "q34_count_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
   ) ++ ExtensionQueries.oracles
 }

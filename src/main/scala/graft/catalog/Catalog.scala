@@ -55,6 +55,30 @@ final case class Catalog(spark: SparkSession, dir: String) {
   def writePartitioned(name: String, rows: DataFrame, partitionCols: String*): Unit =
     rows.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path(name))
 
+  /** Bucketed write — the co-located-join answer to the reference's hash
+    * index stub (src/collection/indexes/hash.rs:10-18, a no-op): rows are
+    * hash-partitioned into a fixed number of buckets *at write time*, so
+    * a later equi-join or aggregation on the bucket key needs NO shuffle
+    * at all (the scan's output partitioning already satisfies the join's
+    * distribution requirement — see PlanAuditSpec).
+    *
+    * At 100 TB this is the single biggest lever for a repeatedly-joined
+    * fact table: the shuffle is paid once at ingest, never per query.
+    * Both join sides must share the bucket column(s) and bucket count.
+    */
+  def writeBucketed(name: String, rows: DataFrame, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = rows.write.mode("overwrite").format("parquet")
+      .option("path", path(name))
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
+  /** Scan a bucketed table (registered in the session catalog by
+    * [[writeBucketed]]; plain path reads don't see bucket metadata). */
+  def bucketedTable(name: String): DataFrame = spark.table(name)
+
   private def sameShape(a: StructType, b: StructType): Boolean =
     a.fields.map(f => (f.name, f.dataType)).sameElements(
       b.fields.map(f => (f.name, f.dataType)))

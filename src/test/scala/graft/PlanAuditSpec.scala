@@ -51,6 +51,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
   }
 
+  test("bucketed tables join with zero shuffle (write-once co-location)") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    cat.writeBucketed("li_b", cat2.table("lineitem"), buckets = 4,
+      bucketCols = Seq("l_orderkey"), sortCols = Seq("l_orderkey"))
+    cat.writeBucketed("ord_b", cat2.table("orders"), buckets = 4,
+      bucketCols = Seq("o_orderkey"), sortCols = Seq("o_orderkey"))
+    val joined = cat.bucketedTable("li_b")
+      .join(cat.bucketedTable("ord_b").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+    val n = joined.count() // execute so AQE finalizes the plan
+    assert(n > 0)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+  }
+
+  private def cat2 = graft.catalog.Catalog(spark, sf)
+
   test("q26: as-of join is one window exchange, not a range join") {
     val p = plan("q26_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
