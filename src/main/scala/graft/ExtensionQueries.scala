@@ -133,7 +133,10 @@ object ExtensionQueries {
   private val x08_simhash: QFn = (s, d) =>
     docs(s, d).select(col("doc_id"), TF.simhashFast(col("text")).as("sh"))
 
-  /** SimHash near-dup pairs: hamming ≤ 6 within a language block. */
+  /** SimHash near-dup pairs: hamming ≤ 6 within a language block.
+    * Brute-force-within-block baseline; [[x23_simhash_banded]] is the
+    * scale path (pigeonhole banding — exact same pair semantics without
+    * the language-sized quadratic block). */
   private val x09_simhash_pairs: QFn = (s, d) => {
     val sh = docs(s, d).select(col("doc_id"), col("lang"),
       TF.simhashFast(col("text")).as("sh"))
@@ -143,6 +146,50 @@ object ExtensionQueries {
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 6)
+  }
+
+  /** SimHash banding (Manku et al., WWW'07 "Detecting Near-Duplicates
+    * for Web Crawling"): the 60-bit simhash splits into [[SimChunks]]
+    * disjoint chunks; hamming(a,b) ≤ 6 flips bits in at most 6 chunks,
+    * so with 7 chunks at least one chunk is bit-identical —
+    * pigeonhole-EXACT candidate generation, not approximate.
+    * Chunk widths 9,9,9,9,8,8,8 (wider chunks ⇒ more selective buckets:
+    * a random band collision is ~2^-9, vs 2^-6 for the 10×6 split). */
+  private val SimChunks: Seq[(Int, Int)] = { // (shift, width)
+    val widths = Seq(9, 9, 9, 9, 8, 8, 8)
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (off, w) => (off, w) }
+  }
+
+  /** SimHash near-dup pairs at corpus scale — x09's semantics without
+    * any language block: explode each doc to its 7 (chunk, value) band
+    * keys, equi self-join on the band key, dedup candidates, verify
+    * true hamming ≤ 6. All-pairs semantics (a cross-language near-dup
+    * IS a near-dup) — the oracle is the brute-force all-pairs form,
+    * identical by the pigeonhole guarantee.
+    *
+    * 100 TB shape: the only join is equi on (chunk, cval) — work is
+    * sum(bucket²) per chunk over 2^8..2^9-ary uniform buckets, shuffle
+    * partitioned, AQE-splittable; nothing is quadratic in a data-sized
+    * block. (For trillion-doc corpora the published refinement is
+    * chunk-pair keys — 21 keys/doc, 2^17 buckets — same plan, wider
+    * key; this fixture-scale form keeps 7 keys/doc.)
+    */
+  private val x23_simhash_banded: QFn = (s, d) => {
+    val sh = docs(s, d).select(col("doc_id"), TF.simhashFast(col("text")).as("sh"))
+    val chunked = sh.select(col("doc_id"), col("sh"),
+      posexplode(array(SimChunks.map { case (off, w) =>
+        shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
+      }: _*)).as(Seq("chunk", "cval")))
+    val a = chunked.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("chunk"), col("cval"))
+    val b = chunked.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("chunk"), col("cval"))
+    a.join(b, Seq("chunk", "cval"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct()
   }
 
   /** Character-4-gram Jaccard near-dup pairs, blocked by (lang, length
@@ -261,6 +308,53 @@ object ExtensionQueries {
       .select(col("a_id"), col("b_id"),
         round(VF.cosineFast(col("a_e"), col("b_e")), 6).as("cos"))
       .filter(col("cos") >= 0.45)
+    pairs.groupBy(col("b_id").as("drop_id"))
+      .agg(min(col("a_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** Embedding dedup *decision* at corpus scale — the bucketed pipeline
+    * replacing [[x19_embed_dedup]]'s O(n²) crossJoin for the actual
+    * deliverable: candidate generation (IVF multi-probe, x18's
+    * broadcast-centroid shape with nprobe=2) → exact cosine verify →
+    * canonical resolution (drop any vector with a lower-id verified
+    * near-dup; canonical = the lowest such id).
+    *
+    * 100 TB shape: centroid set is tiny and broadcast (assignment =
+    * map-side argmax, no shuffle); the candidate join is equi on the
+    * cell id (sum(cell²) work, AQE-splittable); verification is exact
+    * cosine on candidates only; the decision is one groupBy on the
+    * dropped id. Multi-probe (nprobe) assigns each vector to its several
+    * nearest cells so near-dups straddling a Voronoi boundary still meet.
+    *
+    * Tuning vs the fixture: the fixture's 0.45 threshold is deliberately
+    * LOW (a similar-pair threshold, not a near-dup one), so total recall
+    * needs nprobe=6 over the 16 stand-in centroids — verified equal to
+    * x19's brute-force keep/drop set at sf0.001 and sf0.01 (spec +
+    * oracle). At production dedup thresholds (cos ≥ 0.9) and √n trained
+    * centroids, nprobe=1-2 suffices; the knobs move, the plan doesn't.
+    */
+  private val IvfProbe = 6
+  private val x22_embed_dedup_bucketed: QFn = (s, d) => {
+    val e = embs(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val cells = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        VF.cosineFast(col("embedding"), col("c_e")).as("c_cos"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") <= IvfProbe) // multi-probe assignment
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    val a = cells.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+      col("cell"))
+    val b = cells.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+      col("cell"))
+    val pairs = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VF.cosineFast(col("a_e"), col("b_e")), 6).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .distinct() // a pair can share both probed cells
     pairs.groupBy(col("b_id").as("drop_id"))
       .agg(min(col("a_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
   }
@@ -414,6 +508,8 @@ object ExtensionQueries {
     "x19_embed_dedup" -> x19_embed_dedup,
     "x20_corpus_clean" -> x20_corpus_clean,
     "x21_tfidf" -> x21_tfidf,
+    "x22_embed_dedup_bucketed" -> x22_embed_dedup_bucketed,
+    "x23_simhash_banded" -> x23_simhash_banded,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -667,6 +763,39 @@ object ExtensionQueries {
          |       round(t.tf * ln(n.n_docs::DOUBLE / d.dfreq), 4) AS tfidf
          |  FROM tf t JOIN dfq d USING (word) CROSS JOIN n
          | WHERE t.tf >= 4""".stripMargin,
+    // Same algorithm expressed in SQL (nprobe=2 assignment, distinct
+    // candidates, verify, groupBy-drop) — hash-exact, not rows-only.
+    "x22_embed_dedup_bucketed" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_e
+         |                FROM embeddings WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${COS("e.embedding", "c.c_e")} DESC, c.c_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |cells AS (SELECT vec_id, embedding, c_id AS cell FROM asg WHERE rn <= 6),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         round(${COS("a.embedding", "b.embedding")}, 6) AS cos
+         |    FROM cells a JOIN cells b
+         |      ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT b_id AS drop_id, min(a_id) AS canonical_id, count(*) AS n_dups
+         |  FROM cand WHERE cos >= 0.45 GROUP BY b_id""".stripMargin,
+    // Brute-force all-pairs oracle: banding is pigeonhole-exact, so the
+    // banded plan must produce exactly these pairs.
+    "x23_simhash_banded" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_transform(string_split($NT,' '), w -> ${H60("'sh|'||w")}) AS hs
+         |    FROM documents),
+         |sh AS (SELECT doc_id,
+         |       list_sum([CASE WHEN 2*len(list_filter(hs, h -> ((h >> i) & 1) = 1)) - len(hs) > 0
+         |                      THEN 1::BIGINT << i ELSE 0::BIGINT END
+         |                 for i in range(0, 60)]) AS sh FROM t)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.sh, b.sh)) <= 6""".stripMargin,
     "x17_mvcc_snapshot" ->
       """WITH log AS (
         |  SELECT 1::BIGINT AS txn, 'U' AS op, o_orderkey AS rid, o_totalprice AS price FROM orders

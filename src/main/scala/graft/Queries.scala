@@ -300,19 +300,44 @@ object Queries {
   }
 
   /** Exact interpolated percentiles (beyond-reference capability; the
-    * sketch/approx form — approx_percentile, t-digest — lives in
-    * SketchSpec because approximate answers can't hash-match an oracle).
+    * sketch/approx form is [[q35_quantiles_approx]] — the 100 TB default,
+    * rows-only-checked because approximate answers can't hash-match).
+    * All three price percentiles share ONE aggregation buffer (array
+    * percentage form) instead of three independent sorted buffers —
+    * same exact values, one sort per group instead of three.
     * percentile() is a full sort-based aggregate: one shuffle on the
-    * group key, spillable — at 100 TB the approx form is the default and
-    * this exact form is for small/medium groups. */
+    * group key, spillable — exact form is for small/medium groups. */
   private val q27_quantiles: QFn = (s, d) =>
-    Q(cat(s, d), "lineitem").groupAgg(
-      keys = Seq(col("l_returnflag")),
-      aggs = Seq(
-        round(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 2).as("p75"),
-        round(median(col("l_quantity")), 2).as("med_qty"))).df
+    cat(s, d).table("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
+        round(median(col("l_quantity")), 2).as("med_qty"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 2).as("p25"),
+        round(element_at(col("ps"), 2), 2).as("p50"),
+        round(element_at(col("ps"), 3), 2).as("p75"),
+        col("med_qty"))
+
+  /** Approximate percentiles — the bench-default quantile form at scale:
+    * approx_percentile is a mergeable sketch aggregate (fixed-size state,
+    * map-side partial merge, no per-group sort). accuracy=10000 ⇒ error
+    * ≤ 0.01% of rank. Deliberately has NO DuckDB oracle entry (sketch
+    * answers are engine-specific); the driver records a rows-only check.
+    */
+  private val q35_quantiles_approx: QFn = (s, d) =>
+    cat(s, d).table("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ps"),
+        approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("med_qty"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 2).as("p25"),
+        round(element_at(col("ps"), 2), 2).as("p50"),
+        round(element_at(col("ps"), 3), 2).as("p75"),
+        round(col("med_qty"), 2).as("med_qty"))
 
   /** Explode (lateral unnest) — the Generator/UDTF surface: word
     * frequency over exploded document tokens. Explode is map-side (no
@@ -327,16 +352,19 @@ object Queries {
 
   /** CUBE grouping sets (rollup is q20): all four grouping combinations
     * in one pass — Spark plans a single Expand + one aggregation shuffle,
-    * not four scans. Null grouping markers are coalesced to 'ALL' so the
-    * oracle compare is null-free. */
+    * not four scans. The 'ALL' marker comes from grouping() (the
+    * grouping-set indicator), NOT coalesce — so a real NULL or a literal
+    * 'ALL' value in the data can never be conflated with the rollup rows. */
   private val q29_cube: QFn = (s, d) =>
     cat(s, d).table("lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
       .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("rf"),
+        when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("ls"),
         col("n"), col("sum_price"))
 
   /** Pivot (columns from values) — reshape surface: quantity totals per
@@ -432,6 +460,7 @@ object Queries {
     "q27_quantiles" -> q27_quantiles,
     "q28_explode" -> q28_explode,
     "q29_cube" -> q29_cube,
+    "q35_quantiles_approx" -> q35_quantiles_approx,
     "q30_pivot" -> q30_pivot,
     "q31_range_join" -> q31_range_join,
     "q32_scalar_sub" -> q32_scalar_sub,
@@ -585,8 +614,8 @@ object Queries {
         | WHERE length(word) >= 3
         | GROUP BY word HAVING count(*) >= 100""".stripMargin,
     "q29_cube" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-        |       coalesce(l_linestatus, 'ALL') AS ls,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
         |       count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
         |  FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q30_pivot" ->

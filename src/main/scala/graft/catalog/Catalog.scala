@@ -1,6 +1,7 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Named-table catalog over a directory of Parquet tables.
@@ -30,6 +31,54 @@ final case class Catalog(spark: SparkSession, dir: String) {
   def path(name: String): String = s"$dir/$name.parquet"
 
   def schema(name: String): StructType = table(name).schema
+
+  // ------------------------------------------------------------------- DDL
+
+  private def fs: FileSystem =
+    new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(name: String): Boolean = fs.exists(new HPath(path(name)))
+
+  /** Get-or-create a named collection — the reference's
+    * `Storage::create_collection` (src/storage/mod.rs:38-45), which
+    * returns the existing collection rather than erroring. The schema
+    * applies only when the table is created fresh.
+    */
+  def create(name: String, schema: StructType): DataFrame = {
+    if (!exists(name)) createNew(name, schema)
+    table(name)
+  }
+
+  /** Create-or-error — the reference's `create_new_collection`
+    * (src/storage/mod.rs:47-64, CollectionAlreadyExistsError): writes an
+    * empty Parquet table carrying the schema, so later [[append]]s are
+    * shape-checked against it from row one.
+    */
+  def createNew(name: String, schema: StructType): Unit = {
+    require(!exists(name), s"collection '$name' already exists")
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      .write.parquet(path(name))
+  }
+
+  /** Drop a collection — the reference's `delete_collection`
+    * (src/storage/mod.rs:66-83, CollectionDoesNotExistError on a missing
+    * name; `ensure_folder_not_exists` removes the data directory).
+    */
+  def drop(name: String): Unit = {
+    require(exists(name), s"collection '$name' does not exist")
+    fs.delete(new HPath(path(name)), true)
+    ()
+  }
+
+  /** Names of the collections present in this catalog directory — the
+    * reference Storage's collection map keys (src/storage/mod.rs:17-20).
+    */
+  def list: Seq[String] = {
+    val p = new HPath(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
+  }
 
   /** Write-path schema gate, the analogue of the reference's
     * `is_same_shape` check (src/collection/mod.rs:52-59): appending rows
@@ -65,6 +114,19 @@ final case class Catalog(spark: SparkSession, dir: String) {
     * At 100 TB this is the single biggest lever for a repeatedly-joined
     * fact table: the shuffle is paid once at ingest, never per query.
     * Both join sides must share the bucket column(s) and bucket count.
+    *
+    * Caveats (by construction of Spark's in-memory catalog):
+    *  - the registered table name is SESSION-GLOBAL, not namespaced by
+    *    this Catalog's `dir` — two Catalogs sharing one SparkSession
+    *    collide on equal names, and [[bucketedTable]] returns whatever
+    *    table currently holds the name regardless of directory. Use
+    *    dir-qualified names (e.g. "prod_lineitem_b") when multiple
+    *    catalogs share a session.
+    *  - bucket metadata lives only in the in-memory session catalog (no
+    *    external metastore here), so "shuffle paid once at ingest" holds
+    *    within one session; a later session path-reading [[table]] sees
+    *    plain parquet and shuffles again. Production ingest-once use
+    *    backs the session with a persistent metastore.
     */
   def writeBucketed(name: String, rows: DataFrame, buckets: Int,
       bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {

@@ -153,6 +153,58 @@ final case class Q(df: DataFrame) {
     Q(carried.filter(col("__isL") === 1).drop("__t", "__isL"))
   }
 
+  /** As-of join, time-sliced — the hot-key-safe variant of [[asofJoin]].
+    *
+    * The plain form's per-key window serializes each key's entire
+    * history into ONE task; at 100 TB a key holding 1% of the data is a
+    * straggler. Here time is cut into slices of `sliceWidth` (same units
+    * as the time columns) and the carry window partitions by
+    * (key, slice) — parallelism becomes keys × slices. Crossing slice
+    * boundaries costs one extra, tiny computation: per (key, slice) the
+    * latest right payload (a map-side-combinable aggregate, one row per
+    * key-slice), a per-key running window over those slice summaries
+    * (rows = slices, not data rows), joined back and coalesced into the
+    * rows whose slice had no earlier right row.
+    *
+    * Result is identical to [[asofJoin]] (CoreOpsSpec, including the
+    * all-rows-one-key degenerate case); ties between right rows at the
+    * same timestamp are arbitrary in both variants.
+    */
+  def asofJoinSliced(right: Q, keys: Seq[String], leftTime: String,
+      rightTime: String, payload: Seq[String], sliceWidth: Long): Q = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val l = df.withColumn("__t", col(leftTime)).withColumn("__isL", lit(1))
+    val r = right.df.withColumn("__t", col(rightTime)).withColumn("__isL", lit(0))
+    val unioned = l.unionByName(
+      r.select((keys ++ payload).map(col) :+ col("__t") :+ col("__isL"): _*),
+      allowMissingColumns = true)
+      .withColumn("__slice", expr(s"__t div $sliceWidth"))
+    val w1 = Window.partitionBy(keyCols :+ col("__slice"): _*)
+      .orderBy(col("__t").asc, col("__isL").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(when(col("__isL") === 0, col(c)), ignoreNulls = true).over(w1))
+    }
+    val rSlices = r
+      .withColumn("__slice", expr(s"__t div $sliceWidth"))
+      .groupBy(keyCols :+ col("__slice"): _*)
+      .agg(max_by(struct(payload.map(col): _*), col("__t")).as("__p"))
+    val spine = unioned.select(keyCols :+ col("__slice"): _*).distinct()
+      .join(rSlices, keys :+ "__slice", "left")
+    val wp = Window.partitionBy(keyCols: _*).orderBy(col("__slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = spine
+      .withColumn("__prior", last(col("__p"), ignoreNulls = true).over(wp))
+      .select(keyCols :+ col("__slice") :+ col("__prior"): _*)
+    val fixed = carried.join(prior, keys :+ "__slice", "left")
+    val coalesced = payload.foldLeft(fixed) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col("__prior").getField(c)))
+    }
+    Q(coalesced.filter(col("__isL") === 1)
+      .select((df.columns ++ payload).toIndexedSeq.map(col): _*)) // asofJoin's column order
+  }
+
   /** Roadmap ops the reference declares but never built
     * (reference README.md:82,94): free in Spark. */
   def concat(other: Q): Q = Q(df.unionByName(other.df))
@@ -171,6 +223,26 @@ final case class Q(df: DataFrame) {
     val enc = implicitly[Encoder[T]]
     val wanted = enc.schema.fieldNames
     df.select(wanted.map(col).toIndexedSeq: _*).as[T]
+  }
+
+  /** Positional typed output — the reference deserializer's by-INDEX
+    * binding (object_deserializer.rs:229-253): case-class field i binds
+    * to column i regardless of name; extra TRAILING columns are
+    * tolerated; fewer columns than fields errors (the reference's
+    * missing-field serde error). Type mismatches surface as the usual
+    * encoder AnalysisException — no silent casts. [[as]] (by-name) is
+    * the better semantic for evolving schemas; this closes the last
+    * deserializer fidelity gap.
+    */
+  def asPositional[T <: Product: Encoder]: Dataset[T] = {
+    val enc = implicitly[Encoder[T]]
+    val want = enc.schema.fields
+    require(df.columns.length >= want.length,
+      s"positional deserialize needs ${want.length} columns, got ${df.columns.length} " +
+        s"(${df.columns.mkString(", ")})")
+    df.select(want.zipWithIndex.toIndexedSeq.map { case (f, i) =>
+      col(df.columns(i)).as(f.name)
+    }: _*).as[T]
   }
 
   def collect(): Array[org.apache.spark.sql.Row] = df.collect()

@@ -14,28 +14,41 @@ import org.apache.spark.sql.functions._
   *   - `txn`  LONG   — monotonically increasing transaction id (the
   *                     analogue of time-ordered UUIDv7; SURVEY §7.5.5)
   *   - `op`   STRING — "U" upsert row-version | "D" tombstone |
-  *                     "C" commit marker (rollback = no marker, matching
-  *                     the reference where only Committed makes entries
-  *                     visible, table_scan.rs:50-51)
+  *                     "C" commit marker | "R" explicit rollback marker
+  *                     (reference log_entry.rs:39-45 Rollbacked; a txn
+  *                     with neither marker is in-flight — invisible to
+  *                     snapshots, preserved by compaction)
   *   - `rid`  LONG   — row identity (reference Row.id uuid)
-  *   - payload columns (arbitrary; null on "C"/"D" rows)
+  *   - payload columns (arbitrary; null on "C"/"R"/"D" rows)
+  *
+  * A transaction carries at most one of C/R (exclusive by contract, as in
+  * the reference where a txn's final log record is one TransactionEntry).
   *
   * Scale notes (100 TB): the only shuffle is the per-rid window in
   * [[snapshot]] — the unavoidable "newest version per key" exchange. The
-  * committed-txn set is tiny (one row per transaction) and broadcast.
-  * Compaction rewrites the log as its own snapshot, exactly the
-  * reference's keep-newest-committed/drop-tombstones semantics.
+  * committed/rolled-back txn sets are tiny (one row per transaction) and
+  * broadcast. Compaction rewrites the settled prefix of the log as its
+  * own snapshot — keep-newest-committed/drop-tombstones — and drops
+  * aborted versions eagerly (possible *because* the R marker is
+  * explicit; marker-absence alone can't distinguish aborted from
+  * in-flight).
   */
 object LogTable {
 
   val Upsert = "U"
   val Delete = "D"
   val Commit = "C"
+  val Rollback = "R"
 
   /** Committed transaction ids visible at `asOf`. */
   def committedTxns(log: DataFrame, asOf: Long): DataFrame =
     log.filter(col("op") === Commit && col("txn") <= asOf)
       .select("txn").distinct()
+
+  /** Explicitly rolled-back transaction ids (reference Rollbacked,
+    * log_entry.rs:44-45). */
+  def rolledBackTxns(log: DataFrame): DataFrame =
+    log.filter(col("op") === Rollback).select("txn").distinct()
 
   /** Snapshot visible at transaction `asOf`: newest committed version per
     * rid, tombstones suppress older versions (reference
@@ -52,16 +65,47 @@ object LogTable {
       .drop("__rn", "op")
   }
 
-  /** Compaction (reference log_compaction.rs:9-64): rewrite the log as
-    * its snapshot — one Upsert per live rid stamped at its original txn,
-    * plus the commit markers still ≤ `asOf`. Uncommitted and tombstoned
-    * history is dropped.
+  /** Compaction (reference log_compaction.rs:9-64): rewrite the settled
+    * prefix (committed, txn ≤ `asOf`) as its snapshot — one Upsert per
+    * live rid stamped at its original txn, plus those commit markers.
+    * Superseded versions and tombstoned history are dropped; entries of
+    * explicitly rolled-back transactions are dropped EAGERLY (data and
+    * marker — the abort is final at any snapshot point); in-flight and
+    * future (txn > asOf) entries are preserved verbatim, so a
+    * still-running transaction can commit after a compaction pass.
+    *
+    * Invariant (LogTableSpec): for every t,
+    * snapshot(compact(log, asOf), t) == snapshot(log, t) whenever t ≥
+    * the compacted prefix's settled point or t ≤ asOf.
     */
   def compact(log: DataFrame, asOf: Long): DataFrame = {
-    val live = snapshot(log, asOf).withColumn("op", lit(Upsert))
-    val markers = log.filter(col("op") === Commit && col("txn") <= asOf)
+    val keptTxns = log.join(broadcast(rolledBackTxns(log)), Seq("txn"), "left_anti")
+    val live = snapshot(keptTxns, asOf).withColumn("op", lit(Upsert))
+    val markers = keptTxns.filter(col("op") === Commit && col("txn") <= asOf)
+    // not settled at asOf: in-flight (no marker yet) or txn > asOf
+    val pending = keptTxns
+      .join(broadcast(committedTxns(keptTxns, asOf)), Seq("txn"), "left_anti")
     live.unionByName(markers, allowMissingColumns = true)
+      .unionByName(pending, allowMissingColumns = true)
   }
+
+  /** Redundancy statistics — the compact-when signal (reference
+    * CollectionStatistics::should_compact,
+    * collection_statistics.rs:11-14: compact when redundant/total ≥ the
+    * configured percentage). Redundant = data entries contributing
+    * nothing to the snapshot at `asOf`: superseded versions, tombstoned
+    * history, aborted and uncommitted rows. Two count() probes — a
+    * driver-side control decision like the reference's counters, not a
+    * data-plane collect.
+    */
+  def redundancyRatio(log: DataFrame, asOf: Long): Double = {
+    val total = log.filter(col("op").isin(Upsert, Delete)).count()
+    if (total == 0) 0.0
+    else 1.0 - snapshot(log, asOf).count().toDouble / total
+  }
+
+  def shouldCompact(log: DataFrame, asOf: Long, redundancyThreshold: Double): Boolean =
+    redundancyRatio(log, asOf) >= redundancyThreshold
 
   /** Entry builders — the write path (reference Collection::set_objects,
     * src/collection/mod.rs:46-93: upsert-or-tombstone + commit marker).
@@ -78,5 +122,13 @@ object LogTable {
   def commitMarker(spark: org.apache.spark.sql.SparkSession, txn: Long): DataFrame = {
     import spark.implicits._
     Seq((txn, Commit)).toDF("txn", "op")
+  }
+
+  /** Explicit abort (reference LogEntry::rollback, log_entry.rs:44-45).
+    * Snapshot-equivalent to never committing, but lets [[compact]] drop
+    * the aborted versions eagerly instead of carrying them forever. */
+  def rollbackMarker(spark: org.apache.spark.sql.SparkSession, txn: Long): DataFrame = {
+    import spark.implicits._
+    Seq((txn, Rollback)).toDF("txn", "op")
   }
 }

@@ -162,6 +162,42 @@ class CoreOpsSpec extends SparkTestBase {
     assert(ds.count() == Q(cat, "orders").count())
   }
 
+  test("asPositional binds by index, tolerates extra trailing columns, rejects too few " +
+    "(reference object_deserializer.rs:229-253)") {
+    import spark.implicits._
+    // columns deliberately named differently from the case class fields —
+    // by-name binding would fail or mis-bind; positional must succeed
+    val df3 = Seq((7L, 2.5, "x", true, 99))
+      .toDF("a", "b", "c", "d", "extra_trailing")
+    val row = Q(df3).asPositional[RtRow].head()
+    assert(row == RtRow(7L, 2.5, "x", ok = true)) // 5th column ignored
+    intercept[IllegalArgumentException] {
+      Q(Seq((1L, 2.0)).toDF("a", "b")).asPositional[RtRow] // too few columns
+    }
+  }
+
+  test("asofJoinSliced == asofJoin on fixture events, including the all-one-key hot case") {
+    import spark.implicits._
+    val ev = cat.table("events")
+    val clicks = Q(ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts"))
+    val purchases = Q(ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value"))
+    def asSet(q: Q) = q.df.collect().map(_.toSeq).toSet
+    val plain = asSet(clicks.asofJoin(purchases, Seq("user_id"), "ts", "ts", Seq("value")))
+    val sliced = asSet(clicks.asofJoinSliced(purchases, Seq("user_id"), "ts", "ts",
+      Seq("value"), sliceWidth = 3600000000000L)) // 1h slices over ns timestamps
+    assert(plain == sliced)
+    // degenerate hot key: every row on ONE key — the case that serializes
+    // the plain form into a single task; sliced must still agree
+    val hotC = Q(clicks.df.withColumn("user_id", lit(0L)))
+    val hotP = Q(purchases.df.withColumn("user_id", lit(0L)))
+    val hp = asSet(hotC.asofJoin(hotP, Seq("user_id"), "ts", "ts", Seq("value")))
+    val hs = asSet(hotC.asofJoinSliced(hotP, Seq("user_id"), "ts", "ts",
+      Seq("value"), sliceWidth = 3600000000000L))
+    assert(hp == hs)
+  }
+
   test("catalog append enforces shape; mismatch rejected (reference SchemaError)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
@@ -175,5 +211,32 @@ class CoreOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       tmp.append("t", Seq(("a", 1)).toDF("v", "k")) // wrong order
     }
+  }
+
+  test("catalog DDL round-trip: create → append → drop → scan fails (reference storage/mod.rs:38-83)") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    val tmp = Catalog(spark, dir)
+    val sch = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("v", StringType, nullable = false)))
+    assert(tmp.list.isEmpty && !tmp.exists("t"))
+    tmp.createNew("t", sch)
+    assert(tmp.exists("t") && tmp.list == Seq("t"))
+    assert(tmp.table("t").count() == 0)
+    assert(tmp.schema("t").fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("k", IntegerType), ("v", StringType)))
+    // the created schema gates appends from row one
+    tmp.append("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(tmp.table("t").count() == 2)
+    // create-new on an existing name errors (CollectionAlreadyExistsError)...
+    intercept[IllegalArgumentException] { tmp.createNew("t", sch) }
+    // ...but get-or-create returns it intact (create_collection)
+    assert(tmp.create("t", sch).count() == 2)
+    tmp.drop("t")
+    assert(!tmp.exists("t") && tmp.list.isEmpty)
+    intercept[Exception] { tmp.table("t").count() } // scan of dropped table fails
+    intercept[IllegalArgumentException] { tmp.drop("t") } // CollectionDoesNotExistError
   }
 }

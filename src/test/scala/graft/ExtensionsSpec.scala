@@ -117,4 +117,31 @@ class ExtensionsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "und"))
   }
+
+  // -------- scale-safe near-dup decisions vs their brute-force baselines
+
+  private def rows(name: String): Set[Seq[Any]] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(_.toSeq).toSet
+
+  test("x22 bucketed embed-dedup decision == x19 brute-force keep/drop set on the fixture") {
+    assert(rows("x22_embed_dedup_bucketed") == rows("x19_embed_dedup"))
+  }
+
+  test("x23 banded simhash pairs ⊇ x09 lang-blocked pairs (pigeonhole: no true pair lost)") {
+    val banded = rows("x23_simhash_banded")
+    val blocked = rows("x09_simhash_pairs")
+    assert(blocked.subsetOf(banded),
+      s"banding must recover every lang-blocked pair; missing ${blocked -- banded}")
+  }
+
+  test("x23 banding is pigeonhole-exact: equals brute-force all-pairs hamming ≤ 6") {
+    val sh = SparkEntry.queries("x08_simhash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 6
+    } yield Seq[Any](a, b, h.toLong)).toSet
+    assert(rows("x23_simhash_banded") == brute)
+  }
 }

@@ -50,15 +50,56 @@ class LogTableSpec extends SparkTestBase {
     assert(snap(4L) == Map(1L -> "a2", 3L -> "c1"))
   }
 
-  test("compaction keeps newest committed versions, drops tombstoned + uncommitted history") {
+  test("compaction collapses the settled prefix, preserves in-flight entries") {
     val compacted = LogTable.compact(log, 4L)
-    // entity rows: exactly the live set
-    val live = compacted.filter(col("op") === LogTable.Upsert)
-      .select("rid", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(live == Map(1L -> "a2", 3L -> "c1"))
+    // settled live set is collapsed; txn4 (in-flight, no marker) rides along
+    val entities = compacted.filter(col("op") === LogTable.Upsert)
+      .select("txn", "rid", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(entities == Set((2L, 1L, "a2"), (1L, 3L, "c1"),
+      (4L, 3L, "c2"), (4L, 4L, "d1")))
     // snapshot of the compacted log equals snapshot of the full log
     val resnap = LogTable.snapshot(compacted, 4L).select("rid", "v")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(resnap == snap(4L))
+  }
+
+  test("an in-flight txn can still commit after compaction") {
+    val committed4 = LogTable.compact(log, 4L)
+      .unionByName(LogTable.commitMarker(spark, 4L), allowMissingColumns = true)
+    val s = LogTable.snapshot(committed4, 5L).select("rid", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s == Map(1L -> "a2", 3L -> "c2", 4L -> "d1"))
+  }
+
+  private lazy val logRolledBack =
+    log.unionByName(LogTable.rollbackMarker(spark, 4L), allowMissingColumns = true)
+
+  test("explicit rollback marker: txn invisible pre- and post-compaction") {
+    val pre = LogTable.snapshot(logRolledBack, 4L).select("rid", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pre == Map(1L -> "a2", 3L -> "c1"))
+    val post = LogTable.snapshot(LogTable.compact(logRolledBack, 4L), 4L)
+      .select("rid", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(post == pre)
+  }
+
+  test("compaction drops aborted versions EAGERLY (reference Rollbacked, log_entry.rs:39-45)") {
+    val compacted = LogTable.compact(logRolledBack, 4L)
+    // no trace of txn4 remains: not its data rows, not its marker
+    assert(compacted.filter(col("txn") === 4L).count() == 0)
+    assert(compacted.filter(col("v") === "c2" || col("rid") === 4L).count() == 0)
+  }
+
+  test("redundancyRatio drives the compact-when signal (collection_statistics.rs:11-14)") {
+    // 7 data entries, 2 live at asOf=4 → ratio 5/7
+    val r = LogTable.redundancyRatio(logRolledBack, 4L)
+    assert(math.abs(r - 5.0 / 7.0) < 1e-9, s"ratio $r")
+    assert(LogTable.shouldCompact(logRolledBack, 4L, redundancyThreshold = 0.5))
+    // a freshly compacted log is below any sensible threshold
+    val after = LogTable.redundancyRatio(LogTable.compact(logRolledBack, 4L), 4L)
+    assert(after == 0.0, s"post-compaction ratio $after")
+    assert(!LogTable.shouldCompact(LogTable.compact(logRolledBack, 4L), 4L, 0.5))
   }
 }

@@ -55,21 +55,44 @@ class PlanAuditSpec extends SparkTestBase {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
     val cat = graft.catalog.Catalog(spark, dir)
-    cat.writeBucketed("li_b", cat2.table("lineitem"), buckets = 4,
-      bucketCols = Seq("l_orderkey"), sortCols = Seq("l_orderkey"))
-    cat.writeBucketed("ord_b", cat2.table("orders"), buckets = 4,
-      bucketCols = Seq("o_orderkey"), sortCols = Seq("o_orderkey"))
-    val joined = cat.bucketedTable("li_b")
-      .join(cat.bucketedTable("ord_b").hint("merge"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
-    val n = joined.count() // execute so AQE finalizes the plan
-    assert(n > 0)
-    val p = joined.queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
+    try {
+      cat.writeBucketed("li_b", cat2.table("lineitem"), buckets = 4,
+        bucketCols = Seq("l_orderkey"), sortCols = Seq("l_orderkey"))
+      cat.writeBucketed("ord_b", cat2.table("orders"), buckets = 4,
+        bucketCols = Seq("o_orderkey"), sortCols = Seq("o_orderkey"))
+      val joined = cat.bucketedTable("li_b")
+        .join(cat.bucketedTable("ord_b").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+      // assert on the plan that actually executed (same QueryExecution)
+      assert(joined.collect().length > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("x23: banded simhash pair-gen is equi-join only — no cartesian, no nested loop") {
+    val p = plan("x23_simhash_banded")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("x22: bucketed embed-dedup joins equi on the cell key; only the tiny centroid side is nested-loop") {
+    val p = plan("x22_embed_dedup_bucketed")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only BroadcastNestedLoopJoins are the 16-row broadcast centroid
+    // assignment (O(16n) map work), re-derived once per self-join side;
+    // the candidate self-join itself must be equi on the cell key.
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 2, s"unexpected nested-loop joins ($bnl):\n$p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("HashJoin")) && l.contains("cell#")), p)
   }
 
   private def cat2 = graft.catalog.Catalog(spark, sf)
