@@ -3,10 +3,9 @@ package graft.plans
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,6 +18,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * same values (same md5, same 60-bit hex-prefix parse, same fold order,
   * DuckDB-oracle-identical) in one JVM loop per row.
   *
+  * All expressions implement real `doGenCode` (not CodegenFallback): the
+  * generated code calls the kernel's static forwarder (`Md5Hash60` is a
+  * top-level object, so `graft.plans.Md5Hash60.simhash60(...)` is a
+  * plain static call from generated Java), or inlines the loop where it
+  * is trivial (jaccard_sorted). That keeps the expression inside the
+  * whole-stage-codegen span — no per-row interpreted dispatch, no
+  * boxing, no fallback InternalRow copy — while the hot loop stays
+  * JIT-compiled Scala. Constant arguments (k, n, seed prefixes) are
+  * resolved once at plan time and attached via `addReferenceObj`.
+  *
   * 60-bit hash contract (must match `conv(substring(md5(x),1,15),16,10)`
   * and DuckDB `('0x'||substring(md5(x),1,15))::BIGINT`): the first 15
   * hex chars of the md5 = big-endian u64 of digest bytes 0..7, shifted
@@ -28,6 +37,7 @@ object Md5Hash60 {
   private val mdPool: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
   private val Space = Array(' '.toByte)
+  val EmptyPrefix: Array[Byte] = Array.emptyByteArray
 
   def hash(prefix: Array[Byte], s: UTF8String): Long = {
     val md = mdPool.get()
@@ -76,6 +86,80 @@ object Md5Hash60 {
     }
     if (n == a.length) a else java.util.Arrays.copyOf(a, n)
   }
+
+  // ---- expression kernels (static forwarders used by generated code)
+
+  def minhashSigs(words: ArrayData, k: Int, n: Int,
+      prefixes: Array[Array[Byte]]): ArrayData = {
+    val nShingles = words.numElements() - (k - 1)
+    if (nShingles <= 0) return new GenericArrayData(Array.fill(n)(-1L))
+    val out = Array.fill(n)(Long.MaxValue)
+    var j = 0
+    while (j < nShingles) {
+      var i = 0
+      while (i < n) {
+        val h = hashShingle(prefixes(i), words, j, k)
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def shingleSet(words: ArrayData, k: Int): ArrayData = {
+    val nShingles = words.numElements() - (k - 1)
+    if (nShingles <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nShingles)
+    var j = 0
+    while (j < nShingles) {
+      out(j) = hashShingle(EmptyPrefix, words, j, k)
+      j += 1
+    }
+    new GenericArrayData(sortedDistinct(out))
+  }
+
+  def chargramSet(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    val nGrams = len - (n - 1)
+    if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      out(i) = hash(EmptyPrefix, s.substringSQL(i + 1, n))
+      i += 1
+    }
+    new GenericArrayData(sortedDistinct(out))
+  }
+
+  def simhash60(words: ArrayData, prefix: Array[Byte]): Long = {
+    val votes = new Array[Int](60)
+    var j = 0
+    val len = words.numElements()
+    while (j < len) {
+      val h = hash(prefix, words.getUTF8String(j))
+      var i = 0
+      while (i < 60) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sh = 0L
+    var i = 0
+    while (i < 60) { if (votes(i) > 0) sh |= (1L << i); i += 1 }
+    sh
+  }
+
+  def hash60All(strings: ArrayData, prefix: Array[Byte]): ArrayData = {
+    val out = new Array[Long](strings.numElements())
+    var j = 0
+    while (j < out.length) {
+      out(j) = hash(prefix, strings.getUTF8String(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `minhash_sigs(words, k, n)` → `array<bigint>`: the n MinHash values
@@ -83,7 +167,7 @@ object Md5Hash60 {
   * the doc has fewer than k words. Shingle strings are never
   * materialized — the digest streams word bytes + space separators. */
 case class MinHashSigs(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (first.dataType.isInstanceOf[ArrayType] &&
@@ -102,23 +186,14 @@ case class MinHashSigs(first: Expression, second: Expression, third: Expression)
   @transient private lazy val prefixes =
     (0 until n).map(i => Md5Hash60.prefixBytes(s"mh$i|")).toArray
 
-  override def nullSafeEval(words: Any, kAny: Any, nAny: Any): Any = {
-    val arr = words.asInstanceOf[ArrayData]
-    val nShingles = arr.numElements() - (k - 1)
-    if (nShingles <= 0) return new GenericArrayData(Array.fill(n)(-1L))
-    val out = Array.fill(n)(Long.MaxValue)
-    var j = 0
-    while (j < nShingles) {
-      var i = 0
-      while (i < n) {
-        val h = Md5Hash60.hashShingle(prefixes(i), arr, j, k)
-        if (h < out(i)) out(i) = h
-        i += 1
-      }
-      j += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(words: Any, kAny: Any, nAny: Any): Any =
+    Md5Hash60.minhashSigs(words.asInstanceOf[ArrayData], k, n, prefixes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (words, _, _) => {
+      val pref = ctx.addReferenceObj("mhPrefixes", prefixes, "byte[][]")
+      s"${ev.value} = graft.plans.Md5Hash60.minhashSigs($words, $k, $n, $pref);"
+    })
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
@@ -129,7 +204,7 @@ case class MinHashSigs(first: Expression, second: Expression, third: Expression)
   * hash60(k-word shingle) — the verify-set for LSH candidates, ready for
   * `jaccard_sorted`. ≡ sort_array(array_distinct(hash60_all(shingles))). */
 case class ShingleSet(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType.isInstanceOf[ArrayType] &&
@@ -143,20 +218,13 @@ case class ShingleSet(left: Expression, right: Expression)
   override def prettyName: String = "shingle_set"
 
   @transient private lazy val k = right.eval(null).asInstanceOf[Int]
-  private val emptyPrefix = Array.emptyByteArray
 
-  override def nullSafeEval(words: Any, kAny: Any): Any = {
-    val arr = words.asInstanceOf[ArrayData]
-    val nShingles = arr.numElements() - (k - 1)
-    if (nShingles <= 0) return new GenericArrayData(Array.emptyLongArray)
-    val out = new Array[Long](nShingles)
-    var j = 0
-    while (j < nShingles) {
-      out(j) = Md5Hash60.hashShingle(emptyPrefix, arr, j, k)
-      j += 1
-    }
-    new GenericArrayData(Md5Hash60.sortedDistinct(out))
-  }
+  override def nullSafeEval(words: Any, kAny: Any): Any =
+    Md5Hash60.shingleSet(words.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (words, _) =>
+      s"${ev.value} = graft.plans.Md5Hash60.shingleSet($words, $k);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -168,7 +236,7 @@ case class ShingleSet(left: Expression, right: Expression)
   * sort_array(array_distinct(hash60_all(substring-grams))). Character
   * semantics: code points (matches Spark/DuckDB `substring`). */
 case class CharGramSet(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType &&
@@ -181,21 +249,13 @@ case class CharGramSet(left: Expression, right: Expression)
   override def prettyName: String = "chargram_set"
 
   @transient private lazy val n = right.eval(null).asInstanceOf[Int]
-  private val emptyPrefix = Array.emptyByteArray
 
-  override def nullSafeEval(str: Any, nAny: Any): Any = {
-    val s = str.asInstanceOf[UTF8String]
-    val len = s.numChars()
-    val nGrams = len - (n - 1)
-    if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
-    val out = new Array[Long](nGrams)
-    var i = 0
-    while (i < nGrams) {
-      out(i) = Md5Hash60.hash(emptyPrefix, s.substringSQL(i + 1, n))
-      i += 1
-    }
-    new GenericArrayData(Md5Hash60.sortedDistinct(out))
-  }
+  override def nullSafeEval(str: Any, nAny: Any): Any =
+    Md5Hash60.chargramSet(str.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (str, _) =>
+      s"${ev.value} = graft.plans.Md5Hash60.chargramSet($str, $n);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -205,7 +265,7 @@ case class CharGramSet(left: Expression, right: Expression)
 /** `simhash60(words)` → 60-bit SimHash: per-word hash60("sh|" ++ w),
   * ±1 votes per bit, bit set iff votes positive. */
 case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -218,25 +278,14 @@ case class SimHash60(child: Expression)
 
   @transient private lazy val prefix = Md5Hash60.prefixBytes("sh|")
 
-  override def nullSafeEval(words: Any): Any = {
-    val arr = words.asInstanceOf[ArrayData]
-    val votes = new Array[Int](60)
-    var j = 0
-    val len = arr.numElements()
-    while (j < len) {
-      val h = Md5Hash60.hash(prefix, arr.getUTF8String(j))
-      var i = 0
-      while (i < 60) {
-        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
-      }
-      j += 1
-    }
-    var sh = 0L
-    var i = 0
-    while (i < 60) { if (votes(i) > 0) sh |= (1L << i); i += 1 }
-    sh
-  }
+  override def nullSafeEval(words: Any): Any =
+    Md5Hash60.simhash60(words.asInstanceOf[ArrayData], prefix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, words => {
+      val pref = ctx.addReferenceObj("shPrefix", prefix, "byte[]")
+      s"${ev.value} = graft.plans.Md5Hash60.simhash60($words, $pref);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -248,9 +297,10 @@ case class SimHash60(child: Expression)
   * build one per evaluation, the dominant cost of the brute-force
   * near-dup pair queries). Callers sort once map-side
   * (`sort_array(array_distinct(...))`); the pairwise join then does
-  * O(n) comparisons per pair. */
+  * O(n) comparisons per pair. The merge loop is inlined straight into
+  * the generated code — it is the innermost loop of every pair query. */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -280,6 +330,25 @@ case class JaccardSorted(left: Expression, right: Expression)
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |int $union = $nx + $ny - $inter;
+         |${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -289,7 +358,7 @@ case class JaccardSorted(left: Expression, right: Expression)
   * with a constant seed prefix — the native form of
   * `transform(arr, s -> hash60(prefix ++ s))`. */
 case class Hash60All(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType.isInstanceOf[ArrayType] &&
@@ -305,16 +374,14 @@ case class Hash60All(left: Expression, right: Expression)
   @transient private lazy val prefix =
     right.eval(null).asInstanceOf[UTF8String].getBytes.clone()
 
-  override def nullSafeEval(strings: Any, p: Any): Any = {
-    val arr = strings.asInstanceOf[ArrayData]
-    val out = new Array[Long](arr.numElements())
-    var j = 0
-    while (j < out.length) {
-      out(j) = Md5Hash60.hash(prefix, arr.getUTF8String(j))
-      j += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(strings: Any, p: Any): Any =
+    Md5Hash60.hash60All(strings.asInstanceOf[ArrayData], prefix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (strings, _) => {
+      val pref = ctx.addReferenceObj("h60Prefix", prefix, "byte[]")
+      s"${ev.value} = graft.plans.Md5Hash60.hash60All($strings, $pref);"
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

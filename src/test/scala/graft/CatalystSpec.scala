@@ -34,6 +34,32 @@ class CatalystSpec extends SparkTestBase {
     assert(self == e.count(), "self-cosine must be ~1 for every row")
   }
 
+  test("text-hash kernels are codegen'd, not CodegenFallback: generated code calls the static kernels") {
+    import org.apache.spark.sql.execution.debug._
+    import graft.functions.{TextFunctions => TF}
+    val d = Catalog(spark, sf).table("documents")
+    val df = d.select(
+      TF.simhashFast(col("text")).as("sh"),
+      TF.minhashSigsFast(TF.words(col("text")), 3, 8).as("mh"),
+      TF.shingleSetFast(TF.words(col("text")), 3).as("ss"))
+    val gen = codegenString(df.queryExecution.executedPlan)
+    assert(gen.contains("graft.plans.Md5Hash60.simhash60"), gen.take(2000))
+    assert(gen.contains("graft.plans.Md5Hash60.minhashSigs"), gen.take(2000))
+    assert(gen.contains("graft.plans.Md5Hash60.shingleSet"), gen.take(2000))
+    // the whole projection is inside one WholeStageCodegen span
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"),
+      df.queryExecution.executedPlan.toString)
+    // and it executes (Janino compiles the kernel calls)
+    assert(df.count() > 0)
+    // jaccard_sorted inlines its merge loop into the generated code
+    val jdf = d.select(call_function("jaccard_sorted",
+      TF.shingleSetFast(TF.words(col("text")), 3),
+      TF.shingleSetFast(TF.words(col("text")), 3)).as("j"))
+    val jgen = codegenString(jdf.queryExecution.executedPlan)
+    assert(!jgen.contains("jaccard_sorted.eval"), "must not fall back to interpreted eval")
+    assert(jdf.filter(col("j") > 0.999).count() == d.count(), "self-jaccard must be 1")
+  }
+
   test("approxEqual(abs form) is rewritten to a pushdown-friendly range") {
     val li = Catalog(spark, sf).table("lineitem")
     val df = li.filter(VF.approxEqual(col("l_quantity"), lit(25.0), 0.5))
