@@ -412,6 +412,52 @@ object ExtensionQueries {
           .as("tfidf"))
   }
 
+  /** Deterministic train/val/test split — the reproducible alternative
+    * to rand()-sampling a training corpus: the split is a pure function
+    * of the document id (hash60 → bucket 0-99 → 90/5/5), so it is
+    * stable across runs, engines, and repartitioning, and any worker
+    * can compute membership without coordination. Pure map work. */
+  private val x24_train_split: QFn = (s, d) => {
+    val h = TF.hash60(col("doc_id").cast("string"), "split|") % 100
+    docs(s, d).select(col("doc_id"), h.as("bucket"),
+      when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"))
+  }
+
+  /** PII redaction — scrub emails/phone numbers before training. The
+    * fixture text contains no PII, so a deterministic fake contact line
+    * (derived from doc_id) is appended first; the redaction regexes and
+    * counts are the real, oracle-checked surface. Pure map work; the
+    * regex subset used (char classes, bounded reps, \b) is common to
+    * Java regex and RE2 so both engines agree byte-for-byte. */
+  private val x25_pii_redact: QFn = (s, d) => {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val aug = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com or 555-123-4567 now"))
+    docs(s, d).select(
+      col("doc_id"),
+      regexp_count(aug, lit(emailRe)).as("n_emails"),
+      regexp_count(aug, lit(phoneRe)).as("n_phones"),
+      md5(regexp_replace(regexp_replace(aug, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>")).as("redacted_fp"))
+  }
+
+  /** Document chunking — split each document into 64-token windows with
+    * 16-token overlap (stride 48), the standard pre-tokenization shape
+    * for training-sequence construction. sequence+posexplode+slice is
+    * all map-side (no shuffle, no UDF); chunk text is fingerprinted
+    * (md5) so the oracle checks content without hauling full chunks. */
+  private val x26_doc_chunks: QFn = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), TF.words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(1), size(col("ws")), lit(48)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        md5(concat_ws(" ", slice(col("ws"), col("start"), lit(64)))).as("chunk_fp"),
+        least(size(col("ws")) - col("start") + 1, lit(64)).cast("long")
+          .as("n_chunk_tokens"))
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal metadata extraction: media columns are opaque binary +
@@ -510,6 +556,9 @@ object ExtensionQueries {
     "x21_tfidf" -> x21_tfidf,
     "x22_embed_dedup_bucketed" -> x22_embed_dedup_bucketed,
     "x23_simhash_banded" -> x23_simhash_banded,
+    "x24_train_split" -> x24_train_split,
+    "x25_pii_redact" -> x25_pii_redact,
+    "x26_doc_chunks" -> x26_doc_chunks,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -763,7 +812,36 @@ object ExtensionQueries {
          |       round(t.tf * ln(n.n_docs::DOUBLE / d.dfreq), 4) AS tfidf
          |  FROM tf t JOIN dfq d USING (word) CROSS JOIN n
          | WHERE t.tf >= 4""".stripMargin,
-    // Same algorithm expressed in SQL (nprobe=2 assignment, distinct
+    "x24_train_split" ->
+      s"""SELECT doc_id,
+         |       ${H60("'split|'||doc_id::VARCHAR")} % 100 AS bucket,
+         |       CASE WHEN ${H60("'split|'||doc_id::VARCHAR")} % 100 < 90 THEN 'train'
+         |            WHEN ${H60("'split|'||doc_id::VARCHAR")} % 100 < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |  FROM documents""".stripMargin,
+    "x25_pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id::VARCHAR ||
+        |         '@example.com or 555-123-4567 now' AS aug
+        |    FROM documents)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(aug,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(aug,
+        |           '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+        |       md5(regexp_replace(regexp_replace(aug,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_fp
+        |  FROM t""".stripMargin,
+    "x26_doc_chunks" ->
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+         |s AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1, 48)) AS st FROM w)
+         |SELECT doc_id, (st-1)//48 AS chunk_idx,
+         |       md5(array_to_string(ws[st:st+63],' ')) AS chunk_fp,
+         |       least(len(ws)-st+1, 64)::BIGINT AS n_chunk_tokens
+         |  FROM s""".stripMargin,
+    // Same algorithm expressed in SQL (nprobe=6 assignment, distinct
     // candidates, verify, groupBy-drop) — hash-exact, not rows-only.
     "x22_embed_dedup_bucketed" ->
       s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_e

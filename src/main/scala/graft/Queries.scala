@@ -339,6 +339,21 @@ object Queries {
         round(element_at(col("ps"), 3), 2).as("p75"),
         round(col("med_qty"), 2).as("med_qty"))
 
+  /** Moving aggregate (rolling-window analytics surface): 7-row moving
+    * average of daily revenue. Two stages: the daily groupBy (one
+    * shuffle, map-side combined) collapses the data to one row per day;
+    * the unpartitioned ordered window then runs over that TINY aggregate
+    * (rows = distinct days), where a single-task window is the correct
+    * plan — never put an unpartitioned window over raw data. */
+  private val q36_moving_avg: QFn = (s, d) => {
+    val daily = cat(s, d).table("orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily.select(col("day"), col("revenue"),
+      round(avg(col("revenue")).over(w), 2).as("ma7"))
+  }
+
   /** Explode (lateral unnest) — the Generator/UDTF surface: word
     * frequency over exploded document tokens. Explode is map-side (no
     * shuffle); the one shuffle is the groupBy on the word. */
@@ -466,6 +481,7 @@ object Queries {
     "q32_scalar_sub" -> q32_scalar_sub,
     "q33_setops" -> q33_setops,
     "q34_count_distinct" -> q34_count_distinct,
+    "q36_moving_avg" -> q36_moving_avg,
   ) ++ ExtensionQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -646,5 +662,14 @@ object Queries {
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(*) AS n
         |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q36_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |         round(sum(o_totalprice), 2) AS revenue
+        |    FROM orders GROUP BY 1)
+        |SELECT day, revenue,
+        |       round(avg(revenue) OVER (ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+        |  FROM daily""".stripMargin,
   ) ++ ExtensionQueries.oracles
 }
