@@ -115,14 +115,13 @@ object ExtensionQueries {
       posexplode(array((0 until 4).map(b =>
         concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
         .as(Seq("band", "key")))
-    val a = banded.select(col("doc_id").as("a_id"), col("sh_set").as("a_sh"),
-      col("band"), col("key"))
-    val b = banded.select(col("doc_id").as("b_id"), col("sh_set").as("b_sh"),
-      col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(call_function("jaccard_sorted", col("a_sh"), col("b_sh")), 4)
+    // aliased self-join over ONE subtree: the signature+banding work and
+    // its shuffle are computed once, ReusedExchange feeds the other side
+    banded.as("a").join(banded.as("b").hint("shuffle_hash"),
+      col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        round(call_function("jaccard_sorted", col("a.sh_set"), col("b.sh_set")), 4)
           .as("jac"))
       .filter(col("jac") >= 0.8)
       .distinct()
@@ -140,11 +139,10 @@ object ExtensionQueries {
   private val x09_simhash_pairs: QFn = (s, d) => {
     val sh = docs(s, d).select(col("doc_id"), col("lang"),
       TF.simhashFast(col("text")).as("sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("sh").as("a_sh"))
-    val b = sh.select(col("doc_id").as("b_id"), col("lang"), col("sh").as("b_sh"))
-    a.join(b, Seq("lang")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
+    sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+      col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 6)
   }
 
@@ -180,14 +178,12 @@ object ExtensionQueries {
       posexplode(array(SimChunks.map { case (off, w) =>
         shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
       }: _*)).as(Seq("chunk", "cval")))
-    val a = chunked.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-      col("chunk"), col("cval"))
-    val b = chunked.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-      col("chunk"), col("cval"))
-    a.join(b, Seq("chunk", "cval"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
+    // aliased self-join: simhash+chunking computed once, exchange reused
+    chunked.as("a").join(chunked.as("b").hint("shuffle_hash"),
+      col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 6)
       .distinct()
   }
@@ -203,13 +199,11 @@ object ExtensionQueries {
     val grams = TF.chargramSetFast(norm, 4)
     val g = docs(s, d).select(col("doc_id"), col("lang"),
       expr("n_chars div 64").as("len_band"), grams.as("grams"))
-    val a = g.select(col("doc_id").as("a_id"), col("lang"), col("len_band"),
-      col("grams").as("a_g"))
-    val b = g.select(col("doc_id").as("b_id"), col("lang"), col("len_band"),
-      col("grams").as("b_g"))
-    a.join(b, Seq("lang", "len_band")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(call_function("jaccard_sorted", col("a_g"), col("b_g")), 4)
+    g.as("a").join(g.as("b").hint("shuffle_hash"),
+      col("a.lang") === col("b.lang") && col("a.len_band") === col("b.len_band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        round(call_function("jaccard_sorted", col("a.grams"), col("b.grams")), 4)
           .as("jac"))
       .filter(col("jac") >= 0.8)
   }
@@ -252,14 +246,11 @@ object ExtensionQueries {
   private val x13_ann_lsh: QFn = (s, d) => {
     val e = embs(s, d).select(col("vec_id"), col("embedding"),
       VF.signBucket(col("embedding"), 8).as("bucket"))
-    val a = e.select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
-      col("bucket"))
-    val b = e.select(col("vec_id").as("n_id"), col("embedding").as("n_e"),
-      col("bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    a.join(b, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
+    e.as("a").join(e.as("b").hint("shuffle_hash"),
+      col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        round(VF.cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
   }
@@ -346,15 +337,14 @@ object ExtensionQueries {
       .withColumn("rn", row_number().over(byVec))
       .filter(col("rn") <= IvfProbe) // multi-probe assignment
       .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-    val a = cells.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
-      col("cell"))
-    val b = cells.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
-      col("cell"))
-    val pairs = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(VF.cosineFast(col("a_e"), col("b_e")), 6).as("cos"))
+    // aliased self-join over ONE subtree: the broadcast-centroid
+    // assignment and its exchange run once; ReusedExchange feeds side b
+    val pairs = cells.as("a").join(cells.as("b").hint("shuffle_hash"),
+      col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(VF.cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
       .filter(col("cos") >= 0.45)
-      .distinct() // a pair can share both probed cells
+      .distinct() // a pair can share several probed cells
     pairs.groupBy(col("b_id").as("drop_id"))
       .agg(min(col("a_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
   }

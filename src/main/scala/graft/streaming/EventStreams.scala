@@ -50,6 +50,52 @@ object EventStreams {
       .groupBy(session_window(col("event_time"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming exact-dedup at ingest — the streaming twin of batch
+    * x04_dedup_exact: drop any row whose fingerprint column was already
+    * seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes it (bounded state); plain `dropDuplicates` state
+    * grows forever — at 100 TB/day ingest the bounded form is the only
+    * viable one, with the batch dedup (x04) as the periodic backstop for
+    * duplicates farther apart than the horizon.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      fpCol: String,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", tsFromNs(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark(fpCol)
+
+  /** Stream-stream interval join, watermarked on BOTH sides: each left
+    * row joins right rows of the same user within the preceding
+    * `interval` — the realtime attribution shape (click ⋈ recent
+    * purchases). The time bound + watermarks let Spark evict join state
+    * on both sides; an unbounded stream-stream join would hold every row
+    * forever. Right-side columns other than (user_id, ts) ride along and
+    * must not collide with left-side names.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      interval: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val l = left
+      .withColumn("l_time", tsFromNs(col("ts")))
+      .withWatermark("l_time", watermarkDelay)
+      .drop("ts")
+    val r = right
+      .withColumnRenamed("user_id", "r_user_id")
+      .withColumn("r_time", tsFromNs(col("ts")))
+      .withWatermark("r_time", watermarkDelay)
+      .drop("ts")
+    l.join(r, expr(
+      s"user_id = r_user_id AND " +
+        s"r_time >= l_time - INTERVAL $interval AND r_time <= l_time"))
+      .drop("r_user_id")
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ---------------
 
   case class Ev(user_id: Long, ts_ns: Long, event_type: String)

@@ -97,6 +97,14 @@ class PlanAuditSpec extends SparkTestBase {
 
   private def cat2 = graft.catalog.Catalog(spark, sf)
 
+  test("x22: self-join reuses the assignment exchange (map work computed once)") {
+    val df = SparkEntry.queries("x22_embed_dedup_bucketed")(spark, sf)
+    df.collect() // AQE finalizes during execution; inspect the same QueryExecution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"aliased self-join must reuse the centroid-assignment exchange:\n$p")
+  }
+
   test("q26: as-of join is one window exchange, not a range join") {
     val p = plan("q26_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)

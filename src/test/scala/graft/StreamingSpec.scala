@@ -104,6 +104,63 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate fingerprints dropped within the watermark horizon, state evicted after") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // event_type stands in for the content fingerprint
+    val dedup = EventStreams.dedupWithinWatermark(
+      input.toDF().withColumnRenamed("ts_ns", "ts"),
+      fpCol = "event_type", watermarkDelay = "1 hour")
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val B = H
+      input.addData(ev(1, B, "fpA"), ev(2, B + 1, "fpA"), ev(3, B + 2, "fpB"))
+      q.processAllAvailable()
+      val first = spark.table("dedup_test").selectExpr("event_type").as[String]
+        .collect().sorted.toSeq
+      assert(first == Seq("fpA", "fpB"), s"duplicate fpA within horizon must drop: $first")
+      // push the watermark far past B; fpA state evicts, a re-sent fpA emits
+      input.addData(ev(4, B + 5 * H, "advance"))
+      q.processAllAvailable()
+      input.addData(ev(5, B + 5 * H + 1, "fpA"))
+      q.processAllAvailable()
+      val types = spark.table("dedup_test").selectExpr("event_type").as[String]
+        .collect().sorted.toSeq
+      assert(types == Seq("advance", "fpA", "fpA", "fpB"),
+        s"fpA beyond the horizon re-emits (bounded state): $types")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: purchases within the hour before each click, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = EventStreams.intervalJoin(
+      clicks.toDF().withColumnRenamed("ts_ns", "ts")
+        .withColumnRenamed("event_type", "click_kind"),
+      purchases.toDF().withColumnRenamed("ts_ns", "ts")
+        .withColumnRenamed("event_type", "purchase_kind")
+        .withColumnRenamed("user_id", "user_id"),
+      interval = "1 hour", watermarkDelay = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val M = 60L * 1000000000L
+      val B = H
+      // u1: purchase 10 min before the click (matches) + one 2h after (no)
+      purchases.addData(ev(1, B + 10 * M, "p_early"), ev(1, B + 150 * M, "p_late"))
+      clicks.addData(ev(1, B + 20 * M, "c1"))
+      // u2: click with no prior purchase -> no row (inner join)
+      clicks.addData(ev(2, B + 30 * M, "c2"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_test")
+        .selectExpr("user_id", "click_kind", "purchase_kind").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(rows == Seq((1L, "c1", "p_early")), rows.toString)
+    } finally q.stop()
+  }
+
   test("native session_window groups events by gap (batch parity check)") {
     val M = 60L * 1000000000L
     val batch = Seq(ev(1, 0), ev(1, 5 * M), ev(1, 50 * M), ev(2, 0))
