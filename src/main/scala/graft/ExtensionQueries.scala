@@ -448,6 +448,22 @@ object ExtensionQueries {
         least(size(col("ws")) - col("start") + 1, lit(64)).cast("long")
           .as("n_chunk_tokens"))
 
+  /** Stratified corpus sampling — deterministic per-language rates (the
+    * "rebalance the language mix" op of corpus curation): en keeps 20%,
+    * de/fr 50%, everything else 100%. Membership = hash60(doc_id) % 100
+    * under the stratum's threshold — a pure map-side decision, stable
+    * across runs/engines/partitioning (rand()-based sampleBy is not),
+    * and any worker computes it with zero coordination. */
+  private val x27_stratified_sample: QFn = (s, d) => {
+    val h = TF.hash60(col("doc_id").cast("string"), "sample|") % 100
+    val rate = when(col("lang") === "en", 20)
+      .when(col("lang").isin("de", "fr"), 50)
+      .otherwise(100)
+    docs(s, d).filter(h < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_kept"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal metadata extraction: media columns are opaque binary +
@@ -549,6 +565,7 @@ object ExtensionQueries {
     "x24_train_split" -> x24_train_split,
     "x25_pii_redact" -> x25_pii_redact,
     "x26_doc_chunks" -> x26_doc_chunks,
+    "x27_stratified_sample" -> x27_stratified_sample,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -802,6 +819,15 @@ object ExtensionQueries {
          |       round(t.tf * ln(n.n_docs::DOUBLE / d.dfreq), 4) AS tfidf
          |  FROM tf t JOIN dfq d USING (word) CROSS JOIN n
          | WHERE t.tf >= 4""".stripMargin,
+    "x27_stratified_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, ${H60("'sample|'||doc_id::VARCHAR")} % 100 AS h,
+         |         CASE WHEN lang = 'en' THEN 20
+         |              WHEN lang IN ('de','fr') THEN 50
+         |              ELSE 100 END AS rate
+         |    FROM documents)
+         |SELECT lang, count(*) AS n_kept, min(doc_id) AS first_kept
+         |  FROM t WHERE h < rate GROUP BY lang""".stripMargin,
     "x24_train_split" ->
       s"""SELECT doc_id,
          |       ${H60("'split|'||doc_id::VARCHAR")} % 100 AS bucket,

@@ -354,6 +354,31 @@ object Queries {
       round(avg(col("revenue")).over(w), 2).as("ma7"))
   }
 
+  /** Exact DECIMAL aggregation — the reference's roadmap "decimal type"
+    * (its `Decimal` is a plain f64, README.md:71; SURVEY §2.3): cast to
+    * DecimalType(12,2) and sum EXACTLY — no float summation-order drift,
+    * so the oracle compare needs no rounding crutch. The result is
+    * rendered as a string because Spark and DuckDB widen decimal sums to
+    * different precisions (22,2 vs 38,2); the VALUE is identical.
+    * Decimal sums are Spark-native (unscaled-long accumulation) — the
+    * exact-money aggregation path a billing pipeline needs at scale. */
+  private val q37_decimal_agg: QFn = (s, d) =>
+    cat(s, d).table("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("dec_sum"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("dec_sum").cast("string").as("total_exact"), col("n"))
+
+  /** Approximate count-distinct — the sketch default at scale (HLL++:
+    * fixed-size mergeable state vs q34's exact two-phase expansion).
+    * rows-only check by design: sketch estimates are engine-specific. */
+  private val q38_distinct_approx: QFn = (s, d) =>
+    cat(s, d).table("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps_approx"))
+
   /** Explode (lateral unnest) — the Generator/UDTF surface: word
     * frequency over exploded document tokens. Explode is map-side (no
     * shuffle); the one shuffle is the groupBy on the word. */
@@ -482,6 +507,8 @@ object Queries {
     "q33_setops" -> q33_setops,
     "q34_count_distinct" -> q34_count_distinct,
     "q36_moving_avg" -> q36_moving_avg,
+    "q37_decimal_agg" -> q37_decimal_agg,
+    "q38_distinct_approx" -> q38_distinct_approx,
   ) ++ ExtensionQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -660,6 +687,11 @@ object Queries {
       """SELECT l_returnflag,
         |       count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q37_decimal_agg" ->
+      """SELECT l_returnflag,
+        |       sum(l_extendedprice::DECIMAL(12,2))::VARCHAR AS total_exact,
         |       count(*) AS n
         |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q36_moving_avg" ->
