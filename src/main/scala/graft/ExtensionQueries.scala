@@ -353,8 +353,8 @@ object ExtensionQueries {
     * pipeline actually runs: exact-dedup (keep lowest doc_id per content
     * hash) → quality floor → confident language-ID → token accounting.
     * Every stage is a previous oracle-checked query; this checks the
-    * composition. Shuffles: one groupBy(content hash) + one broadcast-able
-    * self-semi-join; everything else is map-side. */
+    * composition. Exactly ONE shuffle (the per-content-hash window);
+    * everything else is map-side. */
   private val x20_corpus_clean: QFn = (s, d) => {
     val nw = TF.tokenCount(col("text"))
     val alphaRaw = regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
@@ -365,10 +365,14 @@ object ExtensionQueries {
       TF.langId(col("text")).as("pred_lang"),
       alphaRaw.as("alpha"),
       md5(TF.normText(col("text"))).as("chash"))
-    val canonical = scored.groupBy("chash")
-      .agg(min(col("doc_id")).as("doc_id"))
+    // exact dedup as ONE window over the content hash (keep = min doc_id
+    // per chash) — a single shuffle on chash, instead of the groupBy +
+    // semi-join form that computes the scored subtree twice and shuffles
+    // three times. Same keep set: row_number orderBy doc_id picks the min.
+    val byHash = Window.partitionBy("chash").orderBy("doc_id")
     scored
-      .join(canonical, Seq("chash", "doc_id"), "left_semi") // exact dedup
+      .withColumn("__rn", row_number().over(byHash))
+      .filter(col("__rn") === 1)                            // exact dedup
       .filter(col("n_tokens") >= 20 && col("alpha") >= 0.5) // quality floor
       .filter(col("pred_lang") === col("lang"))             // confident langid
       .select(col("doc_id"), col("lang"), col("n_tokens"))
