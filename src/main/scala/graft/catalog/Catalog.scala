@@ -141,6 +141,34 @@ final case class Catalog(spark: SparkSession, dir: String) {
     * [[writeBucketed]]; plain path reads don't see bucket metadata). */
   def bucketedTable(name: String): DataFrame = spark.table(name)
 
+  /** Read a named table stored in an alternate format ("csv", "json",
+    * "orc", ...) — beyond-reference breadth: the reference's only format
+    * is its own log encoding; a lake engine must also ingest text
+    * formats. Always pass an explicit schema for text formats: inference
+    * costs an extra full scan and guesses types — never at 100 TB.
+    * CSV defaults to header=true so round-trips preserve column names.
+    */
+  def tableAs(name: String, format: String,
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format(format)
+      .options(defaultFormatOptions(format) ++ options)
+    schema.fold(base)(base.schema).load(formatPath(name, format))
+  }
+
+  /** Write a named table in an alternate format (see [[tableAs]]). */
+  def writeAs(name: String, rows: DataFrame, format: String,
+      options: Map[String, String] = Map.empty): Unit =
+    rows.write.mode("overwrite").format(format)
+      .options(defaultFormatOptions(format) ++ options)
+      .save(formatPath(name, format))
+
+  private def formatPath(name: String, format: String): String =
+    s"$dir/$name.$format"
+
+  private def defaultFormatOptions(format: String): Map[String, String] =
+    if (format == "csv") Map("header" -> "true") else Map.empty
+
   private def sameShape(a: StructType, b: StructType): Boolean =
     a.fields.map(f => (f.name, f.dataType)).sameElements(
       b.fields.map(f => (f.name, f.dataType)))

@@ -213,6 +213,20 @@ class CoreOpsSpec extends SparkTestBase {
     }
   }
 
+  test("catalog csv/json round-trip preserves values with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val tmp = Catalog(spark, dir)
+    val src = cat.table("nation") // small: 25 rows, long + string cols
+    for (fmt <- Seq("csv", "json")) {
+      tmp.writeAs("nation", src, fmt)
+      val back = tmp.tableAs("nation", fmt, schema = Some(src.schema))
+      assert(back.schema == src.schema, s"$fmt schema drift")
+      val a = src.collect().map(_.toSeq).toSet
+      val b = back.collect().map(_.toSeq).toSet
+      assert(a == b, s"$fmt value drift")
+    }
+  }
+
   test("catalog DDL round-trip: create → append → drop → scan fails (reference storage/mod.rs:38-83)") {
     import org.apache.spark.sql.types._
     import spark.implicits._

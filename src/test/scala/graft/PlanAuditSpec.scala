@@ -105,6 +105,15 @@ class PlanAuditSpec extends SparkTestBase {
       s"aliased self-join must reuse the centroid-assignment exchange:\n$p")
   }
 
+  test("x13: per-key top-k plans WindowGroupLimit (partial+final), never full per-group sort-all") {
+    val p = plan("x13_ann_lsh")
+    // rank()<=k filters must become group-limits BEFORE the shuffle
+    // (partial) and after (final) — at scale this is the difference
+    // between carrying k rows per key and carrying every candidate.
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial") && p.contains("Final"), p)
+  }
+
   test("q26: as-of join is one window exchange, not a range join") {
     val p = plan("q26_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
