@@ -452,6 +452,56 @@ object ExtensionQueries {
         least(size(col("ws")) - col("start") + 1, lit(64)).cast("long")
           .as("n_chunk_tokens"))
 
+  /** ANN quality evaluation — recall@3 of the sign-LSH index (x13's
+    * plan) against exact brute-force top-3, per query vector. The
+    * tuning harness every ANN deployment runs before trusting an index:
+    * recall is computed IN the engine (semi-join of approx hits against
+    * exact hits, one row per query), not by eyeballing. Exact side is
+    * brute force over the 10 fixture queries only — the evaluation
+    * sample, not the corpus. */
+  private val x28_ann_recall: QFn = (s, d) => {
+    val e = embs(s, d)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"))
+    val exact = q.crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("n_e")))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val eb = e.select(col("vec_id"), col("embedding"),
+      VF.signBucket(col("embedding"), 8).as("bucket"))
+    val approx = eb.as("a").join(eb.as("b").hint("shuffle_hash"),
+      col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .filter(col("a.vec_id") < 10)
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        round(VF.cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    q.select(col("q_id")).join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / 3.0, 4).as("recall_at_3"))
+  }
+
+  /** Embedding int8 quantization — the storage-compression pass a
+    * 100 TB embedding store runs (4 bytes→1 byte per dim): per-vector
+    * max-abs scale, symmetric round-to-nearest. Output is the scale and
+    * the quantized vector's squared norm (scalars, engine-comparable)
+    * — the quantized arrays themselves stay distributed. Pure map work.
+    */
+  private val x29_embed_quantize: QFn = (s, d) =>
+    embs(s, d)
+      .withColumn("mx",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .select(col("vec_id"), round(col("mx"), 6).as("scale"),
+        aggregate(
+          transform(col("embedding"),
+            x => round(x.cast("double") * 127 / col("mx")).cast("long")),
+          lit(0L), (acc, v) => acc + v * v).as("qnorm2"))
+
   /** Stratified corpus sampling — deterministic per-language rates (the
     * "rebalance the language mix" op of corpus curation): en keeps 20%,
     * de/fr 50%, everything else 100%. Membership = hash60(doc_id) % 100
@@ -570,6 +620,8 @@ object ExtensionQueries {
     "x25_pii_redact" -> x25_pii_redact,
     "x26_doc_chunks" -> x26_doc_chunks,
     "x27_stratified_sample" -> x27_stratified_sample,
+    "x28_ann_recall" -> x28_ann_recall,
+    "x29_embed_quantize" -> x29_embed_quantize,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -823,6 +875,51 @@ object ExtensionQueries {
          |       round(t.tf * ln(n.n_docs::DOUBLE / d.dfreq), 4) AS tfidf
          |  FROM tf t JOIN dfq d USING (word) CROSS JOIN n
          | WHERE t.tf >= 4""".stripMargin,
+    "x28_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_e
+         |             FROM embeddings WHERE vec_id < 10),
+         |exact AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, n.vec_id AS n_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |               ORDER BY round(${COS("q.q_e", "n.embedding")}, 6) DESC,
+         |                        n.vec_id ASC) AS rnk
+         |      FROM q CROSS JOIN embeddings n WHERE q.q_id <> n.vec_id)
+         |   WHERE rnk <= 3),
+         |eb AS (SELECT vec_id, embedding,
+         |       array_to_string(list_transform(embedding[1:8],
+         |         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings),
+         |approx AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |               ORDER BY round(${COS("a.embedding", "b.embedding")}, 6) DESC,
+         |                        b.vec_id ASC) AS rnk
+         |      FROM eb a JOIN eb b
+         |        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |     WHERE a.vec_id < 10)
+         |   WHERE rnk <= 3),
+         |hits AS (
+         |  SELECT e.q_id, count(*) AS n_hits
+         |    FROM exact e SEMI JOIN approx a
+         |      ON e.q_id = a.q_id AND e.n_id = a.n_id
+         |   GROUP BY e.q_id)
+         |SELECT q.q_id, coalesce(h.n_hits, 0) AS n_hits,
+         |       round(coalesce(h.n_hits, 0) / 3.0, 4) AS recall_at_3
+         |  FROM q LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin,
+    "x29_embed_quantize" ->
+      """WITH t AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |    FROM embeddings)
+        |SELECT vec_id, round(mx, 6) AS scale,
+        |       CAST(list_aggregate(list_transform(embedding,
+        |         x -> CAST(round(CAST(x AS DOUBLE)*127/mx) AS BIGINT)
+        |            * CAST(round(CAST(x AS DOUBLE)*127/mx) AS BIGINT)),
+        |         'sum') AS BIGINT) AS qnorm2
+        |  FROM t""".stripMargin,
     "x27_stratified_sample" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, ${H60("'sample|'||doc_id::VARCHAR")} % 100 AS h,
