@@ -114,6 +114,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Partial") && p.contains("Final"), p)
   }
 
+  test("sweep: no unintended cartesian/nested-loop join in ANY query plan") {
+    // queries whose plans legitimately contain a cross/non-equi join:
+    // declared brute-force baselines, broadcast-centroid assignment,
+    // deliberately non-equi joins, and 1-row broadcast scalars.
+    val intendedNonEqui = Set(
+      "q07_loop_join",          // non-equi join surface itself
+      "q31_range_join",         // irregular-interval range join (broadcast bands)
+      "q32_scalar_sub",         // scalar subquery broadcast compare
+      "x11_cosine_pairs",       // brute-force baseline (labeled)
+      "x12_ann_topk",           // brute-force baseline (labeled)
+      "x18_ann_ivf",            // 16-row broadcast centroid assignment
+      "x19_embed_dedup",        // brute-force baseline (labeled)
+      "x21_tfidf",              // 1-row corpus-size broadcast
+      "x22_embed_dedup_bucketed", // 16-row broadcast centroid assignment
+      "x28_ann_recall",         // exact evaluation side is brute force
+      "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
+                                // union: per-branch txn is a literal, so each
+                                // branch degenerates to a conditionless check
+                                // against the ≤4-row broadcast marker set
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(intendedNonEqui)
+      .filter { name =>
+        val p = plan(name)
+        p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty, s"unintended cartesian/BNLJ in: $offenders")
+  }
+
   test("q26: as-of join is one window exchange, not a range join") {
     val p = plan("q26_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
