@@ -502,6 +502,33 @@ object ExtensionQueries {
             x => round(x.cast("double") * 127 / col("mx")).cast("long")),
           lit(0L), (acc, v) => acc + v * v).as("qnorm2"))
 
+  /** One Lloyd's iteration of k-means over the embedding corpus — the
+    * training step that produces REAL IVF centroids (x18/x22 use the
+    * first 16 vectors as stand-ins; this is how trained ones are made,
+    * at scale): assign every vector to its nearest centroid (tiny
+    * broadcast, map-side argmax), then the new centroid = per-cell
+    * per-dimension mean via posexplode + one groupBy — no driver-side
+    * loops, no collect; iterate by feeding the output back as the next
+    * broadcast. Output is (cell, dim, mean, count) — the new centroid
+    * table in long form. */
+  private val x30_kmeans_step: QFn = (s, d) => {
+    val e = embs(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        VF.cosineFast(col("embedding"), col("c_e")).as("c_cos"))
+      .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+      .select(col("embedding"), col("c_id").as("cell"))
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim").cast("long").as("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("mean_x"),
+        count(lit(1)).as("n"))
+  }
+
   /** Stratified corpus sampling — deterministic per-language rates (the
     * "rebalance the language mix" op of corpus curation): en keeps 20%,
     * de/fr 50%, everything else 100%. Membership = hash60(doc_id) % 100
@@ -622,6 +649,7 @@ object ExtensionQueries {
     "x27_stratified_sample" -> x27_stratified_sample,
     "x28_ann_recall" -> x28_ann_recall,
     "x29_embed_quantize" -> x29_embed_quantize,
+    "x30_kmeans_step" -> x30_kmeans_step,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -875,6 +903,21 @@ object ExtensionQueries {
          |       round(t.tf * ln(n.n_docs::DOUBLE / d.dfreq), 4) AS tfidf
          |  FROM tf t JOIN dfq d USING (word) CROSS JOIN n
          | WHERE t.tf >= 4""".stripMargin,
+    "x30_kmeans_step" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_e
+         |                FROM embeddings WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${COS("e.embedding", "c.c_e")} DESC, c.c_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |cells AS (SELECT embedding, c_id AS cell FROM asg WHERE rn = 1),
+         |un AS (SELECT cell, unnest(embedding) AS x,
+         |              generate_subscripts(embedding, 1) - 1 AS dim
+         |         FROM cells)
+         |SELECT cell, dim, round(avg(CAST(x AS DOUBLE)), 6) AS mean_x,
+         |       count(*) AS n
+         |  FROM un GROUP BY cell, dim""".stripMargin,
     "x28_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_e
          |             FROM embeddings WHERE vec_id < 10),
