@@ -129,6 +129,7 @@ class PlanAuditSpec extends SparkTestBase {
       "x21_tfidf",              // 1-row corpus-size broadcast
       "x22_embed_dedup_bucketed", // 16-row broadcast centroid assignment
       "x28_ann_recall",         // exact evaluation side is brute force
+      "x30_kmeans_step",        // 16-row broadcast centroid assignment
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
