@@ -529,6 +529,62 @@ object ExtensionQueries {
         count(lit(1)).as("n"))
   }
 
+  /** End-to-end semantic search — the retrieval path a RAG/search
+    * deployment runs: query vector (vec 0's embedding stands in for an
+    * embedded query string) → IVF cell lookup (nprobe=2, broadcast
+    * centroids) → in-cell cosine top-5 → hydration join back to the
+    * documents table for display fields. The final top-5 window is
+    * unpartitioned over a HANDFUL of candidate rows (post-ANN, one
+    * query) — the correct plan there; the hydration join broadcasts the
+    * 5-row hit list against the corpus. */
+  private val x31_semantic_search: QFn = (s, d) => {
+    val e = embs(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val cells = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        VF.cosineFast(col("embedding"), col("c_e")).as("c_cos"))
+      .withColumn("rn", row_number().over(byVec)).filter(col("rn") <= 2)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    val q = cells.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_e"), col("cell"))
+    val w = Window.orderBy(col("cos").desc, col("n_id").asc)
+    val hits = q.join(cells.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_e"), col("cell")), Seq("cell"))
+      .filter(col("n_id") =!= 0)
+      .select(col("n_id"), round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
+      .distinct() // a hit can share both probed cells
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+    hits.join(docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        hits("n_id") === col("doc_id"))
+      .select(col("rnk"), col("doc_id"), col("cos"), col("lang"), col("n_chars"))
+  }
+
+  /** Ingest-time dedup against the LIVE corpus — the composition an
+    * incremental crawl pipeline runs on every batch: existing corpus =
+    * MVCC snapshot of the committed log (x17 semantics); incoming batch
+    * = re-crawled duplicates (same text, new ids) + genuinely new
+    * versions; keep only rows whose content fingerprint is absent from
+    * the snapshot. One anti-join on the fingerprint — equi, broadcast-
+    * able when the batch is small, shuffle otherwise. */
+  private val x32_ingest_dedup: QFn = (s, d) => {
+    val base = docs(s, d).select(col("doc_id").as("rid"), col("text"))
+    val log = LogTable.upserts(base, 1L, col("rid"))
+      .unionByName(LogTable.commitMarker(s, 1L), allowMissingColumns = true)
+    val existing = LogTable.snapshot(log, asOf = 1L)
+      .select(md5(TF.normText(col("text"))).as("fp"))
+    val inc = docs(s, d).filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")) // re-crawled dups
+      .unionByName(docs(s, d).filter(col("doc_id") % 11 === 5)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" updated content")).as("text"))) // new versions
+    inc.withColumn("fp", md5(TF.normText(col("text"))))
+      .join(existing, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** Stratified corpus sampling — deterministic per-language rates (the
     * "rebalance the language mix" op of corpus curation): en keeps 20%,
     * de/fr 50%, everything else 100%. Membership = hash60(doc_id) % 100
@@ -650,6 +706,8 @@ object ExtensionQueries {
     "x28_ann_recall" -> x28_ann_recall,
     "x29_embed_quantize" -> x29_embed_quantize,
     "x30_kmeans_step" -> x30_kmeans_step,
+    "x31_semantic_search" -> x31_semantic_search,
+    "x32_ingest_dedup" -> x32_ingest_dedup,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -903,6 +961,36 @@ object ExtensionQueries {
          |       round(t.tf * ln(n.n_docs::DOUBLE / d.dfreq), 4) AS tfidf
          |  FROM tf t JOIN dfq d USING (word) CROSS JOIN n
          | WHERE t.tf >= 4""".stripMargin,
+    "x31_semantic_search" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_e
+         |                FROM embeddings WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${COS("e.embedding", "c.c_e")} DESC, c.c_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |cells AS (SELECT vec_id, embedding, c_id AS cell FROM asg WHERE rn <= 2),
+         |q AS (SELECT embedding AS q_e, cell FROM cells WHERE vec_id = 0),
+         |hits AS (
+         |  SELECT DISTINCT n.vec_id AS n_id,
+         |         round(${COS("q.q_e", "n.embedding")}, 6) AS cos
+         |    FROM q JOIN cells n ON q.cell = n.cell AND n.vec_id <> 0),
+         |ranked AS (
+         |  SELECT n_id, cos,
+         |         row_number() OVER (ORDER BY cos DESC, n_id ASC) AS rnk
+         |    FROM hits)
+         |SELECT r.rnk, d.doc_id, r.cos, d.lang, d.n_chars
+         |  FROM ranked r JOIN documents d ON r.n_id = d.doc_id
+         | WHERE r.rnk <= 5""".stripMargin,
+    "x32_ingest_dedup" ->
+      s"""WITH existing AS (SELECT md5($NT) AS fp FROM documents),
+         |inc AS (
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || ' updated content' FROM documents
+         |   WHERE doc_id % 11 = 5)
+         |SELECT doc_id, md5($NT) AS fp FROM inc
+         | WHERE md5($NT) NOT IN (SELECT fp FROM existing)""".stripMargin,
     "x30_kmeans_step" ->
       s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_e
          |                FROM embeddings WHERE vec_id < 16),

@@ -130,6 +130,9 @@ class PlanAuditSpec extends SparkTestBase {
       "x22_embed_dedup_bucketed", // 16-row broadcast centroid assignment
       "x28_ann_recall",         // exact evaluation side is brute force
       "x30_kmeans_step",        // 16-row broadcast centroid assignment
+      "x31_semantic_search",    // 16-row broadcast centroid assignment
+      "x32_ingest_dedup",       // MVCC committed-set semi-join through the
+                                // union, as x17
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
