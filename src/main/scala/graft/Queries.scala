@@ -376,8 +376,8 @@ object Queries {
   private val q38_distinct_approx: QFn = (s, d) =>
     cat(s, d).table("lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps_approx"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.05).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.05).as("n_supps_approx"))
 
   /** Explode (lateral unnest) — the Generator/UDTF surface: word
     * frequency over exploded document tokens. Explode is map-side (no

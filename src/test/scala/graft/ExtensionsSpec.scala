@@ -118,6 +118,36 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "und"))
   }
 
+  test("doc chunking: 64-token windows at stride 48, tail chunk short, chunk_idx dense") {
+    import org.apache.spark.sql.Row
+    val nWords = 150 // chunks start at words 1, 49, 97, 145 → sizes 64,64,54,6
+    val text = (1 to nWords).map(i => s"w$i").mkString(" ")
+    val out = SparkEntry.queries("x26_doc_chunks")(spark, sf) // touch registry
+    val chunks = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      // same pipeline as x26, inlined over planted text
+      df.select(col("doc_id"), graft.functions.TextFunctions.words(col("text")).as("ws"))
+        .select(col("doc_id"), col("ws"),
+          posexplode(sequence(lit(1), size(col("ws")), lit(48))).as(Seq("chunk_idx", "start")))
+        .select(col("chunk_idx"),
+          size(slice(col("ws"), col("start"), lit(64))).as("n"))
+        .collect().map { case Row(i: Int, n: Int) => i -> n }.toMap
+    }
+    assert(chunks == Map(0 -> 64, 1 -> 64, 2 -> 54, 3 -> 6))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "chunk_fp", "n_chunk_tokens"))
+  }
+
+  test("train split: deterministic across runs, ratios near 90/5/5, buckets in range") {
+    val a = SparkEntry.queries("x24_train_split")(spark, sf).collect()
+    val b = SparkEntry.queries("x24_train_split")(spark, sf).collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet, "split must be run-stable")
+    val bySplit = a.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    val n = a.length.toDouble
+    assert(bySplit("train") / n > 0.8 && bySplit("train") / n < 0.97, bySplit.toString)
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 100))
+  }
+
   // -------- scale-safe near-dup decisions vs their brute-force baselines
 
   private def rows(name: String): Set[Seq[Any]] =
