@@ -44,8 +44,19 @@ object Bench {
       case (k, Right(v)) => "\"" + k + "\":" + v
       case (k, Left(_))  => "\"" + k + "\":-1"
     }.mkString("{", ",", "}")
+    // full JSON string escape (backslash, quote, ALL control chars —
+    // Spark failure messages routinely contain tabs/CRs)
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errs = results.collect { case (k, Left(m)) =>
-      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":\"" + esc(m) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nFailed = results.count(_._2.isLeft)

@@ -255,6 +255,25 @@ object ExtensionQueries {
       .filter(col("rnk") <= 3)
   }
 
+  /** Shared IVF assignment: every vector mapped to its `nprobe` nearest
+    * "centroids" (the first 16 vectors stand in for trained centroids —
+    * [[x30_kmeans_step]] is the step that trains real ones) via a
+    * broadcast cross-join argmax: map-side work, no shuffle. Used by
+    * x18/x22/x30/x31 — one definition so a centroid-rule change can't
+    * silently desynchronize them. */
+  private def ivfCells(e: DataFrame, nprobe: Int): DataFrame = {
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        VF.cosineFast(col("embedding"), col("c_e")).as("c_cos"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+  }
+
   /** IVF-style ANN: assign every vector to its nearest "centroid" (the
     * first 16 vectors stand in for trained k-means centroids — the
     * assignment/search plan is what matters), then search only within
@@ -265,17 +284,7 @@ object ExtensionQueries {
     * cell id. Swapping in real trained centroids changes recall, not the
     * plan. */
   private val x18_ann_ivf: QFn = (s, d) => {
-    val e = embs(s, d)
-    val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("c_cos").desc, col("c_id").asc)
-    val cells = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"),
-        col("c_id"), VF.cosineFast(col("embedding"), col("c_e")).as("c_cos"))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    val cells = ivfCells(embs(s, d), nprobe = 1)
     val q = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_e"), col("cell"))
     val c = cells.select(col("vec_id").as("n_id"), col("embedding").as("n_e"),
@@ -326,17 +335,7 @@ object ExtensionQueries {
     */
   private val IvfProbe = 6
   private val x22_embed_dedup_bucketed: QFn = (s, d) => {
-    val e = embs(s, d)
-    val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("c_cos").desc, col("c_id").asc)
-    val cells = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("c_id"),
-        VF.cosineFast(col("embedding"), col("c_e")).as("c_cos"))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") <= IvfProbe) // multi-probe assignment
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    val cells = ivfCells(embs(s, d), nprobe = IvfProbe)
     // aliased self-join over ONE subtree: the broadcast-centroid
     // assignment and its exchange run once; ReusedExchange feeds side b
     val pairs = cells.as("a").join(cells.as("b").hint("shuffle_hash"),
@@ -497,10 +496,13 @@ object ExtensionQueries {
       .withColumn("mx",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
       .select(col("vec_id"), round(col("mx"), 6).as("scale"),
-        aggregate(
-          transform(col("embedding"),
-            x => round(x.cast("double") * 127 / col("mx")).cast("long")),
-          lit(0L), (acc, v) => acc + v * v).as("qnorm2"))
+        // all-zero vector guard: 0/0 would be NaN (and engines disagree
+        // on NaN→int casts); an all-zero vector quantizes to all zeros
+        when(col("mx") === 0, lit(0L)).otherwise(
+          aggregate(
+            transform(col("embedding"),
+              x => round(x.cast("double") * 127 / col("mx")).cast("long")),
+            lit(0L), (acc, v) => acc + v * v)).as("qnorm2"))
 
   /** One Lloyd's iteration of k-means over the embedding corpus — the
     * training step that produces REAL IVF centroids (x18/x22 use the
@@ -511,23 +513,12 @@ object ExtensionQueries {
     * loops, no collect; iterate by feeding the output back as the next
     * broadcast. Output is (cell, dim, mean, count) — the new centroid
     * table in long form. */
-  private val x30_kmeans_step: QFn = (s, d) => {
-    val e = embs(s, d)
-    val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("c_cos").desc, col("c_id").asc)
-    val assigned = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("c_id"),
-        VF.cosineFast(col("embedding"), col("c_e")).as("c_cos"))
-      .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
-      .select(col("embedding"), col("c_id").as("cell"))
-    assigned
+  private val x30_kmeans_step: QFn = (s, d) =>
+    ivfCells(embs(s, d), nprobe = 1)
       .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim").cast("long").as("dim"))
       .agg(round(avg(col("x").cast("double")), 6).as("mean_x"),
         count(lit(1)).as("n"))
-  }
 
   /** End-to-end semantic search — the retrieval path a RAG/search
     * deployment runs: query vector (vec 0's embedding stands in for an
@@ -538,16 +529,7 @@ object ExtensionQueries {
     * query) — the correct plan there; the hydration join broadcasts the
     * 5-row hit list against the corpus. */
   private val x31_semantic_search: QFn = (s, d) => {
-    val e = embs(s, d)
-    val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("c_cos").desc, col("c_id").asc)
-    val cells = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("c_id"),
-        VF.cosineFast(col("embedding"), col("c_e")).as("c_cos"))
-      .withColumn("rn", row_number().over(byVec)).filter(col("rn") <= 2)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    val cells = ivfCells(embs(s, d), nprobe = 2)
     val q = cells.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_e"), col("cell"))
     val w = Window.orderBy(col("cos").desc, col("n_id").asc)
@@ -1046,10 +1028,11 @@ object ExtensionQueries {
         |           x -> abs(CAST(x AS DOUBLE)))) AS mx
         |    FROM embeddings)
         |SELECT vec_id, round(mx, 6) AS scale,
-        |       CAST(list_aggregate(list_transform(embedding,
-        |         x -> CAST(round(CAST(x AS DOUBLE)*127/mx) AS BIGINT)
-        |            * CAST(round(CAST(x AS DOUBLE)*127/mx) AS BIGINT)),
-        |         'sum') AS BIGINT) AS qnorm2
+        |       CASE WHEN mx = 0 THEN 0
+        |            ELSE CAST(list_aggregate(list_transform(embedding,
+        |              x -> CAST(round(CAST(x AS DOUBLE)*127/mx) AS BIGINT)
+        |                 * CAST(round(CAST(x AS DOUBLE)*127/mx) AS BIGINT)),
+        |              'sum') AS BIGINT) END AS qnorm2
         |  FROM t""".stripMargin,
     "x27_stratified_sample" ->
       s"""WITH t AS (

@@ -66,8 +66,8 @@ final case class Catalog(spark: SparkSession, dir: String) {
     */
   def drop(name: String): Unit = {
     require(exists(name), s"collection '$name' does not exist")
-    fs.delete(new HPath(path(name)), true)
-    ()
+    require(fs.delete(new HPath(path(name)), true),
+      s"failed to delete collection '$name' at ${path(name)}")
   }
 
   /** Names of the collections present in this catalog directory — the

@@ -186,20 +186,30 @@ final case class Q(df: DataFrame) {
     val carried = payload.foldLeft(unioned) { (d, c) =>
       d.withColumn(c, last(when(col("__isL") === 0, col(c)), ignoreNulls = true).over(w1))
     }
+    // per-(key, slice) summaries are COLUMN-WISE last-non-null (max_by
+    // ignores rows whose ordering expr is null), matching asofJoin's
+    // column-wise null-skipping carry — a row-wise latest-struct summary
+    // would propagate nulls from the newest right row over older values
     val rSlices = r
       .withColumn("__slice", expr(s"__t div $sliceWidth"))
       .groupBy(keyCols :+ col("__slice"): _*)
-      .agg(max_by(struct(payload.map(col): _*), col("__t")).as("__p"))
+      .agg(
+        max_by(col(payload.head), when(col(payload.head).isNotNull, col("__t")))
+          .as(s"__p_${payload.head}"),
+        payload.tail.map(c =>
+          max_by(col(c), when(col(c).isNotNull, col("__t"))).as(s"__p_$c")): _*)
     val spine = unioned.select(keyCols :+ col("__slice"): _*).distinct()
       .join(rSlices, keys :+ "__slice", "left")
     val wp = Window.partitionBy(keyCols: _*).orderBy(col("__slice").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prior = spine
-      .withColumn("__prior", last(col("__p"), ignoreNulls = true).over(wp))
-      .select(keyCols :+ col("__slice") :+ col("__prior"): _*)
+    val prior = payload.foldLeft(spine) { (d, c) =>
+        d.withColumn(s"__prior_$c", last(col(s"__p_$c"), ignoreNulls = true).over(wp))
+      }
+      .select(keyCols ++ Seq(col("__slice")) ++
+        payload.map(c => col(s"__prior_$c")): _*)
     val fixed = carried.join(prior, keys :+ "__slice", "left")
     val coalesced = payload.foldLeft(fixed) { (d, c) =>
-      d.withColumn(c, coalesce(col(c), col("__prior").getField(c)))
+      d.withColumn(c, coalesce(col(c), col(s"__prior_$c")))
     }
     Q(coalesced.filter(col("__isL") === 1)
       .select((df.columns ++ payload).toIndexedSeq.map(col): _*)) // asofJoin's column order
@@ -240,8 +250,12 @@ final case class Q(df: DataFrame) {
     require(df.columns.length >= want.length,
       s"positional deserialize needs ${want.length} columns, got ${df.columns.length} " +
         s"(${df.columns.mkString(", ")})")
-    df.select(want.zipWithIndex.toIndexedSeq.map { case (f, i) =>
-      col(df.columns(i)).as(f.name)
+    // rename ALL columns to synthetic unique names first: binding must be
+    // truly positional — duplicate or dotted source names (post-join
+    // frames) would break a name-based col() lookup
+    val synthetic = df.toDF(df.columns.indices.map(i => s"__pos$i"): _*)
+    synthetic.select(want.zipWithIndex.toIndexedSeq.map { case (f, i) =>
+      col(s"__pos$i").as(f.name)
     }: _*).as[T]
   }
 

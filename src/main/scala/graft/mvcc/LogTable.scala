@@ -92,16 +92,22 @@ object LogTable {
   /** Redundancy statistics — the compact-when signal (reference
     * CollectionStatistics::should_compact,
     * collection_statistics.rs:11-14: compact when redundant/total ≥ the
-    * configured percentage). Redundant = data entries contributing
-    * nothing to the snapshot at `asOf`: superseded versions, tombstoned
-    * history, aborted and uncommitted rows. Two count() probes — a
+    * configured percentage). Redundant = data entries [[compact]] would
+    * actually RECLAIM: superseded versions, tombstoned history, aborted
+    * rows. In-flight (unmarked) transactions are excluded from the
+    * denominator — compaction preserves them verbatim, so counting them
+    * as redundant would make a compact-when-signaled loop re-trigger
+    * forever while reclaiming nothing. Two count() probes — a
     * driver-side control decision like the reference's counters, not a
     * data-plane collect.
     */
   def redundancyRatio(log: DataFrame, asOf: Long): Double = {
-    val total = log.filter(col("op").isin(Upsert, Delete)).count()
-    if (total == 0) 0.0
-    else 1.0 - snapshot(log, asOf).count().toDouble / total
+    val settledTxns = committedTxns(log, asOf).unionByName(rolledBackTxns(log))
+    val settled = log.filter(col("op").isin(Upsert, Delete))
+      .join(broadcast(settledTxns.distinct()), Seq("txn"), "left_semi")
+      .count()
+    if (settled == 0) 0.0
+    else 1.0 - snapshot(log, asOf).count().toDouble / settled
   }
 
   def shouldCompact(log: DataFrame, asOf: Long, redundancyThreshold: Double): Boolean =

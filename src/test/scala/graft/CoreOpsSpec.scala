@@ -198,6 +198,21 @@ class CoreOpsSpec extends SparkTestBase {
     assert(hp == hs)
   }
 
+  test("asofJoinSliced null payloads: column-wise carry skips nulls like asofJoin") {
+    import spark.implicits._
+    // right: value=5 in slice 0, value=NULL in slice 1; left in slice 2.
+    // Plain asof carries the last NON-NULL (5); a row-wise latest-struct
+    // summary would carry slice 1's null — this pins the column-wise fix.
+    val left = Q(Seq((1L, 7300L)).toDF("user_id", "ts"))
+    val right = Q(Seq((1L, 10L, Some(5.0)), (1L, 3700L, None))
+      .toDF("user_id", "ts", "value"))
+    val plain = left.asofJoin(right, Seq("user_id"), "ts", "ts", Seq("value"))
+      .df.collect().map(_.toSeq).toSet
+    val sliced = left.asofJoinSliced(right, Seq("user_id"), "ts", "ts",
+      Seq("value"), sliceWidth = 3600L).df.collect().map(_.toSeq).toSet
+    assert(plain == sliced && plain.head.contains(5.0), s"plain=$plain sliced=$sliced")
+  }
+
   test("catalog append enforces shape; mismatch rejected (reference SchemaError)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString

@@ -93,9 +93,14 @@ class LogTableSpec extends SparkTestBase {
   }
 
   test("redundancyRatio drives the compact-when signal (collection_statistics.rs:11-14)") {
-    // 7 data entries, 2 live at asOf=4 → ratio 5/7
+    // 7 settled data entries (t4 rolled back counts — it IS reclaimable),
+    // 2 live at asOf=4 → ratio 5/7
     val r = LogTable.redundancyRatio(logRolledBack, 4L)
     assert(math.abs(r - 5.0 / 7.0) < 1e-9, s"ratio $r")
+    // in-flight txn4 (no marker) is NOT reclaimable: excluded from the
+    // denominator, else a compact loop would re-trigger forever
+    val rInflight = LogTable.redundancyRatio(log, 4L)
+    assert(math.abs(rInflight - 3.0 / 5.0) < 1e-9, s"in-flight ratio $rInflight")
     assert(LogTable.shouldCompact(logRolledBack, 4L, redundancyThreshold = 0.5))
     // a freshly compacted log is below any sensible threshold
     val after = LogTable.redundancyRatio(LogTable.compact(logRolledBack, 4L), 4L)
