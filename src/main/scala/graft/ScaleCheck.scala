@@ -46,6 +46,26 @@ object ScaleCheck {
       println(f"$n%-14s base=$tSmall%5.2f s  x$K%d=$tBig%6.2f s  " +
         f"scaleFactor=${tBig / tSmall}%5.2f (ideal $K%d; lower = overhead amortized)")
     }
+
+    // Dup-heavy corpus: replicate documents D× with NEW ids but IDENTICAL
+    // text — every doc gains D-1 exact twins. The stress case for dedup:
+    // LSH buckets grow D×, candidate pairs grow ~D² per original — but
+    // per-bucket, bounded by D, never corpus-sized. Measures that the
+    // dedup queries degrade with OUTPUT size (real duplicate pairs), not
+    // quadratically with corpus size.
+    val D = math.max(2, K / 4)
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    docs.crossJoin(spark.range(D).select(col("id").as("__r")))
+      .withColumn("doc_id", col("doc_id") + col("__r") * maxDoc)
+      .drop("__r").write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    for (n <- Seq("x04_dedup_exact", "x07_minhash_lsh_pairs", "x23_simhash_banded")) {
+      time(n, src) // warm
+      val tSmall = time(n, src)
+      val tBig = time(n, dst)
+      println(f"$n%-22s base=$tSmall%5.2f s  x$D%d-dups=$tBig%6.2f s  " +
+        f"scaleFactor=${tBig / tSmall}%5.2f (corpus x$D%d, every doc has ${D - 1}%d exact twins)")
+    }
     spark.stop()
   }
 }

@@ -213,6 +213,25 @@ class CoreOpsSpec extends SparkTestBase {
     assert(plain == sliced && plain.head.contains(5.0), s"plain=$plain sliced=$sliced")
   }
 
+  test("asofJoinSliced carries multiple payload columns independently") {
+    import spark.implicits._
+    // value carried from slice 0; tag's latest non-null is in slice 1 —
+    // independent column-wise carries must not couple
+    val left = Q(Seq((1L, 7300L)).toDF("user_id", "ts"))
+    val right = Q(Seq(
+      (1L, 10L, Some(5.0), Some("a")),
+      (1L, 3700L, None, Some("b")),
+      (1L, 3800L, None, None))
+      .toDF("user_id", "ts", "value", "tag"))
+    val out = left.asofJoinSliced(right, Seq("user_id"), "ts", "ts",
+      Seq("value", "tag"), sliceWidth = 3600L).df.collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(2) == 5.0 && out.head.getString(3) == "b", out.head.toString)
+    val plain = left.asofJoin(right, Seq("user_id"), "ts", "ts",
+      Seq("value", "tag")).df.collect()
+    assert(out.map(_.toSeq).toSet == plain.map(_.toSeq).toSet)
+  }
+
   test("catalog append enforces shape; mismatch rejected (reference SchemaError)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
