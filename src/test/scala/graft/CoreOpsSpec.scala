@@ -247,6 +247,20 @@ class CoreOpsSpec extends SparkTestBase {
     }
   }
 
+  test("README migration example: the reference showcase chain runs verbatim on fixture tables") {
+    import spark.implicits._
+    val t1 = Q(cat, "lineitem")
+    val t2 = Q(cat, "orders")
+    val rows = t1
+      .hashJoin(t2, t1.column(0) === t2.column(0)) // l_orderkey ⋈ o_orderkey
+      .sort(t1.column(4).desc)
+      .groupAgg(
+        keys = Seq(t1.column(1), t1.column(2)), // l_partkey, l_suppkey
+        aggs = Seq(max(t1.column(4) * 3).as("max3")))
+      .collect()
+    assert(rows.nonEmpty && rows.head.length == 3)
+  }
+
   test("catalog csv/json round-trip preserves values with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     val tmp = Catalog(spark, dir)
