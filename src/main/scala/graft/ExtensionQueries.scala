@@ -43,7 +43,11 @@ object ExtensionQueries {
       TF.tokenCount(col("text")).as("n_tokens"),
       TF.bpeTokenCount(col("text")).as("n_bpe"))
 
-  /** Quality scoring: length/stopword/alpha ratios + composite score. */
+  /** Quality scoring: length/stopword/alpha ratios + composite score.
+    * (Compare note: a ratio landing exactly on a .xxxx5 boundary can
+    * round apart between engines — same double, different round()
+    * semantics; observed at sf0.1 on 2/5000 rows, never at the sf0.01
+    * gate. See q27's docstring for the general caveat.) */
   private val x02_quality: QFn = (s, d) => {
     val nw = TF.tokenCount(col("text"))
     val norm = TF.normText(col("text"))

@@ -305,6 +305,11 @@ object Queries {
     * All three price percentiles share ONE aggregation buffer (array
     * percentage form) instead of three independent sorted buffers —
     * same exact values, one sort per group instead of three.
+    * Known compare sensitivity: when an interpolated percentile lands
+    * exactly on a .xx5 rounding boundary, Spark's and DuckDB's linear
+    * interpolation can differ in the final ulp and round apart (observed
+    * once at sf0.001: 52724.245 → .24 vs .25). The driver gate (sf0.01)
+    * is clean; this is a float-boundary artifact, not a logic drift.
     * percentile() is a full sort-based aggregate: one shuffle on the
     * group key, spillable — exact form is for small/medium groups. */
   private val q27_quantiles: QFn = (s, d) =>
