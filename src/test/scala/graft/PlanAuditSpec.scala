@@ -76,6 +76,30 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("dynamic partition pruning: partitioned fact scan pruned by the dim filter at runtime") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    try {
+      cat.writePartitioned("li_p", cat2.table("lineitem"), "l_returnflag")
+      // scan-backed dim with a selective filter; the fact side must not
+      // scan all partitions — DPP turns the dim filter into a runtime
+      // partition filter on the fact scan (at 100 TB: a slice, not the
+      // table). LocalRelation dims don't qualify — DPP wants a real scan.
+      spark.createDataFrame(Seq(("A", "keep"), ("N", "drop"), ("R", "drop")))
+        .toDF("flag", "tag").write.mode("overwrite").parquet(cat.path("flags"))
+      val dim = cat.table("flags").filter(col("tag") === "keep")
+      val j = cat.table("li_p")
+        .join(dim.hint("broadcast"), col("l_returnflag") === col("flag"))
+        .groupBy(col("flag")).agg(sum(col("l_quantity")).as("q"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+        s"fact scan must carry a dynamic pruning filter:\n$p")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("x23: banded simhash pair-gen is equi-join only — no cartesian, no nested loop") {
     val p = plan("x23_simhash_banded")
     assert(!p.contains("CartesianProduct"), p)
