@@ -72,11 +72,10 @@ object ExtensionQueries {
       TF.langId(col("text")).as("pred_lang"))
 
   /** Exact dedup: hash-groupBy on normalized text; canonical = min id.
-    * The one shuffle is on the content hash — uniform keys, no skew. */
+    * The one shuffle is on the content hash — uniform keys, no skew.
+    * (Library form: [[graft.ops.TextDedup.exact]].) */
   private val x04_dedup_exact: QFn = (s, d) =>
-    docs(s, d)
-      .groupBy(md5(TF.normText(col("text"))).as("content_hash"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    graft.ops.TextDedup.exact(docs(s, d))
 
   /** Document fingerprinting: full md5 + 60-bit prefix fingerprint. */
   private val x05_fingerprint: QFn = (s, d) =>
@@ -111,25 +110,9 @@ object ExtensionQueries {
     * sum(bucket²) over near-uniform md5 buckets. Skewed mega-buckets
     * (boilerplate docs) are handled by AQE skew-join splitting.
     */
-  private val x07_minhash_lsh_pairs: QFn = (s, d) => {
-    val shSet = TF.shingleSetFast(TF.words(col("text")), ShingleK)
-    val sig = docs(s, d)
-      .select(col("doc_id") +: shSet.as("sh_set") +: minhashCols: _*)
-    val banded = sig.select(col("doc_id"), col("sh_set"),
-      posexplode(array((0 until 4).map(b =>
-        concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
-        .as(Seq("band", "key")))
-    // aliased self-join over ONE subtree: the signature+banding work and
-    // its shuffle are computed once, ReusedExchange feeds the other side
-    banded.as("a").join(banded.as("b").hint("shuffle_hash"),
-      col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        round(call_function("jaccard_sorted", col("a.sh_set"), col("b.sh_set")), 4)
-          .as("jac"))
-      .filter(col("jac") >= 0.8)
-      .distinct()
-  }
+  private val x07_minhash_lsh_pairs: QFn = (s, d) =>
+    graft.ops.TextDedup.minhashLshPairs(docs(s, d),
+      shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.8)
 
   /** SimHash values (60-bit, word-multiset votes; fused native form —
     * identical to [[TF.simhash]], see ExtensionsSpec). */
@@ -150,18 +133,6 @@ object ExtensionQueries {
       .filter(col("hamming") <= 6)
   }
 
-  /** SimHash banding (Manku et al., WWW'07 "Detecting Near-Duplicates
-    * for Web Crawling"): the 60-bit simhash splits into [[SimChunks]]
-    * disjoint chunks; hamming(a,b) ≤ 6 flips bits in at most 6 chunks,
-    * so with 7 chunks at least one chunk is bit-identical —
-    * pigeonhole-EXACT candidate generation, not approximate.
-    * Chunk widths 9,9,9,9,8,8,8 (wider chunks ⇒ more selective buckets:
-    * a random band collision is ~2^-9, vs 2^-6 for the 10×6 split). */
-  private val SimChunks: Seq[(Int, Int)] = { // (shift, width)
-    val widths = Seq(9, 9, 9, 9, 8, 8, 8)
-    widths.scanLeft(0)(_ + _).zip(widths).map { case (off, w) => (off, w) }
-  }
-
   /** SimHash near-dup pairs at corpus scale — x09's semantics without
     * any language block: explode each doc to its 7 (chunk, value) band
     * keys, equi self-join on the band key, dedup candidates, verify
@@ -176,21 +147,8 @@ object ExtensionQueries {
     * chunk-pair keys — 21 keys/doc, 2^17 buckets — same plan, wider
     * key; this fixture-scale form keeps 7 keys/doc.)
     */
-  private val x23_simhash_banded: QFn = (s, d) => {
-    val sh = docs(s, d).select(col("doc_id"), TF.simhashFast(col("text")).as("sh"))
-    val chunked = sh.select(col("doc_id"), col("sh"),
-      posexplode(array(SimChunks.map { case (off, w) =>
-        shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
-      }: _*)).as(Seq("chunk", "cval")))
-    // aliased self-join: simhash+chunking computed once, exchange reused
-    chunked.as("a").join(chunked.as("b").hint("shuffle_hash"),
-      col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 6)
-      .distinct()
-  }
+  private val x23_simhash_banded: QFn = (s, d) =>
+    graft.ops.TextDedup.simhashBandedPairs(docs(s, d), maxHamming = 6)
 
   /** Character-4-gram Jaccard near-dup pairs, blocked by (lang, length
     * band) — the brute-force baseline. Blocking keeps the self-join equi
@@ -247,17 +205,11 @@ object ExtensionQueries {
     * shape that survives 100 TB. (IVF = same plan with learned centroid
     * ids as the bucket key.)
     */
-  private val x13_ann_lsh: QFn = (s, d) => {
-    val e = embs(s, d).select(col("vec_id"), col("embedding"),
-      VF.signBucket(col("embedding"), 8).as("bucket"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    e.as("a").join(e.as("b").hint("shuffle_hash"),
-      col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
-        round(VF.cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-  }
+  private val x13_ann_lsh: QFn = (s, d) =>
+    graft.ops.VectorOps.inCellTopK(
+      embs(s, d).select(col("vec_id"), col("embedding"),
+        VF.signBucket(col("embedding"), 8).as("cell")),
+      k = 3, queryFilter = lit(true))
 
   /** Shared IVF assignment: every vector mapped to its `nprobe` nearest
     * "centroids" (the first 16 vectors stand in for trained centroids —
@@ -268,14 +220,7 @@ object ExtensionQueries {
   private def ivfCells(e: DataFrame, nprobe: Int): DataFrame = {
     val cent = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("c_cos").desc, col("c_id").asc)
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("c_id"),
-        VF.cosineFast(col("embedding"), col("c_e")).as("c_cos"))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    graft.ops.VectorOps.ivfCells(e, cent, nprobe)
   }
 
   /** IVF-style ANN: assign every vector to its nearest "centroid" (the
@@ -287,19 +232,9 @@ object ExtensionQueries {
     * is a map-side argmax, no shuffle; the search join is equi on
     * cell id. Swapping in real trained centroids changes recall, not the
     * plan. */
-  private val x18_ann_ivf: QFn = (s, d) => {
-    val cells = ivfCells(embs(s, d), nprobe = 1)
-    val q = cells.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"), col("cell"))
-    val c = cells.select(col("vec_id").as("n_id"), col("embedding").as("n_e"),
-      col("cell"))
-    val byQ = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
-      .withColumn("rnk", row_number().over(byQ))
-      .filter(col("rnk") <= 3)
-  }
+  private val x18_ann_ivf: QFn = (s, d) =>
+    graft.ops.VectorOps.inCellTopK(
+      ivfCells(embs(s, d), nprobe = 1), k = 3, queryFilter = col("vec_id") < 10)
 
   /** Embedding-cosine dedup *decision*: from the near-dup pairs (x11's
     * definition), drop every vector that has a more-canonical (lower-id)
@@ -338,19 +273,9 @@ object ExtensionQueries {
     * centroids, nprobe=1-2 suffices; the knobs move, the plan doesn't.
     */
   private val IvfProbe = 6
-  private val x22_embed_dedup_bucketed: QFn = (s, d) => {
-    val cells = ivfCells(embs(s, d), nprobe = IvfProbe)
-    // aliased self-join over ONE subtree: the broadcast-centroid
-    // assignment and its exchange run once; ReusedExchange feeds side b
-    val pairs = cells.as("a").join(cells.as("b").hint("shuffle_hash"),
-      col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        round(VF.cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
-      .filter(col("cos") >= 0.45)
-      .distinct() // a pair can share several probed cells
-    pairs.groupBy(col("b_id").as("drop_id"))
-      .agg(min(col("a_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
-  }
+  private val x22_embed_dedup_bucketed: QFn = (s, d) =>
+    graft.ops.VectorOps.ivfDedupDecision(
+      ivfCells(embs(s, d), nprobe = IvfProbe), threshold = 0.45)
 
   /** End-to-end corpus cleaning — the composition a training-data
     * pipeline actually runs: exact-dedup (keep lowest doc_id per content
@@ -518,11 +443,7 @@ object ExtensionQueries {
     * broadcast. Output is (cell, dim, mean, count) — the new centroid
     * table in long form. */
   private val x30_kmeans_step: QFn = (s, d) =>
-    ivfCells(embs(s, d), nprobe = 1)
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim").cast("long").as("dim"))
-      .agg(round(avg(col("x").cast("double")), 6).as("mean_x"),
-        count(lit(1)).as("n"))
+    graft.ops.VectorOps.kmeansStep(ivfCells(embs(s, d), nprobe = 1))
 
   /** End-to-end semantic search — the retrieval path a RAG/search
     * deployment runs: query vector (vec 0's embedding stands in for an
@@ -566,9 +487,7 @@ object ExtensionQueries {
       .unionByName(docs(s, d).filter(col("doc_id") % 11 === 5)
         .select((col("doc_id") + 20000).as("doc_id"),
           concat(col("text"), lit(" updated content")).as("text"))) // new versions
-    inc.withColumn("fp", md5(TF.normText(col("text"))))
-      .join(existing, Seq("fp"), "left_anti")
-      .select(col("doc_id"), col("fp"))
+    graft.ops.TextDedup.ingestFilter(inc, existing)
   }
 
   /** Stratified corpus sampling — deterministic per-language rates (the

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Parameterized corpus-dedup operations — the library API behind the
+  * `x04`/`x07`/`x23`/`x32` demo queries ([[graft.ExtensionQueries]]):
+  * callers bring their own DataFrame and column names; the fixture
+  * queries are these ops applied to the test tables.
+  *
+  * All ops follow the scale recipe: map-side signatures → equi
+  * self-join on a band/bucket key (never a data-sized block) → cheap
+  * verify. Self-joins are aliased over ONE subtree so the signature
+  * work and its shuffle are computed once (ReusedExchange) with a
+  * shuffle_hash hint (AQE would otherwise broadcast the fat side).
+  */
+object TextDedup {
+
+  /** Exact dedup: one hash-groupBy on the normalized-content hash.
+    * Output: (content_hash, keep_id = min id, n_copies). */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(TF.normText(col(textCol))).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-dup pairs: `numHashes` minhashes over
+    * `shingleK`-word shingles, banded `bands` × (numHashes/bands);
+    * candidates share a band key; verified with true shingle-set
+    * Jaccard ≥ `threshold`. Output: (a_id, b_id, jac). */
+  def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleK: Int = 3, numHashes: Int = 8,
+      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    val sigs = TF.minhashSigsFast(TF.words(col(textCol)), shingleK, numHashes)
+    val mh = (0 until numHashes).map(i => element_at(sigs, i + 1).as(s"mh$i"))
+    val sig = docs.select(
+      col(idCol).as("doc_id") +:
+        TF.shingleSetFast(TF.words(col(textCol)), shingleK).as("sh_set") +:
+        mh: _*)
+    val banded = sig.select(col("doc_id"), col("sh_set"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws(":", (0 until rpb).map(r => col(s"mh${rpb * b + r}")): _*)): _*))
+        .as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b").hint("shuffle_hash"),
+      col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        round(call_function("jaccard_sorted", col("a.sh_set"), col("b.sh_set")), 4)
+          .as("jac"))
+      .filter(col("jac") >= threshold)
+      .distinct()
+  }
+
+  /** Pigeonhole-exact SimHash banding (Manku et al., WWW'07): the
+    * 60-bit simhash splits into `maxHamming + 1` chunks, so any pair
+    * within `maxHamming` shares ≥ 1 identical chunk — exact candidate
+    * generation, equi-join only. Output: (a_id, b_id, hamming). */
+  def simhashBandedPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 6): DataFrame = {
+    val nChunks = maxHamming + 1
+    val base = 60 / nChunks
+    val widths = Seq.tabulate(nChunks)(i => if (i < 60 % nChunks) base + 1 else base)
+    val chunks = widths.scanLeft(0)(_ + _).zip(widths) // (shift, width)
+    val sh = docs.select(col(idCol).as("doc_id"),
+      TF.simhashFast(col(textCol)).as("sh"))
+    val chunked = sh.select(col("doc_id"), col("sh"),
+      posexplode(array(chunks.map { case (off, w) =>
+        shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
+      }: _*)).as(Seq("chunk", "cval")))
+    chunked.as("a").join(chunked.as("b").hint("shuffle_hash"),
+      col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Ingest-time dedup: keep only incoming rows whose content
+    * fingerprint is absent from `existingFps` (a 1-column `fp` frame,
+    * e.g. built from an MVCC snapshot). Output: incoming's id + fp. */
+  def ingestFilter(incoming: DataFrame, existingFps: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    incoming.withColumn("fp", md5(TF.normText(col(textCol))))
+      .join(existingFps, Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => VF}
+
+/** Parameterized embedding-space operations — the library API behind
+  * the `x13`/`x18`/`x22`/`x30` demo queries: IVF assignment, bucketed
+  * ANN, the dedup keep/drop decision, and the k-means training step.
+  * Callers bring (id, vector) columns; `centroids` is any
+  * (c_id, c_e)-shaped frame — trained centroids in production,
+  * [[kmeansStep]] (iterated) to produce them.
+  *
+  * Scale shape shared by all: the centroid set is tiny and broadcast
+  * (assignment = map-side argmax, no shuffle); every join is equi on
+  * the cell/bucket key; per-key top-k plans WindowGroupLimit (k rows
+  * cross the shuffle, not every candidate).
+  */
+object VectorOps {
+
+  /** Multi-probe IVF assignment: each vector mapped to its `nprobe`
+    * nearest centroids. Output: (vec_id, embedding, cell). */
+  def ivfCells(e: DataFrame, centroids: DataFrame, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    e.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        VF.cosineFast(col("embedding"), col("c_e")).as("c_cos"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+  }
+
+  /** Bucketed near-dup keep/drop decision: IVF candidates (shared-cell
+    * pairs over ONE aliased subtree — assignment computed once) →
+    * exact-cosine verify ≥ `threshold` → drop any vector with a
+    * lower-id verified near-dup. Output: (drop_id, canonical_id,
+    * n_dups). */
+  def ivfDedupDecision(cells: DataFrame, threshold: Double): DataFrame = {
+    val pairs = cells.as("a").join(cells.as("b").hint("shuffle_hash"),
+      col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(VF.cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct() // a pair can share several probed cells
+    pairs.groupBy(col("b_id").as("drop_id"))
+      .agg(min(col("a_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** In-cell cosine top-k per query vector over an assignment (from
+    * [[ivfCells]] or any bucketing). Output: (q_id, n_id, cos, rnk). */
+  def inCellTopK(cells: DataFrame, k: Int,
+      queryFilter: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    val q = cells.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"), col("cell"))
+    val c = cells.select(col("vec_id").as("n_id"), col("embedding").as("n_e"),
+      col("cell"))
+    q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** One Lloyd's iteration: per-cell per-dimension means over an
+    * nprobe=1 assignment — feed the output back as the next round's
+    * centroids. Output: (cell, dim, mean_x, n), long form. */
+  def kmeansStep(cells: DataFrame): DataFrame =
+    cells
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim").cast("long").as("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("mean_x"),
+        count(lit(1)).as("n"))
+}
