@@ -209,7 +209,7 @@ object ExtensionQueries {
     graft.ops.VectorOps.inCellTopK(
       embs(s, d).select(col("vec_id"), col("embedding"),
         VF.signBucket(col("embedding"), 8).as("cell")),
-      k = 3, queryFilter = lit(true))
+      k = 3)
 
   /** Shared IVF assignment: every vector mapped to its `nprobe` nearest
     * "centroids" (the first 16 vectors stand in for trained centroids —
@@ -234,7 +234,7 @@ object ExtensionQueries {
     * plan. */
   private val x18_ann_ivf: QFn = (s, d) =>
     graft.ops.VectorOps.inCellTopK(
-      ivfCells(embs(s, d), nprobe = 1), k = 3, queryFilter = col("vec_id") < 10)
+      ivfCells(embs(s, d), nprobe = 1), k = 3, queryPred = col("q_id") < 10)
 
   /** Embedding-cosine dedup *decision*: from the near-dup pairs (x11's
     * definition), drop every vector that has a more-canonical (lower-id)

@@ -52,17 +52,19 @@ object VectorOps {
   }
 
   /** In-cell cosine top-k per query vector over an assignment (from
-    * [[ivfCells]] or any bucketing). Output: (q_id, n_id, cos, rnk). */
+    * [[ivfCells]] or any bucketing). `queryPred` restricts which
+    * vectors act as queries, written over the OUTPUT `q_id` column —
+    * Catalyst pushes it below the join; with no predicate the aliased
+    * single-subtree self-join gets ReusedExchange (bucketing computed
+    * once). Output: (q_id, n_id, cos, rnk). */
   def inCellTopK(cells: DataFrame, k: Int,
-      queryFilter: org.apache.spark.sql.Column): DataFrame = {
+      queryPred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    val q = cells.filter(queryFilter)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"), col("cell"))
-    val c = cells.select(col("vec_id").as("n_id"), col("embedding").as("n_e"),
-      col("cell"))
-    q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
+    cells.as("a").join(cells.as("b").hint("shuffle_hash"),
+      col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        round(VF.cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(queryPred)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
