@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{TextDedup, VectorOps}
+
+/** Direct tests of the parameterized ops API (graft.ops) — custom
+  * column names and knob values, independent of the fixture-wired demo
+  * queries (which pin the default-knob behavior via the oracle).
+  */
+class OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while birds sing morning songs"
+
+  test("TextDedup.exact honors custom id/text column names") {
+    val df = Seq((10L, base), (11L, base), (12L, "something else entirely here"))
+      .toDF("my_id", "body")
+    val out = TextDedup.exact(df, idCol = "my_id", textCol = "body").collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 10L) // keep_id = min id
+  }
+
+  test("TextDedup.minhashLshPairs finds planted near-dups at non-default banding") {
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")),
+      (3L, "completely different content about spark query engines and " +
+        "distributed columnar execution with shuffles joins and aggregates everywhere"))
+      .toDF("doc_id", "text")
+    // bands=8 × 1 row: maximally permissive candidate gen; verify still gates
+    val pairs = TextDedup.minhashLshPairs(df, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
+  test("TextDedup.simhashBandedPairs: non-default hamming bound derives chunk widths that sum to 60") {
+    val df = Seq((1L, base), (2L, base), (3L, "unrelated short words only here"))
+      .toDF("doc_id", "text")
+    for (maxH <- Seq(3, 6, 10)) {
+      val pairs = TextDedup.simhashBandedPairs(df, maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"exact dup must match at maxHamming=$maxH")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"unrelated doc matched at maxHamming=$maxH")
+    }
+  }
+
+  test("VectorOps: custom centroids + column names; dedup decision drops the higher id") {
+    val v1 = Array(1.0f, 0.0f, 0.0f)
+    val v2 = Array(0.99f, 0.1f, 0.0f) // near-dup of v1
+    val v3 = Array(0.0f, 0.0f, 1.0f) // orthogonal
+    val e = Seq((100L, v1), (200L, v2), (300L, v3)).toDF("eid", "vec")
+    val cent = Seq((0L, v1), (1L, v3)).toDF("c_id", "c_e")
+    val cells = VectorOps.ivfCells(e, cent, nprobe = 1,
+      idCol = "eid", vecCol = "vec")
+    val assign = cells.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(assign == Map(100L -> 0L, 200L -> 0L, 300L -> 1L))
+    val drops = VectorOps.ivfDedupDecision(cells, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(drops.toSeq == Seq((200L, 100L))) // drop 200, canonical 100
+  }
+
+  test("VectorOps.kmeansStep: per-cell per-dim means") {
+    val e = Seq(
+      (0L, Array(1.0f, 3.0f)),
+      (1L, Array(3.0f, 5.0f))).toDF("vec_id", "embedding")
+    val cent = Seq((7L, Array(1.0f, 1.0f))).toDF("c_id", "c_e")
+    val out = VectorOps.kmeansStep(VectorOps.ivfCells(e, cent, nprobe = 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(out == Map((7L, 0L) -> (2.0, 2L), (7L, 1L) -> (4.0, 2L)))
+  }
+}
