@@ -229,7 +229,8 @@ object ExtensionQueries {
     * the query's cell (nprobe=1).
     *
     * 100 TB shape: the centroid set is tiny and *broadcast* — assignment
-    * is a map-side argmax, no shuffle; the search join is equi on
+    * scoring is map-side and the rank exchange carries ≤ nprobe rows
+    * per vector (WindowGroupLimit); the search join is equi on
     * cell id. Swapping in real trained centroids changes recall, not the
     * plan. */
   private val x18_ann_ivf: QFn = (s, d) =>
@@ -259,7 +260,8 @@ object ExtensionQueries {
     * near-dup; canonical = the lowest such id).
     *
     * 100 TB shape: centroid set is tiny and broadcast (assignment =
-    * map-side argmax, no shuffle); the candidate join is equi on the
+    * map-side scoring, rank exchange ≤ nprobe rows/vector); the
+    * candidate join is equi on the
     * cell id (sum(cell²) work, AQE-splittable); verification is exact
     * cosine on candidates only; the decision is one groupBy on the
     * dropped id. Multi-probe (nprobe) assigns each vector to its several
@@ -437,7 +439,7 @@ object ExtensionQueries {
     * training step that produces REAL IVF centroids (x18/x22 use the
     * first 16 vectors as stand-ins; this is how trained ones are made,
     * at scale): assign every vector to its nearest centroid (tiny
-    * broadcast, map-side argmax), then the new centroid = per-cell
+    * broadcast, map-side scoring), then the new centroid = per-cell
     * per-dimension mean via posexplode + one groupBy — no driver-side
     * loops, no collect; iterate by feeding the output back as the next
     * broadcast. Output is (cell, dim, mean, count) — the new centroid

@@ -171,12 +171,14 @@ object Queries {
       .filter(col("rn") <= 3)
   }
 
-  /** TPC-H Q3-shaped 3-way join + group + deterministic top-10. */
+  /** TPC-H Q3-shaped 3-way join + group + deterministic top-10.
+    * Broadcast side = the FILTERED customer dimension (broadcastJoin
+    * hints its right argument — orders is fact-sized and must stream). */
   private val q16_revenue_top: QFn = (s, d) =>
-    Q(cat(s, d), "customer")
-      .where(col("c_mktsegment") === "BUILDING")
-      .broadcastJoin(Q(cat(s, d), "orders"),
-        col("c_custkey") === col("o_custkey")) // dim side broadcast…
+    Q(cat(s, d), "orders")
+      .broadcastJoin(
+        Q(cat(s, d), "customer").where(col("c_mktsegment") === "BUILDING"),
+        col("c_custkey") === col("o_custkey"))
       .hashJoin(Q(cat(s, d), "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .groupAgg(

@@ -78,12 +78,16 @@ object MediaPipeline {
   def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int,
       binCol: String = "media"): DataFrame = {
     val nFrames = floor((length(col(binCol)) - 1) / lit(frameBytes)).cast("int")
+    // empty/null payload guard: nFrames would be -1 and sequence(0,-1)
+    // yields a DESCENDING [0,-1] — a ghost empty frame instead of none
     df.withColumn("frames",
-      filter(
-        transform(
-          sequence(lit(0), nFrames),
-          i => call_function("substring", col(binCol),
-            i * frameBytes + 1, lit(frameBytes))),
-        (_, i) => i % stride === 0))
+      when(col(binCol).isNull || length(col(binCol)) === 0,
+        array().cast("array<binary>"))
+        .otherwise(filter(
+          transform(
+            sequence(lit(0), nFrames),
+            i => call_function("substring", col(binCol),
+              i * frameBytes + 1, lit(frameBytes))),
+          (_, i) => i % stride === 0)))
   }
 }

@@ -58,7 +58,11 @@ object LogTable {
     val vis = log
       .filter(col("op").isin(Upsert, Delete) && col("txn") <= asOf)
       .join(broadcast(committedTxns(log, asOf)), Seq("txn"), "left_semi")
-    val newestFirst = Window.partitionBy("rid").orderBy(col("txn").desc)
+    // deterministic tie-break when one txn carries both an upsert and a
+    // tombstone for the same rid: "D" < "U", so the tombstone wins —
+    // never a partition-order-dependent outcome
+    val newestFirst = Window.partitionBy("rid")
+      .orderBy(col("txn").desc, col("op").asc)
     vis
       .withColumn("__rn", row_number().over(newestFirst))
       .filter(col("__rn") === 1 && col("op") === Upsert)
@@ -85,8 +89,26 @@ object LogTable {
     // not settled at asOf: in-flight (no marker yet) or txn > asOf
     val pending = keptTxns
       .join(broadcast(committedTxns(keptTxns, asOf)), Seq("txn"), "left_anti")
+    // a settled tombstone must SURVIVE compaction when a preserved
+    // pending entry for the same rid has a lower txn: dropping it would
+    // resurrect the deleted row once that in-flight txn commits (the
+    // tombstone is what shadows it). Kept as its original D entry.
+    val newestFirst = Window.partitionBy("rid")
+      .orderBy(col("txn").desc, col("op").asc)
+    val settledNewest = keptTxns
+      .filter(col("op").isin(Upsert, Delete) && col("txn") <= asOf)
+      .join(broadcast(committedTxns(keptTxns, asOf)), Seq("txn"), "left_semi")
+      .withColumn("__rn", row_number().over(newestFirst))
+      .filter(col("__rn") === 1 && col("op") === Delete)
+      .drop("__rn")
+    val shadowTombstones = settledNewest.as("t")
+      .join(pending.filter(col("op").isin(Upsert, Delete))
+        .select(col("rid").as("p_rid"), col("txn").as("p_txn")).as("p"),
+        col("t.rid") === col("p_rid") && col("p_txn") < col("t.txn"),
+        "left_semi")
     live.unionByName(markers, allowMissingColumns = true)
       .unionByName(pending, allowMissingColumns = true)
+      .unionByName(shadowTombstones, allowMissingColumns = true)
   }
 
   /** Redundancy statistics — the compact-when signal (reference

@@ -40,6 +40,11 @@ object TextDedup {
       col(idCol).as("doc_id") +:
         TF.shingleSetFast(TF.words(col(textCol)), shingleK).as("sh_set") +:
         mh: _*)
+      // docs shorter than shingleK words all share the degenerate
+      // all--1 signature — banding them would funnel EVERY short doc
+      // into one quadratic bucket; they can never verify anyway (empty
+      // shingle sets have Jaccard 0), so drop them before banding
+      .filter(size(col("sh_set")) > 0)
     val banded = sig.select(col("doc_id"), col("sh_set"),
       posexplode(array((0 until bands).map(b =>
         concat_ws(":", (0 until rpb).map(r => col(s"mh${rpb * b + r}")): _*)): _*))

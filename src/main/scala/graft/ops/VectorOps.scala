@@ -14,9 +14,10 @@ import graft.functions.{VectorFunctions => VF}
   * [[kmeansStep]] (iterated) to produce them.
   *
   * Scale shape shared by all: the centroid set is tiny and broadcast
-  * (assignment = map-side argmax, no shuffle); every join is equi on
-  * the cell/bucket key; per-key top-k plans WindowGroupLimit (k rows
-  * cross the shuffle, not every candidate).
+  * (assignment scoring is map-side; the rank step's exchange carries at
+  * most nprobe rows per vector — WindowGroupLimit prunes before the
+  * shuffle); every join is equi on the cell/bucket key; per-key top-k
+  * likewise plans WindowGroupLimit.
   */
 object VectorOps {
 

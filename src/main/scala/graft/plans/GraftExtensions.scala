@@ -17,16 +17,22 @@ import org.apache.spark.sql.types.DoubleType
   *
   * Semantics-preserving for all doubles: NaN fails both forms; ±Inf and
   * overflowing bounds degrade to always-false/always-true consistently.
+  * Degenerate-rounding guard: when eps < ulp(v)/2 the bounds v±eps both
+  * round to exactly v and the open range would wrongly exclude x == v
+  * (which |x-v| < eps accepts) — such predicates are left unrewritten
+  * (no pushdown, correct semantics).
   */
 object EpsilonEqualityRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressionsWithPruning(_.containsPattern(
       org.apache.spark.sql.catalyst.trees.TreePattern.BINARY_COMPARISON)) {
       case LessThan(Abs(Subtract(x, Literal(v: Double, DoubleType), f), _),
-          Literal(eps: Double, DoubleType)) if !x.foldable =>
+          Literal(eps: Double, DoubleType))
+          if !x.foldable && v - eps < v && v + eps > v =>
         range(x, v, eps)
       case LessThan(Abs(Subtract(Literal(v: Double, DoubleType), x, f), _),
-          Literal(eps: Double, DoubleType)) if !x.foldable =>
+          Literal(eps: Double, DoubleType))
+          if !x.foldable && v - eps < v && v + eps > v =>
         range(x, v, eps)
     }
 

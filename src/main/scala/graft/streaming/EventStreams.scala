@@ -22,9 +22,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStreams {
 
   /** events.parquet surfaces `ts` as raw ns (nanosAsLong); convert to a
-    * proper timestamp for event-time semantics. Exact: µs < 2^53. */
+    * proper timestamp for event-time semantics. Division goes through
+    * decimal so it is EXACT — `/` on a long column coerces to double,
+    * and epoch-ns values (~1.7e18) exceed 2^53, where the long→double
+    * conversion alone can shift by ~128 ns and floor into the wrong
+    * microsecond (diverging from the batch twins' integer `ts div`). */
   def tsFromNs(nsCol: Column): Column =
-    timestamp_micros(floor(nsCol / lit(1000)).cast("long"))
+    timestamp_micros((nsCol.cast("decimal(28,0)") / lit(1000)).cast("long"))
 
   /** Tumbling event-time window counts with watermark — the streaming
     * twin of batch x15_events_window. */
@@ -132,11 +136,20 @@ object EventStreams {
             var cur = state.getOption
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.ts_ns - s.lastNs <= GapNs =>
-                  cur = Some(s.copy(lastNs = e.ts_ns, n = s.n + 1))
-                case Some(s) =>
+                // within gap of the session INTERVAL — a late
+                // (within-watermark) event can precede lastNs or even
+                // startNs; bounds expand (min/max), never regress
+                case Some(s) if e.ts_ns - s.lastNs <= GapNs &&
+                    s.startNs - e.ts_ns <= GapNs =>
+                  cur = Some(SessState(math.min(s.startNs, e.ts_ns),
+                    math.max(s.lastNs, e.ts_ns), s.n + 1))
+                case Some(s) if e.ts_ns > s.lastNs =>
                   closed ::= Session(uid, s.startNs, s.lastNs, s.n)
                   cur = Some(SessState(e.ts_ns, e.ts_ns, 1))
+                case Some(_) =>
+                  // late event more than a gap BEFORE the open session:
+                  // its own (already gap-closed) session, emitted now
+                  closed ::= Session(uid, e.ts_ns, e.ts_ns, 1)
                 case None =>
                   cur = Some(SessState(e.ts_ns, e.ts_ns, 1))
               }

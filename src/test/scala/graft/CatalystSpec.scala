@@ -60,6 +60,29 @@ class CatalystSpec extends SparkTestBase {
     assert(jdf.filter(col("j") > 0.999).count() == d.count(), "self-jaccard must be 1")
   }
 
+  test("cosine_sim: mismatched-length arrays yield NULL (as the declarative form), not a prefix score") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+      .select(col("id"), VF.cosineFast(col("a"), col("b")).as("c"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(1L) && rows(2L), rows.toString)
+    // declarative twin agrees
+    val decl = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(VF.cosine(col("a"), col("b")).as("c")).collect()
+    assert(decl.head.isNullAt(0))
+  }
+
+  test("epsilon rewrite skips the degenerate case (eps below ulp(v)/2): exact match preserved") {
+    import spark.implicits._
+    val df = Seq(1e12, 2e12).toDF("x")
+    // eps 1e-6 << ulp(1e12)/2: unrewritten form must still match x == 1e12
+    val n = df.filter(VF.approxEqual(col("x"), lit(1e12), 1e-6)).count()
+    assert(n == 1, s"exact match lost by degenerate epsilon rewrite (got $n)")
+  }
+
   test("approxEqual(abs form) is rewritten to a pushdown-friendly range") {
     val li = Catalog(spark, sf).table("lineitem")
     val df = li.filter(VF.approxEqual(col("l_quantity"), lit(25.0), 0.5))

@@ -92,6 +92,37 @@ class LogTableSpec extends SparkTestBase {
     assert(compacted.filter(col("v") === "c2" || col("rid") === 4L).count() == 0)
   }
 
+  test("compaction keeps a settled tombstone that shadows a preserved in-flight upsert") {
+    // rid 9: in-flight upsert at txn 4, committed tombstone at txn 5.
+    // Compaction must NOT drop the tombstone — when txn 4 later commits,
+    // the tombstone is what keeps rid 9 deleted (resurrection bug guard).
+    val l = LogTable.upserts(Seq((9L, "x1")).toDF("rid", "v"), 1L, col("rid"))
+      .unionByName(LogTable.upserts(Seq((9L, "x2")).toDF("rid", "v"), 4L, col("rid")))
+      .unionByName(LogTable.deletes(Seq(Tuple1(9L)).toDF("rid"), 5L, col("rid")),
+        allowMissingColumns = true)
+      .unionByName(LogTable.commitMarker(spark, 1L), allowMissingColumns = true)
+      .unionByName(LogTable.commitMarker(spark, 5L), allowMissingColumns = true)
+    val compacted = LogTable.compact(l, 6L)
+    val lateCommit = LogTable.commitMarker(spark, 4L)
+    val viaOriginal = LogTable.snapshot(
+      l.unionByName(lateCommit, allowMissingColumns = true), 7L).count()
+    val viaCompacted = LogTable.snapshot(
+      compacted.unionByName(lateCommit, allowMissingColumns = true), 7L).count()
+    assert(viaOriginal == 0, "tombstone at txn 5 must shadow the txn-4 upsert")
+    assert(viaCompacted == viaOriginal,
+      "compaction dropped a tombstone still needed by an in-flight upsert")
+  }
+
+  test("same-txn upsert+tombstone for one rid resolves deterministically (tombstone wins)") {
+    val l = LogTable.upserts(Seq((1L, "a")).toDF("rid", "v"), 1L, col("rid"))
+      .unionByName(LogTable.deletes(Seq(Tuple1(1L)).toDF("rid"), 1L, col("rid")),
+        allowMissingColumns = true)
+      .unionByName(LogTable.commitMarker(spark, 1L), allowMissingColumns = true)
+    (1 to 3).foreach { _ =>
+      assert(LogTable.snapshot(l, 1L).count() == 0)
+    }
+  }
+
   test("redundancyRatio drives the compact-when signal (collection_statistics.rs:11-14)") {
     // 7 settled data entries (t4 rolled back counts — it IS reclaimable),
     // 2 live at asOf=4 → ratio 5/7

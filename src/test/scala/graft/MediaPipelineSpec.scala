@@ -55,4 +55,14 @@ class MediaPipelineSpec extends SparkTestBase {
       .select(length(col("f"))).distinct().collect().map(_.getInt(0))
     assert(flens.toSeq == Seq(4))
   }
+
+  test("sampleFrames: empty payload yields an empty frames array, not a ghost frame") {
+    import spark.implicits._
+    val df = Seq((1L, Array.emptyByteArray), (2L, "abcdefgh".getBytes))
+      .toDF("id", "media")
+    val out = MediaPipeline.sampleFrames(df, frameBytes = 4, stride = 1)
+      .select(col("id"), size(col("frames")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 2), out.toString)
+  }
 }

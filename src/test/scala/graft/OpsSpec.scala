@@ -38,6 +38,18 @@ class OpsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
 
+  test("TextDedup.minhashLshPairs: sub-shingle-length docs are excluded from banding, not bucketed together") {
+    val df = Seq(
+      (1L, "two words"), (2L, "tiny doc"), (3L, "also small"), // < 3 words each
+      (4L, base), (5L, base))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.minhashLshPairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the short docs share the degenerate all--1 signature; they must
+    // NOT pair with each other (or anything) — only the true dup pair
+    assert(pairs == Set((4L, 5L)), pairs.toString)
+  }
+
   test("TextDedup.simhashBandedPairs: non-default hamming bound derives chunk widths that sum to 60") {
     val df = Seq((1L, base), (2L, base), (3L, "unrelated short words only here"))
       .toDF("doc_id", "text")

@@ -104,6 +104,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful sessionization absorbs a late in-watermark event without regressing bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val input = MemoryStream[Ev]
+    val sessions = EventStreams.sessionizeStateful(
+      input.toDS(), watermarkDelay = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("late_sess_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val M = 60L * 1000000000L
+      val B = H
+      input.addData(ev(1, B + 10 * M))
+      q.processAllAvailable()
+      // late event (before the session's current bounds, within watermark)
+      input.addData(ev(1, B + 5 * M))
+      q.processAllAvailable()
+      // push the watermark far forward so the session finalizes
+      input.addData(ev(9, B + 10 * H))
+      q.processAllAvailable()
+      val s = spark.table("late_sess_test").as[EventStreams.Session]
+        .collect().filter(_.user_id == 1L)
+      assert(s.length == 1)
+      assert(s.head.start_ns == B + 5 * M && s.head.end_ns == B + 10 * M &&
+        s.head.n_events == 2, s.head.toString)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate fingerprints dropped within the watermark horizon, state evicted after") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
