@@ -58,6 +58,35 @@ class LogTablePropertySpec extends SparkTestBase {
     }
   }
 
+  test("late commits after compaction: in-flight txns resolve identically on both logs (random)") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1L to 6L) {
+      val log = randomLog(seed).cache()
+      try {
+        val asOf = 5L
+        val compacted = LogTable.compact(log, asOf)
+        // commit EVERY still-unmarked txn after the fact; snapshots of
+        // original+commits and compacted+commits must agree (this is the
+        // shadow-tombstone scenario generalized: late commits interleave
+        // with settled tombstones in arbitrary txn orders)
+        val marked = log.filter(col("op").isin(LogTable.Commit, LogTable.Rollback))
+          .select("txn").distinct().collect().map(_.getLong(0)).toSet
+        val lateCommits = (1 to MaxTxn).map(_.toLong).filterNot(marked)
+          .foldLeft(spark.emptyDataFrame) { (acc, t) =>
+            val m = LogTable.commitMarker(spark, t)
+            if (acc.isEmpty) m else acc.unionByName(m)
+          }
+        if (!lateCommits.isEmpty) {
+          val orig = log.unionByName(lateCommits, allowMissingColumns = true)
+          val comp = compacted.unionByName(lateCommits, allowMissingColumns = true)
+          for (t <- asOf to MaxTxn.toLong) {
+            assert(snap(comp, t) == snap(orig, t), s"seed=$seed t=$t (late commits)")
+          }
+        }
+      } finally log.unpersist()
+    }
+  }
+
   test("compaction leaves no trace of rolled-back transactions (random logs)") {
     for (seed <- 1L to 6L) {
       val log = randomLog(seed)
