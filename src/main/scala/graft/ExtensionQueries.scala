@@ -114,6 +114,16 @@ object ExtensionQueries {
     graft.ops.TextDedup.minhashLshPairs(docs(s, d),
       shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.8)
 
+  /** Text near-dup keep/drop DECISION at corpus scale — the MinHash-LSH
+    * twin of x22's embedding decision (VERDICT r1: decisions, not pair
+    * lists, are what a pipeline acts on): banded candidates → Jaccard
+    * verify (x07's plan, ReusedExchange + equi-join only) → one groupBy
+    * on the dropped id. */
+  private val x33_text_dedup_decision: QFn = (s, d) =>
+    graft.ops.TextDedup.dedupDecision(
+      graft.ops.TextDedup.minhashLshPairs(docs(s, d),
+        shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.8))
+
   /** SimHash values (60-bit, word-multiset votes; fused native form —
     * identical to [[TF.simhash]], see ExtensionsSpec). */
   private val x08_simhash: QFn = (s, d) =>
@@ -615,6 +625,7 @@ object ExtensionQueries {
     "x30_kmeans_step" -> x30_kmeans_step,
     "x31_semantic_search" -> x31_semantic_search,
     "x32_ingest_dedup" -> x32_ingest_dedup,
+    "x33_text_dedup_decision" -> x33_text_dedup_decision,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -628,6 +639,16 @@ object ExtensionQueries {
   private def COS(a: String, b: String) =
     s"""${DOT(a, b)} /
        |         (sqrt(${DOT(a, a)}) * sqrt(${DOT(b, b)}))""".stripMargin
+
+  // x33 wraps x07's oracle (same pair semantics) in the decision groupBy
+  private lazy val x33Oracle: String =
+    s"""SELECT b_id AS drop_id, min(a_id) AS canonical_id, count(*) AS n_dups
+       |  FROM (
+       |${oracles("x07_minhash_lsh_pairs")}
+       |) pairs GROUP BY b_id""".stripMargin
+
+  lazy val oraclesAll: Map[String, String] =
+    oracles + ("x33_text_dedup_decision" -> x33Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -710,5 +710,5 @@ object Queries {
         |       round(avg(revenue) OVER (ORDER BY day
         |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
         |  FROM daily""".stripMargin,
-  ) ++ ExtensionQueries.oracles
+  ) ++ ExtensionQueries.oraclesAll
 }

@@ -84,6 +84,16 @@ object TextDedup {
       .distinct()
   }
 
+  /** Near-dup keep/drop DECISION from any verified pair set
+    * ((a_id, b_id) with a_id < b_id): drop every doc that has a
+    * lower-id verified near-duplicate; canonical = the lowest such id.
+    * One groupBy on the dropped id — the step that turns pair lists
+    * (minhashLshPairs / simhashBandedPairs) into the thing a cleaning
+    * pipeline acts on. */
+  def dedupDecision(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("b_id").as("drop_id"))
+      .agg(min(col("a_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+
   /** Ingest-time dedup: keep only incoming rows whose content
     * fingerprint is absent from `existingFps` (a 1-column `fp` frame,
     * e.g. built from an MVCC snapshot). Output: incoming's id + fp. */
