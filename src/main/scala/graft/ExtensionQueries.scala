@@ -124,6 +124,33 @@ object ExtensionQueries {
       graft.ops.TextDedup.minhashLshPairs(docs(s, d),
         shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.8))
 
+  /** SimHash-family keep/drop decision — completes the decision surface
+    * (x22 embedding, x33 MinHash): pigeonhole-banded candidates (x23's
+    * plan) → hamming verify → groupBy drop decision. */
+  private val x34_simhash_dedup_decision: QFn = (s, d) =>
+    graft.ops.TextDedup.dedupDecision(
+      graft.ops.TextDedup.simhashBandedPairs(docs(s, d), maxHamming = 6))
+
+  /** Chunk-level dedup — dedup at TRAINING-SEQUENCE granularity, not
+    * document granularity: identical 64-token windows (boilerplate
+    * headers, licenses, navigation) collapse across documents even when
+    * their parent documents differ. One groupBy on the chunk
+    * fingerprint; keep = lexicographically first (doc, chunk) site. */
+  private val x35_chunk_dedup: QFn = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), TF.words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(1), size(col("ws")), lit(48)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        md5(concat_ws(" ",
+          slice(col("ws"), col("start"), lit(64)))).as("chunk_fp"))
+      .groupBy(col("chunk_fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keep"),
+        count(lit(1)).as("n_sites"))
+      .select(col("chunk_fp"), col("keep.doc_id").as("keep_doc"),
+        col("keep.chunk_idx").as("keep_chunk"), col("n_sites"))
+
   /** SimHash values (60-bit, word-multiset votes; fused native form —
     * identical to [[TF.simhash]], see ExtensionsSpec). */
   private val x08_simhash: QFn = (s, d) =>
@@ -626,6 +653,8 @@ object ExtensionQueries {
     "x31_semantic_search" -> x31_semantic_search,
     "x32_ingest_dedup" -> x32_ingest_dedup,
     "x33_text_dedup_decision" -> x33_text_dedup_decision,
+    "x34_simhash_dedup_decision" -> x34_simhash_dedup_decision,
+    "x35_chunk_dedup" -> x35_chunk_dedup,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -647,8 +676,16 @@ object ExtensionQueries {
        |${oracles("x07_minhash_lsh_pairs")}
        |) pairs GROUP BY b_id""".stripMargin
 
+  private lazy val x34Oracle: String =
+    s"""SELECT b_id AS drop_id, min(a_id) AS canonical_id, count(*) AS n_dups
+       |  FROM (
+       |${oracles("x23_simhash_banded")}
+       |) pairs GROUP BY b_id""".stripMargin
+
   lazy val oraclesAll: Map[String, String] =
-    oracles + ("x33_text_dedup_decision" -> x33Oracle)
+    oracles ++ Map(
+      "x33_text_dedup_decision" -> x33Oracle,
+      "x34_simhash_dedup_decision" -> x34Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->
@@ -980,6 +1017,17 @@ object ExtensionQueries {
         |                 * CAST(round(CAST(x AS DOUBLE)*127/mx) AS BIGINT)),
         |              'sum') AS BIGINT) END AS qnorm2
         |  FROM t""".stripMargin,
+    "x35_chunk_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+         |s AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1, 48)) AS st FROM w),
+         |c AS (SELECT doc_id, (st-1)//48 AS chunk_idx,
+         |             md5(array_to_string(ws[st:st+63],' ')) AS chunk_fp FROM s)
+         |SELECT chunk_fp, keep_doc, keep_chunk, n_sites FROM (
+         |  SELECT chunk_fp, doc_id AS keep_doc, chunk_idx AS keep_chunk,
+         |         count(*) OVER (PARTITION BY chunk_fp) AS n_sites,
+         |         row_number() OVER (PARTITION BY chunk_fp
+         |                            ORDER BY doc_id, chunk_idx) AS rn
+         |    FROM c) WHERE rn = 1""".stripMargin,
     "x27_stratified_sample" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, ${H60("'sample|'||doc_id::VARCHAR")} % 100 AS h,
