@@ -23,9 +23,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_REPS > 1 reports the per-query MEDIAN of k runs
+    // (local variance control); the driver default stays single-shot.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     // A failed query must NOT masquerade as a fast passing timing: record
     // the error and surface it in the JSON (value -1, errors map).
-    def run(name: String, dir: String): Either[String, Double] = {
+    def runOnce(name: String, dir: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
@@ -36,8 +39,15 @@ object Bench {
           Left(e.toString.takeWhile(_ != '\n').take(200))
       }
     }
+    def run(name: String, dir: String): Either[String, Double] = {
+      val rs = (1 to reps).map(_ => runOnce(name, dir))
+      rs.collectFirst { case Left(e) => Left(e) }.getOrElse {
+        val ts = rs.collect { case Right(t) => t }.sorted
+        Right(ts(ts.length / 2))
+      }
+    }
 
-    names.foreach(run(_, "/root/testdata/sf0.001")) // warm-up
+    names.foreach(runOnce(_, "/root/testdata/sf0.001")) // warm-up
     val results = names.map(n => n -> run(n, sfDir))
 
     val qs = results.map {
