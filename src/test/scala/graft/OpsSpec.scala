@@ -77,6 +77,33 @@ class OpsSpec extends SparkTestBase {
     assert(drops.toSeq == Seq((200L, 100L))) // drop 200, canonical 100
   }
 
+  test("kmeansStep iterates: means feed back as centroids, assignment quality improves") {
+    import org.apache.spark.sql.DataFrame
+    import graft.functions.{VectorFunctions => VF}
+    val e = graft.catalog.Catalog(spark, sf).table("embeddings")
+    def centroidsFrom(means: DataFrame): DataFrame =
+      means.groupBy("cell").agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mean_x")))),
+          s => s.getField("mean_x").cast("float")).as("c_e"))
+        .select(col("cell").as("c_id"), col("c_e"))
+    def quality(cent: DataFrame): Double =
+      e.crossJoin(broadcast(cent))
+        .groupBy("vec_id")
+        .agg(max(VF.cosineFast(col("embedding"), col("c_e"))).as("best"))
+        .agg(avg("best")).head().getDouble(0)
+    val cent0 = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+    val q0 = quality(cent0)
+    val cent1 = centroidsFrom(VectorOps.kmeansStep(VectorOps.ivfCells(e, cent0, 1)))
+    val q1 = quality(cent1)
+    val cent2 = centroidsFrom(VectorOps.kmeansStep(VectorOps.ivfCells(e, cent1, 1)))
+    val q2 = quality(cent2)
+    // spherical-kmeans-style improvement: mean update should raise the
+    // average best-cosine markedly over the raw-vector stand-ins
+    assert(q1 > q0, s"iteration 1 must improve: $q0 -> $q1")
+    assert(q2 >= q1 - 1e-6, s"iteration 2 must not regress: $q1 -> $q2")
+  }
+
   test("VectorOps.kmeansStep: per-cell per-dim means") {
     val e = Seq(
       (0L, Array(1.0f, 3.0f)),
