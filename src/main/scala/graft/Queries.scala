@@ -386,6 +386,83 @@ object Queries {
       .agg(approx_count_distinct(col("l_partkey"), 0.05).as("n_parts_approx"),
         approx_count_distinct(col("l_suppkey"), 0.05).as("n_supps_approx"))
 
+  /** Correlated scalar-aggregate subquery — `(SELECT sum(...) FROM
+    * lineitem l WHERE l.l_orderkey = o.o_orderkey)` per order row. The
+    * implementation is the decorrelated form Catalyst itself rewrites
+    * such subqueries into (RewriteCorrelatedScalarSubquery): aggregate
+    * the inner side by the correlation key once, then ONE left join —
+    * at 100 TB that is one shuffle pair on the join key instead of a
+    * per-row re-scan; orders without lineitems keep scalar-subquery
+    * NULL semantics through the left join. */
+  private val q39_corr_scalar: QFn = (s, d) => {
+    // exact DECIMAL arithmetic (as q37): double summation-order drift
+    // between Spark partial aggregation and DuckDB flips .xx5 roundings
+    // on ~0.1% of groups; decimal sums are order-independent and exact
+    val rev = cat(s, d).table("lineitem")
+      .groupBy(col("l_orderkey"))
+      // round the DECIMAL (exact HALF_UP in both engines), THEN cast:
+      // rounding after a double cast would re-hit the .xx5 tie
+      .agg(round(
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(4,2)")), 2)
+        .cast("double").as("disc_rev"))
+    cat(s, d).table("orders")
+      .join(rev, col("o_orderkey") === col("l_orderkey"), "left")
+      .filter(col("disc_rev") > col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("disc_rev"))
+  }
+
+  /** Distribution-rank window family — ntile / percent_rank / cume_dist
+    * per market segment (quartile bucketing for tiering, the standard
+    * "rank customers within segment" analytics shape). One shuffle on
+    * the partition key; ties broken deterministically by custkey so
+    * both engines agree row-for-row. */
+  private val q40_ntile_prank: QFn = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    cat(s, d).table("customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("prank", round(percent_rank().over(w), 6))
+      .withColumn("cdist", round(cume_dist().over(w), 6))
+  }
+
+  /** RANGE-frame window (value-range, not row-count, framing — q36 is
+    * the ROWS twin): per customer, revenue of the trailing 30 *days* of
+    * orders at each order date. The frame is over an integer day key
+    * (epoch_ms div 86400000) so both engines frame identically. One
+    * shuffle on the partition key; the frame scan is linear per
+    * partition (running multiset), not quadratic. */
+  private val q41_range_frame: QFn = (s, d) => {
+    // o_orderdate is TIMESTAMP_NTZ; datediff on the date part gives the
+    // same integer day key as epoch_ms//86400000 (fixture dates are
+    // midnight-aligned)
+    val day = datediff(col("o_orderdate").cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    cat(s, d).table("orders")
+      .select(col("o_custkey"), col("o_orderkey"), day.as("day"),
+        col("o_totalprice"))
+      .withColumn("rev30", round(sum(col("o_totalprice")).over(w), 2))
+  }
+
+  /** JSON column surface — `events.props` is a JSON string; extract a
+    * typed field with get_json_object (codegen'd path expression, no
+    * UDF) and aggregate. At scale JSON parsing is pure map work; the
+    * one shuffle is the groupBy. (A fixed-schema from_json is the
+    * faster form when the shape is known; the path form is the
+    * schema-on-read form.) */
+  private val q42_json_extract: QFn = (s, d) =>
+    cat(s, d).table("events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+
   /** Explode (lateral unnest) — the Generator/UDTF surface: word
     * frequency over exploded document tokens. Explode is map-side (no
     * shuffle); the one shuffle is the groupBy on the word. */
@@ -516,6 +593,10 @@ object Queries {
     "q36_moving_avg" -> q36_moving_avg,
     "q37_decimal_agg" -> q37_decimal_agg,
     "q38_distinct_approx" -> q38_distinct_approx,
+    "q39_corr_scalar" -> q39_corr_scalar,
+    "q40_ntile_prank" -> q40_ntile_prank,
+    "q41_range_frame" -> q41_range_frame,
+    "q42_json_extract" -> q42_json_extract,
   ) ++ ExtensionQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -710,5 +791,38 @@ object Queries {
         |       round(avg(revenue) OVER (ORDER BY day
         |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
         |  FROM daily""".stripMargin,
+    "q39_corr_scalar" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       (SELECT round(sum(l.l_extendedprice::DECIMAL(12,2) *
+        |                         (1.0 - l.l_discount)::DECIMAL(4,2)), 2)::DOUBLE
+        |          FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS disc_rev
+        |  FROM orders o
+        | WHERE (SELECT round(sum(l.l_extendedprice::DECIMAL(12,2) *
+        |                         (1.0 - l.l_discount)::DECIMAL(4,2)), 2)::DOUBLE
+        |          FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |       > o_totalprice""".stripMargin,
+    "q40_ntile_prank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS prank,
+        |       round(cume_dist() OVER w, 6) AS cdist
+        |  FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
+    "q41_range_frame" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) // 86400000 AS day,
+        |       o_totalprice,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY epoch_ms(o_orderdate) // 86400000
+        |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rev30
+        |  FROM orders""".stripMargin,
+    "q42_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+        |       round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+        |       sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
+        |                THEN 1::BIGINT ELSE 0::BIGINT END)::BIGINT AS n_high
+        |  FROM events GROUP BY event_type""".stripMargin,
   ) ++ ExtensionQueries.oraclesAll
 }
