@@ -151,6 +151,122 @@ object ExtensionQueries {
       .select(col("chunk_fp"), col("keep.doc_id").as("keep_doc"),
         col("keep.chunk_idx").as("keep_chunk"), col("n_sites"))
 
+  /** Duplicate CLUSTERS — connected components over the verified
+    * MinHash-LSH near-dup pairs (x07's edges): the per-pair decisions
+    * (x33) over-keep on transitive chains (a~b, b~c, a≁c keeps both a
+    * and c); component resolution picks ONE canonical (the min doc_id)
+    * per cluster. Iterative min-label propagation, Pregel-style — see
+    * [[graft.ops.GraphOps.connectedComponents]] for the 100 TB shape
+    * (per-round equi-join + groupBy-min, driver holds only the
+    * convergence flag). Output: every clustered doc with its canonical
+    * id and the cluster size. */
+  private val x36_dup_clusters: QFn = (s, d) => {
+    val pairs = graft.ops.TextDedup.minhashLshPairs(docs(s, d),
+      shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.8)
+    val labels = graft.ops.GraphOps.connectedComponents(pairs)
+    val wCl = Window.partitionBy("cluster_id")
+    labels.select(col("node").as("doc_id"), col("cluster_id"))
+      .withColumn("n_members", count(lit(1)).over(wCl))
+  }
+
+  /** Benchmark decontamination — flag training documents that share
+    * verbatim 8-word shingles with an eval/benchmark set (here: the
+    * deterministic doc_id%5 slice stands in for the benchmark suite).
+    * The canonical pre-training hygiene pass (per GPT-3/PaLM reports:
+    * n-gram overlap against eval sets).
+    *
+    * 100 TB shape: shingle hashes are map-side (fused shingle_set, 8
+    * bytes per distinct shingle); the benchmark side is tiny and
+    * broadcast — the join costs one scan of the corpus, no shuffle of
+    * the corpus itself. (A bloom filter over benchmark shingles is the
+    * same plan with a smaller broadcast.) */
+  private val x37_decontaminate: QFn = (s, d) => {
+    val sh = docs(s, d).select(col("doc_id"),
+      explode(TF.shingleSetFast(TF.words(col("text")), 8)).as("sh"))
+    val evalSide = sh.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("eval_id"), col("sh"))
+    val train = sh.filter(col("doc_id") % 5 =!= 0)
+    train.join(broadcast(evalSide), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Training-sequence packing (concat-and-chunk): documents in
+    * deterministic order are concatenated into one token stream and cut
+    * into 256-token sequences; each doc reports its stream offset, its
+    * first sequence id, and how many sequences it spans — the exact
+    * bookkeeping an LLM data loader needs.
+    *
+    * 100 TB shape: a global prefix sum done in TWO levels — within-block
+    * cumsum (window partitioned by a block key = doc_id div 100) plus a
+    * tiny per-block totals table whose own cumsum is single-task over
+    * n/100 rows and then BROADCAST back. No unpartitioned window ever
+    * touches the full corpus. */
+  private val x38_pack_sequences: QFn = (s, d) => {
+    val SeqLen = 256
+    val base = docs(s, d).select(col("doc_id"),
+      TF.tokenCount(col("text")).as("n_tokens"),
+      (col("doc_id") / 100).cast("long").as("blk"))
+    val wIn = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBlk = base.withColumn("off_in_blk",
+      coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    val wBlk = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = base.groupBy("blk")
+      .agg(sum(col("n_tokens")).as("blk_tot"))
+      .withColumn("blk_off", coalesce(sum(col("blk_tot")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("blk_off"))
+    inBlk.join(broadcast(blkOff), "blk")
+      .withColumn("start_tok", col("blk_off") + col("off_in_blk"))
+      .withColumn("seq_id", (col("start_tok") / SeqLen).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"), col("seq_id"),
+        (((col("start_tok") + col("n_tokens") - 1) / SeqLen).cast("long")
+          - col("seq_id") + 1).as("n_seqs"))
+  }
+
+  /** Gopher-style repetition metrics — the quality signals that catch
+    * degenerate/boilerplate text: duplicate-word fraction and
+    * top-word dominance per document (ties on the mode broken
+    * lexicographically so engines agree). Two shuffles that share the
+    * doc_id partitioning: (doc, word) counts, then the per-doc rollup.
+    */
+  private val x39_repetition: QFn = (s, d) => {
+    val wc = docs(s, d)
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = Window.partitionBy("doc_id")
+      .orderBy(col("cnt").desc, col("word").asc)
+    wc.withColumn("rn", row_number().over(top))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(when(col("rn") === 1, col("word"))).as("top_word"),
+        max(when(col("rn") === 1, col("cnt"))).as("top_cnt"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
+          .as("dup_frac"),
+        col("top_word"),
+        round(col("top_cnt").cast("double") / col("n_words"), 4).as("top_frac"))
+  }
+
+  /** Deterministic training shuffle — the reproducible epoch-order pass:
+    * shard = hash(doc_id, epoch) mod n_shards (pure map work), position
+    * within shard = rank by the same hash. Unlike rand() this is stable
+    * across runs/engines/partitioning, and re-keying the seed string
+    * re-shuffles for the next epoch. No global row_number (that would
+    * single-task); each shard's window is independent and distributed.
+    */
+  private val x40_shuffle_shard: QFn = (s, d) => {
+    val h = TF.hash60(col("doc_id").cast("string"), "shuf|ep1|")
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    docs(s, d).select(col("doc_id"), (h % 8).as("shard"), h.as("h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** SimHash values (60-bit, word-multiset votes; fused native form —
     * identical to [[TF.simhash]], see ExtensionsSpec). */
   private val x08_simhash: QFn = (s, d) =>
@@ -655,6 +771,11 @@ object ExtensionQueries {
     "x33_text_dedup_decision" -> x33_text_dedup_decision,
     "x34_simhash_dedup_decision" -> x34_simhash_dedup_decision,
     "x35_chunk_dedup" -> x35_chunk_dedup,
+    "x36_dup_clusters" -> x36_dup_clusters,
+    "x37_decontaminate" -> x37_decontaminate,
+    "x38_pack_sequences" -> x38_pack_sequences,
+    "x39_repetition" -> x39_repetition,
+    "x40_shuffle_shard" -> x40_shuffle_shard,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -682,10 +803,31 @@ object ExtensionQueries {
        |${oracles("x23_simhash_banded")}
        |) pairs GROUP BY b_id""".stripMargin
 
+  // x36: transitive closure of x07's pair graph; min reachable id per
+  // node = the component minimum (DuckDB's recursive CTE terminates on
+  // the UNION-distinct fixpoint — the closure is exact, so it checks the
+  // Spark side's iterated propagation reached ITS fixpoint too).
+  private lazy val x36Oracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${oracles("x07_minhash_lsh_pairs")}
+       |),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+       |lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+       |          FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM lab""".stripMargin
+
   lazy val oraclesAll: Map[String, String] =
     oracles ++ Map(
       "x33_text_dedup_decision" -> x33Oracle,
-      "x34_simhash_dedup_decision" -> x34Oracle)
+      "x34_simhash_dedup_decision" -> x34Oracle,
+      "x36_dup_clusters" -> x36Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->
@@ -1099,6 +1241,51 @@ object ExtensionQueries {
          |       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          | WHERE bit_count(xor(a.sh, b.sh)) <= 6""".stripMargin,
+    "x37_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+         |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         [array_to_string(ws[i:i+7],' ') for i in range(1, len(ws)-6)],
+         |         x -> ${H60("x")}))) AS sh FROM w),
+         |e AS (SELECT doc_id AS eval_id, sh FROM s WHERE doc_id % 5 = 0),
+         |t AS (SELECT doc_id, sh FROM s WHERE doc_id % 5 <> 0)
+         |SELECT t.doc_id, count(DISTINCT t.sh)::BIGINT AS n_shared,
+         |       count(DISTINCT e.eval_id)::BIGINT AS n_eval_docs
+         |  FROM t JOIN e ON t.sh = e.sh GROUP BY t.doc_id""".stripMargin,
+    "x38_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, len(string_split($NT,' '))::BIGINT AS nt
+         |             FROM documents),
+         |c AS (SELECT doc_id, nt,
+         |        coalesce(sum(nt) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0)::BIGINT AS start_tok
+         |        FROM t)
+         |SELECT doc_id, nt AS n_tokens, start_tok,
+         |       start_tok // 256 AS seq_id,
+         |       (start_tok + nt - 1) // 256 - start_tok // 256 + 1 AS n_seqs
+         |  FROM c""".stripMargin,
+    "x39_repetition" ->
+      s"""WITH wc AS (
+         |  SELECT doc_id, w AS word, count(*) AS cnt
+         |    FROM (SELECT doc_id, unnest(string_split($NT,' ')) AS w
+         |            FROM documents)
+         |   GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                 ORDER BY cnt DESC, word ASC) AS rn FROM wc)
+         |SELECT doc_id, sum(cnt)::BIGINT AS n_words,
+         |       count(*)::BIGINT AS n_distinct,
+         |       round(1.0 - count(*)::DOUBLE / sum(cnt), 4) AS dup_frac,
+         |       max(CASE WHEN rn = 1 THEN word END) AS top_word,
+         |       round(max(CASE WHEN rn = 1 THEN cnt END)::DOUBLE / sum(cnt), 4)
+         |         AS top_frac
+         |  FROM r GROUP BY doc_id""".stripMargin,
+    "x40_shuffle_shard" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             ${H60("'shuf|ep1|'||doc_id::VARCHAR")} AS h
+         |             FROM documents)
+         |SELECT doc_id, h % 8 AS shard,
+         |       row_number() OVER (PARTITION BY h % 8
+         |                          ORDER BY h, doc_id)::BIGINT AS pos
+         |  FROM t""".stripMargin,
     "x17_mvcc_snapshot" ->
       """WITH log AS (
         |  SELECT 1::BIGINT AS txn, 'U' AS op, o_orderkey AS rid, o_totalprice AS price FROM orders

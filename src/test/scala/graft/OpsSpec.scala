@@ -113,4 +113,30 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
     assert(out == Map((7L, 0L) -> (2.0, 2L), (7L, 1L) -> (4.0, 2L)))
   }
+
+  test("GraphOps.connectedComponents: long chain converges to one component (multi-round propagation)") {
+    // a 9-edge path 10-11-...-19 (diameter 9, deeper than the fixture's
+    // near-cliques) + an isolated pair + a triangle sharing no nodes
+    val chain = (10L until 19L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((30L, 31L), (40L, 41L), (41L, 42L), (40L, 42L)))
+      .toDF("a_id", "b_id")
+    val labels = graft.ops.GraphOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 19L).forall(labels(_) == 10L), labels.toString)
+    assert(labels(30L) == 30L && labels(31L) == 30L)
+    assert(Seq(40L, 41L, 42L).forall(labels(_) == 40L))
+    assert(labels.size == 15)
+  }
+
+  test("GraphOps.connectedComponents: maxRounds caps propagation depth") {
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val partial = graft.ops.GraphOps.connectedComponents(chain, maxRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 10 is 10 hops from 0; after 2 rounds its label can have
+    // traveled at most 2 hops (2^rounds-style doubling is NOT claimed)
+    assert(partial(10L) > 0L, partial.toString)
+    val full = graft.ops.GraphOps.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 10L).forall(full(_) == 0L))
+  }
 }
