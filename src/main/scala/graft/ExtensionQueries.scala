@@ -153,9 +153,9 @@ object ExtensionQueries {
 
   /** Duplicate CLUSTERS — connected components over the verified
     * MinHash-LSH near-dup pairs (x07's edges): the per-pair decisions
-    * (x33) over-keep on transitive chains (a~b, b~c, a≁c keeps both a
-    * and c); component resolution picks ONE canonical (the min doc_id)
-    * per cluster. Iterative min-label propagation, Pregel-style — see
+    * (x33) leave dangling canonicals on transitive chains (a~b, b~c
+    * points c at b, itself dropped); component resolution maps every
+    * member to ONE true canonical (the component-min doc_id). Iterative min-label propagation, Pregel-style — see
     * [[graft.ops.GraphOps.connectedComponents]] for the 100 TB shape
     * (per-round equi-join + groupBy-min, driver holds only the
     * convergence flag). Output: every clustered doc with its canonical
@@ -181,15 +181,11 @@ object ExtensionQueries {
     * the corpus itself. (A bloom filter over benchmark shingles is the
     * same plan with a smaller broadcast.) */
   private val x37_decontaminate: QFn = (s, d) => {
-    val sh = docs(s, d).select(col("doc_id"),
-      explode(TF.shingleSetFast(TF.words(col("text")), 8)).as("sh"))
-    val evalSide = sh.filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id").as("eval_id"), col("sh"))
-    val train = sh.filter(col("doc_id") % 5 =!= 0)
-    train.join(broadcast(evalSide), "sh")
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("sh")).as("n_shared"),
-        countDistinct(col("eval_id")).as("n_eval_docs"))
+    val dd = docs(s, d)
+    graft.ops.CorpusOps.decontaminate(
+      train = dd.filter(col("doc_id") % 5 =!= 0),
+      benchmark = dd.filter(col("doc_id") % 5 === 0),
+      shingleK = 8)
   }
 
   /** Training-sequence packing (concat-and-chunk): documents in
@@ -203,28 +199,8 @@ object ExtensionQueries {
     * tiny per-block totals table whose own cumsum is single-task over
     * n/100 rows and then BROADCAST back. No unpartitioned window ever
     * touches the full corpus. */
-  private val x38_pack_sequences: QFn = (s, d) => {
-    val SeqLen = 256
-    val base = docs(s, d).select(col("doc_id"),
-      TF.tokenCount(col("text")).as("n_tokens"),
-      (col("doc_id") / 100).cast("long").as("blk"))
-    val wIn = Window.partitionBy("blk").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val inBlk = base.withColumn("off_in_blk",
-      coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-    val wBlk = Window.orderBy("blk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val blkOff = base.groupBy("blk")
-      .agg(sum(col("n_tokens")).as("blk_tot"))
-      .withColumn("blk_off", coalesce(sum(col("blk_tot")).over(wBlk), lit(0L)))
-      .select(col("blk"), col("blk_off"))
-    inBlk.join(broadcast(blkOff), "blk")
-      .withColumn("start_tok", col("blk_off") + col("off_in_blk"))
-      .withColumn("seq_id", (col("start_tok") / SeqLen).cast("long"))
-      .select(col("doc_id"), col("n_tokens"), col("start_tok"), col("seq_id"),
-        (((col("start_tok") + col("n_tokens") - 1) / SeqLen).cast("long")
-          - col("seq_id") + 1).as("n_seqs"))
-  }
+  private val x38_pack_sequences: QFn = (s, d) =>
+    graft.ops.CorpusOps.packSequences(docs(s, d), seqLen = 256, blockSize = 100)
 
   /** Gopher-style repetition metrics — the quality signals that catch
     * degenerate/boilerplate text: duplicate-word fraction and
@@ -259,13 +235,20 @@ object ExtensionQueries {
     * re-shuffles for the next epoch. No global row_number (that would
     * single-task); each shard's window is independent and distributed.
     */
-  private val x40_shuffle_shard: QFn = (s, d) => {
-    val h = TF.hash60(col("doc_id").cast("string"), "shuf|ep1|")
-    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
-    docs(s, d).select(col("doc_id"), (h % 8).as("shard"), h.as("h"))
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"))
-  }
+  private val x40_shuffle_shard: QFn = (s, d) =>
+    graft.ops.CorpusOps.epochShuffle(docs(s, d), nShards = 8, epoch = 1)
+
+  /** Transitive cluster-level keep/drop decision — the component form
+    * of x33's pairwise decision: every non-canonical member of a
+    * near-dup cluster maps to the component ROOT (the pairwise form
+    * leaves chain members pointing at docs that are themselves
+    * dropped). Composition: x07 pairs → x36 components → decision. */
+  private val x41_cluster_decision: QFn = (s, d) =>
+    graft.ops.CorpusOps.clusterDedupDecision(
+      graft.ops.GraphOps.connectedComponents(
+        graft.ops.TextDedup.minhashLshPairs(docs(s, d),
+          shingleK = ShingleK, numHashes = NumHashes, bands = 4,
+          threshold = 0.8)))
 
   /** SimHash values (60-bit, word-multiset votes; fused native form —
     * identical to [[TF.simhash]], see ExtensionsSpec). */
@@ -776,6 +759,7 @@ object ExtensionQueries {
     "x38_pack_sequences" -> x38_pack_sequences,
     "x39_repetition" -> x39_repetition,
     "x40_shuffle_shard" -> x40_shuffle_shard,
+    "x41_cluster_decision" -> x41_cluster_decision,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -823,11 +807,18 @@ object ExtensionQueries {
        |       count(*) OVER (PARTITION BY cluster_id) AS n_members
        |  FROM lab""".stripMargin
 
+  private lazy val x41Oracle: String =
+    s"""SELECT doc_id AS drop_id, cluster_id AS canonical_id, n_members
+       |  FROM (
+       |${x36Oracle}
+       |) WHERE doc_id <> cluster_id""".stripMargin
+
   lazy val oraclesAll: Map[String, String] =
     oracles ++ Map(
       "x33_text_dedup_decision" -> x33Oracle,
       "x34_simhash_dedup_decision" -> x34Oracle,
-      "x36_dup_clusters" -> x36Oracle)
+      "x36_dup_clusters" -> x36Oracle,
+      "x41_cluster_decision" -> x41Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

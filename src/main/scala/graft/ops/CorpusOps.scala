@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Parameterized corpus-preparation operations — the library API behind
+  * the `x37`/`x38`/`x40` demo queries: benchmark decontamination,
+  * training-sequence packing, and deterministic epoch shuffling. Same
+  * contract as [[TextDedup]]/[[VectorOps]]: callers bring their own
+  * frames, column names, and knobs; the fixture queries are applied
+  * instances.
+  */
+object CorpusOps {
+
+  /** Benchmark decontamination: per training document, how many
+    * distinct `shingleK`-word shingles it shares with the benchmark
+    * set, and with how many benchmark documents. Join output is
+    * non-empty only for contaminated docs (filter or anti-join the ids
+    * downstream to act on it).
+    *
+    * 100 TB shape: shingle hashes are fused map-side work (8 bytes per
+    * distinct shingle); the benchmark side is small and BROADCAST, so
+    * the corpus is scanned once and never shuffled. (A bloom filter
+    * over benchmark shingles is the same plan with a smaller
+    * broadcast.)
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 8): DataFrame = {
+    def sh(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      explode(TF.shingleSetFast(TF.words(col(textCol)), shingleK)).as("sh"))
+    sh(train, "doc_id")
+      .join(broadcast(sh(benchmark, "eval_id")), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Training-sequence packing (concat-and-chunk): rows ordered by
+    * `idCol` are concatenated into one token stream and cut into
+    * `seqLen`-token sequences; each row reports its global token
+    * offset, first sequence id, and the number of sequences it spans.
+    *
+    * 100 TB shape: the global prefix sum runs in TWO levels — a
+    * within-block cumsum (window partitioned by `idCol div blockSize`)
+    * plus a per-block totals table whose own cumsum is single-task over
+    * n/blockSize rows and then broadcast back. No unpartitioned window
+    * ever touches the full corpus; `blockSize` trades block-window
+    * width against the totals-table length (√n is the classic choice).
+    */
+  def packSequences(docs: DataFrame, idCol: String = "doc_id",
+      tokensCol: Column = null, seqLen: Int = 256,
+      blockSize: Int = 100): DataFrame = {
+    val nTok = Option(tokensCol).getOrElse(TF.tokenCount(col("text")))
+    val base = docs.select(col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      (col(idCol) / blockSize).cast("long").as("blk"))
+    val wIn = Window.partitionBy("blk").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBlk = base.withColumn("off_in_blk",
+      coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    val wBlk = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = base.groupBy("blk")
+      .agg(sum(col("n_tokens")).as("blk_tot"))
+      .withColumn("blk_off", coalesce(sum(col("blk_tot")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("blk_off"))
+    inBlk.join(broadcast(blkOff), "blk")
+      .withColumn("start_tok", col("blk_off") + col("off_in_blk"))
+      .withColumn("seq_id", (col("start_tok") / seqLen).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("start_tok"), col("seq_id"),
+        (((col("start_tok") + col("n_tokens") - 1) / seqLen).cast("long")
+          - col("seq_id") + 1).as("n_seqs"))
+  }
+
+  /** Deterministic epoch shuffle: shard = hash(id, epoch seed) mod
+    * `nShards` (map-side), position within shard = rank by the same
+    * hash. Stable across runs/engines/partitioning — unlike rand() —
+    * and a new `epoch` value re-shuffles. Each shard's window is
+    * independent and distributed; there is no global row_number (that
+    * would serialize into one task).
+    */
+  def epochShuffle(docs: DataFrame, idCol: String = "doc_id",
+      nShards: Int = 8, epoch: Int = 1): DataFrame = {
+    val h = TF.hash60(col(idCol).cast("string"), s"shuf|ep$epoch|")
+    val w = Window.partitionBy("shard").orderBy(col("h"), col(idCol))
+    docs.select(col(idCol), (h % nShards).as("shard"), h.as("h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Cluster-level keep/drop decision: from [[GraphOps
+    * .connectedComponents]] labels, drop every member that is not its
+    * cluster's canonical (minimum) id. Unlike the pairwise
+    * [[TextDedup.dedupDecision]] the canonical is the component ROOT:
+    * on a chain a~b, b~c the pairwise form points c at b — itself a
+    * dropped doc (dangling pointer); here every member maps to the one
+    * kept doc. Output: (drop_id, canonical_id, n_members). */
+  def clusterDedupDecision(labels: DataFrame): DataFrame = {
+    val wCl = Window.partitionBy("cluster_id")
+    labels.withColumn("n_members", count(lit(1)).over(wCl))
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("drop_id"), col("cluster_id").as("canonical_id"),
+        col("n_members"))
+  }
+}

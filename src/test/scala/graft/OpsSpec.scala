@@ -128,6 +128,64 @@ class OpsSpec extends SparkTestBase {
     assert(labels.size == 15)
   }
 
+  test("CorpusOps.decontaminate flags only true shingle overlap at custom k") {
+    val train = Seq(
+      (1L, base),                                     // contaminated (verbatim run)
+      (2L, "totally different words with no overlap at all in this text body here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, base.split(" ").take(10).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.decontaminate(train, bench, shingleK = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 10-word bench doc has 6 distinct 5-shingles, all inside doc 1
+    assert(out == Map(1L -> ((6L, 1L))), out.toString)
+  }
+
+  test("CorpusOps.packSequences: offsets/spans correct and blockSize-invariant") {
+    val df = Seq(
+      (0L, "a b c"), (1L, "d e"), (2L, (1 to 7).map(i => s"w$i").mkString(" ")),
+      (3L, "x"), (4L, "y z"))
+      .toDF("doc_id", "text")
+    def run(bs: Int) = graft.ops.CorpusOps
+      .packSequences(df, seqLen = 4, blockSize = bs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val out = run(2)
+    // stream: doc0 [0,3) seq0; doc1 [3,5) seq0-1 spans 2; doc2 [5,12)
+    // seq1-2 spans 2; doc3 [12,13) seq3; doc4 [13,15) seq3
+    assert(out == Seq(
+      (0L, 3L, 0L, 0L, 1L), (1L, 2L, 3L, 0L, 2L), (2L, 7L, 5L, 1L, 2L),
+      (3L, 1L, 12L, 3L, 1L), (4L, 2L, 13L, 3L, 1L)), out.toString)
+    assert(run(100) == out, "packing must not depend on the block size")
+  }
+
+  test("CorpusOps.epochShuffle: deterministic, epoch re-keys the order, shards partition the rows") {
+    val df = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def run(ep: Int) = graft.ops.CorpusOps.epochShuffle(df, nShards = 4, epoch = ep)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val e1 = run(1)
+    assert(run(1) == e1, "same epoch must reproduce exactly")
+    assert(run(2) != e1, "new epoch must re-shuffle")
+    assert(e1.map(_._2).toSet.subsetOf((0L until 4L).toSet))
+    // positions within each shard are 1..count(shard)
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.length).toSeq) }
+  }
+
+  test("CorpusOps.clusterDedupDecision: canonical is the component root, not a dropped doc") {
+    // chain 1~2, 2~3: no direct 1~3 edge
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = graft.ops.CorpusOps.clusterDedupDecision(
+        graft.ops.GraphOps.connectedComponents(pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((2L, 1L, 3L), (3L, 1L, 3L)), out.toString)
+    // the pairwise decision drops the same set but points 3's canonical
+    // at 2 — itself dropped (dangling); the cluster form resolves to 1
+    val pairwise = TextDedup.dedupDecision(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairwise == Map(2L -> 1L, 3L -> 2L), pairwise.toString)
+  }
+
   test("GraphOps.connectedComponents: maxRounds caps propagation depth") {
     val chain = (0L until 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val partial = graft.ops.GraphOps.connectedComponents(chain, maxRounds = 2)

@@ -170,6 +170,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"unintended cartesian/BNLJ in: $offenders")
   }
 
+  test("x37: benchmark side is broadcast — the corpus is scanned once, never shuffled for the join") {
+    val p = plan("x37_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("x38: two-level prefix sum — no unpartitioned window over the full corpus") {
+    val p = plan("x38_pack_sequences")
+    // the in-block window is partitioned by blk; only the tiny per-block
+    // totals frame (n/blockSize rows) may pass through a single partition
+    val single = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single <= 1, s"at most the totals table may single-partition:\n$p")
+    assert(p.contains("windowspecdefinition(blk#"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x40: epoch-shuffle window is partitioned by shard (distributed, no global row_number)") {
+    val p = plan("x40_shuffle_shard")
+    assert(p.contains("windowspecdefinition(shard#"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition exchange allowed:\n$p")
+  }
+
   test("q26: as-of join is one window exchange, not a range join") {
     val p = plan("q26_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
