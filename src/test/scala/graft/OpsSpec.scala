@@ -190,8 +190,8 @@ class OpsSpec extends SparkTestBase {
     val chain = (0L until 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val partial = graft.ops.GraphOps.connectedComponents(chain, maxRounds = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // node 10 is 10 hops from 0; after 2 rounds its label can have
-    // traveled at most 2 hops (2^rounds-style doubling is NOT claimed)
+    // node 10 is 10 hops from 0; 2 rounds = at most 4 propagation hops,
+    // so label 0 cannot have reached it yet
     assert(partial(10L) > 0L, partial.toString)
     val full = graft.ops.GraphOps.connectedComponents(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
