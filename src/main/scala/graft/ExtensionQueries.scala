@@ -472,6 +472,39 @@ object ExtensionQueries {
           .as("tfidf"))
   }
 
+  /** BM25 term weighting (Okapi, k1=1.2 b=0.75) — the retrieval-grade
+    * upgrade of x21's TF-IDF, with document-length normalization: the
+    * score of a term in a doc saturates with tf and discounts long
+    * documents against the corpus average length.
+    *
+    * 100 TB shape: identical to x21 — tf groupBy on (doc, word), df
+    * groupBy on word (stopword skew absorbed by partial agg + AQE), and
+    * the two corpus scalars (N, avgdl) are a 1-row broadcast, never a
+    * collected constant. Scoring itself is per-row math. */
+  private val x42_bm25: QFn = (s, d) => {
+    val dd = docs(s, d)
+    val tf = dd
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("dfreq"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // constants written EXACTLY as in the oracle SQL (2.2, not k1+1 —
+    // double(1.2)+1.0 differs from double(2.2) in the last ulp)
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5)))
+    val norm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(dl, Seq("doc_id"))
+      .join(dfreq, Seq("word"))
+      .crossJoin(broadcast(corpus))
+      .filter(col("tf") >= 4)
+      .select(col("doc_id"), col("word"), col("tf"), col("dfreq"),
+        round(idf * norm, 4).as("bm25"))
+  }
+
   /** Deterministic train/val/test split — the reproducible alternative
     * to rand()-sampling a training corpus: the split is a pure function
     * of the document id (hash60 → bucket 0-99 → 90/5/5), so it is
@@ -760,6 +793,7 @@ object ExtensionQueries {
     "x39_repetition" -> x39_repetition,
     "x40_shuffle_shard" -> x40_shuffle_shard,
     "x41_cluster_decision" -> x41_cluster_decision,
+    "x42_bm25" -> x42_bm25,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1049,6 +1083,21 @@ object ExtensionQueries {
          |  FROM scored s JOIN canon c ON s.chash = c.chash AND s.doc_id = c.doc_id
          | WHERE s.n_tokens >= 20 AND s.alpha >= 0.5 AND s.pred_lang = s.lang""".stripMargin
     },
+    "x42_bm25" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
+         |             FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY 1),
+         |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)
+         |SELECT t.doc_id, t.word, t.tf, f.dfreq,
+         |       round(ln(1.0 + (c.n_docs - f.dfreq + 0.5) / (f.dfreq + 0.5)) *
+         |             (t.tf * 2.2 /
+         |              (t.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))), 4)
+         |         AS bm25
+         |  FROM tf t JOIN dl d USING (doc_id) JOIN dfq f USING (word)
+         |       CROSS JOIN corpus c
+         | WHERE t.tf >= 4""".stripMargin,
     "x21_tfidf" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
          |             FROM documents),

@@ -463,6 +463,26 @@ object Queries {
         round(avg(col("k")), 4).as("avg_k"),
         sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
 
+  /** Explicit GROUPING SETS (the general form behind q20's ROLLUP and
+    * q29's CUBE): an arbitrary, non-hierarchical set list —
+    * (flag, status), (flag), (status) but NOT the grand total — in one
+    * pass. Spark plans a single Expand + one aggregation shuffle;
+    * grouping() markers distinguish set-nulls from data values. */
+  private val q43_grouping_sets: QFn = (s, d) =>
+    cat(s, d).table("lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .select(
+        when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("rf"),
+        when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("ls"),
+        col("n"), col("sum_qty"))
+
   /** Explode (lateral unnest) — the Generator/UDTF surface: word
     * frequency over exploded document tokens. Explode is map-side (no
     * shuffle); the one shuffle is the groupBy on the word. */
@@ -597,6 +617,7 @@ object Queries {
     "q40_ntile_prank" -> q40_ntile_prank,
     "q41_range_frame" -> q41_range_frame,
     "q42_json_extract" -> q42_json_extract,
+    "q43_grouping_sets" -> q43_grouping_sets,
   ) ++ ExtensionQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -824,5 +845,14 @@ object Queries {
         |       sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
         |                THEN 1::BIGINT ELSE 0::BIGINT END)::BIGINT AS n_high
         |  FROM events GROUP BY event_type""".stripMargin,
+    "q43_grouping_sets" ->
+      """SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL'
+        |            ELSE l_returnflag END AS rf,
+        |       CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL'
+        |            ELSE l_linestatus END AS ls,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem
+        | GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                         (l_returnflag), (l_linestatus))""".stripMargin,
   ) ++ ExtensionQueries.oraclesAll
 }

@@ -100,6 +100,52 @@ object EventStreams {
       .drop("r_user_id")
   }
 
+  /** Streaming corpus ingest into an MVCC log table — the
+    * continuous-crawl composition (streaming twin of batch
+    * x32_ingest_dedup): each micro-batch is (a) deduped against the
+    * CURRENT committed snapshot's content fingerprints (anti-join),
+    * (b) appended as upserts under a fresh per-batch txn, (c) committed
+    * with a marker — so `LogTable.snapshot` readers see each batch
+    * atomically and re-crawled duplicates never enter the log, while a
+    * re-crawl of a known id with NEW content lands as a new version.
+    *
+    * foreachBatch is the right tool: the dedup needs the log's current
+    * state, which a pure streaming sink can't read. Txn ids derive from
+    * the batch id (monotone, replay-safe: a restarted batch re-appends
+    * under the SAME txn and the snapshot window dedups by (rid, txn)).
+    *
+    * 100 TB/day shape: the anti-join is equi on the fingerprint —
+    * broadcast when the batch is small; the snapshot read prunes to the
+    * fp column only.
+    */
+  def ingestDedupToLog(incoming: DataFrame, logPath: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val txn = batchId + 1
+        val fp = md5(graft.functions.TextFunctions.normText(col(textCol)))
+        val fs = new org.apache.hadoop.fs.Path(logPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val withFp = batch.withColumn("fp", fp)
+        val fresh =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(logPath))) withFp
+          else {
+            val existing = graft.mvcc.LogTable
+              .snapshot(spark.read.parquet(logPath), asOf = Long.MaxValue)
+              .select(col("fp"))
+            withFp.join(existing, Seq("fp"), "left_anti")
+          }
+        val entries = graft.mvcc.LogTable
+          .upserts(fresh, txn, col(idCol))
+          .unionByName(graft.mvcc.LogTable.commitMarker(spark, txn),
+            allowMissingColumns = true)
+        entries.write.mode("append").parquet(logPath)
+      }
+      .start()
+
   // ---- custom state: flatMapGroupsWithState sessionization ---------------
 
   case class Ev(user_id: Long, ts_ns: Long, event_type: String)

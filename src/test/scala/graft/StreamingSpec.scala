@@ -197,4 +197,36 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(out == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
+
+  test("streaming ingest into the MVCC log: per-batch dedup vs live snapshot, atomic commits") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val logPath = s"$dir/corpus_log"
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDedupToLog(
+      input.toDF().toDF("doc_id", "text"), logPath, s"$dir/ckpt")
+    try {
+      input.addData((1L, "alpha content"), (2L, "beta content"))
+      q.processAllAvailable()
+      // batch 2: doc 3 re-crawls doc 1's content (must be dropped),
+      // doc 4 is new, doc 1 arrives with NEW content (a new version)
+      input.addData((3L, "alpha content"), (4L, "gamma content"),
+        (1L, "alpha content v2"))
+      q.processAllAvailable()
+      val snap = graft.mvcc.LogTable
+        .snapshot(spark.read.parquet(logPath), asOf = Long.MaxValue)
+        .select("rid", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(snap == Map(1L -> "alpha content v2", 2L -> "beta content",
+        4L -> "gamma content"), snap.toString)
+      // both batches carry commit markers (atomic per micro-batch)
+      val committed = graft.mvcc.LogTable
+        .committedTxns(spark.read.parquet(logPath), asOf = Long.MaxValue)
+        .collect().map(_.getLong(0)).toSet
+      assert(committed == Set(1L, 2L), committed.toString)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
