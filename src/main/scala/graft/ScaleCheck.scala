@@ -59,13 +59,19 @@ object ScaleCheck {
     docs.crossJoin(spark.range(D).select(col("id").as("__r")))
       .withColumn("doc_id", col("doc_id") + col("__r") * maxDoc)
       .drop("__r").write.mode("overwrite").parquet(s"$dst/documents.parquet")
-    for (n <- Seq("x04_dedup_exact", "x07_minhash_lsh_pairs", "x23_simhash_banded")) {
+    for (n <- Seq("x04_dedup_exact", "x07_minhash_lsh_pairs", "x23_simhash_banded",
+        "x36_dup_clusters", "x38_pack_sequences", "x39_repetition")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)
       println(f"$n%-22s base=$tSmall%5.2f s  x$D%d-dups=$tBig%6.2f s  " +
         f"scaleFactor=${tBig / tSmall}%5.2f (corpus x$D%d, every doc has ${D - 1}%d exact twins)")
     }
+    // x36 on the dup-heavy corpus is the interesting one: the pair graph
+    // gains D-cliques per original near-dup cluster (components MERGE
+    // across replicas through the exact twins), yet propagation depth
+    // stays shallow — cliques have diameter 1 — so the round count, not
+    // just the per-round cost, is what the measurement pins.
     spark.stop()
   }
 }
