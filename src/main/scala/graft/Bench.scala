@@ -65,7 +65,10 @@ object Bench {
     def shortId(k: String): String = k.takeWhile(_ != '_')
     val shortOk = names.map(shortId).distinct.size == names.size
     def key(k: String): String = if (shortOk) shortId(k) else k
-    def fmt(v: Double): String = f"$v%.2f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // under comma-decimal locales would emit invalid JSON ("value":7,32)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map {
       case (k, Right(v)) => "\"" + key(k) + "\":" + fmt(v)
       case (k, Left(_))  => "\"" + key(k) + "\":-1"
@@ -97,12 +100,16 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errsPart,"sf":"$sfShort","full":"BENCH_LOCAL.json"}"""
     println(line)
     // full-fidelity artifact: full query names, full float precision,
-    // always-present errors map, absolute sf dir.
-    val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"n_failed":$nFailed,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
-    catch { case _: Throwable => () }
+    // always-present errors map, absolute sf dir. Written only for FULL
+    // runs — a SPARK_GRAFT_BENCH_ONLY profiling subset must not clobber
+    // the full-inventory record the stdout line points at.
+    if (only.isEmpty) {
+      val fullLine =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"n_failed":$nFailed,"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -54,6 +54,16 @@ object CorpusOps {
   def packSequences(docs: DataFrame, idCol: String = "doc_id",
       tokensCol: Column = null, seqLen: Int = 256,
       blockSize: Int = 100): DataFrame = {
+    // the block key must be a MONOTONE function of the id (blocks are
+    // contiguous runs of the global order, or the two-level prefix sum
+    // is wrong); id div blockSize gives that for numeric ids. A
+    // non-numeric id would cast to null and silently drop every row in
+    // the block join — fail loudly instead. (String ids at scale: map
+    // them through a range partitioner / zipWithIndex first.)
+    require(docs.schema(idCol).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"packSequences needs a numeric id column; '$idCol' is " +
+        docs.schema(idCol).dataType.simpleString)
     val nTok = Option(tokensCol).getOrElse(TF.tokenCount(col("text")))
     val base = docs.select(col(idCol),
       nTok.cast("long").as("n_tokens"),

@@ -75,8 +75,10 @@ object GraphOps {
       l.unionByName(prop)
         .groupBy("node").agg(min(col("cluster_id")).as("cluster_id"))
     }
+    // empty edge set: sum() over zero rows is null — no components to
+    // resolve, return the (empty) label table without iterating
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = prevSum == null
     var round = 0
     while (!converged && round < maxRounds) {
       // two steps per checkpoint: halves the per-round action overhead

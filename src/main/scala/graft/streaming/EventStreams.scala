@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -129,7 +130,20 @@ object EventStreams {
         val fp = md5(graft.functions.TextFunctions.normText(col(textCol)))
         val fs = new org.apache.hadoop.fs.Path(logPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // intra-batch dedup FIRST (the snapshot anti-join only sees
+        // prior batches): (a) one row per content fingerprint — keep
+        // the min id, as batch x04; (b) one row per id — a crawler
+        // emitting the same id twice in one batch has no defined order,
+        // so the kept version is chosen deterministically by content
+        // hash (callers with a real in-batch order should pre-dedup)
+        val byFp = Window.partitionBy("fp").orderBy(col(idCol))
+        val byId = Window.partitionBy(col(idCol)).orderBy(col("fp"))
         val withFp = batch.withColumn("fp", fp)
+          .withColumn("__rf", row_number().over(byFp))
+          .filter(col("__rf") === 1)
+          .withColumn("__ri", row_number().over(byId))
+          .filter(col("__ri") === 1)
+          .drop("__rf", "__ri")
         val fresh =
           if (!fs.exists(new org.apache.hadoop.fs.Path(logPath))) withFp
           else {

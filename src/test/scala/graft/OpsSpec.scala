@@ -186,6 +186,19 @@ class OpsSpec extends SparkTestBase {
     assert(pairwise == Map(2L -> 1L, 3L -> 2L), pairwise.toString)
   }
 
+  test("GraphOps.connectedComponents: empty edge set returns empty labels (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(graft.ops.GraphOps.connectedComponents(empty).collect().isEmpty)
+  }
+
+  test("CorpusOps.packSequences rejects non-numeric id columns loudly") {
+    val df = Seq(("doc-1", "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.CorpusOps.packSequences(df)
+    }
+    assert(e.getMessage.contains("numeric id column"), e.getMessage)
+  }
+
   test("GraphOps.connectedComponents: maxRounds caps propagation depth") {
     val chain = (0L until 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val partial = graft.ops.GraphOps.connectedComponents(chain, maxRounds = 2)

@@ -224,6 +224,21 @@ class StreamingSpec extends SparkTestBase {
         .committedTxns(spark.read.parquet(logPath), asOf = Long.MaxValue)
         .collect().map(_.getLong(0)).toSet
       assert(committed == Set(1L, 2L), committed.toString)
+      // batch 3: INTRA-batch duplicates — two new ids with identical
+      // content (min id kept) and one id crawled twice (deterministic
+      // content-hash pick) — exactly one version of each enters the log
+      input.addData((7L, "delta content"), (8L, "delta content"),
+        (9L, "epsilon content"), (9L, "zeta content"))
+      q.processAllAvailable()
+      val snap3 = graft.mvcc.LogTable
+        .snapshot(spark.read.parquet(logPath), asOf = Long.MaxValue)
+        .select("rid", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(snap3(7L) == "delta content" && !snap3.contains(8L), snap3.toString)
+      assert(Set("epsilon content", "zeta content").contains(snap3(9L)))
+      assert(spark.read.parquet(logPath)
+        .filter(org.apache.spark.sql.functions.col("rid") === 9L)
+        .count() == 1, "one version of rid 9")
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
