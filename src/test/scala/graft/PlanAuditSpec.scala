@@ -194,6 +194,34 @@ class PlanAuditSpec extends SparkTestBase {
       s"no single-partition exchange allowed:\n$p")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the executed plan)") {
+    import org.apache.spark.sql.functions._
+    // plant skew: 150k of 160k left rows share one join key; thresholds
+    // lowered so fixture-scale partitions qualify as skewed
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val left = spark.range(160000).select(
+        when(col("id") < 150000, 7L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(200).select(col("id").as("k"), lit("dim").as("tag"))
+      val j = left.join(right, "k").select(sum(col("payload")))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark and split the skewed partition:\n$p")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q26: as-of join is one window exchange, not a range join") {
     val p = plan("q26_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
