@@ -79,4 +79,26 @@ object VectorOps {
       .groupBy(col("cell"), col("dim").cast("long").as("dim"))
       .agg(round(avg(col("x").cast("double")), 6).as("mean_x"),
         count(lit(1)).as("n"))
+
+  /** Persist an IVF index: the cell assignment written BUCKETED BY the
+    * cell key ([[graft.catalog.Catalog.writeBucketed]]). This is what
+    * "building a vector index" means in a lake engine — a storage
+    * layout, not a data structure: every later in-cell search or dedup
+    * self-join on the indexed table needs NO shuffle at all (the scan's
+    * output partitioning already satisfies the join; PlanAuditSpec
+    * pins it), and a broadcast query-side lookup touches only the
+    * probed buckets' files. Pay the assignment + one shuffle at build
+    * time, never per query — the reference's index stubs
+    * (src/collection/indexes/hash.rs:10-18) express exactly this
+    * intent. */
+  def writeIndex(cat: graft.catalog.Catalog, name: String,
+      cells: DataFrame, buckets: Int = 64): Unit =
+    cat.writeBucketed(name, cells, buckets,
+      bucketCols = Seq("cell"), sortCols = Seq("cell", "vec_id"))
+
+  /** Search a persisted index by cell-key equi-join — same semantics as
+    * [[inCellTopK]] with the bucketed table on both sides. */
+  def searchIndex(cat: graft.catalog.Catalog, name: String, k: Int,
+      queryPred: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    inCellTopK(cat.bucketedTable(name), k, queryPred)
 }

@@ -194,6 +194,36 @@ class PlanAuditSpec extends SparkTestBase {
       s"no single-partition exchange allowed:\n$p")
   }
 
+  test("persisted IVF index: in-cell search joins with zero cell-shuffle, results match the ad-hoc plan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    val e = cat2.table("embeddings")
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+    val cells = graft.ops.VectorOps.ivfCells(e, cent, nprobe = 1)
+    try {
+      graft.ops.VectorOps.writeIndex(cat, "emb_idx", cells, buckets = 4)
+      val s = graft.ops.VectorOps.searchIndex(cat, "emb_idx", k = 3,
+        queryPred = col("q_id") < 10)
+      val fromIndex = s.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      // the cell-key join must be satisfied by the bucketed layout —
+      // only the top-k window may exchange (on q_id)
+      val p = s.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(cell"),
+        s"bucketed index join must not shuffle on cell:\n$p")
+      // identical results to the ad-hoc (unbucketed) assignment
+      val adHoc = graft.ops.VectorOps.inCellTopK(cells, k = 3,
+        queryPred = col("q_id") < 10).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(fromIndex == adHoc)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS emb_idx")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the executed plan)") {
     import org.apache.spark.sql.functions._
     // plant skew: 150k of 160k left rows share one join key; thresholds
