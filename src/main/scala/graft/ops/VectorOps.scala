@@ -57,15 +57,22 @@ object VectorOps {
     * vectors act as queries, written over the OUTPUT `q_id` column —
     * Catalyst pushes it below the join; with no predicate the aliased
     * single-subtree self-join gets ReusedExchange (bucketing computed
-    * once). Output: (q_id, n_id, cos, rnk). */
+    * once). Set `dedupProbes = true` for MULTI-probe assignments
+    * (nprobe ≥ 2): a pair sharing several probed cells would otherwise
+    * appear once per shared cell and burn top-k rank slots on
+    * duplicates (single-probe assignments can't produce duplicates —
+    * skip the extra distinct shuffle there). Output:
+    * (q_id, n_id, cos, rnk). */
   def inCellTopK(cells: DataFrame, k: Int,
-      queryPred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+      queryPred: org.apache.spark.sql.Column = lit(true),
+      dedupProbes: Boolean = false): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    cells.as("a").join(cells.as("b").hint("shuffle_hash"),
+    val pairs = cells.as("a").join(cells.as("b").hint("shuffle_hash"),
       col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
         round(VF.cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
       .filter(queryPred)
+    (if (dedupProbes) pairs.distinct() else pairs)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
@@ -86,19 +93,41 @@ object VectorOps {
     * layout, not a data structure: every later in-cell search or dedup
     * self-join on the indexed table needs NO shuffle at all (the scan's
     * output partitioning already satisfies the join; PlanAuditSpec
-    * pins it), and a broadcast query-side lookup touches only the
-    * probed buckets' files. Pay the assignment + one shuffle at build
+    * pins it), and a `cell = <literal>` / `cell IN (...)` probe filter
+    * prunes to those buckets' files (bucket pruning applies to literal
+    * filters, NOT to join keys — a join-side lookup still scans all
+    * buckets, shuffle-free). Pay the assignment + one shuffle at build
     * time, never per query — the reference's index stubs
     * (src/collection/indexes/hash.rs:10-18) express exactly this
-    * intent. */
+    * intent. No within-bucket sort: the hash-join read path is
+    * order-insensitive, so a build-time sort would be paid and never
+    * used. The bucket-metadata caveats of [[graft.catalog.Catalog
+    * .writeBucketed]] apply: the registered name is session-global
+    * (namespace it per catalog dir) and bucketing is visible only to
+    * sessions that registered it. */
   def writeIndex(cat: graft.catalog.Catalog, name: String,
-      cells: DataFrame, buckets: Int = 64): Unit =
-    cat.writeBucketed(name, cells, buckets,
-      bucketCols = Seq("cell"), sortCols = Seq("cell", "vec_id"))
+      cells: DataFrame, buckets: Int = 64): Unit = {
+    // saveAsTable parses the name as a SQL identifier — dotted names
+    // would resolve as db.table and hyphens fail the parser; reject
+    // loudly rather than landing data in a surprise namespace
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"index name must be a plain SQL identifier, got '$name'")
+    cat.writeBucketed(name, cells, buckets, bucketCols = Seq("cell"))
+  }
 
-  /** Search a persisted index by cell-key equi-join — same semantics as
-    * [[inCellTopK]] with the bucketed table on both sides. */
+  /** Search a persisted index by cell-key equi-join — [[inCellTopK]]
+    * with the bucketed table on both sides and probe-dedup ON (a
+    * persisted index is commonly multi-probe). Falls back to the plain
+    * parquet path when the session catalog has no such table (a later
+    * session re-reading the index dir): results identical, but the
+    * zero-shuffle property needs the bucket registration — re-run
+    * [[writeIndex]] (or back the session with a metastore) to get it
+    * back. */
   def searchIndex(cat: graft.catalog.Catalog, name: String, k: Int,
-      queryPred: org.apache.spark.sql.Column = lit(true)): DataFrame =
-    inCellTopK(cat.bucketedTable(name), k, queryPred)
+      queryPred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val t =
+      if (cat.spark.catalog.tableExists(name)) cat.bucketedTable(name)
+      else cat.table(name)
+    inCellTopK(t, k, queryPred, dedupProbes = true)
+  }
 }

@@ -186,6 +186,24 @@ class OpsSpec extends SparkTestBase {
     assert(pairwise == Map(2L -> 1L, 3L -> 2L), pairwise.toString)
   }
 
+  test("inCellTopK dedupProbes: multi-probe shared-cell pairs don't burn rank slots") {
+    val e = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.8f, 0.2f))).toDF("vec_id", "embedding")
+    val cent = Seq((0L, Array(1f, 0f)), (1L, Array(0.7f, 0.3f)))
+      .toDF("c_id", "c_e")
+    val cells = VectorOps.ivfCells(e, cent, nprobe = 2) // all share both cells
+    val dup = VectorOps.inCellTopK(cells, k = 10)
+    assert(dup.groupBy("q_id", "n_id").count()
+      .filter(col("count") > 1).count() > 0,
+      "without dedup, shared-cell pairs must duplicate (the case under test)")
+    val ded = VectorOps.inCellTopK(cells, k = 10, dedupProbes = true)
+    assert(ded.groupBy("q_id", "n_id").count()
+      .filter(col("count") > 1).isEmpty)
+    // ranks are dense 1..n per query after dedup
+    assert(ded.filter(col("q_id") === 0L).select("rnk").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+
   test("GraphOps.connectedComponents: empty edge set returns empty labels (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(graft.ops.GraphOps.connectedComponents(empty).collect().isEmpty)
