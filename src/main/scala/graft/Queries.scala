@@ -483,6 +483,36 @@ object Queries {
         when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("ls"),
         col("n"), col("sum_qty"))
 
+  /** Unpivot (melt) — the reshape inverse of q30's pivot: the three
+    * lineitem measures become (measure, value) rows in one map-side
+    * Expand (no shuffle until the aggregation). */
+  private val q44_unpivot: QFn = (s, d) =>
+    cat(s, d).table("lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+
+  /** Navigation window functions — first_value / last_value /
+    * nth_value over an explicit full-partition frame (the default frame
+    * stops at CURRENT ROW, where last_value degenerates to the current
+    * row — both engines agree once the frame is explicit). */
+  private val q45_window_nav: QFn = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cat(s, d).table("orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+  }
+
   /** Explode (lateral unnest) — the Generator/UDTF surface: word
     * frequency over exploded document tokens. Explode is map-side (no
     * shuffle); the one shuffle is the groupBy on the word. */
@@ -618,6 +648,8 @@ object Queries {
     "q41_range_frame" -> q41_range_frame,
     "q42_json_extract" -> q42_json_extract,
     "q43_grouping_sets" -> q43_grouping_sets,
+    "q44_unpivot" -> q44_unpivot,
+    "q45_window_nav" -> q45_window_nav,
   ) ++ ExtensionQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -854,5 +886,23 @@ object Queries {
         |  FROM lineitem
         | GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                         (l_returnflag), (l_linestatus))""".stripMargin,
+    "q44_unpivot" ->
+      """SELECT l_returnflag, measure, count(*) AS n,
+        |       round(sum(value), 2) AS total
+        |  FROM (SELECT l_returnflag, measure, value
+        |          FROM lineitem
+        |          UNPIVOT (value FOR measure IN
+        |                   (l_quantity, l_extendedprice, l_discount)))
+        | GROUP BY l_returnflag, measure""".stripMargin,
+    "q45_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       last_value(o_totalprice) OVER w AS last_price,
+        |       nth_value(o_totalprice, 2) OVER w AS second_price
+        |  FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND UNBOUNDED FOLLOWING)""".stripMargin,
   ) ++ ExtensionQueries.oraclesAll
 }
