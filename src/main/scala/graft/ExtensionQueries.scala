@@ -457,10 +457,13 @@ object ExtensionQueries {
     * 1-row broadcast, not a collected constant. */
   private val x21_tfidf: QFn = (s, d) => {
     val dd = docs(s, d)
+    // materialized once: tf feeds both dfreq and the final join (as
+    // x42 — pruning-specialized scans defeat exchange reuse otherwise)
     val tf = dd
       .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy(col("word"))
       .agg(count(lit(1)).as("dfreq")) // one row per (doc,word) ⇒ doc count
     val n = dd.agg(count(lit(1)).as("n_docs"))
@@ -483,10 +486,15 @@ object ExtensionQueries {
     * collected constant. Scoring itself is per-row math. */
   private val x42_bm25: QFn = (s, d) => {
     val dd = docs(s, d)
+    // tf is consumed by FOUR branches (dl, dfreq, corpus, the final
+    // join); materialize it once — column pruning otherwise specializes
+    // each branch's scan and the corpus gets re-read and re-tokenized
+    // per branch (measured: 7 scans without this, 1 with)
     val tf = dd
       .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("dfreq"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"),

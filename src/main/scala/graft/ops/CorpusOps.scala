@@ -70,12 +70,20 @@ object CorpusOps {
       (col(idCol) / blockSize).cast("long").as("blk"))
     val wIn = Window.partitionBy("blk").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // ONE tokenize + ONE shuffle: the window output is materialized
+    // (lineage-truncated) and BOTH consumers — the per-row offsets and
+    // the per-block totals — read it; deriving the totals from `base`
+    // instead would re-scan and re-tokenize the corpus (column pruning
+    // specializes each branch's scan, so exchange reuse can't kick in).
+    // The totals also come from the LAST row per block (max of
+    // off+n_tokens), already co-partitioned by blk — no extra exchange.
     val inBlk = base.withColumn("off_in_blk",
       coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .localCheckpoint(true)
     val wBlk = Window.orderBy("blk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val blkOff = base.groupBy("blk")
-      .agg(sum(col("n_tokens")).as("blk_tot"))
+    val blkOff = inBlk.groupBy("blk")
+      .agg(max(col("off_in_blk") + col("n_tokens")).as("blk_tot"))
       .withColumn("blk_off", coalesce(sum(col("blk_tot")).over(wBlk), lit(0L)))
       .select(col("blk"), col("blk_off"))
     inBlk.join(broadcast(blkOff), "blk")
