@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -303,7 +303,8 @@ object Queries {
 
   /** Exact interpolated percentiles (beyond-reference capability; the
     * sketch/approx form is [[q35_quantiles_approx]] — the 100 TB default,
-    * rows-only-checked because approximate answers can't hash-match).
+    * self-verified there against these exact values with an in-engine
+    * error-bound check).
     * All three price percentiles share ONE aggregation buffer (array
     * percentage form) instead of three independent sorted buffers —
     * same exact values, one sort per group instead of three.
@@ -329,22 +330,46 @@ object Queries {
 
   /** Approximate percentiles — the bench-default quantile form at scale:
     * approx_percentile is a mergeable sketch aggregate (fixed-size state,
-    * map-side partial merge, no per-group sort). accuracy=10000 ⇒ error
-    * ≤ 0.01% of rank. Deliberately has NO DuckDB oracle entry (sketch
-    * answers are engine-specific); the driver records a rows-only check.
+    * map-side partial merge, no per-group sort). accuracy=10000 ⇒ rank
+    * error ≤ 0.01%.
+    *
+    * Self-verifying formulation (sketch values are engine-specific, so
+    * they can never hash-match a DuckDB oracle directly): the query
+    * computes BOTH the sketch and its exact twin in one aggregation and
+    * outputs the exact values plus `within_bound` — whether each sketch
+    * value lies between the exact percentiles at rank p ± ε, with
+    * ε = 10× the documented 1/accuracy guarantee. The oracle computes
+    * the same exact values and literal TRUE, so the row hash-matches iff
+    * the sketch honors its error bound. At 100 TB the sketch runs alone
+    * (fixed-size state); the exact twin here is the verification harness.
     */
-  private val q35_quantiles_approx: QFn = (s, d) =>
+  private val q35_quantiles_approx: QFn = (s, d) => {
+    val eps = 0.001 // rank slack: 10× the 1/accuracy=1e-4 guarantee
+    val pcts = Seq(0.25, 0.5, 0.75)
+    // exact percentiles at [p1..p3, p1-ε, p1+ε, p2-ε, p2+ε, p3-ε, p3+ε]
+    val probe = pcts ++ pcts.flatMap(p => Seq(p - eps, p + eps))
+    def bounded(approx: Column, lo: Column, hi: Column): Column =
+      approx >= lo && approx <= hi
     cat(s, d).table("lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         approx_percentile(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ps"),
-        approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("med_qty"))
+          array(pcts.map(lit): _*), lit(10000)).as("aps"),
+        approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("amed"),
+        percentile(col("l_extendedprice"), array(probe.map(lit): _*)).as("ps"),
+        percentile(col("l_quantity"),
+          array(lit(0.5), lit(0.5 - eps), lit(0.5 + eps))).as("qs"))
       .select(col("l_returnflag"),
         round(element_at(col("ps"), 1), 2).as("p25"),
         round(element_at(col("ps"), 2), 2).as("p50"),
         round(element_at(col("ps"), 3), 2).as("p75"),
-        round(col("med_qty"), 2).as("med_qty"))
+        round(element_at(col("qs"), 1), 2).as("med_qty"),
+        (pcts.indices.map(i => bounded(element_at(col("aps"), i + 1),
+          element_at(col("ps"), 4 + 2 * i), element_at(col("ps"), 5 + 2 * i)))
+          .reduce(_ && _) &&
+          bounded(col("amed"), element_at(col("qs"), 2), element_at(col("qs"), 3)))
+          .as("within_bound"))
+  }
 
   /** Moving aggregate (rolling-window analytics surface): 7-row moving
     * average of daily revenue. Two stages: the daily groupBy (one
@@ -379,12 +404,26 @@ object Queries {
 
   /** Approximate count-distinct — the sketch default at scale (HLL++:
     * fixed-size mergeable state vs q34's exact two-phase expansion).
-    * rows-only check by design: sketch estimates are engine-specific. */
+    *
+    * Self-verifying (as q35): HLL++ estimates are engine-specific, so
+    * the query computes the sketch AND the exact count in one pass and
+    * outputs the exact counts plus `within_bound` = |approx − exact| ≤
+    * 3·rsd·exact (rsd=0.05 is one standard deviation of the estimator;
+    * 3σ = 15% relative). The oracle outputs the same exact counts and
+    * literal TRUE — the row hash-matches iff the sketch is in bound.
+    * At 100 TB the sketch runs alone; the exact twin verifies it here.
+    */
   private val q38_distinct_approx: QFn = (s, d) =>
     cat(s, d).table("lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.05).as("n_parts_approx"),
-        approx_count_distinct(col("l_suppkey"), 0.05).as("n_supps_approx"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.05).as("ap"),
+        approx_count_distinct(col("l_suppkey"), 0.05).as("asup"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+        (abs(col("ap") - col("n_parts")) <= col("n_parts") * lit(0.15) &&
+          abs(col("asup") - col("n_supps")) <= col("n_supps") * lit(0.15))
+          .as("within_bound"))
 
   /** Correlated scalar-aggregate subquery — `(SELECT sum(...) FROM
     * lineitem l WHERE l.l_orderkey = o.o_orderkey)` per order row. The
@@ -829,6 +868,20 @@ object Queries {
         |       count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q35_quantiles_approx" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+        |       round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
+        |       TRUE AS within_bound
+        |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q38_distinct_approx" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       TRUE AS within_bound
         |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q37_decimal_agg" ->
       """SELECT l_returnflag,
