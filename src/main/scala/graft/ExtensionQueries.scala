@@ -287,8 +287,10 @@ object ExtensionQueries {
     graft.ops.TextDedup.simhashBandedPairs(docs(s, d), maxHamming = 6)
 
   /** Character-4-gram Jaccard near-dup pairs, blocked by (lang, length
-    * band) — the brute-force baseline. Blocking keeps the self-join equi
-    * (shuffle on the block key); LSH (x07) is the unblocked scale path.
+    * band) — the brute-force baseline: block sizes are data-dependent,
+    * so a 100× corpus makes popular (lang, length) blocks quadratic.
+    * [[x43_chargram_lsh]] is the banded scale twin (MinHash-LSH over
+    * the same gram sets, uniform band-key buckets).
     */
   private val x10_ngram_jaccard: QFn = (s, d) => {
     val norm = TF.normText(col("text"))
@@ -305,6 +307,23 @@ object ExtensionQueries {
           .as("jac"))
       .filter(col("jac") >= 0.8)
   }
+
+  /** Char-gram Jaccard near-dup pairs, BANDED — x10's scale twin (the
+    * last similarity family that had only a quadratic-block form):
+    * MinHash-LSH over the same hashed 4-gram sets via
+    * [[graft.ops.TextDedup.minhashLshPairsFromSets]], verified with the
+    * same true-Jaccard ≥ 0.8 merge scan. No data-sized blocks anywhere:
+    * work is sum(band-bucket²), shuffle on uniform minhash band keys —
+    * the plan survives a 100× corpus where x10's (lang, length) blocks
+    * go quadratic. Recall: P[all 4 bands miss] = (1−j²)⁴ ≤ 1.7% at
+    * j = 0.8, ≤ 0.13% at j = 0.9 (near-dups in practice); x10 stays as
+    * the labeled exact-within-block baseline (spec-checked equal here).
+    */
+  private val x43_chargram_lsh: QFn = (s, d) =>
+    graft.ops.TextDedup.minhashLshPairsFromSets(
+      docs(s, d).select(col("doc_id"),
+        TF.chargramSetFast(TF.normText(col("text")), 4).as("el_set")),
+      numHashes = 8, bands = 4, threshold = 0.8)
 
   // ------------------------------------------------------------- similarity
 
@@ -802,6 +821,7 @@ object ExtensionQueries {
     "x40_shuffle_shard" -> x40_shuffle_shard,
     "x41_cluster_decision" -> x41_cluster_decision,
     "x42_bm25" -> x42_bm25,
+    "x43_chargram_lsh" -> x43_chargram_lsh,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -976,6 +996,30 @@ object ExtensionQueries {
          |    ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
          | WHERE round(len(list_intersect(a.grams,b.grams))::DOUBLE /
          |             len(list_distinct(list_concat(a.grams,b.grams))), 4) >= 0.8""".stripMargin,
+    "x43_chargram_lsh" -> {
+      val mhs = (0 until 8).map(i =>
+        s"coalesce(list_min(list_transform(grams, x -> ${H60(s"'mh$i|'||x::VARCHAR")})), -1) AS mh$i")
+        .mkString(",\n       ")
+      val bands = (0 until 4).map(bd =>
+        s"SELECT doc_id, grams, $bd AS band, mh${2 * bd}||':'||mh${2 * bd + 1} AS key FROM sig")
+        .mkString("\n UNION ALL\n")
+      s"""WITH g AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |           list_distinct([substring(nt, i, 4)
+         |                          for i in range(1, length(nt)-2)]),
+         |           s -> ${H60("s")})) AS grams
+         |    FROM (SELECT doc_id, $NT AS nt FROM documents)),
+         |sig AS (SELECT doc_id, grams, $mhs
+         |          FROM g WHERE len(grams) > 0),
+         |banded AS ($bands)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       round(len(list_intersect(a.grams,b.grams))::DOUBLE /
+         |             len(list_distinct(list_concat(a.grams,b.grams))), 4) AS jac
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         | WHERE round(len(list_intersect(a.grams,b.grams))::DOUBLE /
+         |             len(list_distinct(list_concat(a.grams,b.grams))), 4) >= 0.8""".stripMargin
+    },
     "x11_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |c AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -106,6 +106,13 @@ object TextFunctions {
   def chargramSetFast(strCol: Column, n: Int): Column =
     call_function("chargram_set", strCol, lit(n))
 
+  /** All `n` MinHash values over a PRECOMPUTED element set
+    * (array<bigint>, e.g. [[chargramSetFast]] / [[shingleSetFast]]
+    * output) — the generalization of [[minhashSigsFast]] to any
+    * set-valued column; elements hash as their decimal strings. */
+  def minhashFromSetFast(setCol: Column, n: Int): Column =
+    call_function("minhash_from_set", setCol, lit(n))
+
   /** Fused [[simhash]] (≡ simhash(text), native). */
   def simhashFast(text: Column): Column =
     call_function("simhash60", words(text))

@@ -32,28 +32,49 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleK: Int = 3, numHashes: Int = 8,
       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val sigs = TF.minhashSigsFast(TF.words(col(textCol)), shingleK, numHashes)
+    val sets = TF.shingleSetFast(TF.words(col(textCol)), shingleK)
+    bandJoinVerify(docs.select(col(idCol).as("doc_id"),
+      sets.as("el_set"), sigs.as("mh")), numHashes, bands, threshold)
+  }
+
+  /** [[minhashLshPairs]] generalized to a PRECOMPUTED element-set column
+    * (sorted distinct `array<bigint>`, e.g.
+    * [[graft.functions.TextFunctions.chargramSetFast]] output) — the
+    * banded scale path for any set-similarity family (char-gram Jaccard,
+    * token sets, ...), not just word shingles. Same plan shape: map-side
+    * signatures, equi band join, merge-scan Jaccard verify. */
+  def minhashLshPairsFromSets(docs: DataFrame, idCol: String = "doc_id",
+      setCol: String = "el_set", numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame =
+    bandJoinVerify(docs.select(col(idCol).as("doc_id"),
+      col(setCol).as("el_set"),
+      TF.minhashFromSetFast(col(setCol), numHashes).as("mh")),
+      numHashes, bands, threshold)
+
+  /** Shared LSH core: band the minhash signature, equi self-join on the
+    * band key, verify true set Jaccard. `sig` columns: doc_id,
+    * el_set (sorted distinct array<bigint>), mh (array<bigint>, length
+    * numHashes). */
+  private def bandJoinVerify(sig: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
-    val sigs = TF.minhashSigsFast(TF.words(col(textCol)), shingleK, numHashes)
-    val mh = (0 until numHashes).map(i => element_at(sigs, i + 1).as(s"mh$i"))
-    val sig = docs.select(
-      col(idCol).as("doc_id") +:
-        TF.shingleSetFast(TF.words(col(textCol)), shingleK).as("sh_set") +:
-        mh: _*)
-      // docs shorter than shingleK words all share the degenerate
-      // all--1 signature — banding them would funnel EVERY short doc
-      // into one quadratic bucket; they can never verify anyway (empty
-      // shingle sets have Jaccard 0), so drop them before banding
-      .filter(size(col("sh_set")) > 0)
-    val banded = sig.select(col("doc_id"), col("sh_set"),
-      posexplode(array((0 until bands).map(b =>
-        concat_ws(":", (0 until rpb).map(r => col(s"mh${rpb * b + r}")): _*)): _*))
-        .as(Seq("band", "key")))
+    // docs with an EMPTY element set all share the degenerate all--1
+    // signature — banding them would funnel every such doc into one
+    // quadratic bucket; they can never verify anyway (empty sets have
+    // Jaccard 0), so drop them before banding
+    val banded = sig.filter(size(col("el_set")) > 0)
+      .select(col("doc_id"), col("el_set"),
+        posexplode(array((0 until bands).map(b =>
+          concat_ws(":", (0 until rpb).map(r =>
+            element_at(col("mh"), rpb * b + r + 1)): _*)): _*))
+          .as(Seq("band", "key")))
     banded.as("a").join(banded.as("b").hint("shuffle_hash"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        round(call_function("jaccard_sorted", col("a.sh_set"), col("b.sh_set")), 4)
+        round(call_function("jaccard_sorted", col("a.el_set"), col("b.el_set")), 4)
           .as("jac"))
       .filter(col("jac") >= threshold)
       .distinct()

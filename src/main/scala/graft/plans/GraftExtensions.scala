@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         MinHashSigs(children(0), children(1), children(2))))
     ext.injectFunction((
+      FunctionIdentifier("minhash_from_set"),
+      new ExpressionInfo(classOf[MinHashFromSet].getName, "minhash_from_set"),
+      (children: Seq[Expression]) =>
+        MinHashFromSet(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
       (children: Seq[Expression]) => ShingleSet(children(0), children(1))))

@@ -132,6 +132,25 @@ object Md5Hash60 {
     new GenericArrayData(sortedDistinct(out))
   }
 
+  def minhashFromSet(set: ArrayData, n: Int,
+      prefixes: Array[Array[Byte]]): ArrayData = {
+    val len = set.numElements()
+    if (len == 0) return new GenericArrayData(Array.fill(n)(-1L))
+    val out = Array.fill(n)(Long.MaxValue)
+    var j = 0
+    while (j < len) {
+      val s = UTF8String.fromString(java.lang.Long.toString(set.getLong(j)))
+      var i = 0
+      while (i < n) {
+        val h = hash(prefixes(i), s)
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def simhash60(words: ArrayData, prefix: Array[Byte]): Long = {
     val votes = new Array[Int](60)
     var j = 0
@@ -198,6 +217,45 @@ case class MinHashSigs(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `minhash_from_set(set, n)` → `array<bigint>`: the n MinHash values
+  * over a PRECOMPUTED element set (`array<bigint>`, e.g. the output of
+  * `chargram_set` or `shingle_set`): min_x(hash60("mh<i>|" ++
+  * decimal(x))); -1 per hash for an empty set. The generalization of
+  * [[MinHashSigs]] to any set-valued column — same "mh<i>|" seed
+  * scheme, with the element rendered as its decimal string so the
+  * DuckDB mirror is `'mh<i>|'||x::VARCHAR`. */
+case class MinHashFromSet(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == LongType &&
+      right.dataType == IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "minhash_from_set expects (array<bigint> set, int n literal)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_set"
+
+  @transient private lazy val n = right.eval(null).asInstanceOf[Int]
+  @transient private lazy val prefixes =
+    (0 until n).map(i => Md5Hash60.prefixBytes(s"mh$i|")).toArray
+
+  override def nullSafeEval(set: Any, nAny: Any): Any =
+    Md5Hash60.minhashFromSet(set.asInstanceOf[ArrayData], n, prefixes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (set, _) => {
+      val pref = ctx.addReferenceObj("mhsPrefixes", prefixes, "byte[][]")
+      s"${ev.value} = graft.plans.Md5Hash60.minhashFromSet($set, $n, $pref);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `shingle_set(words, k)` → sorted distinct `array<bigint>` of

@@ -50,6 +50,43 @@ class OpsSpec extends SparkTestBase {
     assert(pairs == Set((4L, 5L)), pairs.toString)
   }
 
+  test("TextDedup.minhashLshPairsFromSets: banded pairs over precomputed char-gram sets") {
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "hazy")), // 1-char edit: char-gram jac high
+      (3L, "completely different content about spark query engines and " +
+        "distributed columnar execution with shuffles joins and aggregates"),
+      (4L, "ab")) // shorter than the gram width: empty set, must not pair
+      .toDF("my_id", "body")
+      .select(col("my_id"), TF.chargramSetFast(TF.normText(col("body")), 4).as("s"))
+    val pairs = TextDedup.minhashLshPairsFromSets(df, idCol = "my_id",
+      setCol = "s", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
+  test("x43 (banded char-gram LSH) recall ⊇ x10 on the fixture; extras all cross x10's blocks") {
+    // same gram sets, same verify threshold — divergence can only be
+    // (a) LSH recall loss (all 4 bands missing a true pair) or (b) x10
+    // BLOCKING loss (true pairs crossing a (lang, len_band) boundary,
+    // invisible to the blocked self-join). On the fixture: (a) must be
+    // zero, and every x43 extra must be a provable (b).
+    def pairSet(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairSet("x43_chargram_lsh")
+    val blocked = pairSet("x10_ngram_jaccard")
+    assert((blocked -- lsh).isEmpty,
+      s"banded twin lost pairs to LSH: ${blocked -- lsh}")
+    val block = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "lang", "n_chars div 64 AS len_band")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val extras = lsh -- blocked
+    val sameBlock = extras.filter { case (a, b) => block(a) == block(b) }
+    assert(sameBlock.isEmpty,
+      s"extras within one block would mean x10 itself lost them: $sameBlock")
+  }
+
   test("TextDedup.simhashBandedPairs: non-default hamming bound derives chunk widths that sum to 60") {
     val df = Seq((1L, base), (2L, base), (3L, "unrelated short words only here"))
       .toDF("doc_id", "text")

@@ -107,6 +107,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("x43: banded char-gram LSH pair-gen is equi-join only — no cartesian, no nested loop") {
+    val p = plan("x43_chargram_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("x22: bucketed embed-dedup joins equi on the cell key; only the tiny centroid side is nested-loop") {
     val p = plan("x22_embed_dedup_bucketed")
     assert(!p.contains("CartesianProduct"), p)
