@@ -720,6 +720,29 @@ object ExtensionQueries {
         "256 + (h1 div 1024) % 1024 AS height",
         "cast(1 + h1 % 30 AS BIGINT) AS n_frames")
 
+  /** Multimodal metadata over a REAL `BinaryType` column — x14's
+    * text-hash stand-in upgraded to the actual binary path: attach a
+    * 16-byte binary payload ([[graft.multimodal.MediaPipeline.withPayload]],
+    * the stand-in for reading media bytes from a blob store), run the
+    * mapPartitions decode ([[graft.multimodal.MediaPipeline.extractMeta]]
+    * — per-partition init, narrow, the shape a real codec plugs into),
+    * and emit byte-derived metadata. The decode itself is the documented
+    * deterministic fake (no codecs in this container); everything the
+    * oracle checks — payload bytes, length, byte-indexed dimension
+    * derivation — is computed from the BINARY column on both sides
+    * (DuckDB: unhex→BLOB, octet_length, hex-pair extraction).
+    */
+  private val x44_media_binary: QFn = (s, d) =>
+    graft.multimodal.MediaPipeline.extractMeta(
+      graft.multimodal.MediaPipeline.withPayload(
+        docs(s, d).select(col("doc_id"), col("text")), "text"), "media")
+      .select(col("doc_id"),
+        length(col("media")).cast("long").as("n_bytes"),
+        col("media_meta.format").as("format"),
+        col("media_meta.width").cast("long").as("width"),
+        col("media_meta.height").cast("long").as("height"),
+        col("media_meta.nFrames").cast("long").as("n_frames"))
+
   // ----------------------------------------------------------------- events
 
   /** Tumbling 1-hour window aggregation over the event stream (batch
@@ -822,6 +845,7 @@ object ExtensionQueries {
     "x41_cluster_decision" -> x41_cluster_decision,
     "x42_bm25" -> x42_bm25,
     "x43_chargram_lsh" -> x43_chargram_lsh,
+    "x44_media_binary" -> x44_media_binary,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1071,6 +1095,18 @@ object ExtensionQueries {
          |       256 + (${H60("'media|'||text")} // 1024) % 1024 AS height,
          |       1 + ${H60("'media|'||text")} % 30 AS n_frames
          |  FROM documents""".stripMargin,
+    "x44_media_binary" ->
+      """WITH p AS (SELECT doc_id, unhex(md5(text)) AS payload FROM documents),
+        |b AS (SELECT doc_id, octet_length(payload)::BIGINT AS n_bytes,
+        |             hex(payload) AS hx
+        |        FROM p)
+        |SELECT doc_id, n_bytes,
+        |       CASE WHEN ('0x'||substring(hx,1,2))::INT % 2 = 0
+        |            THEN 'img' ELSE 'vid' END AS format,
+        |       (256 + ('0x'||substring(hx,3,2))::INT * 4)::BIGINT AS width,
+        |       (256 + ('0x'||substring(hx,5,2))::INT * 4)::BIGINT AS height,
+        |       (1 + ('0x'||substring(hx,7,2))::INT % 30)::BIGINT AS n_frames
+        |  FROM b""".stripMargin,
     "x15_events_window" ->
       """SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
         |       count(*) AS n, round(sum(value),2) AS sum_value,

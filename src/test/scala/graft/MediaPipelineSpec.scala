@@ -42,6 +42,32 @@ class MediaPipelineSpec extends SparkTestBase {
       dist.getInt(2) == local.height && dist.getInt(3) == local.nFrames)
   }
 
+  test("binary payload table persists through Catalog (createNew + append) byte-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    val cat = Catalog(spark, dir)
+    val withBin = MediaPipeline.withPayload(docs.select("doc_id", "text"), "text")
+      .select(col("doc_id"), col("media"))
+    try {
+      cat.createNew("media_store", withBin.schema)
+      cat.append("media_store", withBin)
+      val back = cat.table("media_store")
+      assert(back.schema("media").dataType == BinaryType)
+      def bytesById(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      assert(bytesById(back) == bytesById(withBin)) // byte round-trip
+      // the decode path runs identically over the PERSISTED binary column
+      val metaBack = MediaPipeline.extractMeta(back)
+        .select(col("doc_id"), col("media_meta.width"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val metaDirect = MediaPipeline.extractMeta(withBin)
+        .select(col("doc_id"), col("media_meta.width"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(metaBack == metaDirect)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("resizeStub truncates payloads; sampleFrames strides frames") {
     val withM = MediaPipeline.withPayload(docs, "text")
     val resized = MediaPipeline.resizeStub(withM, maxBytes = 4)
