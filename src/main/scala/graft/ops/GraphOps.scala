@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -31,11 +31,14 @@ object GraphOps {
     * checkpoints; hops needed = component diameter; near-dup clusters
     * are shallow (dup clusters are
     * near-cliques), so a handful of rounds settles 100 TB corpora. For
-    * adversarially long path graphs the published refinement is
-    * large-star/small-star contraction (Kiveris et al., "Connected
-    * Components in MapReduce"), which converges in O(log n) rounds with
-    * the same per-round join shape — the knob to swap in, not a plan
-    * change.
+    * adversarially long path graphs (crawl rings, boilerplate
+    * gradients) use [[connectedComponentsStar]] — star contraction
+    * converges in O(log² n) rounds regardless of diameter, with the
+    * same per-round join shape.
+    *
+    * Hitting `maxRounds` without reaching the fixpoint RAISES
+    * (IllegalStateException) — un-converged labels are silently wrong
+    * cluster ids, never a value a dedup decision may act on.
     *
     * @param pairs edge list, one row per undirected edge
     * @param maxRounds hard iteration cap (2 hops per round)
@@ -95,6 +98,113 @@ object GraphOps {
     // longer needed (superseded blocks are dropped by the ContextCleaner
     // as their RDDs are garbage-collected)
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds " +
+        s"(${2 * maxRounds} hops) — the graph has a component of diameter " +
+        "> 2*maxRounds. Raise maxRounds, or use connectedComponentsStar " +
+        "(O(log^2 n) rounds regardless of diameter).")
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the diameter-independent form: converges
+    * in O(log² n) rounds on ANY graph, where min-label propagation
+    * ([[connectedComponents]]) needs O(diameter) hops. Use this for
+    * adversarial shapes (crawl rings, long boilerplate-gradient
+    * chains); the label-prop form is cheaper per round on the shallow
+    * near-clique graphs dedup pipelines usually produce.
+    *
+    * Per round, on the canonical (lo < hi) distinct edge set:
+    *  - large-star: every node u links each STRICTLY-GREATER neighbor
+    *    to m(u) = min(N(u) ∪ {u}) — one groupBy-min + one equi-join;
+    *  - small-star: orient edges at their larger endpoint (hi → lo);
+    *    every center u links its smaller neighbors AND ITSELF to
+    *    m(u) = min — same shape.
+    * Both preserve connectivity; the combined fixpoint is the star
+    * forest where every node points at its component minimum (the
+    * canonical doc id). All shuffles are on uniform node-id keys; the
+    * driver holds a 3-field witness per round. Each round's edge set is
+    * `localCheckpoint`ed (lineage truncation — see
+    * [[connectedComponents]]).
+    *
+    * Convergence detection: a (count, Σlo, Σhi) witness gates an exact
+    * set-equality confirm (one left-anti probe, only run when the
+    * witness matches — distinct sets of equal size are equal iff the
+    * difference is empty). Hitting `maxRounds` raises, as in
+    * [[connectedComponents]].
+    *
+    * @return (node, cluster_id) — one row per node that appears in any
+    *         edge; cluster_id = min node id of the component. Identical
+    *         contract (and spec-checked identical output) to
+    *         [[connectedComponents]].
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", maxRounds: Int = 50): DataFrame = {
+    val raw = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    // every endpoint is a node (self-loop-only nodes included: they are
+    // their own singleton component, as in connectedComponents)
+    val nodes = raw.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct().localCheckpoint(true)
+    def canon(src: Column, dst: Column): Seq[Column] =
+      Seq(least(src, dst).as("lo"), greatest(src, dst).as("hi"))
+    var edges = raw.filter(col("src") =!= col("dst"))
+      .select(canon(col("src"), col("dst")): _*)
+      .distinct().localCheckpoint(true)
+
+    // large-star: m(u) ≤ u < v for every emitted (v, m(u)) pair, so the
+    // canonical orientation is immediate and self-loops are impossible
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("lo").as("src"), col("hi").as("dst"))
+        .unionByName(e.select(col("hi").as("src"), col("lo").as("dst")))
+      val mins = sym.groupBy("src").agg(min(col("dst")).as("mnd"))
+        .select(col("src"), least(col("mnd"), col("src")).as("m"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("m").as("lo"), col("dst").as("hi"))
+        .distinct()
+    }
+    // small-star: center = hi endpoint; all its neighbors here are
+    // strictly smaller, so m = min(N(u)) ≤ every emitted node
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(col("hi").as("src"), col("lo").as("dst"))
+      val mins = dir.groupBy("src").agg(min(col("dst")).as("m"))
+      dir.join(mins, "src")
+        .select(col("dst"), col("m"))
+        .unionByName(mins.select(col("src").as("dst"), col("m")))
+        .filter(col("dst") =!= col("m"))
+        .select(col("m").as("lo"), col("dst").as("hi"))
+        .distinct()
+    }
+    def witness(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(col("lo").cast("decimal(38,0)")),
+        sum(col("hi").cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+
+    var w = witness(edges)
+    var converged = w._1 == 0L // no non-loop edges: all singletons
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nw = witness(next)
+      // distinct sets of equal witness are equal iff the one-sided
+      // difference is empty; the anti probe runs only on witness match
+      converged = nw == w && next.exceptAll(edges).head(1).isEmpty
+      edges = next
+      w = nw
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within $maxRounds rounds " +
+        "— raise maxRounds (O(log^2 n) rounds suffice for n nodes).")
+    // fixpoint = star forest: every non-root appears exactly once as hi,
+    // pointing at its component min; roots (and singletons) label
+    // themselves
+    nodes.join(edges.select(col("hi").as("node"), col("lo").as("cid")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("cid"), col("node")).as("cluster_id"))
   }
 }
