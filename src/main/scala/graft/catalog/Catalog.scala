@@ -115,18 +115,21 @@ final case class Catalog(spark: SparkSession, dir: String) {
     * fact table: the shuffle is paid once at ingest, never per query.
     * Both join sides must share the bucket column(s) and bucket count.
     *
-    * Caveats (by construction of Spark's in-memory catalog):
-    *  - the registered table name is SESSION-GLOBAL, not namespaced by
-    *    this Catalog's `dir` — two Catalogs sharing one SparkSession
-    *    collide on equal names, and [[bucketedTable]] returns whatever
-    *    table currently holds the name regardless of directory. Use
-    *    dir-qualified names (e.g. "prod_lineitem_b") when multiple
-    *    catalogs share a session.
-    *  - bucket metadata lives only in the in-memory session catalog (no
-    *    external metastore here), so "shuffle paid once at ingest" holds
-    *    within one session; a later session path-reading [[table]] sees
-    *    plain parquet and shuffles again. Production ingest-once use
-    *    backs the session with a persistent metastore.
+    * Namespacing: the session-catalog registration is PER-CATALOG — the
+    * registered identifier is `name` suffixed with a hash of this
+    * Catalog's `dir` ([[bucketedName]]), so two Catalogs sharing one
+    * SparkSession can never collide on equal table names; all
+    * bucketed-API methods resolve through the same mapping, and
+    * [[bucketedTable]] additionally verifies the registration's
+    * location is this catalog's path (a stale or foreign registration
+    * fails loudly instead of silently serving another dir's data).
+    *
+    * Remaining caveat (by construction of Spark's in-memory catalog):
+    * bucket metadata lives only in the session catalog (no external
+    * metastore here), so "shuffle paid once at ingest" holds within one
+    * session; a later session path-reading [[table]] sees plain parquet
+    * and shuffles again. Production ingest-once use backs the session
+    * with a persistent metastore.
     */
   def writeBucketed(name: String, rows: DataFrame, buckets: Int,
       bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
@@ -134,12 +137,46 @@ final case class Catalog(spark: SparkSession, dir: String) {
       .option("path", path(name))
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(name)
+      .saveAsTable(bucketedName(name))
   }
 
+  /** The session-catalog identifier [[writeBucketed]] registers `name`
+    * under: suffixed with an 8-hex-digit md5 of this catalog's `dir`.
+    * Deterministic (same dir ⇒ same identifier across Catalog instances
+    * and sessions) and collision-free across dirs. */
+  def bucketedName(name: String): String = s"${name}_g$dirHash"
+
+  private lazy val dirHash: String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+
+  /** Whether [[writeBucketed]] has registered `name` in this session
+    * (for this catalog dir). */
+  def bucketedExists(name: String): Boolean =
+    spark.catalog.tableExists(bucketedName(name))
+
   /** Scan a bucketed table (registered in the session catalog by
-    * [[writeBucketed]]; plain path reads don't see bucket metadata). */
-  def bucketedTable(name: String): DataFrame = spark.table(name)
+    * [[writeBucketed]]; plain path reads don't see bucket metadata).
+    * Fails loudly if the registration under this catalog's identifier
+    * points outside this catalog's directory. */
+  def bucketedTable(name: String): DataFrame = {
+    val qn = bucketedName(name)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(qn))
+    val got = new HPath(meta.location)
+    val expected = got.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(new HPath(path(name)))
+    require(got == expected,
+      s"bucketed table '$qn' is registered at $got, not this catalog's $expected " +
+        "— stale or foreign registration; re-run writeBucketed")
+    spark.table(qn)
+  }
+
+  /** Drop a bucketed table's session-catalog registration (the data
+    * under [[path]] is external and stays; use [[drop]] for the data). */
+  def dropBucketed(name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${bucketedName(name)}")
 
   /** Read a named table stored in an alternate format ("csv", "json",
     * "orc", ...) — beyond-reference breadth: the reference's only format

@@ -101,10 +101,10 @@ object VectorOps {
     * (src/collection/indexes/hash.rs:10-18) express exactly this
     * intent. No within-bucket sort: the hash-join read path is
     * order-insensitive, so a build-time sort would be paid and never
-    * used. The bucket-metadata caveats of [[graft.catalog.Catalog
-    * .writeBucketed]] apply: the registered name is session-global
-    * (namespace it per catalog dir) and bucketing is visible only to
-    * sessions that registered it. */
+    * used. The bucket-metadata caveat of [[graft.catalog.Catalog
+    * .writeBucketed]] applies: bucketing is visible only to sessions
+    * that registered it (the registration itself is namespaced per
+    * catalog dir, so concurrent catalogs can't collide). */
   def writeIndex(cat: graft.catalog.Catalog, name: String,
       cells: DataFrame, buckets: Int = 64): Unit = {
     // saveAsTable parses the name as a SQL identifier — dotted names
@@ -126,7 +126,7 @@ object VectorOps {
   def searchIndex(cat: graft.catalog.Catalog, name: String, k: Int,
       queryPred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val t =
-      if (cat.spark.catalog.tableExists(name)) cat.bucketedTable(name)
+      if (cat.bucketedExists(name)) cat.bucketedTable(name)
       else cat.table(name)
     inCellTopK(t, k, queryPred, dedupProbes = true)
   }

@@ -301,4 +301,38 @@ class CoreOpsSpec extends SparkTestBase {
     intercept[Exception] { tmp.table("t").count() } // scan of dropped table fails
     intercept[IllegalArgumentException] { tmp.drop("t") } // CollectionDoesNotExistError
   }
+
+  test("two catalogs sharing one session don't collide on bucketed table names") {
+    import org.apache.spark.sql.functions.col
+    val dirA = java.nio.file.Files.createTempDirectory("graft_bna").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_bnb").toString
+    val (catA, catB) = (Catalog(spark, dirA), Catalog(spark, dirB))
+    val src = Catalog(spark, sf)
+    try {
+      // same logical name, different catalogs, different CONTENT
+      catA.writeBucketed("t", src.table("nation"), buckets = 2,
+        bucketCols = Seq("n_nationkey"))
+      catB.writeBucketed("t", src.table("region"), buckets = 2,
+        bucketCols = Seq("r_regionkey"))
+      // each catalog resolves ITS registration — writeBucketed B must
+      // not have clobbered A's (the session-global-name failure mode)
+      assert(catA.bucketedTable("t").columns.contains("n_nationkey"))
+      assert(catB.bucketedTable("t").columns.contains("r_regionkey"))
+      assert(catA.bucketedName("t") != catB.bucketedName("t"))
+      assert(catA.bucketedExists("t") && catB.bucketedExists("t"))
+      // a foreign/stale registration under a catalog's identifier is
+      // rejected loudly, never silently served
+      spark.sql(s"DROP TABLE ${catA.bucketedName("t")}")
+      spark.sql(
+        s"""CREATE TABLE ${catA.bucketedName("t")} USING parquet
+           | LOCATION '${catB.path("t")}'""".stripMargin)
+      val ex = intercept[IllegalArgumentException] { catA.bucketedTable("t") }
+      assert(ex.getMessage.contains("stale or foreign registration"))
+    } finally {
+      catA.dropBucketed("t")
+      catB.dropBucketed("t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirA))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirB))
+    }
+  }
 }

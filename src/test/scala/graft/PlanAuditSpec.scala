@@ -70,8 +70,8 @@ class PlanAuditSpec extends SparkTestBase {
       val p = joined.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS li_b")
-      spark.sql("DROP TABLE IF EXISTS ord_b")
+      cat.dropBucketed("li_b")
+      cat.dropBucketed("ord_b")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
@@ -226,7 +226,7 @@ class PlanAuditSpec extends SparkTestBase {
         (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
       assert(fromIndex == adHoc)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS emb_idx")
+      cat.dropBucketed("emb_idx")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
