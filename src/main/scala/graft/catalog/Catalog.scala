@@ -124,12 +124,17 @@ final case class Catalog(spark: SparkSession, dir: String) {
     * location is this catalog's path (a stale or foreign registration
     * fails loudly instead of silently serving another dir's data).
     *
-    * Remaining caveat (by construction of Spark's in-memory catalog):
-    * bucket metadata lives only in the session catalog (no external
-    * metastore here), so "shuffle paid once at ingest" holds within one
-    * session; a later session path-reading [[table]] sees plain parquet
-    * and shuffles again. Production ingest-once use backs the session
-    * with a persistent metastore.
+    * Cross-session persistence: the layout is SELF-DESCRIBING — the
+    * write drops a `_graft_buckets.json` sidecar (bucket count/columns/
+    * sort order) inside the table directory, and [[bucketedTable]] /
+    * [[bucketedExists]] re-register the external table from the sidecar
+    * when the session catalog has no registration (a later session, a
+    * restarted cluster). Re-registration is metadata-only DDL
+    * (`CREATE TABLE ... CLUSTERED BY ... LOCATION`) — no data moves, and
+    * "shuffle paid once at ingest" now genuinely means ONCE, across
+    * sessions, with no external metastore required. (Spark derives the
+    * bucket id of each file from its `_0000N` filename suffix, so
+    * metadata re-attachment is all that's needed.)
     */
   def writeBucketed(name: String, rows: DataFrame, buckets: Int,
       bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
@@ -138,6 +143,7 @@ final case class Catalog(spark: SparkSession, dir: String) {
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(bucketedName(name))
+    writeBucketSpec(name, Catalog.BucketSpec(buckets, bucketCols, sortCols))
   }
 
   /** The session-catalog identifier [[writeBucketed]] registers `name`
@@ -151,17 +157,40 @@ final case class Catalog(spark: SparkSession, dir: String) {
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map(b => f"${b & 0xff}%02x").mkString
 
-  /** Whether [[writeBucketed]] has registered `name` in this session
-    * (for this catalog dir). */
+  /** Whether `name` is available as a bucketed table: registered in this
+    * session by [[writeBucketed]], OR restorable from an earlier
+    * session's on-disk sidecar. */
   def bucketedExists(name: String): Boolean =
-    spark.catalog.tableExists(bucketedName(name))
+    spark.catalog.tableExists(bucketedName(name)) ||
+      readBucketSpec(name).isDefined
+
+  /** Re-attach bucket metadata written by an earlier session: read the
+    * `_graft_buckets.json` sidecar and register the external table with
+    * the recorded CLUSTERED BY / SORTED BY spec. Metadata-only; returns
+    * false when no sidecar exists (nothing to restore). */
+  def restoreBucketed(name: String): Boolean =
+    readBucketSpec(name).exists { spec =>
+      def q(c: String) = "`" + c.replace("`", "``") + "`"
+      val sorted =
+        if (spec.sortCols.isEmpty) ""
+        else s" SORTED BY (${spec.sortCols.map(q).mkString(", ")})"
+      spark.sql(
+        s"""CREATE TABLE ${bucketedName(name)} (${table(name).schema.toDDL})
+           | USING parquet
+           | CLUSTERED BY (${spec.bucketCols.map(q).mkString(", ")})$sorted
+           | INTO ${spec.buckets} BUCKETS
+           | LOCATION '${path(name)}'""".stripMargin)
+      true
+    }
 
   /** Scan a bucketed table (registered in the session catalog by
-    * [[writeBucketed]]; plain path reads don't see bucket metadata).
+    * [[writeBucketed]], or auto-restored from the on-disk sidecar when
+    * this session has no registration — see [[restoreBucketed]]).
     * Fails loudly if the registration under this catalog's identifier
     * points outside this catalog's directory. */
   def bucketedTable(name: String): DataFrame = {
     val qn = bucketedName(name)
+    if (!spark.catalog.tableExists(qn)) restoreBucketed(name)
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(qn))
     val got = new HPath(meta.location)
@@ -173,10 +202,39 @@ final case class Catalog(spark: SparkSession, dir: String) {
     spark.table(qn)
   }
 
-  /** Drop a bucketed table's session-catalog registration (the data
-    * under [[path]] is external and stays; use [[drop]] for the data). */
+  /** Drop a bucketed table's session-catalog registration (the data —
+    * including the bucket-spec sidecar, so a later session can still
+    * [[restoreBucketed]] — is external and stays; use [[drop]] for the
+    * data). */
   def dropBucketed(name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${bucketedName(name)}")
+
+  // Bucket-spec sidecar: a `_graft_buckets.json` file INSIDE the table
+  // directory (underscore-prefixed ⇒ invisible to Spark's file index,
+  // like _SUCCESS), so the bucketing contract travels with the data.
+  private def bucketSpecPath(name: String): HPath =
+    new HPath(path(name), "_graft_buckets.json")
+
+  private def writeBucketSpec(name: String, spec: Catalog.BucketSpec): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val out = fs.create(bucketSpecPath(name), true)
+    try out.write(org.json4s.jackson.Serialization.write(spec)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readBucketSpec(name: String): Option[Catalog.BucketSpec] = {
+    val p = bucketSpecPath(name)
+    if (!fs.exists(p)) None
+    else {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val in = fs.open(p)
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(org.json4s.jackson.Serialization.read[Catalog.BucketSpec](body))
+    }
+  }
 
   /** Read a named table stored in an alternate format ("csv", "json",
     * "orc", ...) — beyond-reference breadth: the reference's only format
@@ -212,6 +270,10 @@ final case class Catalog(spark: SparkSession, dir: String) {
 }
 
 object Catalog {
+  /** On-disk description of a bucketed layout (the sidecar's JSON shape). */
+  final case class BucketSpec(
+      buckets: Int, bucketCols: Seq[String], sortCols: Seq[String])
+
   /** The driver-generated TPC-H-ish fixture tables (TESTDATA.md). */
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

@@ -101,10 +101,12 @@ object VectorOps {
     * (src/collection/indexes/hash.rs:10-18) express exactly this
     * intent. No within-bucket sort: the hash-join read path is
     * order-insensitive, so a build-time sort would be paid and never
-    * used. The bucket-metadata caveat of [[graft.catalog.Catalog
-    * .writeBucketed]] applies: bucketing is visible only to sessions
-    * that registered it (the registration itself is namespaced per
-    * catalog dir, so concurrent catalogs can't collide). */
+    * used. The layout is self-describing ([[graft.catalog.Catalog
+    * .writeBucketed]] drops a bucket-spec sidecar next to the data), so
+    * a LATER session's [[searchIndex]] re-attaches the bucket metadata
+    * and keeps the zero-shuffle plan — no metastore required; the
+    * registration is namespaced per catalog dir, so concurrent catalogs
+    * can't collide. */
   def writeIndex(cat: graft.catalog.Catalog, name: String,
       cells: DataFrame, buckets: Int = 64): Unit = {
     // saveAsTable parses the name as a SQL identifier — dotted names
@@ -117,12 +119,11 @@ object VectorOps {
 
   /** Search a persisted index by cell-key equi-join — [[inCellTopK]]
     * with the bucketed table on both sides and probe-dedup ON (a
-    * persisted index is commonly multi-probe). Falls back to the plain
-    * parquet path when the session catalog has no such table (a later
-    * session re-reading the index dir): results identical, but the
-    * zero-shuffle property needs the bucket registration — re-run
-    * [[writeIndex]] (or back the session with a metastore) to get it
-    * back. */
+    * persisted index is commonly multi-probe). A later session
+    * re-reading the index dir restores the bucket registration from the
+    * on-disk sidecar automatically (zero-shuffle plan preserved); the
+    * plain-parquet fallback only fires for a directory that was never
+    * [[writeIndex]]-written (results identical, bucketing absent). */
   def searchIndex(cat: graft.catalog.Catalog, name: String, k: Int,
       queryPred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val t =

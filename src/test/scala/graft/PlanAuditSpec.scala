@@ -76,6 +76,38 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("bucket registration survives sessions: restored from the on-disk sidecar, still zero-shuffle") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed-restore").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    try {
+      cat.writeBucketed("li_b", cat2.table("lineitem"), buckets = 4,
+        bucketCols = Seq("l_orderkey"), sortCols = Seq("l_orderkey"))
+      cat.writeBucketed("ord_b", cat2.table("orders"), buckets = 4,
+        bucketCols = Seq("o_orderkey"), sortCols = Seq("o_orderkey"))
+      // simulate a LATER session: the in-memory registrations are gone,
+      // only the data directory (with its _graft_buckets.json sidecar)
+      // remains — exactly what a fresh SparkSession would see.
+      cat.dropBucketed("li_b")
+      cat.dropBucketed("ord_b")
+      assert(!spark.catalog.tableExists(cat.bucketedName("li_b")))
+      assert(cat.bucketedExists("li_b"), "sidecar must make the layout discoverable")
+      val joined = cat.bucketedTable("li_b")
+        .join(cat.bucketedTable("ord_b").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+      assert(joined.collect().length > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"restored bucketed join must not shuffle:\n$p")
+    } finally {
+      cat.dropBucketed("li_b")
+      cat.dropBucketed("ord_b")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("dynamic partition pruning: partitioned fact scan pruned by the dim filter at runtime") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
