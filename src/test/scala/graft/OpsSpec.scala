@@ -254,13 +254,15 @@ class OpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("numeric id column"), e.getMessage)
   }
 
-  test("GraphOps.connectedComponents: maxRounds caps propagation depth") {
+  test("GraphOps.connectedComponents: hitting maxRounds raises instead of returning partial labels") {
     val chain = (0L until 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val partial = graft.ops.GraphOps.connectedComponents(chain, maxRounds = 2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // node 10 is 10 hops from 0; 2 rounds = at most 4 propagation hops,
-    // so label 0 cannot have reached it yet
-    assert(partial(10L) > 0L, partial.toString)
+    // so the fixpoint is unreachable — un-converged labels must never
+    // be returned as if they were cluster ids
+    val e = intercept[IllegalStateException] {
+      graft.ops.GraphOps.connectedComponents(chain, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
     val full = graft.ops.GraphOps.connectedComponents(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 10L).forall(full(_) == 0L))
