@@ -108,6 +108,34 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom-filter semi-join reduction: the dim filter prunes fact rows before the shuffle") {
+    import org.apache.spark.sql.functions._
+    // At 100 TB the defaults fire on their own (application side ≥ 10 GB
+    // scan, creation side ≤ 10 MB after its filter); the fixture is far
+    // below both, so lower the thresholds to demonstrate the same plan.
+    // Broadcast is disabled to force the fact-fact shuffle-join shape —
+    // exactly the case where pre-shuffle row pruning pays.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = cat2.table("lineitem")
+      val ord = cat2.table("orders").filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      assert(j.collect().nonEmpty)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"fact side must carry the runtime bloom filter:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("dynamic partition pruning: partitioned fact scan pruned by the dim filter at runtime") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
