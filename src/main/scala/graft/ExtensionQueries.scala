@@ -26,10 +26,13 @@ import graft.mvcc.LogTable
 object ExtensionQueries {
   type QFn = (SparkSession, String) => DataFrame
 
+  // rebalanced scans: every query below front-loads compute-heavy map
+  // work (md5 gram/shingle hashing, per-element vector math) — see
+  // Catalog.tableRebalanced (no-op on well-split sources)
   private def docs(s: SparkSession, d: String): DataFrame =
-    Catalog(s, d).table("documents")
+    Catalog(s, d).tableRebalanced("documents")
   private def embs(s: SparkSession, d: String): DataFrame =
-    Catalog(s, d).table("embeddings")
+    Catalog(s, d).tableRebalanced("embeddings")
   private def events(s: SparkSession, d: String): DataFrame =
     Catalog(s, d).table("events")
 
@@ -315,15 +318,32 @@ object ExtensionQueries {
     * same true-Jaccard ≥ 0.8 merge scan. No data-sized blocks anywhere:
     * work is sum(band-bucket²), shuffle on uniform minhash band keys —
     * the plan survives a 100× corpus where x10's (lang, length) blocks
-    * go quadratic. Recall: P[all 4 bands miss] = (1−j²)⁴ ≤ 1.7% at
-    * j = 0.8, ≤ 0.13% at j = 0.9 (near-dups in practice); x10 stays as
-    * the labeled exact-within-block baseline (spec-checked equal here).
+    * go quadratic.
+    *
+    * Curve (b=8 bands × r=6 rows): the fixture corpus is a worst case
+    * for LSH selectivity — word-salad docs share one small gram
+    * vocabulary, so the BASELINE pairwise Jaccard is ≈ 0.31, and a
+    * loose 8×2 curve passed 24% of ALL pairs into verification (3M
+    * candidate pairs at sf0.1 — slower than the blocked baseline it
+    * exists to beat). At 8×6: background pass ≈ 1−(1−0.31⁶)⁸ ≈ 0.7%,
+    * while P[miss] = (1−j⁶)⁸ ≤ 0.2% at j = 0.9 and ≤ 4·10⁻⁴ at
+    * j = 0.93 (every observed true pair); boundary pairs at exactly
+    * j = 0.8 verify ~91% — the deliberate trade of a curve biased
+    * toward precision when verification is exact. The 48 affine
+    * permutations are integer arithmetic over the already-hashed gram
+    * set ([[graft.plans.MinHashPerms]]) — signatures stay map-side
+    * cheap. x10 remains the labeled exact-within-block baseline
+    * (recall ⊇ spec-checked in OpsSpec).
     */
   private val x43_chargram_lsh: QFn = (s, d) =>
     graft.ops.TextDedup.minhashLshPairsFromSets(
       docs(s, d).select(col("doc_id"),
         TF.chargramSetFast(TF.normText(col("text")), 4).as("el_set")),
-      numHashes = 8, bands = 4, threshold = 0.8)
+      numHashes = X43Hashes, bands = X43Bands, threshold = 0.8)
+
+  /** x43's LSH curve; shared with the generated oracle SQL. */
+  private val X43Hashes = 48
+  private val X43Bands = 8
 
   // ------------------------------------------------------------- similarity
 
@@ -1021,11 +1041,19 @@ object ExtensionQueries {
          | WHERE round(len(list_intersect(a.grams,b.grams))::DOUBLE /
          |             len(list_distinct(list_concat(a.grams,b.grams))), 4) >= 0.8""".stripMargin,
     "x43_chargram_lsh" -> {
-      val mhs = (0 until 8).map(i =>
-        s"coalesce(list_min(list_transform(grams, x -> ${H60(s"'mh$i|'||x::VARCHAR")})), -1) AS mh$i")
+      // the affine-permutation coefficients and the b×r curve are
+      // generated from the SAME code/constants the Catalyst expression
+      // and the Spark query use — the mirror is exact
+      val (pa, pb) = graft.plans.MinHashPerms.coeffs(X43Hashes)
+      val mhM = graft.plans.MinHashPerms.M
+      val rpb = X43Hashes / X43Bands
+      val mhs = (0 until X43Hashes).map(i =>
+        s"coalesce(list_min(list_transform(grams, x -> (${pa(i)}*(x%$mhM)+${pb(i)})%$mhM)), -1) AS mh$i")
         .mkString(",\n       ")
-      val bands = (0 until 4).map(bd =>
-        s"SELECT doc_id, grams, $bd AS band, mh${2 * bd}||':'||mh${2 * bd + 1} AS key FROM sig")
+      val bands = (0 until X43Bands).map(bd =>
+        s"SELECT doc_id, grams, $bd AS band, " +
+          (0 until rpb).map(r => s"mh${rpb * bd + r}").mkString("||':'||") +
+          " AS key FROM sig")
         .mkString("\n UNION ALL\n")
       s"""WITH g AS (
          |  SELECT doc_id, list_distinct(list_transform(

@@ -28,6 +28,22 @@ final case class Catalog(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame =
     spark.read.parquet(path(name))
 
+  /** [[table]] with an under-split guard for compute-heavy map
+    * pipelines (text hashing, vector math): if the source offers fewer
+    * scan splits than the cluster's parallelism — one giant gzip, a
+    * single parquet row group (Parquet cannot split a row group) — every
+    * map phase downstream would run near-serial no matter how many
+    * executors exist. Rebalance once, BEFORE the heavy per-row work.
+    * No-op whenever the source is already well-split (any healthy
+    * 100 TB layout), so production plans are unchanged; don't use it for
+    * plain project/filter scans, where an extra exchange buys nothing.
+    */
+  def tableRebalanced(name: String): DataFrame = {
+    val df = table(name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def path(name: String): String = s"$dir/$name.parquet"
 
   def schema(name: String): StructType = table(name).schema

@@ -107,9 +107,11 @@ object TextFunctions {
     call_function("chargram_set", strCol, lit(n))
 
   /** All `n` MinHash values over a PRECOMPUTED element set
-    * (array<bigint>, e.g. [[chargramSetFast]] / [[shingleSetFast]]
-    * output) — the generalization of [[minhashSigsFast]] to any
-    * set-valued column; elements hash as their decimal strings. */
+    * (array<bigint> of 60-bit hashes, e.g. [[chargramSetFast]] /
+    * [[shingleSetFast]] output) — the generalization of
+    * [[minhashSigsFast]] to any set-valued column. Pure-arithmetic
+    * affine permutations of the element hashes
+    * ([[graft.plans.MinHashPerms]]): no further digests per element. */
   def minhashFromSetFast(setCol: Column, n: Int): Column =
     call_function("minhash_from_set", setCol, lit(n))
 

@@ -55,8 +55,22 @@ object TextDedup {
   /** Shared LSH core: band the minhash signature, equi self-join on the
     * band key, verify true set Jaccard. `sig` columns: doc_id,
     * el_set (sorted distinct array<bigint>), mh (array<bigint>, length
-    * numHashes). */
-  private def bandJoinVerify(sig: DataFrame, numHashes: Int, bands: Int,
+    * numHashes).
+    *
+    * Plan shape (the element sets are the FAT payload — a char-gram set
+    * is ~n_chars longs — so they must never ride the band explode):
+    *  1. materialize (doc_id, el_set, mh) once (`localCheckpoint`; it
+    *     feeds the band join and both verify sides — without it, column
+    *     pruning re-runs the scan + signature hashing per consumer);
+    *  2. self-join SLIM (doc_id, band, key) rows — one aliased subtree,
+    *     its exchange shuffles ~3 small columns × `bands` rows/doc;
+    *  3. `distinct()` the candidate id pairs BEFORE verification (a true
+    *     near-dup pair collides in several bands; verify it once);
+    *  4. join the element sets back by id for the Jaccard verify — the
+    *     fat arrays move once per side (AQE broadcasts the candidate
+    *     side when it is small, so commonly they don't move at all).
+    */
+  private def bandJoinVerify(sig0: DataFrame, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
@@ -64,20 +78,24 @@ object TextDedup {
     // signature — banding them would funnel every such doc into one
     // quadratic bucket; they can never verify anyway (empty sets have
     // Jaccard 0), so drop them before banding
-    val banded = sig.filter(size(col("el_set")) > 0)
-      .select(col("doc_id"), col("el_set"),
-        posexplode(array((0 until bands).map(b =>
-          concat_ws(":", (0 until rpb).map(r =>
-            element_at(col("mh"), rpb * b + r + 1)): _*)): _*))
-          .as(Seq("band", "key")))
-    banded.as("a").join(banded.as("b").hint("shuffle_hash"),
+    val sig = sig0.filter(size(col("el_set")) > 0).localCheckpoint(true)
+    val slim = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws(":", (0 until rpb).map(r =>
+          element_at(col("mh"), rpb * b + r + 1)): _*)): _*))
+        .as(Seq("band", "key")))
+    val cand = slim.as("a").join(slim.as("b").hint("shuffle_hash"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        round(call_function("jaccard_sorted", col("a.el_set"), col("b.el_set")), 4)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("a_id"), col("el_set").as("a_set")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("el_set").as("b_set")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(call_function("jaccard_sorted", col("a_set"), col("b_set")), 4)
           .as("jac"))
       .filter(col("jac") >= threshold)
-      .distinct()
   }
 
   /** Pigeonhole-exact SimHash banding (Manku et al., WWW'07): the

@@ -74,6 +74,38 @@ object Md5Hash60 {
 
   def prefixBytes(p: String): Array[Byte] = p.getBytes(StandardCharsets.UTF_8)
 
+  // Memoized hash60 for SINGLE-string call sites (char-grams, words):
+  // md5 is a pure function of the input bytes (prefix ++ s), and corpus
+  // text is Zipfian — the same grams and words recur constantly (a
+  // 4-char-gram universe is vocabulary-bounded), so a bounded
+  // thread-local table short-circuits the digest for repeats. Cleared
+  // wholesale when full — no LRU bookkeeping; a Zipfian workload refills
+  // the hot set immediately. 32k entries ≈ 2 MB per task thread.
+  // NOT used for streamed multi-word shingles (hashShingle): shingle
+  // diversity is combinatorial, so a cache would mostly thrash, and
+  // keying would force materializing the shingle string the streaming
+  // digest exists to avoid.
+  private val CacheBound = 1 << 15
+  private val h60Cache: ThreadLocal[java.util.HashMap[String, java.lang.Long]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.HashMap[String, java.lang.Long](CacheBound * 2))
+
+  def hashCached(prefix: Array[Byte], s: UTF8String): Long = {
+    // the key IS the md5 input (prefix ++ s), so equal key ⇒ equal hash
+    val key =
+      if (prefix.isEmpty) s.toString
+      else new String(prefix, StandardCharsets.UTF_8) + s.toString
+    val c = h60Cache.get()
+    val hit = c.get(key)
+    if (hit ne null) hit.longValue()
+    else {
+      val h = hash(prefix, s)
+      if (c.size() >= CacheBound) c.clear()
+      c.put(key, h)
+      h
+    }
+  }
+
   /** Sort + dedup in place semantics: returns sorted distinct copy. */
   def sortedDistinct(a: Array[Long]): Array[Long] = {
     if (a.isEmpty) return a
@@ -126,24 +158,25 @@ object Md5Hash60 {
     val out = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      out(i) = hash(EmptyPrefix, s.substringSQL(i + 1, n))
+      out(i) = hashCached(EmptyPrefix, s.substringSQL(i + 1, n))
       i += 1
     }
     new GenericArrayData(sortedDistinct(out))
   }
 
   def minhashFromSet(set: ArrayData, n: Int,
-      prefixes: Array[Array[Byte]]): ArrayData = {
+      a: Array[Long], b: Array[Long]): ArrayData = {
     val len = set.numElements()
     if (len == 0) return new GenericArrayData(Array.fill(n)(-1L))
+    val M = MinHashPerms.M
     val out = Array.fill(n)(Long.MaxValue)
     var j = 0
     while (j < len) {
-      val s = UTF8String.fromString(java.lang.Long.toString(set.getLong(j)))
+      val h = set.getLong(j) % M
       var i = 0
       while (i < n) {
-        val h = hash(prefixes(i), s)
-        if (h < out(i)) out(i) = h
+        val v = (a(i) * h + b(i)) % M
+        if (v < out(i)) out(i) = v
         i += 1
       }
       j += 1
@@ -156,7 +189,7 @@ object Md5Hash60 {
     var j = 0
     val len = words.numElements()
     while (j < len) {
-      val h = hash(prefix, words.getUTF8String(j))
+      val h = hashCached(prefix, words.getUTF8String(j))
       var i = 0
       while (i < 60) {
         if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
@@ -174,7 +207,7 @@ object Md5Hash60 {
     val out = new Array[Long](strings.numElements())
     var j = 0
     while (j < out.length) {
-      out(j) = hash(prefix, strings.getUTF8String(j))
+      out(j) = hashCached(prefix, strings.getUTF8String(j))
       j += 1
     }
     new GenericArrayData(out)
@@ -219,13 +252,43 @@ case class MinHashSigs(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** The affine-permutation family behind [[MinHashFromSet]]:
+  * v_i(x) = (a_i·(x mod M) + b_i) mod M over the Mersenne-free prime
+  * M = largest prime < 2^30 — the standard universal-hashing MinHash
+  * construction (one base hash per element, n cheap permutations;
+  * cf. Broder '97). With a_i, x mod M < 2^30 the product stays < 2^60,
+  * so the SAME arithmetic is exact in any engine's signed 64-bit
+  * integers — the DuckDB mirror is literally
+  * `(a_i*(x%M)+b_i)%M`. Coefficients derive deterministically from the
+  * hash index via a splitmix-style mix, identical on both sides because
+  * the oracle SQL is generated from THIS code. */
+object MinHashPerms {
+  val M: Long = 1073741789L // largest prime < 2^30
+
+  /** (a, b) coefficient arrays for hash functions 0..n-1; a_i ∈ [1, M),
+    * b_i ∈ [0, M). */
+  def coeffs(n: Int): (Array[Long], Array[Long]) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = Array.tabulate(n)(i => 1L + java.lang.Long.remainderUnsigned(mix(2L * i), M - 1))
+    val b = Array.tabulate(n)(i => java.lang.Long.remainderUnsigned(mix(2L * i + 1), M))
+    (a, b)
+  }
+}
+
 /** `minhash_from_set(set, n)` → `array<bigint>`: the n MinHash values
-  * over a PRECOMPUTED element set (`array<bigint>`, e.g. the output of
-  * `chargram_set` or `shingle_set`): min_x(hash60("mh<i>|" ++
-  * decimal(x))); -1 per hash for an empty set. The generalization of
-  * [[MinHashSigs]] to any set-valued column — same "mh<i>|" seed
-  * scheme, with the element rendered as its decimal string so the
-  * DuckDB mirror is `'mh<i>|'||x::VARCHAR`. */
+  * over a PRECOMPUTED element set (`array<bigint>` of 60-bit hashes,
+  * e.g. the output of `chargram_set` or `shingle_set`):
+  * min_x((a_i·(x mod M) + b_i) mod M) per [[MinHashPerms]]; -1 per hash
+  * for an empty set. The generalization of [[MinHashSigs]] to any
+  * set-valued column. Unlike the md5-per-(element, hash) scheme this is
+  * pure integer arithmetic — elements were already uniformized by the
+  * set-builder's md5, so re-hashing per permutation buys nothing and
+  * costs n digests per element. */
 case class MinHashFromSet(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -241,16 +304,16 @@ case class MinHashFromSet(left: Expression, right: Expression)
   override def prettyName: String = "minhash_from_set"
 
   @transient private lazy val n = right.eval(null).asInstanceOf[Int]
-  @transient private lazy val prefixes =
-    (0 until n).map(i => Md5Hash60.prefixBytes(s"mh$i|")).toArray
+  @transient private lazy val ab = MinHashPerms.coeffs(n)
 
   override def nullSafeEval(set: Any, nAny: Any): Any =
-    Md5Hash60.minhashFromSet(set.asInstanceOf[ArrayData], n, prefixes)
+    Md5Hash60.minhashFromSet(set.asInstanceOf[ArrayData], n, ab._1, ab._2)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (set, _) => {
-      val pref = ctx.addReferenceObj("mhsPrefixes", prefixes, "byte[][]")
-      s"${ev.value} = graft.plans.Md5Hash60.minhashFromSet($set, $n, $pref);"
+      val aRef = ctx.addReferenceObj("mhpA", ab._1, "long[]")
+      val bRef = ctx.addReferenceObj("mhpB", ab._2, "long[]")
+      s"${ev.value} = graft.plans.Md5Hash60.minhashFromSet($set, $n, $aRef, $bRef);"
     })
 
   override protected def withNewChildrenInternal(
