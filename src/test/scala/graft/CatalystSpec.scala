@@ -75,6 +75,60 @@ class CatalystSpec extends SparkTestBase {
     assert(decl.head.isNullAt(0))
   }
 
+  test("MinHashPerms: coefficients in range, deterministic, distinct across hash indexes") {
+    val n = 64
+    val (a, b) = graft.plans.MinHashPerms.coeffs(n)
+    val M = graft.plans.MinHashPerms.M
+    assert(a.forall(x => x >= 1 && x < M), "a_i must be in [1, M)")
+    assert(b.forall(x => x >= 0 && x < M), "b_i must be in [0, M)")
+    assert(a.distinct.length == n && b.distinct.length == n,
+      "64 mixes colliding would mean a broken mixer")
+    val (a2, b2) = graft.plans.MinHashPerms.coeffs(n)
+    assert(a.sameElements(a2) && b.sameElements(b2), "must be deterministic")
+    // the product bound the portable-arithmetic claim rests on
+    assert(a.max * (M - 1) > 0 && a.max <= M - 1 && (M - 1) * (M - 1) > 0,
+      "a_i*(x%M) must not overflow signed 64-bit")
+  }
+
+  test("minhash_from_set: affine perms over the element hashes; -1 signature for the empty set") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, Seq(7L, 99L, 1L << 59)),
+      (2L, Seq.empty[Long])).toDF("id", "s")
+      .select(col("id"), TF.minhashFromSetFast(col("s"), 4).as("mh"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val (a, b) = graft.plans.MinHashPerms.coeffs(4)
+    val M = graft.plans.MinHashPerms.M
+    val expected = (0 until 4).map(i =>
+      Seq(7L, 99L, 1L << 59).map(x => (a(i) * (x % M) + b(i)) % M).min)
+    assert(rows(1L) == expected, s"${rows(1L)} != $expected")
+    assert(rows(2L) == Seq(-1L, -1L, -1L, -1L))
+  }
+
+  test("hashCached: memoized digests equal fresh md5 across prefix/string splits of one byte stream") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // "ab"+"cd" and "abc"+"d" are the SAME md5 input — the cache keys by
+    // the concatenation, so both must return the identical hash, from
+    // cache or not, in any call order
+    val h1 = graft.plans.Md5Hash60.hashCached(
+      graft.plans.Md5Hash60.prefixBytes("ab"), UTF8String.fromString("cd"))
+    val h2 = graft.plans.Md5Hash60.hashCached(
+      graft.plans.Md5Hash60.prefixBytes("abc"), UTF8String.fromString("d"))
+    val fresh = graft.plans.Md5Hash60.hash(
+      graft.plans.Md5Hash60.prefixBytes(""), UTF8String.fromString("abcd"))
+    assert(h1 == fresh && h2 == fresh)
+    // eviction: blow far past the cache bound, then re-verify stability
+    var i = 0
+    while (i < 70000) {
+      graft.plans.Md5Hash60.hashCached(
+        graft.plans.Md5Hash60.EmptyPrefix, UTF8String.fromString(s"k$i"))
+      i += 1
+    }
+    assert(graft.plans.Md5Hash60.hashCached(
+      graft.plans.Md5Hash60.EmptyPrefix, UTF8String.fromString("abcd")) == fresh)
+  }
+
   test("epsilon rewrite skips the degenerate case (eps below ulp(v)/2): exact match preserved") {
     import spark.implicits._
     val df = Seq(1e12, 2e12).toDF("x")
