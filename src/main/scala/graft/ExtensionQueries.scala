@@ -765,6 +765,37 @@ object ExtensionQueries {
 
   // ----------------------------------------------------------------- events
 
+  /** Z-ordered layout round-trip: ingest events clustered by the Morton
+    * interleave of (user_id, value) ([[graft.catalog.Catalog
+    * .writeZOrdered]]), then answer a two-dimensional box query from the
+    * clustered copy. The oracle checks CONTENT (the box result must
+    * equal the same filter over the raw table — clustering must never
+    * change answers); the data-skipping property the layout exists for
+    * (row-group pruning on BOTH box dimensions, where a single-column
+    * sort prunes one) is metric-asserted in ZOrderSpec. At 100 TB this
+    * is the scan-a-tile-not-a-stripe layout for telemetry/feature
+    * tables filtered on several numeric ranges at once. */
+  private val x45_zorder_scan: QFn = (s, d) => {
+    val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+    val tmpDir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val zcat = Catalog(s, tmpDir)
+    zcat.writeZOrdered("ev_z", ev, "user_id", "value", nFiles = 16)
+    // box bounds derived from exact min/max aggregates — the oracle
+    // recomputes the identical IEEE arithmetic from the same table
+    val r = ev.agg(min(col("value")), max(col("value")),
+      min(col("user_id")), max(col("user_id"))).head
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val (ulo, uhi) = (r.getLong(2), r.getLong(3))
+    zcat.table("ev_z")
+      .filter(col("value") >= lit(lo + (hi - lo) * 0.45) &&
+        col("value") < lit(lo + (hi - lo) * 0.55) &&
+        col("user_id") >= lit(ulo + (uhi - ulo) / 4) &&
+        col("user_id") < lit(ulo + (uhi - ulo) / 2))
+  }
+
   /** Tumbling 1-hour window aggregation over the event stream (batch
     * form; the streaming form with watermark lives in graft.streaming).
     * `ts` surfaces as raw ns (nanosAsLong) — bucket via integer div. */
@@ -866,6 +897,7 @@ object ExtensionQueries {
     "x42_bm25" -> x42_bm25,
     "x43_chargram_lsh" -> x43_chargram_lsh,
     "x44_media_binary" -> x44_media_binary,
+    "x45_zorder_scan" -> x45_zorder_scan,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1135,6 +1167,17 @@ object ExtensionQueries {
         |       (256 + ('0x'||substring(hx,5,2))::INT * 4)::BIGINT AS height,
         |       (1 + ('0x'||substring(hx,7,2))::INT % 30)::BIGINT AS n_frames
         |  FROM b""".stripMargin,
+    // content equality of the z-ordered box query: the oracle answers
+    // the same box from the RAW table — clustering must never change
+    // answers. Bounds recompute the identical IEEE arithmetic from the
+    // same exact min/max aggregates ('//' = BIGINT div, as Scala Long /).
+    "x45_zorder_scan" ->
+      """WITH r AS (SELECT min(value) AS lo, max(value) AS hi,
+        |                  min(user_id) AS ulo, max(user_id) AS uhi FROM events)
+        |SELECT event_id, user_id, value
+        |  FROM events, r
+        | WHERE value >= lo + (hi-lo)*0.45 AND value < lo + (hi-lo)*0.55
+        |   AND user_id >= ulo + (uhi-ulo)//4 AND user_id < ulo + (uhi-ulo)//2""".stripMargin,
     "x15_events_window" ->
       """SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
         |       count(*) AS n, round(sum(value),2) AS sum_value,
