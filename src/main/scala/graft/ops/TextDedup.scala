@@ -102,12 +102,22 @@ object TextDedup {
     * 60-bit simhash splits into `maxHamming + 1` chunks, so any pair
     * within `maxHamming` shares ≥ 1 identical chunk — exact candidate
     * generation, equi-join only. Output: (a_id, b_id, hamming). */
-  def simhashBandedPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 6): DataFrame = {
+  /** (bit shift, width) decomposition of the 60-bit simhash into
+    * `maxHamming + 1` chunks — the pigeonhole guarantee: any pair
+    * within `maxHamming` differing bits shares at least one identical
+    * chunk. Shared by the batch pair-join ([[simhashBandedPairs]]) and
+    * the streaming bucket state
+    * ([[graft.streaming.EventStreams.nearDupPairsStream]]). */
+  def simhashChunks(maxHamming: Int): Seq[(Int, Int)] = {
     val nChunks = maxHamming + 1
     val base = 60 / nChunks
     val widths = Seq.tabulate(nChunks)(i => if (i < 60 % nChunks) base + 1 else base)
-    val chunks = widths.scanLeft(0)(_ + _).zip(widths) // (shift, width)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  def simhashBandedPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 6): DataFrame = {
+    val chunks = simhashChunks(maxHamming) // (shift, width)
     val sh = docs.select(col(idCol).as("doc_id"),
       TF.simhashFast(col(textCol)).as("sh"))
     val chunked = sh.select(col("doc_id"), col("sh"),

@@ -166,6 +166,84 @@ object EventStreams {
   case class SessState(startNs: Long, lastNs: Long, n: Int)
   case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Int)
 
+  case class SigRow(doc_id: Long, sh: Long, event_time: java.sql.Timestamp,
+      chunk: Int, cval: Long)
+  case class BucketState(members: List[(Long, Long)]) // (doc_id, simhash), newest first
+  case class NearDup(a_id: Long, b_id: Long, hamming: Int)
+
+  /** Streaming near-duplicate pair detection — the streaming twin of
+    * batch [[graft.ops.TextDedup.simhashBandedPairs]] (x23), for
+    * catching near-dups AT INGEST instead of in the periodic batch
+    * sweep: each incoming doc's 60-bit SimHash splits into
+    * `maxHamming + 1` pigeonhole chunks (any pair within `maxHamming`
+    * differing bits shares ≥ 1 identical chunk — exact candidate
+    * generation, same decomposition via
+    * [[graft.ops.TextDedup.simhashChunks]]); state is keyed by
+    * (chunk, value) and holds the bucket's recent (doc_id, simhash)
+    * members, so the verify is a per-candidate XOR/bit-count against
+    * 8-byte signatures — no document text in state, ever.
+    *
+    * State bounds (both mandatory at 100 TB/day):
+    *  - event-time TTL: buckets idle past `watermarkDelay` are evicted
+    *    (near-dups farther apart in time than the horizon are the batch
+    *    sweep's job — same division of labor as
+    *    [[dedupWithinWatermark]]);
+    *  - `maxBucket` caps members per bucket (newest kept). A hot bucket
+    *    (boilerplate simhash) degrades recall against its oldest
+    *    members instead of growing state without bound.
+    *
+    * Output: one row per (bucket-collision, verified) pair, smaller id
+    * first. A pair sharing several identical chunks is emitted once per
+    * chunk — dedup downstream per sink (exactly the batch twin's
+    * trailing `distinct()`; a second stateful op after
+    * flatMapGroupsWithState is restricted, so it is not fused here).
+    * Docs frame: (doc_id long, text string, ts long ns).
+    */
+  def nearDupPairsStream(docs: DataFrame, watermarkDelay: String = "2 hours",
+      maxHamming: Int = 6, maxBucket: Int = 256)(
+      implicit spark: SparkSession): Dataset[NearDup] = {
+    import spark.implicits._
+    val horizonMs = 2L * 3600 * 1000 // TTL mirrors the default watermark
+    val chunks = graft.ops.TextDedup.simhashChunks(maxHamming)
+    docs
+      .withColumn("event_time", tsFromNs(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhashFast(col("text")).as("sh"),
+        col("event_time"))
+      .select(col("doc_id"), col("sh"), col("event_time"),
+        posexplode(array(chunks.map { case (off, w) =>
+          shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
+        }: _*)).as(Seq("chunk", "cval")))
+      .as[SigRow]
+      .groupByKey(r => (r.chunk, r.cval))
+      .flatMapGroupsWithState[BucketState, NearDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = List.newBuilder[NearDup]
+            var maxTsMs = 0L
+            // ascending id order makes intra-batch pair emission
+            // deterministic (the larger id finds the smaller in state)
+            rows.toSeq.sortBy(_.doc_id).foreach { r =>
+              maxTsMs = math.max(maxTsMs, r.event_time.getTime)
+              members.foreach { case (id, sh0) =>
+                val ham = java.lang.Long.bitCount(sh0 ^ r.sh)
+                if (ham <= maxHamming && id != r.doc_id)
+                  out += NearDup(math.min(id, r.doc_id),
+                    math.max(id, r.doc_id), ham)
+              }
+              members = ((r.doc_id, r.sh) :: members).take(maxBucket)
+            }
+            state.update(BucketState(members))
+            state.setTimeoutTimestamp(maxTsMs + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
   val GapNs: Long = 30L * 60 * 1000000000L
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the

@@ -159,6 +159,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup pairs: matches the batch simhash-banded twin; idle buckets evict") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val base =
+      "the quick brown fox jumps over the lazy dog and runs far away " +
+        "into the deep green forest while birds sing morning songs"
+    val corpus = Seq(
+      1L -> base,
+      2L -> base.replace("lazy", "sleepy"),
+      3L -> base, // exact dup of 1
+      4L -> ("completely different content about spark query engines and " +
+        "distributed columnar execution with shuffles joins and aggregates"))
+    val input = MemoryStream[(Long, String, Long)]
+    val pairs = EventStreams.nearDupPairsStream(
+      input.toDF().toDF("doc_id", "text", "ts"), watermarkDelay = "1 hour")
+    val q = pairs.writeStream.format("memory").queryName("neardup_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val B = H
+      input.addData(corpus.map { case (id, t) => (id, t, B + id) }: _*)
+      q.processAllAvailable()
+      // a pair sharing several chunks emits once per chunk — set-compare
+      // against the batch twin's (distinct) pair set, hamming included
+      val streamed = spark.table("neardup_test")
+        .select("a_id", "b_id", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = graft.ops.TextDedup.simhashBandedPairs(
+        corpus.toDF("doc_id", "text"), maxHamming = 6).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.contains((1L, 3L, 0)), "exact dup must surface at hamming 0")
+      // advance the watermark far past the horizon: buckets evict, so a
+      // re-sent near-dup of doc 1 pairs with NOTHING (the batch sweep's
+      // job beyond the horizon) — bounded state, same division of labor
+      // as dedupWithinWatermark
+      val n0 = spark.table("neardup_test").count()
+      input.addData((50L, "watermark advancer totally unrelated words", B + 10 * H))
+      q.processAllAvailable()
+      input.addData((51L, base, B + 10 * H + 1))
+      q.processAllAvailable()
+      assert(spark.table("neardup_test").count() == n0,
+        "evicted buckets must not produce pairs across the horizon")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases within the hour before each click, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
