@@ -172,6 +172,23 @@ object ExtensionQueries {
       .withColumn("n_members", count(lit(1)).over(wCl))
   }
 
+  /** x36 computed by the OTHER algorithm: alternating large-star /
+    * small-star contraction ([[graft.ops.GraphOps
+    * .connectedComponentsStar]], Kiveris et al. SoCC'14) — converges in
+    * O(log² n) rounds on ANY graph shape where min-label propagation
+    * needs O(diameter) hops. Same pair input, same output contract,
+    * same oracle: a hash-green row here is the correctness evidence for
+    * the diameter-independent path (crawl rings, boilerplate-gradient
+    * chains) that x36's shallow-clique-optimized form can't cover. */
+  private val x46_dup_clusters_star: QFn = (s, d) => {
+    val pairs = graft.ops.TextDedup.minhashLshPairs(docs(s, d),
+      shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.8)
+    val labels = graft.ops.GraphOps.connectedComponentsStar(pairs)
+    val wCl = Window.partitionBy("cluster_id")
+    labels.select(col("node").as("doc_id"), col("cluster_id"))
+      .withColumn("n_members", count(lit(1)).over(wCl))
+  }
+
   /** Benchmark decontamination — flag training documents that share
     * verbatim 8-word shingles with an eval/benchmark set (here: the
     * deterministic doc_id%5 slice stands in for the benchmark suite).
@@ -898,6 +915,7 @@ object ExtensionQueries {
     "x43_chargram_lsh" -> x43_chargram_lsh,
     "x44_media_binary" -> x44_media_binary,
     "x45_zorder_scan" -> x45_zorder_scan,
+    "x46_dup_clusters_star" -> x46_dup_clusters_star,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -956,6 +974,8 @@ object ExtensionQueries {
       "x33_text_dedup_decision" -> x33Oracle,
       "x34_simhash_dedup_decision" -> x34Oracle,
       "x36_dup_clusters" -> x36Oracle,
+      // same components, same canonical labels — algorithm-independent
+      "x46_dup_clusters_star" -> x36Oracle,
       "x41_cluster_decision" -> x41Oracle)
 
   val oracles: Map[String, String] = Map(
