@@ -91,10 +91,18 @@ object Md5Hash60 {
       new java.util.HashMap[String, java.lang.Long](CacheBound * 2))
 
   def hashCached(prefix: Array[Byte], s: UTF8String): Long = {
-    // the key IS the md5 input (prefix ++ s), so equal key ⇒ equal hash
+    // the key IS the md5 input (prefix ++ s). Decoded as ISO-8859-1 —
+    // byte-bijective, so two DIFFERENT byte strings can never share a
+    // key (UTF-8 decoding would fold all malformed sequences into
+    // U+FFFD, and crawl-corpus "strings" are not guaranteed valid UTF-8)
+    val sb = s.getBytes
     val key =
-      if (prefix.isEmpty) s.toString
-      else new String(prefix, StandardCharsets.UTF_8) + s.toString
+      if (prefix.isEmpty) new String(sb, StandardCharsets.ISO_8859_1)
+      else {
+        val all = java.util.Arrays.copyOf(prefix, prefix.length + sb.length)
+        System.arraycopy(sb, 0, all, prefix.length, sb.length)
+        new String(all, StandardCharsets.ISO_8859_1)
+      }
     val c = h60Cache.get()
     val hit = c.get(key)
     if (hit ne null) hit.longValue()

@@ -168,8 +168,18 @@ object EventStreams {
 
   case class SigRow(doc_id: Long, sh: Long, event_time: java.sql.Timestamp,
       chunk: Int, cval: Long)
-  case class BucketState(members: List[(Long, Long)]) // (doc_id, simhash), newest first
+  // (doc_id, simhash, event-time ms) — newest first
+  case class BucketState(members: List[(Long, Long, Long)])
   case class NearDup(a_id: Long, b_id: Long, hamming: Int)
+
+  /** Milliseconds in a streaming duration string ("2 hours", "30
+    * minutes") — the same interval syntax `withWatermark` accepts. */
+  private def durationMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"month-based durations are ambiguous: '$s'")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
 
   /** Streaming near-duplicate pair detection — the streaming twin of
     * batch [[graft.ops.TextDedup.simhashBandedPairs]] (x23), for
@@ -183,11 +193,19 @@ object EventStreams {
     * members, so the verify is a per-candidate XOR/bit-count against
     * 8-byte signatures — no document text in state, ever.
     *
+    * Horizon contract: a pair is emitted iff the two docs' event times
+    * lie within `watermarkDelay` of each other — enforced IN EVENT TIME
+    * on the members themselves (each member carries its timestamp;
+    * older members are pruned as newer rows arrive and never pair), so
+    * the contract holds regardless of batch boundaries or how the
+    * watermark happens to advance. Near-dups farther apart than the
+    * horizon are the batch sweep's job — the same division of labor as
+    * [[dedupWithinWatermark]].
+    *
     * State bounds (both mandatory at 100 TB/day):
-    *  - event-time TTL: buckets idle past `watermarkDelay` are evicted
-    *    (near-dups farther apart in time than the horizon are the batch
-    *    sweep's job — same division of labor as
-    *    [[dedupWithinWatermark]]);
+    *  - the horizon prunes members as rows arrive, and an event-time
+    *    timeout (set to the newest retained member + horizon, never
+    *    moved backwards by late rows) removes buckets that go idle;
     *  - `maxBucket` caps members per bucket (newest kept). A hot bucket
     *    (boilerplate simhash) degrades recall against its oldest
     *    members instead of growing state without bound.
@@ -203,7 +221,7 @@ object EventStreams {
       maxHamming: Int = 6, maxBucket: Int = 256)(
       implicit spark: SparkSession): Dataset[NearDup] = {
     import spark.implicits._
-    val horizonMs = 2L * 3600 * 1000 // TTL mirrors the default watermark
+    val horizonMs = durationMs(watermarkDelay)
     val chunks = graft.ops.TextDedup.simhashChunks(maxHamming)
     docs
       .withColumn("event_time", tsFromNs(col("ts")))
@@ -224,21 +242,32 @@ object EventStreams {
           else {
             var members = state.getOption.map(_.members).getOrElse(Nil)
             val out = List.newBuilder[NearDup]
-            var maxTsMs = 0L
-            // ascending id order makes intra-batch pair emission
-            // deterministic (the larger id finds the smaller in state)
-            rows.toSeq.sortBy(_.doc_id).foreach { r =>
-              maxTsMs = math.max(maxTsMs, r.event_time.getTime)
-              members.foreach { case (id, sh0) =>
+            // time-then-id order makes intra-batch emission deterministic
+            // (the later/larger row finds the earlier one in state)
+            rows.toSeq.sortBy(r => (r.event_time.getTime, r.doc_id)).foreach { r =>
+              val ts = r.event_time.getTime
+              members.foreach { case (id, sh0, mTs) =>
                 val ham = java.lang.Long.bitCount(sh0 ^ r.sh)
-                if (ham <= maxHamming && id != r.doc_id)
+                // |Δt| ≤ horizon: the event-time contract, batch-agnostic
+                // (late rows compare against newer members symmetrically)
+                if (ham <= maxHamming && id != r.doc_id &&
+                    math.abs(ts - mTs) <= horizonMs)
                   out += NearDup(math.min(id, r.doc_id),
                     math.max(id, r.doc_id), ham)
               }
-              members = ((r.doc_id, r.sh) :: members).take(maxBucket)
+              members = ((r.doc_id, r.sh, ts) :: members).take(maxBucket)
             }
+            // prune members beyond the horizon of the newest retained
+            // event — they can never pair again (anything newer is, by
+            // definition, farther from them than the horizon)
+            val newest = members.iterator.map(_._3).max
+            members = members.filter(m => newest - m._3 <= horizonMs)
             state.update(BucketState(members))
-            state.setTimeoutTimestamp(maxTsMs + horizonMs)
+            // newest retained member + horizon; never earlier than a
+            // previous setting (a late row must not move eviction back)
+            state.setTimeoutTimestamp(
+              math.max(newest + horizonMs,
+                math.max(state.getCurrentWatermarkMs() + 1, 0L)))
             out.result().iterator
           }
       }
