@@ -186,6 +186,13 @@ final case class Catalog(spark: SparkSession, dir: String) {
     */
   def writeBucketed(name: String, rows: DataFrame, buckets: Int,
       bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    // crash-safety ordering: drop any previous sidecar FIRST and re-create
+    // it only after the data write completes. A crash mid-write then leaves
+    // a directory with no sidecar — later sessions degrade to the safe
+    // plain-parquet path — instead of a stale sidecar describing new data
+    // (wrong bucket count ⇒ Spark silently drops files whose filename
+    // bucket id >= numBuckets and trusts a layout that isn't there).
+    fs.delete(bucketSpecPath(name), false)
     val w = rows.write.mode("overwrite").format("parquet")
       .option("path", path(name))
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
@@ -218,6 +225,19 @@ final case class Catalog(spark: SparkSession, dir: String) {
     * false when no sidecar exists (nothing to restore). */
   def restoreBucketed(name: String): Boolean =
     readBucketSpec(name).exists { spec =>
+      // sidecar/data consistency gate: every bucketed data file carries its
+      // bucket id as a `_NNNNN` filename suffix, and Spark silently DROPS
+      // files whose id >= the registered bucket count — a sidecar that
+      // disagrees with the files (crash between data and sidecar writes,
+      // manual copy) must fail loudly, not serve a fraction of the table.
+      val idRe = "_(\\d{5})\\.".r
+      val maxId = fs.listStatus(new HPath(path(name))).iterator
+        .map(_.getPath.getName)
+        .flatMap(n => idRe.findFirstMatchIn(n).map(_.group(1).toInt))
+        .foldLeft(-1)(math.max)
+      require(maxId < spec.buckets,
+        s"bucket sidecar for '$name' declares ${spec.buckets} buckets but a " +
+          s"data file has bucket id $maxId — stale sidecar; re-run writeBucketed")
       def q(c: String) = "`" + c.replace("`", "``") + "`"
       val sorted =
         if (spec.sortCols.isEmpty) ""

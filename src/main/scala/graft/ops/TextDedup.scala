@@ -59,9 +59,16 @@ object TextDedup {
     *
     * Plan shape (the element sets are the FAT payload — a char-gram set
     * is ~n_chars longs — so they must never ride the band explode):
-    *  1. materialize (doc_id, el_set, mh) once (`localCheckpoint`; it
-    *     feeds the band join and both verify sides — without it, column
-    *     pruning re-runs the scan + signature hashing per consumer);
+    *  1. materialize (doc_id, el_set, mh) once (LAZY `localCheckpoint`;
+    *     it feeds the band join and both verify sides — without it,
+    *     column pruning re-runs the scan + signature hashing per
+    *     consumer). Lazy means constructing the returned DataFrame stays
+    *     side-effect-free (explain/dry-run usage runs no job); the
+    *     signature scan materializes on the FIRST action and its blocks
+    *     stay pinned for the session (executor-local, no lineage —
+    *     callers running on preemptible executors should persist the
+    *     signature frame themselves with MEMORY_AND_DISK and pass it
+    *     through [[minhashLshPairsFromSets]]);
     *  2. self-join SLIM (doc_id, band, key) rows — one aliased subtree,
     *     its exchange shuffles ~3 small columns × `bands` rows/doc;
     *  3. `distinct()` the candidate id pairs BEFORE verification (a true
@@ -78,7 +85,7 @@ object TextDedup {
     // signature — banding them would funnel every such doc into one
     // quadratic bucket; they can never verify anyway (empty sets have
     // Jaccard 0), so drop them before banding
-    val sig = sig0.filter(size(col("el_set")) > 0).localCheckpoint(true)
+    val sig = sig0.filter(size(col("el_set")) > 0).localCheckpoint(false)
     val slim = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         concat_ws(":", (0 until rpb).map(r =>
