@@ -311,12 +311,26 @@ object ExtensionQueries {
     * 100 TB shape: the only join is equi on (chunk, cval) — work is
     * sum(bucket²) per chunk over 2^8..2^9-ary uniform buckets, shuffle
     * partitioned, AQE-splittable; nothing is quadratic in a data-sized
-    * block. (For trillion-doc corpora the published refinement is
-    * chunk-pair keys — 21 keys/doc, 2^17 buckets — same plan, wider
-    * key; this fixture-scale form keeps 7 keys/doc.)
+    * block. (For billion-doc corpora, [[x47_simhash_pairbanded]] is the
+    * chunk-PAIR-key refinement — same plan, ~2^15-ary buckets.)
     */
   private val x23_simhash_banded: QFn = (s, d) =>
     graft.ops.TextDedup.simhashBandedPairs(docsR(s, d), maxHamming = 6)
+
+  /** x23's extreme-scale twin — chunk-PAIR keys (Manku WWW'07
+    * multi-block banding): 8 chunks instead of 7, keyed by all
+    * C(8,2)=28 chunk pairs, so ≤ 6 differing bits leave ≥ 2 chunks —
+    * hence ≥ 1 whole PAIR key — intact. Exactly the same output pair
+    * set (both bandings are pigeonhole-exact; same brute-force oracle
+    * as x23), but candidate buckets are ~2^15-ary instead of ~2^8.6-ary:
+    * expected random-collision candidate volume drops ~2^6× (OpsSpec
+    * asserts the shrink on the fixture), which is what keeps the
+    * candidate join sub-quadratic at billion-doc corpora where x23's
+    * single-chunk buckets hold n/2^8.6 docs each. The price — 28 slim
+    * explode rows/doc instead of 7 — is linear and map-side. */
+  private val x47_simhash_pairbanded: QFn = (s, d) =>
+    graft.ops.TextDedup.simhashBandedPairs(docsR(s, d), maxHamming = 6,
+      pairKeys = true)
 
   /** Character-4-gram Jaccard near-dup pairs, blocked by (lang, length
     * band) — the brute-force baseline: block sizes are data-dependent,
@@ -962,6 +976,7 @@ object ExtensionQueries {
     "x44_media_binary" -> x44_media_binary,
     "x45_zorder_scan" -> x45_zorder_scan,
     "x46_dup_clusters_star" -> x46_dup_clusters_star,
+    "x47_simhash_pairbanded" -> x47_simhash_pairbanded,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1022,6 +1037,9 @@ object ExtensionQueries {
       "x36_dup_clusters" -> x36Oracle,
       // same components, same canonical labels — algorithm-independent
       "x46_dup_clusters_star" -> x36Oracle,
+      // both bandings are pigeonhole-exact ⇒ both must equal the
+      // brute-force all-pairs oracle
+      "x47_simhash_pairbanded" -> oracles("x23_simhash_banded"),
       "x41_cluster_decision" -> x41Oracle)
 
   val oracles: Map[String, String] = Map(

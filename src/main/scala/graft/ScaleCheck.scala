@@ -60,8 +60,8 @@ object ScaleCheck {
       .withColumn("doc_id", col("doc_id") + col("__r") * maxDoc)
       .drop("__r").write.mode("overwrite").parquet(s"$dst/documents.parquet")
     for (n <- Seq("x04_dedup_exact", "x07_minhash_lsh_pairs", "x23_simhash_banded",
-        "x36_dup_clusters", "x38_pack_sequences", "x39_repetition",
-        "x43_chargram_lsh", "x10_ngram_jaccard")) {
+        "x47_simhash_pairbanded", "x36_dup_clusters", "x38_pack_sequences",
+        "x39_repetition", "x43_chargram_lsh", "x10_ngram_jaccard")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)

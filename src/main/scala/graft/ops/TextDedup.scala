@@ -105,32 +105,66 @@ object TextDedup {
       .filter(col("jac") >= threshold)
   }
 
-  /** Pigeonhole-exact SimHash banding (Manku et al., WWW'07): the
-    * 60-bit simhash splits into `maxHamming + 1` chunks, so any pair
-    * within `maxHamming` shares ≥ 1 identical chunk — exact candidate
-    * generation, equi-join only. Output: (a_id, b_id, hamming). */
+  /** (bit shift, width) decomposition of the 60-bit simhash into
+    * `nChunks` near-equal chunks (wider chunks first). */
+  def simhashChunksN(nChunks: Int): Seq[(Int, Int)] = {
+    val base = 60 / nChunks
+    val widths = Seq.tabulate(nChunks)(i => if (i < 60 % nChunks) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
   /** (bit shift, width) decomposition of the 60-bit simhash into
     * `maxHamming + 1` chunks — the pigeonhole guarantee: any pair
     * within `maxHamming` differing bits shares at least one identical
     * chunk. Shared by the batch pair-join ([[simhashBandedPairs]]) and
     * the streaming bucket state
     * ([[graft.streaming.EventStreams.nearDupPairsStream]]). */
-  def simhashChunks(maxHamming: Int): Seq[(Int, Int)] = {
-    val nChunks = maxHamming + 1
-    val base = 60 / nChunks
-    val widths = Seq.tabulate(nChunks)(i => if (i < 60 % nChunks) base + 1 else base)
-    widths.scanLeft(0)(_ + _).zip(widths)
-  }
+  def simhashChunks(maxHamming: Int): Seq[(Int, Int)] = simhashChunksN(maxHamming + 1)
 
+  /** Pigeonhole-exact SimHash banding (Manku et al., WWW'07): the
+    * 60-bit simhash splits into `maxHamming + 1` chunks, so any pair
+    * within `maxHamming` shares ≥ 1 identical chunk — exact candidate
+    * generation, equi-join only. Output: (a_id, b_id, hamming).
+    *
+    * `pairKeys = true` is the extreme-scale refinement (Manku WWW'07
+    * §3.1.1's multi-block keys): split into `maxHamming + 2` chunks and
+    * key each doc by every CHUNK PAIR — C(maxHamming+2, 2) keys/doc of
+    * roughly DOUBLE the bit width. The pigeonhole guarantee re-derives:
+    * ≤ `maxHamming` differing bits corrupt at most `maxHamming` of the
+    * `maxHamming + 2` chunks, so at least TWO chunks stay identical —
+    * and that surviving pair of chunks is one of the emitted keys, so
+    * every true pair still collides (exact, same output). What changes
+    * is bucket cardinality: for maxHamming=6, 28 keys of ~15 bits
+    * (2^15-ary buckets) instead of 7 keys of ~8.6 bits — expected
+    * candidate volume per corpus drops ~2^6-2^7× (sum over keys of
+    * n_k²/|buckets|), the difference between a workable and a quadratic
+    * candidate join at billion-doc corpora. The single-chunk form stays
+    * the default: at moderate scale its 7 slim explode rows/doc beat
+    * the pair form's 28. */
   def simhashBandedPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 6): DataFrame = {
-    val chunks = simhashChunks(maxHamming) // (shift, width)
+      textCol: String = "text", maxHamming: Int = 6,
+      pairKeys: Boolean = false): DataFrame = {
+    val keyExprs: Seq[Column] =
+      if (!pairKeys)
+        simhashChunks(maxHamming).map { case (off, w) =>
+          shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
+        }
+      else {
+        val chunks = simhashChunksN(maxHamming + 2)
+        def cval(c: (Int, Int)): Column = c match {
+          case (off, w) =>
+            shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
+        }
+        for {
+          i <- 0 until chunks.size
+          j <- (i + 1) until chunks.size
+        } yield shiftleft(cval(chunks(i)), chunks(j)._2)
+          .bitwiseOR(cval(chunks(j)))
+      }
     val sh = docs.select(col(idCol).as("doc_id"),
       TF.simhashFast(col(textCol)).as("sh"))
     val chunked = sh.select(col("doc_id"), col("sh"),
-      posexplode(array(chunks.map { case (off, w) =>
-        shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
-      }: _*)).as(Seq("chunk", "cval")))
+      posexplode(array(keyExprs: _*)).as(Seq("chunk", "cval")))
     chunked.as("a").join(chunked.as("b").hint("shuffle_hash"),
       col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
         col("a.doc_id") < col("b.doc_id"))

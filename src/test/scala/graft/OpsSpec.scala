@@ -99,6 +99,83 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash pair-key pigeonhole: <= maxHamming flips always leave an intact chunk pair (property)") {
+    // the exactness argument behind pairKeys = true, checked directly on
+    // the decomposition: corrupt ANY <= maxHamming bit positions of a
+    // 60-bit value split into maxHamming+2 chunks — at least one of the
+    // C(n,2) chunk-pair keys must be untouched on both chunks.
+    val rnd = new scala.util.Random(42)
+    for (maxH <- Seq(3, 6, 8); _ <- 1 to 200) {
+      val chunks = TextDedup.simhashChunksN(maxH + 2)
+      val nFlips = rnd.nextInt(maxH + 1) // 0..maxH
+      val flipped = rnd.shuffle((0 until 60).toList).take(nFlips).toSet
+      val corrupt = (i: Int) => chunks(i) match {
+        case (off, w) => (off until off + w).exists(flipped)
+      }
+      val intactPairExists = (for {
+        i <- chunks.indices; j <- (i + 1) until chunks.size
+      } yield !corrupt(i) && !corrupt(j)).exists(identity)
+      assert(intactPairExists,
+        s"maxH=$maxH flips=$flipped left no intact chunk pair")
+    }
+    // boundary sanity: maxHamming+1 flips CAN corrupt all-but-one chunk
+    // (the guarantee needs >= 2 intact, so the bound is tight)
+    val c6 = TextDedup.simhashChunksN(8)
+    assert(c6.map(_._2).sum == 60 && c6.size == 8)
+  }
+
+  test("x47 pair-key banding: pair set equals x23's single-chunk banding on the fixture") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val single = TextDedup.simhashBandedPairs(docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val paired = TextDedup.simhashBandedPairs(docs, maxHamming = 6,
+      pairKeys = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(paired == single,
+      s"pair-key banding diverged: only-single=${(single -- paired).take(5)} " +
+        s"only-paired=${(paired -- single).take(5)}")
+  }
+
+  test("x47 pair keys shrink candidate volume vs single-chunk keys on the fixture") {
+    // candidate volume = sum over (key, value) buckets of C(n,2) — the
+    // number of same-bucket id pairs the band join must touch BEFORE the
+    // hamming verify. Pair keys trade 4x the explode rows for ~2^6x
+    // larger key space; on any corpus with a random-ish simhash tail the
+    // collision volume must shrink.
+    import graft.functions.{TextFunctions => TF}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sh = docs.select(col("doc_id"),
+      TF.simhashFast(col("text")).as("sh")).localCheckpoint(true)
+    def volume(pairKeys: Boolean): (Long, Long) = {
+      val keyExprs: Seq[org.apache.spark.sql.Column] =
+        if (!pairKeys)
+          TextDedup.simhashChunks(6).map { case (off, w) =>
+            shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
+          }
+        else {
+          val chunks = TextDedup.simhashChunksN(8)
+          def cv(c: (Int, Int)) = shiftrightunsigned(col("sh"), c._1)
+            .bitwiseAND(lit((1L << c._2) - 1))
+          for {
+            i <- chunks.indices; j <- (i + 1) until chunks.size
+          } yield shiftleft(cv(chunks(i)), chunks(j)._2)
+            .bitwiseOR(cv(chunks(j)))
+        }
+      val r = sh.select(posexplode(array(keyExprs: _*)).as(Seq("k", "v")))
+        .groupBy("k", "v").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - 1) / 2).cast("long"),
+          max(col("n")).cast("long")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (volSingle, _) = volume(pairKeys = false)
+    val (volPaired, maxPaired) = volume(pairKeys = true)
+    // identical docs collide under EVERY key in both schemes, so the floor
+    // is the true-dup volume; the random-tail collisions must shrink
+    assert(volPaired < volSingle,
+      s"pair-key candidate volume $volPaired !< single-chunk $volSingle")
+    assert(maxPaired > 0)
+  }
+
   test("VectorOps: custom centroids + column names; dedup decision drops the higher id") {
     val v1 = Array(1.0f, 0.0f, 0.0f)
     val v2 = Array(0.99f, 0.1f, 0.0f) // near-dup of v1
