@@ -730,6 +730,32 @@ object ExtensionQueries {
       .select(col("rnk"), col("doc_id"), col("cos"), col("lang"), col("n_chars"))
   }
 
+  /** Lloyd's rounds the trained-ANN pipeline runs (x48): fixed so the
+    * DuckDB oracle can unroll the identical iterations. */
+  private val X48Iters = 2
+
+  /** End-to-end TRAINED-centroid ANN — the composition x18/x30 only
+    * staged: train IVF centroids by iterating Lloyd's steps
+    * ([[graft.ops.VectorOps.kmeansTrain]]: assign with broadcast
+    * centroids → exact-integer quantized re-center, bit-identical
+    * across engines/partitionings), then search within the trained
+    * cells (same inCellTopK plan as x18 — swapping stand-in centroids
+    * for trained ones changes recall, not the plan). The oracle unrolls
+    * the SAME two Lloyd's rounds in SQL, so training + assignment +
+    * search are all hash-checked, not rows-only. ExtensionsSpec
+    * additionally asserts in-engine recall@3 of the trained index ≥ the
+    * first-16-vectors stand-in's (x18), and round-trips the centroid
+    * frame through Catalog persistence. At 100 TB: training touches the
+    * corpus `iters` times map-side (centroids stay broadcast-sized);
+    * nothing corpus-sized reaches the driver. */
+  private val x48_ann_trained: QFn = (s, d) => {
+    val e = embs(s, d)
+    val cent = graft.ops.VectorOps.kmeansTrain(e, initK = 16, iters = X48Iters)
+    graft.ops.VectorOps.inCellTopK(
+      graft.ops.VectorOps.ivfCells(e, cent, nprobe = 1),
+      k = 3, queryPred = col("q_id") < 10)
+  }
+
   /** Ingest-time dedup against the LIVE corpus — the composition an
     * incremental crawl pipeline runs on every batch: existing corpus =
     * MVCC snapshot of the committed log (x17 semantics); incoming batch
@@ -977,6 +1003,7 @@ object ExtensionQueries {
     "x45_zorder_scan" -> x45_zorder_scan,
     "x46_dup_clusters_star" -> x46_dup_clusters_star,
     "x47_simhash_pairbanded" -> x47_simhash_pairbanded,
+    "x48_ann_trained" -> x48_ann_trained,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1030,8 +1057,53 @@ object ExtensionQueries {
        |${x36Oracle}
        |) WHERE doc_id <> cluster_id""".stripMargin
 
+  // x48: the SAME two Lloyd's rounds the Spark side runs, unrolled as a
+  // CTE chain. Centroid math is exact-integer quantized (sum of
+  // round(x*2^20) longs, divided back) so both engines derive
+  // bit-identical centroids each round — training is hash-checked, not
+  // approximated. Generated from X48Iters so query and oracle can't
+  // drift on the round count.
+  private lazy val x48Oracle: String = {
+    def asg(cent: String, name: String) =
+      s"""$name AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${COS("e.embedding", "c.c_e")} DESC, c.c_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN $cent c)""".stripMargin
+    def recenter(asgName: String, centName: String) =
+      s"""${centName}_q AS (
+         |  SELECT c_id AS cell, generate_subscripts(embedding, 1) - 1 AS dim,
+         |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS q
+         |    FROM $asgName WHERE rn = 1),
+         |$centName AS (
+         |  SELECT cell AS c_id, list(CAST(mval AS FLOAT) ORDER BY dim) AS c_e
+         |    FROM (SELECT cell, dim, (sum(q)::DOUBLE / 1048576.0) / count(*) AS mval
+         |            FROM ${centName}_q GROUP BY cell, dim)
+         |   GROUP BY cell)""".stripMargin
+    val rounds = (1 to X48Iters).map { i =>
+      asg(s"cent${i - 1}", s"asg$i") + ",\n" + recenter(s"asg$i", s"cent$i")
+    }.mkString(",\n")
+    s"""WITH cent0 AS (SELECT vec_id AS c_id, embedding AS c_e
+       |                 FROM embeddings WHERE vec_id < 16),
+       |$rounds,
+       |${asg(s"cent$X48Iters", "asgf")},
+       |cells AS (SELECT vec_id, embedding, c_id AS cell FROM asgf WHERE rn = 1),
+       |cand AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |         round(${COS("q.embedding", "n.embedding")}, 6) AS cos
+       |    FROM cells q JOIN cells n
+       |      ON q.cell = n.cell AND q.vec_id <> n.vec_id
+       |   WHERE q.vec_id < 10)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, n_id ASC) AS rnk
+       |    FROM cand) WHERE rnk <= 3""".stripMargin
+  }
+
   lazy val oraclesAll: Map[String, String] =
     oracles ++ Map(
+      "x48_ann_trained" -> x48Oracle,
       "x33_text_dedup_decision" -> x33Oracle,
       "x34_simhash_dedup_decision" -> x34Oracle,
       "x36_dup_clusters" -> x36Oracle,

@@ -87,6 +87,79 @@ object VectorOps {
       .agg(round(avg(col("x").cast("double")), 6).as("mean_x"),
         count(lit(1)).as("n"))
 
+  /** One Lloyd's iteration returning a CENTROID FRAME (c_id, c_e) ready
+    * to feed straight back into [[ivfCells]] — the composable form of
+    * [[kmeansStep]]'s long-form output.
+    *
+    * The per-dimension mean is computed over QUANTIZED values: each
+    * element is rounded to 1/2^20 (≈1e-6, far below float precision of
+    * any normalized embedding), summed as exact integers, and divided
+    * back. Integer sums are associative — unlike float sums — so the
+    * centroid is bit-identical regardless of partitioning, engine, or
+    * aggregation order: any two runs (or engines) training on the same
+    * vectors produce the SAME centroids, which keeps multi-round
+    * training deterministic end-to-end (a last-ulp difference in round
+    * k would cascade into different assignments in round k+1). The
+    * division (qsum / 2^20) is exact (power-of-two divisor), leaving
+    * one rounding per dim; the result is cast to float to match the
+    * embedding element type ([[graft.plans.CosineSimilarity]] contract).
+    *
+    * Output: (c_id, c_e) — cells that lost all members simply disappear
+    * (k may shrink; deterministic). */
+  def kmeansStepCentroids(cells: DataFrame): DataFrame =
+    cells
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg((sum(round(col("x").cast("double") * 1048576).cast("long"))
+        .cast("double") / 1048576.0 / count(lit(1))).as("mval"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mval")))).as("dm"))
+      .select(col("cell").as("c_id"),
+        transform(col("dm"), s => s.getField("mval").cast("float")).as("c_e"))
+
+  /** Train IVF centroids by iterating Lloyd's steps at corpus scale:
+    * seed with the first `initK` vectors (the same deterministic seed
+    * rule the stand-in queries use), then `iters` rounds of
+    * assign ([[ivfCells]], broadcast centroids, map-side scoring) →
+    * quantized re-center ([[kmeansStepCentroids]]). Each round's
+    * centroid frame is localCheckpointed — it is centroid-sized (k
+    * rows), and without the checkpoint the logical plan doubles per
+    * round. Nothing corpus-sized ever reaches the driver; with
+    * `tol > 0` the driver additionally holds ONE scalar per round (the
+    * max centroid L2 shift — the convergence witness, same pattern as
+    * [[graft.ops.GraphOps.connectedComponents]]) and stops early once
+    * it drops below `tol`. With `tol = 0` the loop runs exactly `iters`
+    * rounds — the deterministic form an unrolled SQL oracle can mirror.
+    */
+  def kmeansTrain(e: DataFrame, initK: Int, iters: Int, tol: Double = 0.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cent = e.filter(col(idCol) < initK)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_e"))
+      .localCheckpoint(true)
+    var round = 0
+    var shifted = true
+    while (round < iters && shifted) {
+      val next = kmeansStepCentroids(
+        ivfCells(e, cent, nprobe = 1, idCol = idCol, vecCol = vecCol))
+        .localCheckpoint(true)
+      if (tol > 0) {
+        // max L2 shift over surviving cells — one scalar to the driver
+        val shift = next.as("n")
+          .join(cent.as("p"), col("n.c_id") === col("p.c_id"))
+          .select(sqrt(aggregate(
+            zip_with(col("n.c_e"), col("p.c_e"),
+              (a, b) => (a.cast("double") - b.cast("double")) *
+                (a.cast("double") - b.cast("double"))),
+            lit(0.0), (acc, v) => acc + v)).as("d"))
+          .agg(max(col("d"))).head.getDouble(0)
+        shifted = shift >= tol
+      }
+      cent = next
+      round += 1
+    }
+    cent
+  }
+
   /** Persist an IVF index: the cell assignment written BUCKETED BY the
     * cell key ([[graft.catalog.Catalog.writeBucketed]]). This is what
     * "building a vector index" means in a lake engine — a storage

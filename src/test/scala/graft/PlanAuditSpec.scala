@@ -223,6 +223,8 @@ class PlanAuditSpec extends SparkTestBase {
       "x28_ann_recall",         // exact evaluation side is brute force
       "x30_kmeans_step",        // 16-row broadcast centroid assignment
       "x31_semantic_search",    // 16-row broadcast centroid assignment
+      "x48_ann_trained",        // 16-row broadcast centroid assignment
+                                // (trained centroids; search join is equi)
       "x32_ingest_dedup",       // MVCC committed-set semi-join through the
                                 // union, as x17
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
