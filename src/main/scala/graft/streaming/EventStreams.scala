@@ -193,19 +193,25 @@ object EventStreams {
     * members, so the verify is a per-candidate XOR/bit-count against
     * 8-byte signatures — no document text in state, ever.
     *
-    * Horizon contract: a pair is emitted iff the two docs' event times
-    * lie within `watermarkDelay` of each other — enforced IN EVENT TIME
-    * on the members themselves (each member carries its timestamp;
-    * older members are pruned as newer rows arrive and never pair), so
-    * the contract holds regardless of batch boundaries or how the
-    * watermark happens to advance. Near-dups farther apart than the
-    * horizon are the batch sweep's job — the same division of labor as
+    * Horizon contract: among rows the stream ADMITS (event time >= the
+    * watermark on arrival — Spark's standard late-data rule), a pair is
+    * emitted iff the two docs' event times lie within `watermarkDelay`
+    * of each other. The pairing test is |Δt| <= horizon in EVENT TIME on
+    * the members themselves, and members are retained until they are
+    * provably unpairable — past 2×horizon of their bucket's newest
+    * member AND past horizon of the watermark — so batch boundaries and
+    * watermark advancement timing never change the emitted set; only
+    * Spark's admission rule (which is watermark-dependent by design)
+    * does. Near-dups farther apart than the horizon are the batch
+    * sweep's job — the same division of labor as
     * [[dedupWithinWatermark]].
     *
     * State bounds (both mandatory at 100 TB/day):
-    *  - the horizon prunes members as rows arrive, and an event-time
-    *    timeout (set to the newest retained member + horizon, never
-    *    moved backwards by late rows) removes buckets that go idle;
+    *  - retention pruning as rows arrive (members kept at most 2×horizon
+    *    behind their bucket's newest and at most horizon behind the
+    *    watermark) bounds live members, and an event-time timeout (set
+    *    to the newest retained member + horizon, never moved backwards
+    *    by late rows) removes buckets that go idle;
     *  - `maxBucket` caps members per bucket (newest kept). A hot bucket
     *    (boilerplate simhash) degrades recall against its oldest
     *    members instead of growing state without bound.
@@ -257,11 +263,21 @@ object EventStreams {
               }
               members = ((r.doc_id, r.sh, ts) :: members).take(maxBucket)
             }
-            // prune members beyond the horizon of the newest retained
-            // event — they can never pair again (anything newer is, by
-            // definition, farther from them than the horizon)
+            // prune only members that can never pair again. An admissible
+            // late row t satisfies t >= watermark, and (because the
+            // watermark delay IS the horizon) watermark >= newest - horizon
+            // — so a member m is dead iff EITHER
+            //   (a) newest - m.ts > 2*horizon  (any admissible t >=
+            //       newest - horizon is > horizon past m), or
+            //   (b) watermark - m.ts > horizon (any admissible t >=
+            //       watermark is > horizon past m).
+            // Pruning at 1*horizon of newest — the previous rule — was
+            // wrong: a late-but-admissible t in [newest - horizon, newest)
+            // can still pair with m in (horizon, 2*horizon] of newest.
             val newest = members.iterator.map(_._3).max
-            members = members.filter(m => newest - m._3 <= horizonMs)
+            val wm = state.getCurrentWatermarkMs()
+            members = members.filter(m =>
+              newest - m._3 <= 2 * horizonMs && wm - m._3 <= horizonMs)
             state.update(BucketState(members))
             // newest retained member + horizon; never earlier than a
             // previous setting (a late row must not move eviction back)

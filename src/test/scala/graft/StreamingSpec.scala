@@ -204,6 +204,67 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup: an admissible LATE row still pairs with members up to 2x horizon behind the bucket's newest") {
+    // regression for the horizon-contract prune bug: doc2 at T+1.5h used
+    // to prune doc1 at T (1.5h > horizon), so a late-but-admissible doc3
+    // at T+0.9h (>= watermark T+0.5h, within horizon of doc1) silently
+    // missed the (1,3) pair.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val txt = "the quick brown fox jumps over the lazy dog tonight"
+    val input = MemoryStream[(Long, String, Long)]
+    val pairs = EventStreams.nearDupPairsStream(
+      input.toDF().toDF("doc_id", "text", "ts"), watermarkDelay = "1 hour")
+    val q = pairs.writeStream.format("memory").queryName("neardup_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val T = 10 * H
+      input.addData((1L, txt, T), (2L, txt, T + 3 * H / 2))
+      q.processAllAvailable()
+      input.addData((3L, txt, T + 9 * H / 10)) // late, admissible
+      q.processAllAvailable()
+      val got = spark.table("neardup_late").select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // (1,2) is beyond the horizon; both pairs of doc3 are within it
+      assert(got == Set((1L, 3L), (2L, 3L)), got.toString)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup replay of the documents fixture equals the batch x23 pair set") {
+    // the batch-replay harness the oracle protocol can't express: the
+    // REAL fixture corpus streamed in micro-batches (event times packed
+    // well inside one horizon, so the horizon excludes nothing) must
+    // emit exactly the pairs of its batch twin
+    // (TextDedup.simhashBandedPairs = x23, oracle-checked elsewhere).
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val B = 100 * H
+    val input = MemoryStream[(Long, String, Long)]
+    val pairs = EventStreams.nearDupPairsStream(
+      input.toDF().toDF("doc_id", "text", "ts"), watermarkDelay = "1 hour")
+    val q = pairs.writeStream.format("memory").queryName("neardup_replay")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // micro-batches of 100 docs, 1ms apart in event time
+      docs.grouped(100).foreach { g =>
+        input.addData(g.map { case (id, t) => (id, t, B + id * 1000000L) }: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("neardup_replay")
+        .select("a_id", "b_id", "hamming").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      val batch = graft.ops.TextDedup.simhashBandedPairs(
+        spark.read.parquet(s"$sf/documents.parquet"), maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream-replay diverged from batch twin: only-stream=" +
+          s"${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases within the hour before each click, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
