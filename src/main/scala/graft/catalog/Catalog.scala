@@ -135,17 +135,56 @@ final case class Catalog(spark: SparkSession, dir: String) {
     * approaches (selectivity₁ × selectivity₂) as granularity grows.
     */
   def writeZOrdered(name: String, rows: DataFrame, c1: String, c2: String,
-      nFiles: Int = 16): Unit = {
+      nFiles: Int = 16): Unit =
+    writeZOrderedN(name, rows, Seq(c1, c2), nFiles)
+
+  /** N-dimensional [[writeZOrdered]]: cluster by the Morton interleave
+    * of any number of numeric columns (per-dimension precision tapers —
+    * [[graft.functions.ZOrder.bitsFor]] — so the z-value stays in a
+    * long). Columns named in `rankCols` are mapped through QUANTILE
+    * cells instead of linear min/max scaling
+    * ([[graft.functions.ZOrder.cellByBoundaries]]): for a skewed
+    * dimension (heavy-tailed values, hot keys) linear cells collapse —
+    * most rows land in a couple of cells and the curve stops skipping
+    * on that dimension — while quantile cells hold near-equal row
+    * counts by construction. Write-time cost: one metadata-scale agg
+    * for the linear ranges plus one `approxQuantile` pass per rank
+    * column; the driver holds only the boundary arrays (≤ 255 doubles
+    * each). */
+  def writeZOrderedN(name: String, rows: DataFrame, cols: Seq[String],
+      nFiles: Int = 16, rankCols: Set[String] = Set.empty): Unit = {
     import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
-    val r = rows.agg(
-      fmin(col(c1).cast("double")), fmax(col(c1).cast("double")),
-      fmin(col(c2).cast("double")), fmax(col(c2).cast("double"))).head
-    require(!r.isNullAt(0) && !r.isNullAt(2),
-      s"writeZOrdered needs at least one non-null value in '$c1' and '$c2'")
-    val z = graft.functions.ZOrder.zvalue2(
-      col(c1), r.getDouble(0), r.getDouble(1),
-      col(c2), r.getDouble(2), r.getDouble(3))
-    rows.withColumn("__z", z)
+    import graft.functions.ZOrder
+    require(cols.nonEmpty, "writeZOrderedN needs at least one column")
+    val bits = ZOrder.bitsFor(cols.size)
+    val linear = cols.filterNot(rankCols)
+    val ranges: Map[String, (Double, Double)] =
+      if (linear.isEmpty) Map.empty
+      else {
+        val aggs = linear.flatMap(c => Seq(
+          fmin(col(c).cast("double")), fmax(col(c).cast("double"))))
+        val r = rows.agg(aggs.head, aggs.tail: _*).head
+        linear.zipWithIndex.map { case (c, i) =>
+          require(!r.isNullAt(2 * i),
+            s"writeZOrderedN needs at least one non-null value in '$c'")
+          c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+        }.toMap
+      }
+    val cells = cols.map { c =>
+      if (rankCols(c)) {
+        val nb = math.min(bits, 8) // ≤ 255 boundaries; pruning granularity
+        val probs = (1 until (1 << nb)).map(_.toDouble / (1 << nb)).toArray
+        val bounds = rows.stat.approxQuantile(c, probs, 0.001).toSeq
+        // align quantile cells to the high bits so each dimension spans
+        // the same [0, 2^bits) range in the interleave
+        org.apache.spark.sql.functions.shiftleft(
+          ZOrder.cellByBoundaries(col(c), bounds), bits - nb)
+      } else {
+        val (lo, hi) = ranges(c)
+        ZOrder.cellBits(col(c), lo, hi, bits)
+      }
+    }
+    rows.withColumn("__z", ZOrder.interleaveN(cells, bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
