@@ -839,28 +839,27 @@ object ExtensionQueries {
     * can never be read by a newer build. */
   private val ZOrderLayoutVersion = 2
 
-  /** Get-or-build the z-ordered copy of `events` for dataset dir `d` —
-    * built AT MOST ONCE per (dataset, layout version) and read-only
-    * afterwards, so evaluating x45 repeatedly (bench reps) or from two
-    * concurrent sessions never races a write against a read. The build
-    * stages into a per-invocation unique directory and publishes with an
-    * atomic directory rename: readers only ever see a complete layout,
-    * and when two builders race, exactly one rename wins and the loser
-    * discards its staging copy. */
-  private def zorderLayoutDir(s: SparkSession, d: String,
-      ev: DataFrame): String = {
+  /** Get-or-build a derived read-only layout for dataset dir `d` —
+    * built AT MOST ONCE per (dataset, `salt`) and read-only afterwards,
+    * so evaluating the layout queries repeatedly (bench reps) or from
+    * two concurrent sessions never races a write against a read. The
+    * build stages into a per-invocation unique directory and publishes
+    * with an atomic directory rename: readers only ever see a complete
+    * layout, and when two builders race, exactly one rename wins and
+    * the loser discards its staging copy. Include a layout version in
+    * `salt` so a recipe change can never read a stale layout. */
+  private def layoutDir(s: SparkSession, d: String, salt: String)(
+      build: Catalog => Unit): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|v$ZOrderLayoutVersion"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(s"$d|$salt".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map(b => f"${b & 0xff}%02x").mkString
-    val target = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$key"
+    val target = s"${System.getProperty("java.io.tmpdir")}/graft_layout_$key"
     val hTarget = new org.apache.hadoop.fs.Path(target)
     val fs = hTarget.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(hTarget)) {
       val staging = s"$target.stage.${s.sparkContext.applicationId}" +
         s".${java.util.UUID.randomUUID.toString.take(8)}"
-      Catalog(s, staging).writeZOrdered("ev_z", ev, "user_id", "value",
-        nFiles = 16)
+      build(Catalog(s, staging))
       // atomic publish; a concurrent winner makes rename return false —
       // their complete layout is equivalent, so just drop the staging copy
       if (!fs.rename(new org.apache.hadoop.fs.Path(staging), hTarget))
@@ -868,6 +867,12 @@ object ExtensionQueries {
     }
     target
   }
+
+  private def zorderLayoutDir(s: SparkSession, d: String,
+      ev: DataFrame): String =
+    layoutDir(s, d, s"zorder|v$ZOrderLayoutVersion") { cat =>
+      cat.writeZOrdered("ev_z", ev, "user_id", "value", nFiles = 16)
+    }
 
   /** Z-ordered layout round-trip: ingest events clustered by the Morton
     * interleave of (user_id, value) ([[graft.catalog.Catalog
@@ -897,6 +902,50 @@ object ExtensionQueries {
         col("value") < lit(lo + (hi - lo) * 0.55) &&
         col("user_id") >= lit(ulo + (uhi - ulo) / 4) &&
         col("user_id") < lit(ulo + (uhi - ulo) / 2))
+  }
+
+  /** 3-dimensional z-ordered layout round-trip — x45's n-ary upgrade:
+    * events clustered by the Morton interleave of (user_id, value, ts)
+    * via [[graft.catalog.Catalog.writeZOrderedN]], with `value` mapped
+    * through QUANTILE cells (the skewed-dimension path — rank cells are
+    * layout-only, so any approxQuantile wobble can shift file
+    * boundaries but never answers). The oracle checks CONTENT: the
+    * 3-dim box from the clustered copy must equal the same box over the
+    * raw table. Skipping on all three dims (vs every single-column
+    * sort) is metric-asserted in ZOrderSpec; at 100 TB this is the
+    * telemetry-table layout for queries that band time AND key AND
+    * measure at once. Built once per dataset, atomic-rename publish,
+    * read-only query ([[layoutDir]]). */
+  private val x49_zorder3_scan: QFn = (s, d) => {
+    val ev = events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+    val dir3 = layoutDir(s, d, "zorder3|v1") { cat =>
+      cat.writeZOrderedN("ev_z3", ev, Seq("user_id", "value", "ts"),
+        nFiles = 64, rankCols = Set("value"))
+    }
+    // bounds from exact min/max aggregates; long dims use pure integer
+    // arithmetic and the double dim one mul+add — the oracle recomputes
+    // the identical IEEE/integer expressions from the same table. Time
+    // works in MICROSECONDS (ts div 1000, = DuckDB epoch_us): the
+    // oracle's parquet reader truncates nanosecond timestamps to µs, so
+    // ns-precision bounds could never agree. The filter still hits the
+    // RAW ns column (µs bound × 1000 selects the identical rows since
+    // floor(ts/1000) >= b ⟺ ts >= b*1000) — footer pushdown intact.
+    val r = ev.agg(min(col("value")), max(col("value")),
+      min(col("user_id")), max(col("user_id")),
+      min(expr("ts div 1000")), max(expr("ts div 1000"))).head
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val (ulo, uhi) = (r.getLong(2), r.getLong(3))
+    val (tlo, thi) = (r.getLong(4), r.getLong(5))
+    Catalog(s, dir3).table("ev_z3")
+      .filter(col("value") >= lit(lo + (hi - lo) * 0.3) &&
+        col("value") < lit(lo + (hi - lo) * 0.45) &&
+        col("user_id") >= lit(ulo + (uhi - ulo) / 4) &&
+        col("user_id") < lit(ulo + (uhi - ulo) / 2) &&
+        col("ts") >= lit((tlo + (thi - tlo) / 4) * 1000L) &&
+        col("ts") < lit((tlo + (thi - tlo) / 2) * 1000L))
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("ts div 1000").as("ts_us"))
   }
 
   /** Tumbling 1-hour window aggregation over the event stream (batch
@@ -1004,6 +1053,7 @@ object ExtensionQueries {
     "x46_dup_clusters_star" -> x46_dup_clusters_star,
     "x47_simhash_pairbanded" -> x47_simhash_pairbanded,
     "x48_ann_trained" -> x48_ann_trained,
+    "x49_zorder3_scan" -> x49_zorder3_scan,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1327,6 +1377,20 @@ object ExtensionQueries {
     // the same box from the RAW table — clustering must never change
     // answers. Bounds recompute the identical IEEE arithmetic from the
     // same exact min/max aggregates ('//' = BIGINT div, as Scala Long /).
+    // 3-dim box content equality from the raw table (clustering must
+    // never change answers); '//' = BIGINT div ≡ Scala Long '/', and ts
+    // surfaces as epoch ns on both sides.
+    "x49_zorder3_scan" ->
+      """WITH r AS (SELECT min(value) AS lo, max(value) AS hi,
+        |                  min(user_id) AS ulo, max(user_id) AS uhi,
+        |                  min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi
+        |             FROM events)
+        |SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+        |  FROM events, r
+        | WHERE value >= lo + (hi-lo)*0.3 AND value < lo + (hi-lo)*0.45
+        |   AND user_id >= ulo + (uhi-ulo)//4 AND user_id < ulo + (uhi-ulo)//2
+        |   AND epoch_us(ts) >= tlo + (thi-tlo)//4
+        |   AND epoch_us(ts) < tlo + (thi-tlo)//2""".stripMargin,
     "x45_zorder_scan" ->
       """WITH r AS (SELECT min(value) AS lo, max(value) AS hi,
         |                  min(user_id) AS ulo, max(user_id) AS uhi FROM events)

@@ -228,6 +228,32 @@ class OpsSpec extends SparkTestBase {
     assert(out == Map((7L, 0L) -> (2.0, 2L), (7L, 1L) -> (4.0, 2L)))
   }
 
+  test("kmeansTrain: centroids are bit-identical across runs and input partitionings") {
+    // the determinism contract behind x48's oracle-checked training:
+    // quantized exact-integer means are associative, so re-partitioning
+    // the input (different partial-agg order) must not move a single bit
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    def centroids(src: org.apache.spark.sql.DataFrame): Map[Long, Seq[Float]] =
+      VectorOps.kmeansTrain(src, initK = 8, iters = 2)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val a = centroids(e)
+    val b = centroids(e.repartition(7))
+    val c = centroids(e.repartition(1))
+    assert(a == b && b == c,
+      "centroids diverged across partitionings — quantized sum broken")
+  }
+
+  test("kmeansTrain: tol early-stop runs fewer rounds but still returns a valid centroid frame") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cent = VectorOps.kmeansTrain(e, initK = 4, iters = 50, tol = 1e9)
+    // an absurdly large tol stops after round 1; the frame still feeds
+    // ivfCells (schema contract: c_id long, c_e array<float>)
+    val cells = VectorOps.ivfCells(e, cent, nprobe = 1)
+    assert(cells.groupBy("cell").count().collect().map(_.getLong(1)).sum ==
+      e.count())
+  }
+
   test("GraphOps.connectedComponents: long chain converges to one component (multi-round propagation)") {
     // a 9-edge path 10-11-...-19 (diameter 9, deeper than the fixture's
     // near-cliques) + an isolated pair + a triangle sharing no nodes
