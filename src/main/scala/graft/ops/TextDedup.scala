@@ -141,26 +141,34 @@ object TextDedup {
     * candidate join at billion-doc corpora. The single-chunk form stays
     * the default: at moderate scale its 7 slim explode rows/doc beat
     * the pair form's 28. */
+  /** Banding key expressions over a simhash column: single-chunk values
+    * (`maxHamming + 1` keys, the pigeonhole default) or chunk-PAIR
+    * values (`C(maxHamming+2, 2)` keys of ~double width, the
+    * extreme-scale form — see [[simhashBandedPairs]]). Shared by the
+    * batch band join and the streaming bucket keying
+    * ([[graft.streaming.EventStreams.nearDupPairsStream]]) so the two
+    * paths can never disagree on the bucket space. */
+  def simhashKeyExprs(sh: Column, maxHamming: Int,
+      pairKeys: Boolean): Seq[Column] = {
+    def cval(c: (Int, Int)): Column = c match {
+      case (off, w) =>
+        shiftrightunsigned(sh, off).bitwiseAND(lit((1L << w) - 1))
+    }
+    if (!pairKeys) simhashChunks(maxHamming).map(cval)
+    else {
+      val chunks = simhashChunksN(maxHamming + 2)
+      for {
+        i <- 0 until chunks.size
+        j <- (i + 1) until chunks.size
+      } yield shiftleft(cval(chunks(i)), chunks(j)._2)
+        .bitwiseOR(cval(chunks(j)))
+    }
+  }
+
   def simhashBandedPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 6,
       pairKeys: Boolean = false): DataFrame = {
-    val keyExprs: Seq[Column] =
-      if (!pairKeys)
-        simhashChunks(maxHamming).map { case (off, w) =>
-          shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
-        }
-      else {
-        val chunks = simhashChunksN(maxHamming + 2)
-        def cval(c: (Int, Int)): Column = c match {
-          case (off, w) =>
-            shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
-        }
-        for {
-          i <- 0 until chunks.size
-          j <- (i + 1) until chunks.size
-        } yield shiftleft(cval(chunks(i)), chunks(j)._2)
-          .bitwiseOR(cval(chunks(j)))
-      }
+    val keyExprs = simhashKeyExprs(col("sh"), maxHamming, pairKeys)
     val sh = docs.select(col(idCol).as("doc_id"),
       TF.simhashFast(col(textCol)).as("sh"))
     val chunked = sh.select(col("doc_id"), col("sh"),

@@ -187,8 +187,10 @@ object EventStreams {
     * sweep: each incoming doc's 60-bit SimHash splits into
     * `maxHamming + 1` pigeonhole chunks (any pair within `maxHamming`
     * differing bits shares ≥ 1 identical chunk — exact candidate
-    * generation, same decomposition via
-    * [[graft.ops.TextDedup.simhashChunks]]); state is keyed by
+    * generation; `pairKeys = true` switches to the chunk-PAIR keys of
+    * the batch x47 form, ~2^15-ary buckets for hot corpora; both key
+    * derivations shared with the batch twin via
+    * [[graft.ops.TextDedup.simhashKeyExprs]]); state is keyed by
     * (chunk, value) and holds the bucket's recent (doc_id, simhash)
     * members, so the verify is a per-candidate XOR/bit-count against
     * 8-byte signatures — no document text in state, ever.
@@ -224,11 +226,17 @@ object EventStreams {
     * Docs frame: (doc_id long, text string, ts long ns).
     */
   def nearDupPairsStream(docs: DataFrame, watermarkDelay: String = "2 hours",
-      maxHamming: Int = 6, maxBucket: Int = 256)(
+      maxHamming: Int = 6, maxBucket: Int = 256, pairKeys: Boolean = false)(
       implicit spark: SparkSession): Dataset[NearDup] = {
     import spark.implicits._
     val horizonMs = durationMs(watermarkDelay)
-    val chunks = graft.ops.TextDedup.simhashChunks(maxHamming)
+    // pairKeys = the x47 chunk-pair refinement at ingest: ~2^15-ary
+    // buckets instead of ~2^8.6-ary, so each bucket's member list stays
+    // small on hot corpora (same exactness guarantee, same state shape;
+    // key derivation shared with the batch twin so the two paths can
+    // never disagree on the bucket space)
+    val keyExprs = graft.ops.TextDedup.simhashKeyExprs(
+      col("sh"), maxHamming, pairKeys)
     docs
       .withColumn("event_time", tsFromNs(col("ts")))
       .withWatermark("event_time", watermarkDelay)
@@ -236,9 +244,7 @@ object EventStreams {
         graft.functions.TextFunctions.simhashFast(col("text")).as("sh"),
         col("event_time"))
       .select(col("doc_id"), col("sh"), col("event_time"),
-        posexplode(array(chunks.map { case (off, w) =>
-          shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
-        }: _*)).as(Seq("chunk", "cval")))
+        posexplode(array(keyExprs: _*)).as(Seq("chunk", "cval")))
       .as[SigRow]
       .groupByKey(r => (r.chunk, r.cval))
       .flatMapGroupsWithState[BucketState, NearDup](

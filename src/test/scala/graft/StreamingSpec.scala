@@ -242,27 +242,34 @@ class StreamingSpec extends SparkTestBase {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     val B = 100 * H
-    val input = MemoryStream[(Long, String, Long)]
-    val pairs = EventStreams.nearDupPairsStream(
-      input.toDF().toDF("doc_id", "text", "ts"), watermarkDelay = "1 hour")
-    val q = pairs.writeStream.format("memory").queryName("neardup_replay")
-      .outputMode(OutputMode.Append).start()
-    try {
-      // micro-batches of 100 docs, 1ms apart in event time
-      docs.grouped(100).foreach { g =>
-        input.addData(g.map { case (id, t) => (id, t, B + id * 1000000L) }: _*)
-        q.processAllAvailable()
-      }
-      val streamed = spark.table("neardup_replay")
-        .select("a_id", "b_id", "hamming").distinct().collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
-      val batch = graft.ops.TextDedup.simhashBandedPairs(
-        spark.read.parquet(s"$sf/documents.parquet"), maxHamming = 6)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      assert(streamed == batch,
-        s"stream-replay diverged from batch twin: only-stream=" +
-          s"${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
-    } finally q.stop()
+    val batch = graft.ops.TextDedup.simhashBandedPairs(
+      spark.read.parquet(s"$sf/documents.parquet"), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // both key schemes must replay to the identical pair set (pair keys
+    // are the x47 extreme-scale buckets; exactness is key-scheme-blind)
+    for (pairKeys <- Seq(false, true)) {
+      val name = s"neardup_replay_$pairKeys"
+      val input = MemoryStream[(Long, String, Long)]
+      val pairs = EventStreams.nearDupPairsStream(
+        input.toDF().toDF("doc_id", "text", "ts"), watermarkDelay = "1 hour",
+        pairKeys = pairKeys)
+      val q = pairs.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        // micro-batches of 100 docs, 1ms apart in event time
+        docs.grouped(100).foreach { g =>
+          input.addData(g.map { case (id, t) => (id, t, B + id * 1000000L) }: _*)
+          q.processAllAvailable()
+        }
+        val streamed = spark.table(name)
+          .select("a_id", "b_id", "hamming").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+        assert(streamed == batch,
+          s"stream-replay (pairKeys=$pairKeys) diverged from batch twin: " +
+            s"only-stream=${(streamed -- batch).take(5)} " +
+            s"only-batch=${(batch -- streamed).take(5)}")
+      } finally q.stop()
+    }
   }
 
   test("stream-stream interval join: purchases within the hour before each click, state bounded") {
