@@ -205,6 +205,37 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Partial") && p.contains("Final"), p)
   }
 
+  test("x48: trained-centroid search join is equi (hash) with WindowGroupLimit top-k") {
+    // training swaps the centroid VALUES, never the plan: the search must
+    // keep x18's shape — equi join on the cell id, rank pruned to k rows
+    // per query before the exchange
+    val p = plan("x48_ann_trained")
+    assert(p.contains("WindowGroupLimit"), p)
+    val searchJoins = p.linesIterator.filter(l =>
+      l.contains("HashJoin") && l.contains("cell")).toSeq
+    assert(searchJoins.nonEmpty, s"no equi cell join found:\n$p")
+  }
+
+  test("x49: the 3-dim box reaches the z3 parquet scan as pushed filters on ALL dims") {
+    // the µs-bounds-times-1000 trick must keep the raw ts column (and the
+    // other two dims) in PushedFilters — a cast on any column would turn
+    // the layout's row-group skipping off. Read the scan node's metadata
+    // directly: the rendered plan string truncates the filter list.
+    val exec = SparkEntry.queries("x49_zorder3_scan")(spark, sf)
+      .queryExecution.executedPlan
+    val pushed = exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("ev_z3")) =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    for (c <- Seq("user_id", "value", "ts")) {
+      assert(pushed.contains(s"GreaterThanOrEqual($c,"),
+        s"$c lower bound not pushed: $pushed")
+      assert(pushed.contains(s"LessThan($c,"),
+        s"$c upper bound not pushed: $pushed")
+    }
+  }
+
   test("sweep: no unintended cartesian/nested-loop join in ANY query plan") {
     // queries whose plans legitimately contain a cross/non-equi join:
     // declared brute-force baselines, broadcast-centroid assignment,

@@ -174,5 +174,46 @@ class ZOrderSpec extends SparkTestBase {
       s"quantile cells must stay near-uniform: max=${rankCells.max} mean=$mean")
   }
 
+  test("x45 layout build is concurrency-safe: racing sessions read identical complete results") {
+    // the round-4 ADVICE race: two evaluations over the same dataset used
+    // to overwrite each other's layout mid-read. Force a FRESH layout key
+    // (copy the dataset to a new dir) and evaluate the query from two
+    // threads at once — both must succeed with the same row set as the
+    // raw-table truth.
+    import java.util.concurrent.{Executors, TimeUnit}
+    val dsDir = java.nio.file.Files.createTempDirectory("graft-zrace").toString
+    try {
+      cat2.table("events").write.parquet(s"$dsDir/events.parquet")
+      val truth = SparkEntry.queries("x45_zorder_scan")(spark, sf) // warm path
+      assert(truth.columns.nonEmpty)
+      val pool = Executors.newFixedThreadPool(2)
+      val results = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Set[Long]] {
+          def call(): Set[Long] =
+            SparkEntry.queries("x45_zorder_scan")(spark, dsDir)
+              .select("event_id").collect().map(_.getLong(0)).toSet
+        })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS), "race test timed out")
+      val Seq(a, b) = results.map(_.get()).toSeq
+      val raw = Catalog(spark, dsDir).table("events")
+      val r = raw.agg(min(col("value")), max(col("value")),
+        min(col("user_id")), max(col("user_id"))).head
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val (ulo, uhi) = (r.getLong(2), r.getLong(3))
+      val expect = raw
+        .filter(col("value") >= lit(lo + (hi - lo) * 0.45) &&
+          col("value") < lit(lo + (hi - lo) * 0.55) &&
+          col("user_id") >= lit(ulo + (uhi - ulo) / 4) &&
+          col("user_id") < lit(ulo + (uhi - ulo) / 2))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(a == expect && b == expect,
+        s"racing builders diverged: a=${a.size} b=${b.size} expect=${expect.size}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dsDir))
+    }
+  }
+
   private def cat2 = Catalog(spark, sf)
 }
