@@ -73,6 +73,48 @@ object ScaleCheck {
     // across replicas through the exact twins), yet propagation depth
     // stays shallow — cliques have diameter 1 — so the round count, not
     // just the per-round cost, is what the measurement pins.
+
+    // Embedding corpus D×: new vec_ids, identical vectors — every vector
+    // gains D-1 exact twins. Queries (vec_id < 10) and the centroid seed
+    // (vec_id < 16) keep their original rows, so only the SEARCHED/
+    // TRAINED corpus grows: x13/x18/x48 should track corpus size (cells
+    // grow D×), x22's verify tracks true-pair output (D² per original
+    // near-dup, same story as the text side).
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVec = embs.agg(max("vec_id")).head.getLong(0) + 1
+    embs.crossJoin(spark.range(D).select(col("id").as("__r")))
+      .withColumn("vec_id", col("vec_id") + col("__r") * maxVec)
+      .drop("__r").write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    for (n <- Seq("x13_ann_lsh", "x18_ann_ivf", "x22_embed_dedup_bucketed",
+        "x48_ann_trained")) {
+      time(n, src) // warm
+      val tSmall = time(n, src)
+      val tBig = time(n, dst)
+      println(f"$n%-24s base=$tSmall%5.2f s  x$D%d-dups=$tBig%6.2f s  " +
+        f"scaleFactor=${tBig / tSmall}%5.2f (embedding corpus x$D%d)")
+    }
+
+    // x22's fixture form pins k=16 centroids (oracle-coupled), so its
+    // candidate volume sum(cell²) grows quadratically with corpus size —
+    // the measurement above shows it. The library op's documented scale
+    // rule is k ~ sqrt(n): re-time the SAME op on the big corpus with k
+    // scaled up, holding nprobe — candidate volume per cell falls k×,
+    // pulling the cost back toward output-bound growth.
+    def ivfDedup(dir: String, k: Int): Double = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cent = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+      val t0 = System.nanoTime()
+      graft.ops.VectorOps.ivfDedupDecision(
+        graft.ops.VectorOps.ivfCells(e, cent, nprobe = 6), threshold = 0.45)
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    ivfDedup(dst, 16) // warm
+    val tK16 = ivfDedup(dst, 16)
+    val tK64 = ivfDedup(dst, 64)
+    println(f"ivfDedupDecision on x$D%d corpus: k=16 $tK16%6.2f s -> k=64 $tK64%6.2f s " +
+      f"(${tK16 / tK64}%4.1fx back from fixed-k quadratic growth; rule: k ~ sqrt(n))")
     spark.stop()
   }
 }
