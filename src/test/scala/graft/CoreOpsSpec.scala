@@ -335,4 +335,39 @@ class CoreOpsSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirB))
     }
   }
+
+  test("a stale bucket sidecar disagreeing with the data files is rejected, not silently served") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_bstale").toString
+    val cat = Catalog(spark, dir)
+    val src = Catalog(spark, sf)
+    try {
+      cat.writeBucketed("t", src.table("nation"), buckets = 8,
+        bucketCols = Seq("n_nationkey"))
+      // simulate the crash-window artifact the write ordering guards
+      // against: a sidecar declaring FEWER buckets than the files carry
+      // (Spark would silently drop every file with bucket id >= 4)
+      cat.dropBucketed("t") // forget the session registration
+      // write through the Hadoop fs so the local .crc shadow stays valid
+      val hfs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val side = new org.apache.hadoop.fs.Path(
+        s"${cat.path("t")}/_graft_buckets.json")
+      val out = hfs.create(side, true)
+      try out.write(
+        """{"buckets":4,"bucketCols":["n_nationkey"],"sortCols":[]}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val ex = intercept[IllegalArgumentException] { cat.bucketedTable("t") }
+      assert(ex.getMessage.contains("stale sidecar"), ex.getMessage)
+      // and with NO sidecar the same directory degrades to the safe
+      // plain-parquet path (full content, no bucket metadata)
+      assert(hfs.delete(side, false))
+      assert(!cat.bucketedExists("t"))
+      assert(cat.table("t").count() == src.table("nation").count())
+    } finally {
+      cat.dropBucketed("t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
