@@ -26,17 +26,23 @@ import graft.mvcc.LogTable
 object ExtensionQueries {
   type QFn = (SparkSession, String) => DataFrame
 
-  // Two scan flavors, chosen PER QUERY (measured both ways, r4→r5):
-  //  - docs/embs: plain scans for map-light queries (single hash, id
-  //    arithmetic, small projections) — an extra full-payload round-robin
-  //    exchange is a straight loss there (x04 0.23→0.98s when blanket-
-  //    rebalanced in r4);
+  // Two scan flavors, chosen PER QUERY (each assignment A/B-measured at
+  // sf0.1, r5):
+  //  - docs/embs: plain scans. Wins for (a) map-light queries — single
+  //    hash, id arithmetic, small projections — where the extra
+  //    full-payload round-robin exchange is a straight loss (x04
+  //    0.98→0.21s vs blanket-rebalanced r4), and (b) explode-then-shuffle
+  //    pipelines (chunking x26/x35, packing x38) plus ivfCells paths
+  //    (x18/x22/x30/x31/x48) — their first shuffle redistributes anyway,
+  //    so pre-balancing pays twice (x26 0.27→0.21s, x35 0.55→0.36s, x38
+  //    0.65→0.48s, x18 0.77→0.30s plain);
   //  - docsR/embsR: under-split-guarded rebalance (Catalog.tableRebalanced,
-  //    no-op on well-split sources) for pipelines that front-load heavy
-  //    per-row work — gram/shingle/minhash/simhash hashing, per-element
-  //    vector math, word explodes — where one unsplittable row group would
-  //    otherwise serialize the whole map phase (x10 2.7→1.1s, x11
-  //    1.5→0.3s with the rebalance).
+  //    no-op on well-split sources) for pipelines whose heavy work is
+  //    PER-ROW map compute before any exchange — gram/shingle/minhash/
+  //    simhash hashing, regex scans, brute-force cosine — where one
+  //    unsplittable row group serializes the whole map phase (x10
+  //    2.7→1.1s, x11 1.5→0.3s, x03 0.58→0.31s, x25 0.52→0.24s
+  //    rebalanced).
   private def docs(s: SparkSession, d: String): DataFrame =
     Catalog(s, d).table("documents")
   private def embs(s: SparkSession, d: String): DataFrame =
@@ -53,7 +59,7 @@ object ExtensionQueries {
   /** Token counting: whitespace tokens + BPE-ish subword estimate.
     * Pure map work — scales linearly, no shuffle. */
   private val x01_tokens: QFn = (s, d) =>
-    docsR(s, d).select(
+    docs(s, d).select(
       col("doc_id"), col("n_chars"),
       TF.tokenCount(col("text")).as("n_tokens"),
       TF.bpeTokenCount(col("text")).as("n_bpe"))
@@ -152,7 +158,7 @@ object ExtensionQueries {
     * their parent documents differ. One groupBy on the chunk
     * fingerprint; keep = lexicographically first (doc, chunk) site. */
   private val x35_chunk_dedup: QFn = (s, d) =>
-    docsR(s, d)
+    docs(s, d)
       .select(col("doc_id"), TF.words(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"),
         posexplode(sequence(lit(1), size(col("ws")), lit(48)))
@@ -232,7 +238,7 @@ object ExtensionQueries {
     * n/100 rows and then BROADCAST back. No unpartitioned window ever
     * touches the full corpus. */
   private val x38_pack_sequences: QFn = (s, d) =>
-    graft.ops.CorpusOps.packSequences(docsR(s, d), seqLen = 256, blockSize = 100)
+    graft.ops.CorpusOps.packSequences(docs(s, d), seqLen = 256, blockSize = 100)
 
   /** Gopher-style repetition metrics — the quality signals that catch
     * degenerate/boilerplate text: duplicate-word fraction and
@@ -631,7 +637,7 @@ object ExtensionQueries {
     * all map-side (no shuffle, no UDF); chunk text is fingerprinted
     * (md5) so the oracle checks content without hauling full chunks. */
   private val x26_doc_chunks: QFn = (s, d) =>
-    docsR(s, d)
+    docs(s, d)
       .select(col("doc_id"), TF.words(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"),
         posexplode(sequence(lit(1), size(col("ws")), lit(48)))
