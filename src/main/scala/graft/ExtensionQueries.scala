@@ -31,11 +31,13 @@ object ExtensionQueries {
   //  - docs/embs: plain scans. Wins for (a) map-light queries — single
   //    hash, id arithmetic, small projections — where the extra
   //    full-payload round-robin exchange is a straight loss (x04
-  //    0.98→0.21s vs blanket-rebalanced r4), and (b) explode-then-shuffle
-  //    pipelines (chunking x26/x35, packing x38) plus ivfCells paths
-  //    (x18/x22/x30/x31/x48) — their first shuffle redistributes anyway,
-  //    so pre-balancing pays twice (x26 0.27→0.21s, x35 0.55→0.36s, x38
-  //    0.65→0.48s, x18 0.77→0.30s plain);
+  //    0.98→0.21s vs blanket-rebalanced r4), and (b) pipelines whose
+  //    first heavy step is itself a shuffle or broadcast-side pass —
+  //    chunk explodes (x26/x35), packing (x38), bucket/block self-joins
+  //    (x09/x13), broadcast query probes (x12/x28), ivfCells paths
+  //    (x18/x22/x30/x31/x48) — the exchange redistributes anyway, so
+  //    pre-balancing pays twice (x26 0.27→0.21s, x13 0.57→0.31s, x28
+  //    0.74→0.43s, x18 0.77→0.30s plain);
   //  - docsR/embsR: under-split-guarded rebalance (Catalog.tableRebalanced,
   //    no-op on well-split sources) for pipelines whose heavy work is
   //    PER-ROW map compute before any exchange — gram/shingle/minhash/
@@ -298,7 +300,7 @@ object ExtensionQueries {
     * scale path (pigeonhole banding — exact same pair semantics without
     * the language-sized quadratic block). */
   private val x09_simhash_pairs: QFn = (s, d) => {
-    val sh = docsR(s, d).select(col("doc_id"), col("lang"),
+    val sh = docs(s, d).select(col("doc_id"), col("lang"),
       TF.simhashFast(col("text")).as("sh"))
     sh.as("a").join(sh.as("b").hint("shuffle_hash"),
       col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
@@ -411,7 +413,7 @@ object ExtensionQueries {
   /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10 —
     * the exact-ANN baseline. TakeOrdered per query via window rank. */
   private val x12_ann_topk: QFn = (s, d) => {
-    val e = embsR(s, d)
+    val e = embs(s, d)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_e"))
     val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_e"))
@@ -431,7 +433,7 @@ object ExtensionQueries {
     */
   private val x13_ann_lsh: QFn = (s, d) =>
     graft.ops.VectorOps.inCellTopK(
-      embsR(s, d).select(col("vec_id"), col("embedding"),
+      embs(s, d).select(col("vec_id"), col("embedding"),
         VF.signBucket(col("embedding"), 8).as("cell")),
       k = 3)
 
@@ -655,7 +657,7 @@ object ExtensionQueries {
     * brute force over the 10 fixture queries only — the evaluation
     * sample, not the corpus. */
   private val x28_ann_recall: QFn = (s, d) => {
-    val e = embsR(s, d)
+    val e = embs(s, d)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_e"))
