@@ -855,11 +855,22 @@ object ExtensionQueries {
     * with an atomic directory rename: readers only ever see a complete
     * layout, and when two builders race, exactly one rename wins and
     * the loser discards its staging copy. Include a layout version in
-    * `salt` so a recipe change can never read a stale layout. */
-  private def layoutDir(s: SparkSession, d: String, salt: String)(
-      build: Catalog => Unit): String = {
+    * `salt` so a recipe change can never read a stale layout.
+    *
+    * The key also folds in a metadata fingerprint of the SOURCE table
+    * (file names, lengths, mtimes — one directory listing, no data
+    * read): a regenerated dataset at the same path gets a fresh layout
+    * instead of silently serving the previous generation's rows. */
+  private def layoutDir(s: SparkSession, d: String, srcTable: String,
+      salt: String)(build: Catalog => Unit): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(s"$d/$srcTable.parquet")
+    val srcFs = srcPath.getFileSystem(conf)
+    val fp = srcFs.listStatus(srcPath).toSeq
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString(",")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|$salt".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(s"$d|$fp|$salt".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map(b => f"${b & 0xff}%02x").mkString
     val target = s"${System.getProperty("java.io.tmpdir")}/graft_layout_$key"
     val hTarget = new org.apache.hadoop.fs.Path(target)
@@ -878,7 +889,7 @@ object ExtensionQueries {
 
   private def zorderLayoutDir(s: SparkSession, d: String,
       ev: DataFrame): String =
-    layoutDir(s, d, s"zorder|v$ZOrderLayoutVersion") { cat =>
+    layoutDir(s, d, "events", s"zorder|v$ZOrderLayoutVersion") { cat =>
       cat.writeZOrdered("ev_z", ev, "user_id", "value", nFiles = 16)
     }
 
@@ -927,7 +938,7 @@ object ExtensionQueries {
   private val x49_zorder3_scan: QFn = (s, d) => {
     val ev = events(s, d)
       .select(col("event_id"), col("user_id"), col("value"), col("ts"))
-    val dir3 = layoutDir(s, d, "zorder3|v1") { cat =>
+    val dir3 = layoutDir(s, d, "events", "zorder3|v1") { cat =>
       cat.writeZOrderedN("ev_z3", ev, Seq("user_id", "value", "ts"),
         nFiles = 64, rankCols = Set("value"))
     }
