@@ -499,6 +499,12 @@ object ExtensionQueries {
     * x19's brute-force keep/drop set at sf0.001 and sf0.01 (spec +
     * oracle). At production dedup thresholds (cos ≥ 0.9) and √n trained
     * centroids, nprobe=1-2 suffices; the knobs move, the plan doesn't.
+    * Measured (ScaleCheck, ×4 embedding corpus): this oracle-pinned
+    * k=16 form grows 9.3× — fixed-k sum(cell²) is quadratic in corpus
+    * size by construction — while the SAME [[graft.ops.VectorOps
+    * .ivfDedupDecision]] with k=64 runs 6.4× faster there (19.5→3.0 s),
+    * collapsing back toward output-bound growth. k must scale with n;
+    * see BENCH_NOTES.md.
     */
   private val IvfProbe = 6
   private val x22_embed_dedup_bucketed: QFn = (s, d) =>
