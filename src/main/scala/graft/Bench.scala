@@ -39,7 +39,12 @@ object Bench {
     // Its wall time is a machine-load calibration constant — on an idle
     // host both readings land within a few percent of each other and of
     // any other idle capture; an inflated or divergent pair flags the
-    // whole artifact as load-contaminated.
+    // whole artifact as load-contaminated. Round 5's artifact had a clean
+    // before/after pair yet a mid-sweep regression cluster that could not
+    // be attributed, so the sentinel now ALSO samples every
+    // SPARK_GRAFT_BENCH_CALIB_EVERY queries (default 10) — the series is
+    // emitted in both artifacts, making a transient mid-sweep load spike
+    // visible next to the queries it would have contaminated.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9e3779b97f4a7c15L; var acc = 0L; var i = 0
@@ -49,6 +54,27 @@ object Bench {
       }
       if (acc == 42L) System.err.println("calib") // defeat dead-code elim
       (System.nanoTime() - t0) / 1e9
+    }
+    // Storage-block hygiene: ~30 queries localCheckpoint small frames
+    // (signature scans, k-means centroids, CC frontiers). Checkpoint
+    // blocks have no lineage, so Spark PINS them — across 94 queries × 3
+    // reps the session accumulates hundreds of dead pinned blocks unless
+    // the ContextCleaner's GC happens to fire. Each query builds its
+    // DataFrame from scratch per rep, so nothing cached is ever reused
+    // across timed runs: sweeping every persistent RDD between runs
+    // (outside the timed region, blocking so the next run starts from a
+    // deterministic empty storage state) is both safe and the fix for
+    // cross-query memory-state drift. SPARK_GRAFT_BENCH_SWEEP=0 restores
+    // the accumulating behavior for A/B attribution.
+    val sweepOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP", "1") != "0"
+    def sweep(): Unit = if (sweepOn)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    // (n cached RDDs, cached bytes in memory) — sampled after each query
+    // so storage growth across the sweep is measured, not guessed.
+    def storageSample(): (Int, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.length, infos.map(_.memSize).sum)
     }
     // A failed query must NOT masquerade as a fast passing timing: record
     // the error and surface it in the JSON (value -1, errors map).
@@ -64,7 +90,11 @@ object Bench {
       }
     }
     def run(name: String, dir: String): Either[String, Double] = {
-      val rs = (1 to reps).map(_ => runOnce(name, dir))
+      val rs = (1 to reps).map { _ =>
+        val r = runOnce(name, dir)
+        sweep() // untimed; keeps every rep's starting storage state equal
+        r
+      }
       rs.collectFirst { case Left(e) => Left(e) }.getOrElse {
         val ts = rs.collect { case Right(t) => t }.sorted
         Right(ts(ts.length / 2))
@@ -72,8 +102,18 @@ object Bench {
     }
 
     names.foreach(runOnce(_, "/root/testdata/sf0.001")) // warm-up
+    sweep()
+    val calibEvery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_EVERY", "10").toInt
+    val calibSeries = scala.collection.mutable.ArrayBuffer[Double]()
+    val storageSeries = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
     val calibBefore = calibrate()
-    val results = names.map(n => n -> run(n, sfDir))
+    val results = names.zipWithIndex.map { case (n, i) =>
+      if (i > 0 && i % calibEvery == 0) calibSeries += calibrate()
+      val r = n -> run(n, sfDir)
+      storageSeries += storageSample()
+      r
+    }
     val calibAfter = calibrate()
 
     // The driver's stdout capture keeps only the LAST ~2000 chars; round 2's
@@ -117,18 +157,32 @@ object Bench {
     val sfShort = sfDir.split('/').last
     val errsPart =
       if (nFailed == 0) "" else s""","errors":$errs,"n_failed":$nFailed"""
+    // mid-sweep series: before + every-Nth-query samples + after. Flat ⇒
+    // no load spike anywhere in the sweep; a bump pinpoints WHICH query
+    // neighborhood a spike contaminated.
+    val calibAll = calibBefore +: calibSeries.toSeq :+ calibAfter
     val calibPart =
-      s""","reps":$reps,"calib_sec":[${fmt(calibBefore)},${fmt(calibAfter)}]"""
+      s""","reps":$reps,"calib_every":$calibEvery""" +
+        s""","calib_sec":[${calibAll.map(fmt).mkString(",")}]"""
+    val (rddsMax, memMax) =
+      if (storageSeries.isEmpty) (0, 0L)
+      else (storageSeries.map(_._1).max, storageSeries.map(_._2).max)
+    val storagePart =
+      s""","sweep":${if (sweepOn) 1 else 0},"rdds_max":$rddsMax""" +
+        s""","storage_mb_max":${fmt(memMax / 1048576.0)}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errsPart$calibPart,"sf":"$sfShort","full":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errsPart$calibPart$storagePart,"sf":"$sfShort","full":"BENCH_LOCAL.json"}"""
     println(line)
     // full-fidelity artifact: full query names, full float precision,
     // always-present errors map, absolute sf dir. Written only for FULL
     // runs — a SPARK_GRAFT_BENCH_ONLY profiling subset must not clobber
     // the full-inventory record the stdout line points at.
     if (only.isEmpty) {
+      val storageFull = storageSeries.zip(names).map { case ((nr, mem), n) =>
+        "\"" + n + "\":[" + nr + "," + mem + "]"
+      }.mkString("{", ",", "}")
       val fullLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"n_failed":$nFailed,"reps":$reps,"calib_sec":[$calibBefore,$calibAfter],"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"n_failed":$nFailed,"reps":$reps,"calib_every":$calibEvery,"calib_sec":[${calibAll.mkString(",")}],"sweep":${if (sweepOn) 1 else 0},"storage_after":$storageFull,"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
       catch { case _: Throwable => () }
