@@ -115,6 +115,15 @@ object ScaleCheck {
     val tK64 = ivfDedup(dst, 64)
     println(f"ivfDedupDecision on x$D%d corpus: k=16 $tK16%6.2f s -> k=64 $tK64%6.2f s " +
       f"(${tK16 / tK64}%4.1fx back from fixed-k quadratic growth; rule: k ~ sqrt(n))")
+    // The executable form of that rule: suggestK derives k from the
+    // corpus count, so no caller has to know it. Timed on the same big
+    // corpus — auto-k must track the hand-scaled k=64 row, not the
+    // quadratic k=16 one.
+    val nBig = spark.read.parquet(s"$dst/embeddings.parquet").count()
+    val kAuto = graft.ops.VectorOps.suggestK(nBig)
+    val tAuto = ivfDedup(dst, kAuto)
+    println(f"ivfDedupDecision on x$D%d corpus: auto-k (suggestK($nBig%d)=$kAuto%d) " +
+      f"$tAuto%6.2f s (${tK16 / tAuto}%4.1fx vs fixed k=16)")
     spark.stop()
   }
 }

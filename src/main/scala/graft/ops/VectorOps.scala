@@ -21,6 +21,33 @@ import graft.functions.{VectorFunctions => VF}
   */
 object VectorOps {
 
+  /** Centroid count for an n-vector corpus: k ≈ √n, clamped. This is
+    * the executable form of the scale rule the fixed-k counter-examples
+    * (x22's oracle-pinned k=16, ScaleCheck's quadratic-growth row)
+    * document: IVF candidate volume is Σ cell² ≈ n²/k, so holding k
+    * fixed while n grows is quadratic, while k ~ √n keeps both the
+    * per-cell candidate work (n²/k = n^1.5) and the assignment cost
+    * (n·k = n^1.5) balanced — the standard IVF sizing (Johnson et al.,
+    * "Billion-scale similarity search with GPUs", IEEE Big Data 2019,
+    * recommends 4√n..16√n probes-adjusted; √n is the balance point when
+    * assignment is broadcast map-side as here). The floor keeps tiny
+    * corpora from degenerating to one bucket; the cap keeps the
+    * broadcast centroid table broadcast-sized (65536 × 128 floats
+    * ≈ 34 MB — about the practical broadcast ceiling; beyond that,
+    * shard the corpus and train per shard). */
+  def suggestK(n: Long, floor: Int = 16, cap: Int = 65536): Int = {
+    require(floor >= 1 && cap >= floor, s"need 1 <= floor <= cap, got $floor/$cap")
+    math.max(floor, math.min(cap, math.round(math.sqrt(n.toDouble)).toInt))
+  }
+
+  /** [[kmeansTrain]] with k derived from the corpus by [[suggestK]] —
+    * the auto-scaled entry point, so callers don't have to know the
+    * k ~ √n rule. Costs one count job up front (training is an offline
+    * job that already runs `iters` corpus passes; the count is noise). */
+  def kmeansTrainAuto(e: DataFrame, iters: Int, tol: Double = 0.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    kmeansTrain(e, suggestK(e.count()), iters, tol, idCol, vecCol)
+
   /** Multi-probe IVF assignment: each vector mapped to its `nprobe`
     * nearest centroids. Output: (vec_id, embedding, cell). */
   def ivfCells(e: DataFrame, centroids: DataFrame, nprobe: Int,

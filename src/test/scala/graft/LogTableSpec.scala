@@ -138,4 +138,65 @@ class LogTableSpec extends SparkTestBase {
     assert(after == 0.0, s"post-compaction ratio $after")
     assert(!LogTable.shouldCompact(LogTable.compact(logRolledBack, 4L), 4L, 0.5))
   }
+
+  test("durable log round-trip: append batches on disk, reopen in a second session, compact as a maintenance rewrite (log_compaction.rs:9-64)") {
+    // The reference's compaction is an ON-DISK operation; this exercises
+    // the full composition the recipe tests above only stage in memory:
+    // Catalog.append batches → fresh session reads the parquet log →
+    // snapshot → compact → rewrite the table → snapshot-equivalence
+    // across the session boundary, pre and post compaction.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvcc_rt").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    // batch 1 (txn 1, committed): base versions
+    val b1 = LogTable.upserts(
+      Seq((1L, "a1"), (2L, "b1"), (3L, "c1")).toDF("rid", "v"), 1L, col("rid"))
+      .unionByName(LogTable.commitMarker(spark, 1L), allowMissingColumns = true)
+    cat.createNew("doclog", b1.schema)
+    cat.append("doclog", b1)
+    // batch 2: txn 2 update + txn 3 tombstone (committed); txn 4 in-flight
+    val b2 = LogTable.upserts(Seq((1L, "a2")).toDF("rid", "v"), 2L, col("rid"))
+      .unionByName(LogTable.deletes(Seq(Tuple1(2L)).toDF("rid"), 3L, col("rid")),
+        allowMissingColumns = true)
+      .unionByName(LogTable.upserts(Seq((4L, "d1")).toDF("rid", "v"), 4L, col("rid")))
+      .unionByName(LogTable.commitMarker(spark, 2L), allowMissingColumns = true)
+      .unionByName(LogTable.commitMarker(spark, 3L), allowMissingColumns = true)
+    cat.append("doclog", b2)
+
+    // second session: fresh session state, everything read back from disk
+    val s2 = spark.newSession()
+    val cat2 = graft.catalog.Catalog(s2, dir)
+    def snapMap(asOf: Long): Map[Long, String] =
+      LogTable.snapshot(cat2.table("doclog"), asOf).select("rid", "v")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pre = snapMap(3L)
+    assert(pre == Map(1L -> "a2", 3L -> "c1"), s"cross-session snapshot: $pre")
+
+    // maintenance job: compact the settled prefix and rewrite the table.
+    // Materialize BEFORE dropping (overwriting a parquet dir that a lazy
+    // plan still reads from would race the delete); column order restored
+    // to the table's layout for the append-path shape gate.
+    val tableCols = cat2.table("doclog").columns
+    val compacted = LogTable.compact(cat2.table("doclog"), asOf = 3L)
+      .select(tableCols.map(col): _*).localCheckpoint(true)
+    val logEntriesBefore = cat2.table("doclog")
+      .filter(col("op").isin(LogTable.Upsert, LogTable.Delete)).count()
+    cat2.drop("doclog")
+    cat2.createNew("doclog", compacted.schema)
+    cat2.append("doclog", compacted)
+
+    // equivalence across the rewrite, and the rewrite actually reclaimed
+    assert(snapMap(3L) == pre, "snapshot changed across on-disk compaction")
+    val logEntriesAfter = cat2.table("doclog")
+      .filter(col("op").isin(LogTable.Upsert, LogTable.Delete)).count()
+    assert(logEntriesAfter < logEntriesBefore,
+      s"compaction reclaimed nothing: $logEntriesBefore -> $logEntriesAfter")
+
+    // the in-flight txn survived the rewrite verbatim and can still
+    // commit — batch 3 appends just its marker, padded to table shape
+    assert(snapMap(4L) == pre, "uncommitted txn visible after compaction")
+    cat2.append("doclog", cat2.table("doclog").limit(0)
+      .unionByName(LogTable.commitMarker(s2, 4L), allowMissingColumns = true))
+    assert(snapMap(4L) == pre + (4L -> "d1"),
+      "in-flight txn failed to commit after on-disk compaction")
+  }
 }
