@@ -869,26 +869,55 @@ object ExtensionQueries {
     * instead of silently serving the previous generation's rows. */
   private def layoutDir(s: SparkSession, d: String, srcTable: String,
       salt: String)(build: Catalog => Unit): String = {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
     val conf = s.sparkContext.hadoopConfiguration
     val srcPath = new org.apache.hadoop.fs.Path(s"$d/$srcTable.parquet")
     val srcFs = srcPath.getFileSystem(conf)
     val fp = srcFs.listStatus(srcPath).toSeq
       .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
       .sorted.mkString(",")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|$fp|$salt".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
-    val target = s"${System.getProperty("java.io.tmpdir")}/graft_layout_$key"
+    // per-user base dir (a world-shared /tmp path would silently trust —
+    // or fail on — another user's dirs on multi-user hosts); the layout
+    // name splits into <dataset+salt>_<fingerprint> so stale fingerprint
+    // GENERATIONS of the same dataset are identifiable and pruned below.
+    val user = Option(System.getProperty("user.name")).getOrElse("anon")
+      .replaceAll("[^A-Za-z0-9_-]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_layout_$user"
+    val dsKey = md5hex(s"$d|$salt")
+    val genName = s"${dsKey}_${md5hex(fp)}"
+    val target = s"$base/$genName"
     val hTarget = new org.apache.hadoop.fs.Path(target)
-    val fs = hTarget.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = hTarget.getFileSystem(conf)
     if (!fs.exists(hTarget)) {
       val staging = s"$target.stage.${s.sparkContext.applicationId}" +
         s".${java.util.UUID.randomUUID.toString.take(8)}"
+      val hStaging = new org.apache.hadoop.fs.Path(staging)
       build(Catalog(s, staging))
-      // atomic publish; a concurrent winner makes rename return false —
-      // their complete layout is equivalent, so just drop the staging copy
-      if (!fs.rename(new org.apache.hadoop.fs.Path(staging), hTarget))
-        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      // atomic publish. Losing a race is detected by RE-CHECKING the
+      // target, not by rename's return value: LocalFileSystem's rename
+      // falls back to FileUtil.copy when the target exists, which
+      // "succeeds" by copying the staging dir INSIDE the published
+      // layout. So: rename only if the target is still absent, then
+      // unconditionally clear the staging path and any stray nested
+      // copy a fallback might have left.
+      if (fs.exists(hTarget) || !fs.rename(hStaging, hTarget)) {
+        fs.delete(hStaging, true)
+        val stray = new org.apache.hadoop.fs.Path(hTarget, hStaging.getName)
+        if (fs.exists(stray)) fs.delete(stray, true)
+      }
+      // prune stale generations: same dataset+salt, older fingerprint.
+      // Safe to delete — a different fingerprint means the SOURCE at
+      // this path was regenerated, so nothing current reads them.
+      fs.listStatus(new org.apache.hadoop.fs.Path(base))
+        .map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith(s"${dsKey}_") && n != genName && !n.contains(".stage.")
+        }
+        .foreach(fs.delete(_, true))
     }
     target
   }
@@ -944,7 +973,11 @@ object ExtensionQueries {
   private val x49_zorder3_scan: QFn = (s, d) => {
     val ev = events(s, d)
       .select(col("event_id"), col("user_id"), col("value"), col("ts"))
-    val dir3 = layoutDir(s, d, "events", "zorder3|v1") { cat =>
+    // shares ZOrderLayoutVersion with x45: writeZOrdered/writeZOrderedN
+    // evolve together, so a recipe-change bump must invalidate BOTH
+    // cached layouts, not just x45's
+    val dir3 = layoutDir(s, d, "events",
+        s"zorder3|v$ZOrderLayoutVersion") { cat =>
       cat.writeZOrderedN("ev_z3", ev, Seq("user_id", "value", "ts"),
         nFiles = 64, rankCols = Set("value"))
     }

@@ -237,8 +237,16 @@ final case class Catalog(spark: SparkSession, dir: String) {
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(bucketedName(name))
-    writeBucketSpec(name, Catalog.BucketSpec(buckets, bucketCols, sortCols))
+    writeBucketSpec(name,
+      Catalog.BucketSpec(buckets, bucketCols, sortCols,
+        nFiles = Some(dataFileCount(name))))
   }
+
+  /** Data files (non-underscore-prefixed, what Spark's file index sees)
+    * currently in `name`'s directory. */
+  private def dataFileCount(name: String): Int =
+    fs.listStatus(new HPath(path(name)))
+      .count(st => !st.getPath.getName.startsWith("_"))
 
   /** The session-catalog identifier [[writeBucketed]] registers `name`
     * under: suffixed with an 8-hex-digit md5 of this catalog's `dir`.
@@ -277,6 +285,20 @@ final case class Catalog(spark: SparkSession, dir: String) {
       require(maxId < spec.buckets,
         s"bucket sidecar for '$name' declares ${spec.buckets} buckets but a " +
           s"data file has bucket id $maxId — stale sidecar; re-run writeBucketed")
+      // ... and the reverse direction — a sidecar declaring MORE buckets
+      // than the data was written with passes the maxId gate, so the
+      // write also records the directory's data-file count and restore
+      // requires it unchanged (a manually assembled or partially copied
+      // directory fails loudly instead of being served under a bucket
+      // layout that isn't there). Sidecars from older writes carry no
+      // count and keep the maxId-only gate.
+      spec.nFiles.foreach { n =>
+        val actual = dataFileCount(name)
+        require(actual == n,
+          s"bucket sidecar for '$name' was written over $n data files but " +
+            s"the directory now has $actual — stale or manually assembled " +
+            "layout; re-run writeBucketed")
+      }
       def q(c: String) = "`" + c.replace("`", "``") + "`"
       val sorted =
         if (spec.sortCols.isEmpty) ""
@@ -377,9 +399,12 @@ final case class Catalog(spark: SparkSession, dir: String) {
 }
 
 object Catalog {
-  /** On-disk description of a bucketed layout (the sidecar's JSON shape). */
+  /** On-disk description of a bucketed layout (the sidecar's JSON shape).
+    * `nFiles` = data-file count at write time, the restore-time
+    * consistency witness (None in sidecars from older writes). */
   final case class BucketSpec(
-      buckets: Int, bucketCols: Seq[String], sortCols: Seq[String])
+      buckets: Int, bucketCols: Seq[String], sortCols: Seq[String],
+      nFiles: Option[Int] = None)
 
   /** The driver-generated TPC-H-ish fixture tables (TESTDATA.md). */
   val tableNames: Seq[String] = Seq(

@@ -360,6 +360,26 @@ class CoreOpsSpec extends SparkTestBase {
       finally out.close()
       val ex = intercept[IllegalArgumentException] { cat.bucketedTable("t") }
       assert(ex.getMessage.contains("stale sidecar"), ex.getMessage)
+      // the REVERSE direction passes the maxId gate (sidecar declares
+      // MORE buckets than the data carries) but trips the file-count
+      // witness the write recorded: a partially copied / manually
+      // assembled directory must fail loudly too
+      val out2 = hfs.create(side, true)
+      try out2.write(
+        """{"buckets":64,"bucketCols":["n_nationkey"],"sortCols":[],"nFiles":3}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out2.close()
+      val ex2 = intercept[IllegalArgumentException] { cat.bucketedTable("t") }
+      assert(ex2.getMessage.contains("data files"), ex2.getMessage)
+      // a count-less sidecar (older write) with a consistent bucket
+      // count still restores — the maxId-only gate
+      val out3 = hfs.create(side, true)
+      try out3.write(
+        """{"buckets":8,"bucketCols":["n_nationkey"],"sortCols":[]}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out3.close()
+      assert(cat.bucketedTable("t").count() == src.table("nation").count())
+      cat.dropBucketed("t")
       // and with NO sidecar the same directory degrades to the safe
       // plain-parquet path (full content, no bucket metadata)
       assert(hfs.delete(side, false))
