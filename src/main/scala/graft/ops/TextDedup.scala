@@ -77,19 +77,30 @@ object TextDedup {
     *     fat arrays move once per side (AQE broadcasts the candidate
     *     side when it is small, so commonly they don't move at all).
     */
-  private def bandJoinVerify(sig0: DataFrame, numHashes: Int, bands: Int,
-      threshold: Double): DataFrame = {
+  /** Band key expressions over a minhash signature column (`bands`
+    * strings, each joining its `numHashes / bands` signature rows) —
+    * the LSH bucket space. Shared by the batch band join
+    * ([[bandJoinVerify]]) and the streaming bucket keying
+    * ([[graft.streaming.EventStreams.minhashLshPairsStream]]) so the
+    * two paths can never disagree on which docs collide. */
+  def minhashBandKeyExprs(mh: Column, numHashes: Int,
+      bands: Int): Seq[Column] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
+    (0 until bands).map(b =>
+      concat_ws(":", (0 until rpb).map(r =>
+        element_at(mh, rpb * b + r + 1)): _*))
+  }
+
+  private def bandJoinVerify(sig0: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
     // docs with an EMPTY element set all share the degenerate all--1
     // signature — banding them would funnel every such doc into one
     // quadratic bucket; they can never verify anyway (empty sets have
     // Jaccard 0), so drop them before banding
     val sig = sig0.filter(size(col("el_set")) > 0).localCheckpoint(false)
     val slim = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        concat_ws(":", (0 until rpb).map(r =>
-          element_at(col("mh"), rpb * b + r + 1)): _*)): _*))
+      posexplode(array(minhashBandKeyExprs(col("mh"), numHashes, bands): _*))
         .as(Seq("band", "key")))
     val cand = slim.as("a").join(slim.as("b").hint("shuffle_hash"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

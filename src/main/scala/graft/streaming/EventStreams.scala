@@ -295,6 +295,118 @@ object EventStreams {
       }
   }
 
+  case class MhSigRow(doc_id: Long, el_set: Seq[Long],
+      event_time: java.sql.Timestamp, band: Int, key: String)
+  // (doc_id, sorted-distinct element set, event-time ms) — newest first
+  case class MhBucketState(members: List[(Long, Seq[Long], Long)])
+  case class MhNearDup(a_id: Long, b_id: Long, jac: Double)
+
+  /** Set Jaccard of two SORTED DISTINCT long arrays by merge scan,
+    * rounded to 4 decimals — the driver-side twin of the codegen'd
+    * `jaccard_sorted` expression + the batch verify's `round(_, 4)`
+    * ([[graft.ops.TextDedup]] bandJoinVerify), so stream and batch can
+    * never disagree on a threshold comparison. */
+  private def jaccardSorted4(a: Seq[Long], b: Seq[Long]): Double = {
+    val (nx, ny) = (a.length, b.length)
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = a(i); val yv = b(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    val jac = if (union == 0) 0.0 else inter.toDouble / union
+    math.round(jac * 10000).toDouble / 10000 // HALF_UP, as Spark round()
+  }
+
+  /** Streaming MinHash-LSH near-dup pairs — the streaming twin of batch
+    * [[graft.ops.TextDedup.minhashLshPairs]] (x07), completing the
+    * streaming dedup family (exact: [[dedupWithinWatermark]]; SimHash:
+    * [[nearDupPairsStream]]): each incoming doc's shingle set is
+    * minhashed and banded with EXACTLY the batch band-key derivation
+    * ([[graft.ops.TextDedup.minhashBandKeyExprs]] — shared, so the two
+    * paths agree on the bucket space by construction); state is keyed
+    * by (band, key) and holds the bucket's recent (doc_id, shingle set)
+    * members; a band collision verifies TRUE set Jaccard ≥ `threshold`
+    * against each member — the same verify (and the same round-to-4
+    * comparison) as the batch twin, so replaying a corpus through the
+    * stream emits exactly the batch pair set.
+    *
+    * Same horizon/retention/timeout contract as [[nearDupPairsStream]]
+    * (pairs emitted iff event times lie within `watermarkDelay`;
+    * members retained to 2×horizon-of-newest ∧ horizon-of-watermark;
+    * event-time timeout evicts idle buckets; `maxBucket` caps hot
+    * buckets by degrading recall against their oldest members).
+    *
+    * State cost — the honest MinHash trade: TRUE-Jaccard verification
+    * requires the element sets, so state holds ~set-size longs per
+    * member (vs the SimHash stream's 8 bytes). Empty-set docs are
+    * dropped before banding (same degenerate-signature guard as the
+    * batch). At 100 TB/day, prefer [[nearDupPairsStream]] when 8-byte
+    * signatures suffice; this op is for pipelines whose dedup CONTRACT
+    * is set-Jaccard (the reference x07/x33 semantics) at ingest.
+    *
+    * Output: one row per (band-collision, verified) pair, smaller id
+    * first; a pair colliding in several bands emits once per band —
+    * dedup downstream per sink (the batch twin's `distinct()`; a
+    * second stateful op after flatMapGroupsWithState is restricted).
+    * Docs frame: (doc_id long, text string, ts long ns). */
+  def minhashLshPairsStream(docs: DataFrame,
+      watermarkDelay: String = "2 hours", shingleK: Int = 3,
+      numHashes: Int = 8, bands: Int = 4, threshold: Double = 0.8,
+      maxBucket: Int = 256)(
+      implicit spark: SparkSession): Dataset[MhNearDup] = {
+    import spark.implicits._
+    val horizonMs = durationMs(watermarkDelay)
+    val TF = graft.functions.TextFunctions
+    val keyExprs = graft.ops.TextDedup.minhashBandKeyExprs(
+      col("mh"), numHashes, bands)
+    docs
+      .withColumn("event_time", tsFromNs(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("doc_id"),
+        TF.shingleSetFast(TF.words(col("text")), shingleK).as("el_set"),
+        TF.minhashSigsFast(TF.words(col("text")), shingleK, numHashes).as("mh"),
+        col("event_time"))
+      .filter(size(col("el_set")) > 0)
+      .select(col("doc_id"), col("el_set"), col("event_time"),
+        posexplode(array(keyExprs: _*)).as(Seq("band", "key")))
+      .as[MhSigRow]
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[MhBucketState, MhNearDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[MhBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = List.newBuilder[MhNearDup]
+            rows.toSeq.sortBy(r => (r.event_time.getTime, r.doc_id)).foreach { r =>
+              val ts = r.event_time.getTime
+              members.foreach { case (id, set0, mTs) =>
+                if (id != r.doc_id && math.abs(ts - mTs) <= horizonMs) {
+                  val jac = jaccardSorted4(set0, r.el_set)
+                  if (jac >= threshold)
+                    out += MhNearDup(math.min(id, r.doc_id),
+                      math.max(id, r.doc_id), jac)
+                }
+              }
+              members = ((r.doc_id, r.el_set, ts) :: members).take(maxBucket)
+            }
+            // identical retention/timeout derivation as the SimHash
+            // stream — see nearDupPairsStream for the 2×horizon proof
+            val newest = members.iterator.map(_._3).max
+            val wm = state.getCurrentWatermarkMs()
+            members = members.filter(m =>
+              newest - m._3 <= 2 * horizonMs && wm - m._3 <= horizonMs)
+            state.update(MhBucketState(members))
+            state.setTimeoutTimestamp(
+              math.max(newest + horizonMs, math.max(wm + 1, 0L)))
+            out.result().iterator
+          }
+      }
+  }
+
   val GapNs: Long = 30L * 60 * 1000000000L
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the

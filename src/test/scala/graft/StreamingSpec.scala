@@ -272,6 +272,67 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming MinHash-LSH replay of the documents fixture equals the batch x07 pair set") {
+    // completes the streaming dedup family (round-5 verdict stretch):
+    // the REAL fixture corpus streamed in micro-batches must emit
+    // exactly the pairs of TextDedup.minhashLshPairs (= x07,
+    // oracle-checked elsewhere) — same band keys (shared derivation),
+    // same true-Jaccard verify, same rounding, jac values included
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val B = 100 * H
+    val batch = graft.ops.TextDedup.minhashLshPairs(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      shingleK = 3, numHashes = 8, bands = 4, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture must contain minhash near-dups")
+    val input = MemoryStream[(Long, String, Long)]
+    val pairs = EventStreams.minhashLshPairsStream(
+      input.toDF().toDF("doc_id", "text", "ts"), watermarkDelay = "1 hour",
+      shingleK = 3, numHashes = 8, bands = 4, threshold = 0.8)
+    val q = pairs.writeStream.format("memory").queryName("mh_replay")
+      .outputMode(OutputMode.Append).start()
+    try {
+      docs.grouped(100).foreach { g =>
+        input.addData(g.map { case (id, t) => (id, t, B + id * 1000000L) }: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("mh_replay")
+        .select("a_id", "b_id", "jac").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"minhash stream-replay diverged from batch twin: " +
+          s"only-stream=${(streamed -- batch).take(5)} " +
+          s"only-batch=${(batch -- streamed).take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming MinHash-LSH horizon: pairs beyond the watermark horizon are the batch sweep's job") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val txt = "the quick brown fox jumps over the lazy dog tonight again"
+    val input = MemoryStream[(Long, String, Long)]
+    val pairs = EventStreams.minhashLshPairsStream(
+      input.toDF().toDF("doc_id", "text", "ts"), watermarkDelay = "1 hour")
+    val q = pairs.writeStream.format("memory").queryName("mh_horizon")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val T = 10 * H
+      // twins within the horizon pair; a third copy 1.5h later does NOT
+      // pair with doc 1 (beyond horizon) but does with doc 2 (within)
+      input.addData((1L, txt, T), (2L, txt, T + H / 2))
+      q.processAllAvailable()
+      input.addData((3L, txt, T + 3 * H / 2))
+      q.processAllAvailable()
+      val got = spark.table("mh_horizon").select("a_id", "b_id")
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L), (2L, 3L)), got.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases within the hour before each click, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
