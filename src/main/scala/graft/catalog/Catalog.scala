@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Named-table catalog over a directory of Parquet tables.
@@ -108,6 +109,43 @@ final case class Catalog(spark: SparkSession, dir: String) {
       sameShape(existing, rows.schema),
       s"schema mismatch appending to '$name': table=$existing incoming=${rows.schema}")
     rows.write.mode("append").parquet(path(name))
+  }
+
+  /** On-disk MVCC log compaction — the reference's maintenance job
+    * (src/storage/log_file/log_compaction.rs:9-64: rewrite the log file
+    * with the settled prefix collapsed) as a one-call catalog op over a
+    * [[graft.mvcc.LogTable]]-shaped parquet table: compute the
+    * compacted log ([[graft.mvcc.LogTable.compact]] — keep-newest-
+    * committed, drop tombstoned/aborted history, preserve in-flight and
+    * future entries verbatim), stage it into a sibling directory, then
+    * swap it in (old dir moved aside, staging renamed to the table
+    * path, old dir deleted). The staging write fully materializes the
+    * compacted rows BEFORE anything touches the live directory, so a
+    * crash during the write leaves the table untouched; the swap itself
+    * is two renames — a crash between them leaves the table absent but
+    * both generations on disk (`<name>.parquet.old`, recoverable by
+    * hand), never a half-written mix. Like the reference's compaction,
+    * the job assumes EXCLUSIVE WRITE ACCESS to the table (concurrent
+    * appends during the swap would land in the doomed old directory);
+    * concurrent READERS of an already-opened DataFrame may need to
+    * re-open after the swap (parquet scans resolve files lazily).
+    * Returns the number of reclaimed log entries. */
+  def compactLog(name: String, asOf: Long): Long = {
+    val cols = table(name).columns
+    val before = table(name).count()
+    val compacted = graft.mvcc.LogTable.compact(table(name), asOf)
+      .select(cols.map(c => col(c)): _*)
+    val staging = new HPath(s"${path(name)}.compact-stage")
+    val old = new HPath(s"${path(name)}.old")
+    fs.delete(staging, true); fs.delete(old, true)
+    compacted.write.parquet(staging.toString)
+    val after = spark.read.parquet(staging.toString).count()
+    val live = new HPath(path(name))
+    require(fs.rename(live, old), s"compactLog: could not move $live aside")
+    require(fs.rename(staging, live),
+      s"compactLog: could not publish $staging (old data at $old)")
+    fs.delete(old, true)
+    before - after
   }
 
   /** Hive-style partitioned write — the working analogue of the

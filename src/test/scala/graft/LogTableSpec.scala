@@ -171,25 +171,16 @@ class LogTableSpec extends SparkTestBase {
     val pre = snapMap(3L)
     assert(pre == Map(1L -> "a2", 3L -> "c1"), s"cross-session snapshot: $pre")
 
-    // maintenance job: compact the settled prefix and rewrite the table.
-    // Materialize BEFORE dropping (overwriting a parquet dir that a lazy
-    // plan still reads from would race the delete); column order restored
-    // to the table's layout for the append-path shape gate.
-    val tableCols = cat2.table("doclog").columns
-    val compacted = LogTable.compact(cat2.table("doclog"), asOf = 3L)
-      .select(tableCols.map(col): _*).localCheckpoint(true)
-    val logEntriesBefore = cat2.table("doclog")
-      .filter(col("op").isin(LogTable.Upsert, LogTable.Delete)).count()
-    cat2.drop("doclog")
-    cat2.createNew("doclog", compacted.schema)
-    cat2.append("doclog", compacted)
+    // maintenance job: one-call on-disk compaction (stage + swap)
+    val reclaimed = cat2.compactLog("doclog", asOf = 3L)
+    assert(reclaimed > 0, "compaction reclaimed nothing")
 
-    // equivalence across the rewrite, and the rewrite actually reclaimed
+    // equivalence across the rewrite; no staging/old debris left behind
+    // (raw directory listing — the .old/.compact-stage names are
+    // invisible to Catalog.list by design)
     assert(snapMap(3L) == pre, "snapshot changed across on-disk compaction")
-    val logEntriesAfter = cat2.table("doclog")
-      .filter(col("op").isin(LogTable.Upsert, LogTable.Delete)).count()
-    assert(logEntriesAfter < logEntriesBefore,
-      s"compaction reclaimed nothing: $logEntriesBefore -> $logEntriesAfter")
+    val entries = new java.io.File(dir).list().toSeq
+    assert(entries == Seq("doclog.parquet"), entries.toString)
 
     // the in-flight txn survived the rewrite verbatim and can still
     // commit — batch 3 appends just its marker, padded to table shape
