@@ -1006,6 +1006,36 @@ object ExtensionQueries {
         expr("ts div 1000").as("ts_us"))
   }
 
+  /** Incremental near-dedup against a PERSISTED signature index — the
+    * daily-ingest form of x07/x33: the historical corpus (doc_id % 10
+    * != 0) is signatured ONCE into two bucketed tables
+    * ([[graft.ops.TextDedup.writeSignatureIndex]]: exploded LSH bucket
+    * keys bucketed BY key, shingle sets bucketed by id), and the
+    * incoming batch (doc_id % 10 == 0) probes it
+    * ([[graft.ops.TextDedup.dedupAgainstIndex]]) — band-key equi-join +
+    * Jaccard verify, with the INDEX side of both joins shuffle-free
+    * (bucketed on the join key; PlanAuditSpec pins it). Output: the
+    * keep/drop decision (in_id, canonical_id, n_matches).
+    *
+    * 100 TB story: this is how near-dedup actually runs in production —
+    * the history is hashed once per corpus generation (build cost
+    * amortized over every later batch), and per-batch cost scales with
+    * the batch. Like x45/x49, the index is built at most once per
+    * dataset generation behind [[layoutDir]]'s atomic publish, so bench
+    * reps measure the PROBE (the recurring cost), not the build. */
+  private val x50_index_dedup: QFn = (s, d) => {
+    val idxDir = layoutDir(s, d, "documents", "sigindex|v1") { cat =>
+      graft.ops.TextDedup.writeSignatureIndex(cat, "hist",
+        docsR(s, d).filter(col("doc_id") % 10 =!= 0),
+        shingleK = ShingleK, numHashes = NumHashes, bands = 4, buckets = 16)
+    }
+    graft.ops.TextDedup.indexDedupDecision(
+      graft.ops.TextDedup.dedupAgainstIndex(Catalog(s, idxDir), "hist",
+        docsR(s, d).filter(col("doc_id") % 10 === 0),
+        shingleK = ShingleK, numHashes = NumHashes, bands = 4,
+        threshold = 0.8))
+  }
+
   /** Tumbling 1-hour window aggregation over the event stream (batch
     * form; the streaming form with watermark lives in graft.streaming).
     * `ts` surfaces as raw ns (nanosAsLong) — bucket via integer div. */
@@ -1112,6 +1142,7 @@ object ExtensionQueries {
     "x47_simhash_pairbanded" -> x47_simhash_pairbanded,
     "x48_ann_trained" -> x48_ann_trained,
     "x49_zorder3_scan" -> x49_zorder3_scan,
+    "x50_index_dedup" -> x50_index_dedup,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1138,6 +1169,23 @@ object ExtensionQueries {
        |  FROM (
        |${oracles("x23_simhash_banded")}
        |) pairs GROUP BY b_id""".stripMargin
+
+  // x50: x07's pair semantics restricted to CROSS-split pairs (one side
+  // incoming doc_id % 10 = 0, one side historical), re-oriented so in_id
+  // is always the incoming doc, then the index decision groupBy. The
+  // banded candidate condition is per-doc (signatures don't depend on
+  // what else is in the table), so the full-corpus pair set restricted
+  // to cross pairs IS the index-probe result.
+  private lazy val x50Oracle: String =
+    s"""WITH pairs AS (
+       |${oracles("x07_minhash_lsh_pairs")}
+       |),
+       |m AS (SELECT CASE WHEN a_id % 10 = 0 THEN a_id ELSE b_id END AS in_id,
+       |             CASE WHEN a_id % 10 = 0 THEN b_id ELSE a_id END AS match_id
+       |        FROM pairs
+       |       WHERE (a_id % 10 = 0) <> (b_id % 10 = 0))
+       |SELECT in_id, min(match_id) AS canonical_id, count(*) AS n_matches
+       |  FROM m GROUP BY in_id""".stripMargin
 
   // x36: transitive closure of x07's pair graph; min reachable id per
   // node = the component minimum (DuckDB's recursive CTE terminates on
@@ -1220,7 +1268,8 @@ object ExtensionQueries {
       // both bandings are pigeonhole-exact ⇒ both must equal the
       // brute-force all-pairs oracle
       "x47_simhash_pairbanded" -> oracles("x23_simhash_banded"),
-      "x41_cluster_decision" -> x41Oracle)
+      "x41_cluster_decision" -> x41Oracle,
+      "x50_index_dedup" -> x50Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -28,7 +28,9 @@ object TextDedup {
   /** MinHash+LSH near-dup pairs: `numHashes` minhashes over
     * `shingleK`-word shingles, banded `bands` × (numHashes/bands);
     * candidates share a band key; verified with true shingle-set
-    * Jaccard ≥ `threshold`. Output: (a_id, b_id, jac). */
+    * Jaccard ≥ `threshold`. Output: (a_id, b_id, jac).
+    * ([[planBands]] derives the banding from the threshold when the
+    * caller doesn't want to pick it.) */
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleK: Int = 3, numHashes: Int = 8,
       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
@@ -202,6 +204,136 @@ object TextDedup {
   def dedupDecision(pairs: DataFrame): DataFrame =
     pairs.groupBy(col("b_id").as("drop_id"))
       .agg(min(col("a_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Choose the (bands, rowsPerBand) split of a `numHashes`-hash MinHash
+    * signature for a target Jaccard `threshold` — the executable form of
+    * the LSH S-curve rule (Leskovec/Rajaraman/Ullman, "Mining of Massive
+    * Datasets" ch. 3.4): a pair with true similarity `s` becomes a
+    * candidate with probability P(s) = 1 - (1 - s^r)^b, and the best
+    * banding puts the curve's rise at the threshold. Minimizes the
+    * expected selection error under a uniform similarity prior —
+    * false-positive area ∫₀ᵗ P(s) ds (candidates below the threshold
+    * that verification must pay to reject) plus false-negative area
+    * ∫ᵗ¹ (1 − P(s)) ds (true near-dups LSH never surfaces; verification
+    * can't recover these) — over all divisor pairs b·r = numHashes.
+    * Returns (bands, rowsPerBand).
+    *
+    * Callers trading candidate volume against recall at fixed hashes
+    * can weight the two areas: `fnWeight` > 1 biases toward recall
+    * (more bands), < 1 toward fewer candidates. */
+  def planBands(numHashes: Int, threshold: Double,
+      fnWeight: Double = 1.0): (Int, Int) = {
+    require(numHashes > 0, "numHashes must be positive")
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    require(fnWeight > 0, "fnWeight must be positive")
+    val n = 2000
+    def err(b: Int): Double = {
+      val r = numHashes / b
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < n) {
+        val s = (i + 0.5) / n
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      (fp + fnWeight * fn) / n
+    }
+    val b = (1 to numHashes).filter(numHashes % _ == 0).minBy(err)
+    (b, numHashes / b)
+  }
+
+  /** Single-column LSH bucket keys: each band's key string prefixed
+    * with its band ordinal (`"<band>:<sig rows>"`), so one string column
+    * carries the whole (band, key) identity. Derived from
+    * [[minhashBandKeyExprs]] — the index write path and the probe path
+    * share this, so a persisted index and a later probe can never
+    * disagree on the bucket space. */
+  def minhashBucketKeys(mh: Column, numHashes: Int, bands: Int): Column =
+    array(minhashBandKeyExprs(mh, numHashes, bands).zipWithIndex.map {
+      case (k, b) => concat_ws(":", lit(b), k)
+    }: _*)
+
+  /** Persist a near-dup SIGNATURE INDEX over a corpus — the incremental
+    * path for ingest-time near-dedup: hash the 100 TB historical corpus
+    * ONCE, then dedup each arriving batch against the stored signatures
+    * without touching (or re-shuffling) the history again. Two bucketed
+    * tables under `cat` ([[graft.catalog.Catalog.writeBucketed]], with
+    * the cross-session sidecar restore):
+    *
+    *  - `<name>_bands` (bkey, doc_id) BUCKETED BY bkey — the exploded
+    *    LSH bucket membership, `bands` slim rows per doc. Bucketing by
+    *    bkey means a probe join on bkey never shuffles the index side:
+    *    the scan's output partitioning already satisfies the join.
+    *  - `<name>_sets` (doc_id, el_set) BUCKETED BY doc_id — the shingle
+    *    sets for the Jaccard verify, fetched by candidate id with the
+    *    index side again shuffle-free.
+    *
+    * The reference's dedup surface is whole-corpus
+    * (`src/query/` batch scans); the index form is the lake-engine
+    * upgrade: the build cost (one corpus pass + two bucketed writes) is
+    * paid once per corpus generation, and per-batch probe cost scales
+    * with the BATCH, not the corpus. */
+  def writeSignatureIndex(cat: graft.catalog.Catalog, name: String,
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      buckets: Int = 64): Unit = {
+    // one corpus pass computes sets + signatures; the lazy checkpoint
+    // materializes on the first write and is reused by the second
+    val sig = docs.select(col(idCol).as("doc_id"),
+      TF.shingleSetFast(TF.words(col(textCol)), shingleK).as("el_set"),
+      TF.minhashSigsFast(TF.words(col(textCol)), shingleK, numHashes).as("mh"))
+      .filter(size(col("el_set")) > 0) // degenerate empty-set docs can't verify
+      .localCheckpoint(false)
+    cat.writeBucketed(s"${name}_bands",
+      sig.select(col("doc_id"),
+        explode(minhashBucketKeys(col("mh"), numHashes, bands)).as("bkey")),
+      buckets, Seq("bkey"))
+    cat.writeBucketed(s"${name}_sets",
+      sig.select(col("doc_id"), col("el_set")), buckets, Seq("doc_id"))
+  }
+
+  /** Dedup an incoming batch against a [[writeSignatureIndex]] index:
+    * signature the batch (map-side), probe the stored bucket table on
+    * the single bkey column, verify candidates with true Jaccard against
+    * the stored shingle sets. Output: (in_id, match_id, jac) — every
+    * verified (incoming doc, historical doc) near-dup match.
+    *
+    * Scale shape: the index side of BOTH joins is bucketed on the join
+    * key, so the historical corpus never re-shuffles — only the batch
+    * (small) moves. Same hash family + bucket keys as the write path
+    * ([[minhashBucketKeys]]), so probe and index agree by construction. */
+  def dedupAgainstIndex(cat: graft.catalog.Catalog, name: String,
+      incoming: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val sig = incoming.select(col(idCol).as("in_id"),
+      TF.shingleSetFast(TF.words(col(textCol)), shingleK).as("in_set"),
+      TF.minhashSigsFast(TF.words(col(textCol)), shingleK, numHashes).as("mh"))
+      .filter(size(col("in_set")) > 0)
+      .localCheckpoint(false) // feeds the probe and the verify join back
+    val probe = sig.select(col("in_id"),
+      explode(minhashBucketKeys(col("mh"), numHashes, bands)).as("bkey"))
+    val cand = probe.join(cat.bucketedTable(s"${name}_bands"), Seq("bkey"))
+      .select(col("in_id"), col("doc_id").as("match_id"))
+      .distinct() // a true match collides in several bands; verify once
+    cand
+      .join(cat.bucketedTable(s"${name}_sets")
+        .select(col("doc_id").as("match_id"), col("el_set")), Seq("match_id"))
+      .join(sig.select(col("in_id"), col("in_set")), Seq("in_id"))
+      .select(col("in_id"), col("match_id"),
+        round(call_function("jaccard_sorted", col("in_set"), col("el_set")), 4)
+          .as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** Keep/drop decision over [[dedupAgainstIndex]] matches: an incoming
+    * doc with ANY verified historical near-dup is dropped in favor of
+    * its lowest-id match. Output: (in_id, canonical_id, n_matches). */
+  def indexDedupDecision(matches: DataFrame): DataFrame =
+    matches.groupBy(col("in_id"))
+      .agg(min(col("match_id")).as("canonical_id"),
+        count(lit(1)).as("n_matches"))
 
   /** Ingest-time dedup: keep only incoming rows whose content
     * fingerprint is absent from `existingFps` (a 1-column `fp` frame,

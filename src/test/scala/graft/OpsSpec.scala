@@ -50,6 +50,56 @@ class OpsSpec extends SparkTestBase {
     assert(pairs == Set((4L, 5L)), pairs.toString)
   }
 
+  test("TextDedup.planBands: divisor pairs, S-curve midpoint tracks the threshold, recall weight adds bands") {
+    // always a divisor split
+    for (nh <- Seq(8, 16, 48, 100, 128); t <- Seq(0.3, 0.5, 0.8, 0.95)) {
+      val (b, r) = TextDedup.planBands(nh, t)
+      assert(b * r == nh, s"planBands($nh,$t) = ($b,$r)")
+      // the curve's rise point (1/b)^(1/r) must land near the threshold —
+      // the defining property of a good banding (MMDS eq. 3.2)
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(mid - t) < 0.22, s"planBands($nh,$t)=($b,$r) mid=$mid")
+    }
+    // monotone: a higher threshold never wants MORE bands
+    for (nh <- Seq(16, 48, 128)) {
+      val bs = Seq(0.2, 0.4, 0.6, 0.8, 0.9).map(TextDedup.planBands(nh, _)._1)
+      assert(bs == bs.sorted.reverse, s"bands not non-increasing in t: $bs")
+    }
+    // MMDS's canonical example: 100 hashes, threshold near 0.55 → 20×5
+    assert(TextDedup.planBands(100, 0.55) == (20, 5))
+    // recall bias can only add bands (catch more, verify more)
+    for ((nh, t) <- Seq((48, 0.7), (100, 0.8), (16, 0.6)))
+      assert(TextDedup.planBands(nh, t, fnWeight = 4.0)._1 >=
+        TextDedup.planBands(nh, t)._1)
+  }
+
+  test("TextDedup signature index: probe result equals the cross-split subset of the batch pair set") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    try {
+      TextDedup.writeSignatureIndex(cat, "hist",
+        docs.filter(col("doc_id") % 10 =!= 0), buckets = 4)
+      val got = TextDedup.dedupAgainstIndex(cat, "hist",
+          docs.filter(col("doc_id") % 10 === 0))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // oracle: the whole-corpus banded pair set, restricted to pairs that
+      // cross the split and re-oriented (incoming id first). Signatures
+      // and bucket keys are per-doc, so the index path may neither lose a
+      // cross pair (same bands collide) nor invent one (same verify).
+      val expect = TextDedup.minhashLshPairs(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+        .map { case (a, b) => if (a % 10 == 0) (a, b) else (b, a) }.toSet
+      assert(got == expect, s"got=$got expect=$expect")
+      assert(got.nonEmpty, "fixture must actually have cross-split near-dups")
+    } finally {
+      cat.dropBucketed("hist_bands")
+      cat.dropBucketed("hist_sets")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("TextDedup.minhashLshPairsFromSets: banded pairs over precomputed char-gram sets") {
     import graft.functions.{TextFunctions => TF}
     val df = Seq(

@@ -216,6 +216,42 @@ class PlanAuditSpec extends SparkTestBase {
     assert(searchJoins.nonEmpty, s"no equi cell join found:\n$p")
   }
 
+  test("x50: the persisted signature index never re-shuffles — exchanges only above joins or on the batch side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // AQE off for a plain traversable tree (the property is about
+    // EnsureRequirements' static placement, which AQE only refines)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("x50_index_dedup")(spark, sf)
+      assert(df.collect().nonEmpty)
+      val root = df.queryExecution.executedPlan
+      def isIndexScan(p: SparkPlan): Boolean = p match {
+        case s: FileSourceScanExec => s.metadata.get("Location")
+          .exists(l => l.contains("hist_bands") || l.contains("hist_sets"))
+        case _ => false
+      }
+      assert(root.collect { case s if isIndexScan(s) => s }.size == 2,
+        "both index tables must be scanned")
+      // an index scan reached through an Exchange WITHOUT an intervening
+      // join means the stored layout was re-shuffled before use — the
+      // exact cost writeBucketed paid once to avoid
+      def indexScanBelowNoJoin(p: SparkPlan): Boolean = p match {
+        case s if isIndexScan(s) => true
+        case _: BaseJoinExec => false
+        case other => other.children.exists(indexScanBelowNoJoin)
+      }
+      val offending = root.collect {
+        case e: ShuffleExchangeExec if e.children.exists(indexScanBelowNoJoin) => e
+      }
+      assert(offending.isEmpty,
+        s"index side re-shuffled before its join:\n${offending.mkString("\n")}")
+      // non-vacuous: the batch side and the decision groupBy do shuffle
+      assert(root.collect { case e: ShuffleExchangeExec => e }.nonEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("x49: the 3-dim box reaches the z3 parquet scan as pushed filters on ALL dims") {
     // the µs-bounds-times-1000 trick must keep the raw ts column (and the
     // other two dims) in PushedFilters — a cast on any column would turn
