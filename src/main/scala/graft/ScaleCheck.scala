@@ -74,6 +74,32 @@ object ScaleCheck {
     // stays shallow — cliques have diameter 1 — so the round count, not
     // just the per-round cost, is what the measurement pins.
 
+    // Incremental dedup: the signature index (x50) amortizes the corpus
+    // pass — per-batch probe cost must be a fraction of the full-corpus
+    // pair recompute at BOTH sizes, and the gap must widen with the
+    // corpus (the build is untimed here: it's paid once per corpus
+    // generation, the probe is paid per batch).
+    def incremental(dir: String, tag: String): (Double, Double) = {
+      val dd = spark.read.parquet(s"$dir/documents.parquet")
+      val cat = graft.catalog.Catalog(spark, s"$dst/sigidx_$tag")
+      graft.ops.TextDedup.writeSignatureIndex(cat, "hist",
+        dd.filter(col("doc_id") % 10 =!= 0))
+      val t0 = System.nanoTime()
+      graft.ops.TextDedup.dedupAgainstIndex(cat, "hist",
+        dd.filter(col("doc_id") % 10 === 0))
+        .queryExecution.toRdd.count()
+      val tProbe = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.ops.TextDedup.minhashLshPairs(dd).queryExecution.toRdd.count()
+      val tFull = (System.nanoTime() - t1) / 1e9
+      (tProbe, tFull)
+    }
+    incremental(src, "warm") // warm
+    val (pS, fS) = incremental(src, "base")
+    val (pB, fB) = incremental(dst, "big")
+    println(f"x50 incremental probe vs full recompute: base $pS%5.2f vs $fS%5.2f s, " +
+      f"x$D%d-dups $pB%5.2f vs $fB%5.2f s (probe/full ${pB / fB}%4.2f at x$D%d)")
+
     // Embedding corpus D×: new vec_ids, identical vectors — every vector
     // gains D-1 exact twins. Queries (vec_id < 10) and the centroid seed
     // (vec_id < 16) keep their original rows, so only the SEARCHED/
