@@ -280,6 +280,34 @@ final case class Catalog(spark: SparkSession, dir: String) {
         nFiles = Some(dataFileCount(name))))
   }
 
+  /** Append rows into an existing bucketed table, PRESERVING the bucket
+    * layout: the append is written with the sidecar's exact bucket
+    * count/columns/sort (Spark rejects a mismatched spec), producing new
+    * per-bucket files next to the old ones — co-location survives, no
+    * existing data is rewritten. This is what makes a bucketed table an
+    * incrementally-maintainable INDEX (e.g.
+    * [[graft.ops.TextDedup.appendToSignatureIndex]]) rather than a
+    * build-once artifact.
+    *
+    * Crash safety follows [[writeBucketed]]'s ordering: the sidecar is
+    * deleted before data lands and rewritten (with the new file count)
+    * only after — a crash mid-append leaves a sidecar-less directory
+    * that degrades to the plain-parquet path instead of a stale spec
+    * whose file count no longer matches. */
+  def appendBucketed(name: String, rows: DataFrame): Unit = {
+    val spec = readBucketSpec(name).getOrElse(throw new IllegalStateException(
+      s"no bucket sidecar for '$name' — writeBucketed must run first"))
+    if (!spark.catalog.tableExists(bucketedName(name))) restoreBucketed(name)
+    fs.delete(bucketSpecPath(name), false)
+    val w = rows.write.mode("append").format("parquet")
+      .bucketBy(spec.buckets, spec.bucketCols.head, spec.bucketCols.tail: _*)
+    (if (spec.sortCols.nonEmpty)
+       w.sortBy(spec.sortCols.head, spec.sortCols.tail: _*)
+     else w)
+      .saveAsTable(bucketedName(name))
+    writeBucketSpec(name, spec.copy(nFiles = Some(dataFileCount(name))))
+  }
+
   /** Data files (non-underscore-prefixed, what Spark's file index sees)
     * currently in `name`'s directory. */
   private def dataFileCount(name: String): Int =

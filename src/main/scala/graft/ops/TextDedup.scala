@@ -335,6 +335,59 @@ object TextDedup {
       .agg(min(col("match_id")).as("canonical_id"),
         count(lit(1)).as("n_matches"))
 
+  /** Append a batch's signatures into an existing
+    * [[writeSignatureIndex]] index ([[graft.catalog.Catalog
+    * .appendBucketed]] on both tables — bucket layout preserved, no
+    * existing data rewritten). The batch pass is shared by the two
+    * appends via one lazy checkpoint. */
+  def appendToSignatureIndex(cat: graft.catalog.Catalog, name: String,
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4): Unit = {
+    val sig = docs.select(col(idCol).as("doc_id"),
+      TF.shingleSetFast(TF.words(col(textCol)), shingleK).as("el_set"),
+      TF.minhashSigsFast(TF.words(col(textCol)), shingleK, numHashes).as("mh"))
+      .filter(size(col("el_set")) > 0)
+      .localCheckpoint(false)
+    cat.appendBucketed(s"${name}_bands",
+      sig.select(col("doc_id"),
+        explode(minhashBucketKeys(col("mh"), numHashes, bands)).as("bkey")))
+    cat.appendBucketed(s"${name}_sets",
+      sig.select(col("doc_id"), col("el_set")))
+  }
+
+  /** One ingest step of the incremental near-dedup loop — the
+    * production shape of corpus maintenance: probe the batch against
+    * the index ([[dedupAgainstIndex]] → [[indexDedupDecision]]), then
+    * append the KEPT docs' signatures so later batches dedup against
+    * them too ([[appendToSignatureIndex]]). Returns the decisions
+    * (in_id, canonical_id, n_matches) — every flagged batch doc with
+    * its historical canonical.
+    *
+    * EAGER: the decisions are materialized (eager checkpoint) before
+    * the append — the probe must see the index WITHOUT the batch in it
+    * (otherwise every batch doc would match its own just-appended
+    * signature), so this call runs jobs rather than returning a lazy
+    * plan. Intra-batch duplicates are NOT resolved here (neither doc is
+    * in the index yet, so neither is flagged and both are appended) —
+    * run a batch-level pass first ([[exact]] / [[dedupDecision]]) when
+    * batches can self-collide, the same split the MVCC ingest stream
+    * makes (graft.streaming.EventStreams.ingestDedupToLog dedups within
+    * the batch before the log anti-join). */
+  def ingestNearDup(cat: graft.catalog.Catalog, name: String,
+      batch: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val decisions = indexDedupDecision(
+      dedupAgainstIndex(cat, name, batch, idCol, textCol,
+        shingleK, numHashes, bands, threshold))
+      .localCheckpoint(true) // materialize BEFORE the index gains the batch
+    val kept = batch.join(
+      decisions.select(col("in_id").as(idCol)), Seq(idCol), "left_anti")
+    appendToSignatureIndex(cat, name, kept, idCol, textCol,
+      shingleK, numHashes, bands)
+    decisions
+  }
+
   /** Ingest-time dedup: keep only incoming rows whose content
     * fingerprint is absent from `existingFps` (a 1-column `fp` frame,
     * e.g. built from an MVCC snapshot). Output: incoming's id + fp. */

@@ -407,6 +407,48 @@ object EventStreams {
       }
   }
 
+  /** Incremental near-dedup INGEST stream — the streaming driver of the
+    * persisted signature index ([[graft.ops.TextDedup
+    * .writeSignatureIndex]]): each micro-batch probes the on-disk index
+    * for near-dups of everything ingested before it, appends the
+    * decisions (in_id, canonical_id, n_matches, batch_id) to
+    * `decisionsPath`, and folds the KEPT docs' signatures into the index
+    * ([[graft.ops.TextDedup.ingestNearDup]]) so later batches dedup
+    * against them too. The first batch bootstraps the index and emits no
+    * decisions.
+    *
+    * Contrast with [[minhashLshPairsStream]]: that one finds pairs
+    * WITHIN the stream's watermark horizon in operator state; this one
+    * dedups the stream against the UNBOUNDED ingested-so-far corpus —
+    * state lives in the bucketed index on storage, not in executors, so
+    * no watermark bounds what a batch can match. foreachBatch is the
+    * right harness (the reference's streaming surface is an empty stub;
+    * README.md:84-88): each batch is one deterministic batch job, and
+    * exactly-once comes from the sink checkpoint as with
+    * [[ingestDedupToLog]]. Intra-batch duplicates follow
+    * [[graft.ops.TextDedup.ingestNearDup]]'s contract (pre-dedup the
+    * batch when it can self-collide). */
+  def nearDupIngestStream(incoming: DataFrame, indexDir: String,
+      indexName: String, decisionsPath: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.8, buckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cat = graft.catalog.Catalog(batch.sparkSession, indexDir)
+        if (!cat.bucketedExists(s"${indexName}_bands"))
+          graft.ops.TextDedup.writeSignatureIndex(cat, indexName, batch,
+            idCol, textCol, shingleK, numHashes, bands, buckets)
+        else
+          graft.ops.TextDedup.ingestNearDup(cat, indexName, batch,
+            idCol, textCol, shingleK, numHashes, bands, threshold)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(decisionsPath)
+      }
+      .start()
+
   val GapNs: Long = 30L * 60 * 1000000000L
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the

@@ -390,4 +390,43 @@ class CoreOpsSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("appendBucketed: layout preserved (zero-shuffle join), sidecar file count updated, cross-session restore intact") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_bappend").toString
+    val cat = Catalog(spark, dir)
+    val src = Catalog(spark, sf)
+    try {
+      val nat = src.table("nation")
+      cat.writeBucketed("t", nat.filter(col("n_nationkey") < 10),
+        buckets = 4, bucketCols = Seq("n_nationkey"))
+      cat.appendBucketed("t", nat.filter(col("n_nationkey") >= 10))
+      // full content back, exactly once each
+      assert(cat.bucketedTable("t").count() == nat.count())
+      // the append must not have degraded the layout: a self-join on the
+      // bucket key still plans with NO exchange
+      val j = cat.bucketedTable("t").as("a")
+        .join(cat.bucketedTable("t").as("b").hint("merge"),
+          col("a.n_nationkey") === col("b.n_nationkey"))
+        .groupBy(col("a.n_nationkey")).agg(count(lit(1)).as("n"))
+      assert(j.collect().length == nat.count())
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join degraded by append:\n$p")
+      // cross-session restore: the sidecar's refreshed file count must
+      // match the directory (appendBucketed rewrote it after the append)
+      cat.dropBucketed("t")
+      assert(!spark.catalog.tableExists(cat.bucketedName("t")))
+      assert(cat.bucketedTable("t").count() == nat.count())
+      // appending without a sidecar (never written / crash window) fails
+      // loudly instead of silently inventing a layout
+      val ex = intercept[IllegalStateException] {
+        cat.appendBucketed("missing", nat)
+      }
+      assert(ex.getMessage.contains("writeBucketed"), ex.getMessage)
+    } finally {
+      cat.dropBucketed("t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

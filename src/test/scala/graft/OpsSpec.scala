@@ -100,6 +100,35 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("TextDedup.ingestNearDup: probe-then-append loop — later batches dedup against everything KEPT so far") {
+    val distinctDoc = "completely different content about spark query engines " +
+      "and distributed columnar execution with shuffles joins and aggregates everywhere"
+    val otherDoc = "an entirely new document about incremental index maintenance " +
+      "where each arriving batch probes the persisted corpus signatures before joining it"
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigidx_inc").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    try {
+      TextDedup.writeSignatureIndex(cat, "inc",
+        Seq((1L, base), (2L, distinctDoc)).toDF("doc_id", "text"), buckets = 4)
+      // batch 2: 3 re-crawls doc 1's text (flag, canonical 1); 4 is new (keep+append)
+      val d2 = TextDedup.ingestNearDup(cat, "inc",
+          Seq((3L, base), (4L, otherDoc)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(d2 == Set((3L, 1L, 1L)), d2.toString)
+      // batch 3: 5 dups batch-2's KEPT doc 4 → flagged against it; 6 dups
+      // the DROPPED doc 3 → resolves to the original canonical 1 (dropped
+      // docs were never appended, so they can't become match targets)
+      val d3 = TextDedup.ingestNearDup(cat, "inc",
+          Seq((5L, otherDoc), (6L, base)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(d3 == Set((5L, 4L, 1L), (6L, 1L, 1L)), d3.toString)
+    } finally {
+      cat.dropBucketed("inc_bands")
+      cat.dropBucketed("inc_sets")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("TextDedup.minhashLshPairsFromSets: banded pairs over precomputed char-gram sets") {
     import graft.functions.{TextFunctions => TF}
     val df = Seq(

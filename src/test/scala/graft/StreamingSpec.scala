@@ -418,4 +418,37 @@ class StreamingSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("near-dup ingest stream: batch 1 bootstraps the index; later batches flagged against the on-disk corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest while birds sing morning songs"
+    val otherDoc = "an entirely new document about incremental index " +
+      "maintenance where each arriving batch probes the persisted corpus " +
+      "signatures before joining it"
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndingest").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.nearDupIngestStream(
+      input.toDF().toDF("doc_id", "text"), s"$dir/idx", "hist",
+      s"$dir/decisions", s"$dir/ckpt", buckets = 4)
+    try {
+      input.addData((1L, base), (2L, "something else entirely here today"))
+      q.processAllAvailable() // bootstrap: index = {1, 2}, no decisions
+      input.addData((3L, base), (4L, otherDoc))
+      q.processAllAvailable() // 3 flagged vs 1; 4 kept and appended
+      input.addData((5L, otherDoc), (6L, base))
+      q.processAllAvailable() // 5 flagged vs the STREAMED doc 4; 6 vs 1
+      val dec = spark.read.parquet(s"$dir/decisions")
+        .select("in_id", "canonical_id", "n_matches").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(dec == Set((3L, 1L, 1L), (5L, 4L, 1L), (6L, 1L, 1L)),
+        dec.toString)
+    } finally {
+      q.stop()
+      val cat = graft.catalog.Catalog(spark, s"$dir/idx")
+      cat.dropBucketed("hist_bands")
+      cat.dropBucketed("hist_sets")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
