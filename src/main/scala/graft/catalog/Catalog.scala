@@ -308,6 +308,46 @@ final case class Catalog(spark: SparkSession, dir: String) {
     writeBucketSpec(name, spec.copy(nFiles = Some(dataFileCount(name))))
   }
 
+  /** Fold a bucketed table's accumulated append files back into
+    * `buckets`-sized files — the small-file maintenance job every
+    * appendable layout needs ([[appendBucketed]] adds files per batch;
+    * at one batch per hour a year of ingest is ~9k files per bucket,
+    * and scan/open overhead eats the layout's benefit). The rewrite
+    * repartitions ON the bucket columns into exactly `buckets`
+    * partitions, so each write task holds one bucket and the compacted
+    * table is one file per bucket.
+    *
+    * Publish is by directory swap (same pattern as [[compactLog]]):
+    * the compacted copy is staged as a sibling directory, the live dir
+    * moved aside, the staging renamed in, then the old data deleted —
+    * readers never see a partial table, and a crash between the two
+    * renames leaves the old data recoverable at `<path>.old`. The
+    * sidecar travels inside the staged directory, so the cross-session
+    * restore contract is never stale. Returns files-before −
+    * files-after. */
+  def compactBucketed(name: String): Int = {
+    val spec = readBucketSpec(name).getOrElse(throw new IllegalStateException(
+      s"no bucket sidecar for '$name' — nothing to compact"))
+    val before = dataFileCount(name)
+    val stagingCat = Catalog(spark, s"$dir/.compact_$name")
+    fs.delete(new HPath(stagingCat.dir), true)
+    stagingCat.writeBucketed(name,
+      bucketedTable(name)
+        .repartition(spec.buckets, spec.bucketCols.map(col): _*),
+      spec.buckets, spec.bucketCols, spec.sortCols)
+    stagingCat.dropBucketed(name) // staging registration, never served
+    dropBucketed(name) // re-registered from the swapped-in sidecar on next read
+    val live = new HPath(path(name))
+    val old = new HPath(s"${path(name)}.old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"compactBucketed: could not move $live aside")
+    require(fs.rename(new HPath(stagingCat.path(name)), live),
+      s"compactBucketed: could not publish staging (old data at $old)")
+    fs.delete(old, true)
+    fs.delete(new HPath(stagingCat.dir), true)
+    before - dataFileCount(name)
+  }
+
   /** Data files (non-underscore-prefixed, what Spark's file index sees)
     * currently in `name`'s directory. */
   private def dataFileCount(name: String): Int =

@@ -217,6 +217,22 @@ object VectorOps {
     cat.writeBucketed(name, cells, buckets, bucketCols = Seq("cell"))
   }
 
+  /** Fold newly-arrived vectors into a persisted index — the vector
+    * twin of the text side's incremental signature index
+    * ([[graft.ops.TextDedup.appendToSignatureIndex]]): assign the new
+    * vectors against the SAME centroid frame the index was built with
+    * ([[ivfCells]] / [[kmeansTrain]] output), then append the
+    * assignment rows with the bucket layout preserved
+    * ([[graft.catalog.Catalog.appendBucketed]] — new per-bucket files,
+    * nothing rewritten, [[searchIndex]]'s zero-shuffle plan intact).
+    * Per-batch files accumulate; fold them back periodically with
+    * [[graft.catalog.Catalog.compactBucketed]] (the small-file
+    * maintenance job). Re-train + [[writeIndex]] when drift makes the
+    * frozen centroids a bad partition of the data. */
+  def appendToIndex(cat: graft.catalog.Catalog, name: String,
+      newCells: DataFrame): Unit =
+    cat.appendBucketed(name, newCells)
+
   /** Search a persisted index by cell-key equi-join — [[inCellTopK]]
     * with the bucketed table on both sides and probe-dedup ON (a
     * persisted index is commonly multi-probe). A later session

@@ -122,6 +122,14 @@ class OpsSpec extends SparkTestBase {
           Seq((5L, otherDoc), (6L, base)).toDF("doc_id", "text"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(d3 == Set((5L, 4L, 1L), (6L, 1L, 1L)), d3.toString)
+      // maintenance: fold the per-batch append files back down; the
+      // probe must see the identical corpus afterwards
+      cat.compactBucketed("inc_bands")
+      cat.compactBucketed("inc_sets")
+      val d4 = TextDedup.dedupAgainstIndex(cat, "inc",
+          Seq((7L, otherDoc)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(d4 == Set((7L, 4L)), d4.toString)
     } finally {
       cat.dropBucketed("inc_bands")
       cat.dropBucketed("inc_sets")

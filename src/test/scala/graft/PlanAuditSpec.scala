@@ -360,6 +360,51 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("persisted IVF index: appendToIndex folds new vectors in; compactBucketed shrinks files; both keep the plan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfappend").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    val e = cat2.table("embeddings")
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+    def results(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    try {
+      // build from the even half, append the odd half: same centroid
+      // frame ⇒ assignment is per-vector, so the union must equal the
+      // all-at-once index
+      graft.ops.VectorOps.writeIndex(cat, "emb_idx",
+        graft.ops.VectorOps.ivfCells(
+          e.filter(col("vec_id") % 2 === 0), cent, nprobe = 1), buckets = 4)
+      graft.ops.VectorOps.appendToIndex(cat, "emb_idx",
+        graft.ops.VectorOps.ivfCells(
+          e.filter(col("vec_id") % 2 === 1), cent, nprobe = 1))
+      val s = graft.ops.VectorOps.searchIndex(cat, "emb_idx", k = 3,
+        queryPred = col("q_id") < 10)
+      val expected = results(graft.ops.VectorOps.inCellTopK(
+        graft.ops.VectorOps.ivfCells(e, cent, nprobe = 1), k = 3,
+        queryPred = col("q_id") < 10))
+      assert(results(s) == expected)
+      assert(!s.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning(cell"),
+        "append degraded the bucketed cell join")
+      // compaction: fewer files, same rows, same plan — and since
+      // compactBucketed drops the session registration, this search also
+      // exercises the sidecar restore of the swapped-in directory
+      val saved = cat.compactBucketed("emb_idx")
+      assert(saved > 0, "append then compact must remove files")
+      val s2 = graft.ops.VectorOps.searchIndex(cat, "emb_idx", k = 3,
+        queryPred = col("q_id") < 10)
+      assert(results(s2) == expected)
+      assert(!s2.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning(cell"),
+        "compaction degraded the bucketed cell join")
+    } finally {
+      cat.dropBucketed("emb_idx")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the executed plan)") {
     import org.apache.spark.sql.functions._
     // plant skew: 150k of 160k left rows share one join key; thresholds
