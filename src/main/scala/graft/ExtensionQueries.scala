@@ -1036,6 +1036,17 @@ object ExtensionQueries {
         threshold = 0.8))
   }
 
+  /** Corpus-trained unigram LM quality score ([[graft.ops.CorpusOps
+    * .lmScore]]) — the CCNet-family LM filter: token log-probability
+    * under the corpus's own unigram distribution (add-one smoothing),
+    * averaged per document. One vocab-sized count table, one scoring
+    * join on the word key, decimal-exact summation so even this
+    * float-heavy score is hash-checked against the oracle (per-word
+    * log-prob rounded to 6 decimals, summed as DECIMAL — order
+    * independent). */
+  private val x51_lm_score: QFn = (s, d) =>
+    graft.ops.CorpusOps.lmScore(docsR(s, d))
+
   /** Tumbling 1-hour window aggregation over the event stream (batch
     * form; the streaming form with watermark lives in graft.streaming).
     * `ts` surfaces as raw ns (nanosAsLong) — bucket via integer div. */
@@ -1143,6 +1154,7 @@ object ExtensionQueries {
     "x48_ann_trained" -> x48_ann_trained,
     "x49_zorder3_scan" -> x49_zorder3_scan,
     "x50_index_dedup" -> x50_index_dedup,
+    "x51_lm_score" -> x51_lm_score,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1594,6 +1606,20 @@ object ExtensionQueries {
          |       round(t.tf * ln(n.n_docs::DOUBLE / d.dfreq), 4) AS tfidf
          |  FROM tf t JOIN dfq d USING (word) CROSS JOIN n
          | WHERE t.tf >= 4""".stripMargin,
+    "x51_lm_score" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
+         |             FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         |cnts AS (SELECT word, sum(tf) AS cnt FROM tf GROUP BY 1),
+         |c AS (SELECT sum(cnt) AS n_total, count(*) AS vocab FROM cnts),
+         |lp AS (SELECT t.doc_id, t.tf,
+         |       CAST(round(ln((k.cnt + 1)::DOUBLE /
+         |                     (c.n_total + c.vocab)::DOUBLE), 6)
+         |            AS DECIMAL(18,6)) AS lpw
+         |         FROM tf t JOIN cnts k USING (word) CROSS JOIN c)
+         |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         |       round((sum(tf * lpw))::DOUBLE / (sum(tf))::DOUBLE, 4) AS avg_logp
+         |  FROM lp GROUP BY doc_id""".stripMargin,
     "x31_semantic_search" ->
       s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_e
          |                FROM embeddings WHERE vec_id < 16),

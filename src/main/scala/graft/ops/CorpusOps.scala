@@ -15,6 +15,48 @@ import graft.functions.{TextFunctions => TF}
   */
 object CorpusOps {
 
+  /** Corpus-trained unigram LM quality score — the engine-shaped core
+    * of the CCNet-style LM filtering family (Wenzek et al., LREC 2020
+    * train a KenLM and keep low-perplexity text; the unigram form needs
+    * no external model and is what the engine itself can train in one
+    * pass): every token is scored by its corpus frequency with add-one
+    * smoothing, and a document's score is its mean token
+    * log-probability. Junk (rare-token soup, encoding noise) scores far
+    * below fluent text; rank or threshold `avg_logp` downstream.
+    * Output: (doc_id, n_tokens, avg_logp).
+    *
+    * 100 TB shape: the count table is VOCAB-sized (one groupBy with
+    * map-side partial agg absorbing stopword skew); the scoring join is
+    * at (doc, word) grain on the word key — broadcast when the vocab is
+    * bounded, shuffle + AQE skew-split otherwise; the two corpus
+    * constants ride a one-row broadcast. Nothing driver-side.
+    *
+    * Determinism across engines: the per-word log-prob is rounded to 6
+    * decimals and summed as DECIMAL(18,6) — an exact, order-independent
+    * sum (same trick as q37's decimal aggregates), so the oracle can
+    * hash-match a float-heavy score instead of settling for rows-only. */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(TF.words(col(textCol))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds the counts AND the scoring join
+    val counts = tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt"))
+    val consts = counts.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("vocab"))
+    tf.join(counts, Seq("word"))
+      .crossJoin(broadcast(consts))
+      .withColumn("lpw",
+        round(log((col("cnt") + 1).cast("double") /
+          (col("n_total") + col("vocab")).cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        round(sum(col("tf") * col("lpw")).cast("double") /
+          sum(col("tf")).cast("double"), 4).as("avg_logp"))
+  }
+
   /** Benchmark decontamination: per training document, how many
     * distinct `shingleK`-word shingles it shares with the benchmark
     * set, and with how many benchmark documents. Join output is

@@ -375,6 +375,24 @@ class OpsSpec extends SparkTestBase {
     assert(labels.size == 15)
   }
 
+  test("CorpusOps.lmScore: add-one unigram log-prob, hand-checked") {
+    // corpus: tokens {a:3, b:1, c:1}, N=5, V=3 → denom 8
+    //   lpw(a) = ln(4/8) = -0.693147 ; lpw(b) = lpw(c) = ln(2/8) = -1.386294
+    val df = Seq((1L, "a a b"), (2L, "c a")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.lmScore(df).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, -0.9242)), out.toString) // (2·-0.693147 - 1.386294)/3
+    assert(out(2L) == ((2L, -1.0397)), out.toString) // (-1.386294 - 0.693147)/2
+    // fluent text (common tokens) must outscore rare-token soup
+    val mixed = Seq((1L, base), (2L, base), (3L, base),
+      (4L, "zq9 xvv7 qlm0 wkj3 bbq2 nnz8 ppx1 rrt5 ggh4 mmc6 lld9 kkf2"))
+      .toDF("doc_id", "text")
+    val scored = graft.ops.CorpusOps.lmScore(mixed).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(1L) > scored(4L),
+      s"fluent ${scored(1L)} must beat junk ${scored(4L)}")
+  }
+
   test("CorpusOps.decontaminate flags only true shingle overlap at custom k") {
     val train = Seq(
       (1L, base),                                     // contaminated (verbatim run)

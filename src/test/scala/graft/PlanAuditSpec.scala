@@ -286,6 +286,7 @@ class PlanAuditSpec extends SparkTestBase {
       "x19_embed_dedup",        // brute-force baseline (labeled)
       "x21_tfidf",              // 1-row corpus-size broadcast
       "x42_bm25",               // 1-row corpus-scalars (N, avgdl) broadcast
+      "x51_lm_score",           // 1-row corpus-scalars (N, vocab) broadcast
       "x22_embed_dedup_bucketed", // 16-row broadcast centroid assignment
       "x28_ann_recall",         // exact evaluation side is brute force
       "x30_kmeans_step",        // 16-row broadcast centroid assignment
