@@ -1036,6 +1036,25 @@ object ExtensionQueries {
         threshold = 0.8))
   }
 
+  /** Quality-aware cluster dedup decision — the production form of
+    * x41: dup clusters from x07's verified pair graph
+    * ([[graft.ops.GraphOps.connectedComponents]]), but the kept
+    * canonical is the highest-QUALITY member (here: longest by
+    * n_chars, ties min id) instead of the min id
+    * ([[graft.ops.CorpusOps.clusterDedupDecisionBy]]) — when 17 crawls
+    * of one article survive to a cluster, a pipeline keeps the best
+    * extraction, not the smallest id. Same plan shape as x41 plus one
+    * equi-join to the quality column and a per-cluster (never
+    * corpus-wide) window. */
+  private val x52_quality_canonical: QFn = (s, d) => {
+    val pairs = graft.ops.TextDedup.minhashLshPairs(docsR(s, d),
+      shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.8)
+    graft.ops.CorpusOps.clusterDedupDecisionBy(
+      graft.ops.GraphOps.connectedComponents(pairs),
+      docs(s, d).select(col("doc_id"), col("n_chars")),
+      scoreCol = "n_chars")
+  }
+
   /** Corpus-trained unigram LM quality score ([[graft.ops.CorpusOps
     * .lmScore]]) — the CCNet-family LM filter: token log-probability
     * under the corpus's own unigram distribution (add-one smoothing),
@@ -1155,6 +1174,7 @@ object ExtensionQueries {
     "x49_zorder3_scan" -> x49_zorder3_scan,
     "x50_index_dedup" -> x50_index_dedup,
     "x51_lm_score" -> x51_lm_score,
+    "x52_quality_canonical" -> x52_quality_canonical,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1181,6 +1201,25 @@ object ExtensionQueries {
        |  FROM (
        |${oracles("x23_simhash_banded")}
        |) pairs GROUP BY b_id""".stripMargin
+
+  // x52: x36's components with the canonical re-picked by quality —
+  // first_value over (n_chars DESC, doc_id ASC) per cluster, drop
+  // everything else
+  private lazy val x52Oracle: String =
+    s"""WITH comp AS (
+       |${x36Oracle}
+       |),
+       |q AS (SELECT c.doc_id, c.cluster_id, c.n_members, d.n_chars
+       |        FROM comp c JOIN documents d USING (doc_id)),
+       |r AS (SELECT doc_id, cluster_id, n_members,
+       |             first_value(doc_id) OVER (
+       |               PARTITION BY cluster_id
+       |               ORDER BY n_chars DESC, doc_id ASC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING
+       |                        AND UNBOUNDED FOLLOWING) AS canonical_id
+       |        FROM q)
+       |SELECT doc_id AS drop_id, canonical_id, n_members
+       |  FROM r WHERE doc_id <> canonical_id""".stripMargin
 
   // x50: x07's pair semantics restricted to CROSS-split pairs (one side
   // incoming doc_id % 10 = 0, one side historical), re-oriented so in_id
@@ -1281,7 +1320,8 @@ object ExtensionQueries {
       // brute-force all-pairs oracle
       "x47_simhash_pairbanded" -> oracles("x23_simhash_banded"),
       "x41_cluster_decision" -> x41Oracle,
-      "x50_index_dedup" -> x50Oracle)
+      "x50_index_dedup" -> x50Oracle,
+      "x52_quality_canonical" -> x52Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

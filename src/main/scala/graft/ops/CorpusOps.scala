@@ -166,4 +166,34 @@ object CorpusOps {
       .select(col("node").as("drop_id"), col("cluster_id").as("canonical_id"),
         col("n_members"))
   }
+
+  /** [[clusterDedupDecision]] with a QUALITY-aware canonical: keep the
+    * cluster member maximizing `quality` (ties broken by min id — total
+    * order, deterministic) instead of the min-id member. This is what
+    * production dedup actually does: when 17 crawls of one article
+    * survive to a cluster, keep the longest / highest-LM-score /
+    * best-extraction copy, not whichever happened to get the smallest
+    * id. `quality`: (id, score) — e.g. n_chars, x02's composite, or
+    * [[lmScore]]'s avg_logp.
+    *
+    * Scale shape: one equi-join of labels to quality on the node id, a
+    * per-cluster max via window (partitioned by cluster, no corpus-wide
+    * window), then the drop rows. Output: (drop_id, canonical_id,
+    * n_members), same contract as [[clusterDedupDecision]]. */
+  def clusterDedupDecisionBy(labels: DataFrame, quality: DataFrame,
+      qIdCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
+    val wOrd = Window.partitionBy("cluster_id")
+      .orderBy(col("__q").desc, col("node").asc)
+    labels
+      .join(quality.select(col(qIdCol).as("node"), col(scoreCol).as("__q")),
+        Seq("node"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      // default frame [unbounded preceding, current row] ⇒ first() is the
+      // top-ranked (best-quality) member for EVERY row of the cluster
+      .withColumn("canonical_id", first(col("node")).over(wOrd))
+      .filter(col("node") =!= col("canonical_id"))
+      .select(col("node").as("drop_id"), col("canonical_id"),
+        col("n_members"))
+  }
 }

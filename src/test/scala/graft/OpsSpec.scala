@@ -393,6 +393,18 @@ class OpsSpec extends SparkTestBase {
       s"fluent ${scored(1L)} must beat junk ${scored(4L)}")
   }
 
+  test("CorpusOps.clusterDedupDecisionBy: canonical = best quality, ties broken by min id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node", "cluster_id")
+    val quality = Seq((1L, 10.0), (2L, 99.0), (3L, 50.0), (5L, 7.0), (6L, 7.0))
+      .toDF("doc_id", "score")
+    val out = graft.ops.CorpusOps.clusterDedupDecisionBy(labels, quality)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cluster 1: doc 2 wins on score (labels' min-id root is dropped);
+    // cluster 5: tie score → min id 5 kept
+    assert(out == Set((1L, 2L, 3L), (3L, 2L, 3L), (6L, 5L, 2L)), out.toString)
+  }
+
   test("CorpusOps.decontaminate flags only true shingle overlap at custom k") {
     val train = Seq(
       (1L, base),                                     // contaminated (verbatim run)
