@@ -228,6 +228,83 @@ object ExtensionQueries {
       shingleK = 8)
   }
 
+  /** x37 through the Bloom-sketch path ([[graft.ops.CorpusOps
+    * .decontaminateBloom]]): benchmark shingles collapse to ONE
+    * fixed-size `bloom_filter_agg` sketch riding a scalar subquery;
+    * `might_contain` kills ~all clean corpus shingles map-side; the
+    * exact confirm join then sees only true hits + the fpp tail. The
+    * sketch only prunes (no false negatives; false positives are
+    * confirmed away), so the output — and the oracle — are exactly
+    * x37's: a hash-green row here *proves* the lossless-prefilter
+    * contract, not just plausibility. This is the decontamination form
+    * that survives a benchmark suite too big to broadcast exactly. */
+  private val x53_bloom_decontaminate: QFn = (s, d) => {
+    val dd = docsR(s, d)
+    graft.ops.CorpusOps.decontaminateBloom(
+      train = dd.filter(col("doc_id") % 5 =!= 0),
+      benchmark = dd.filter(col("doc_id") % 5 === 0),
+      shingleK = 8)
+  }
+
+  /** Conjunctive keyword search over a PERSISTED inverted index: the
+    * corpus's distinct (word, doc_id) postings live in a bucketed table
+    * keyed by word (built once per dataset, x50-style layout cache); a
+    * query is an IN-list over the term column — pushed into the parquet
+    * scan, so only the probed terms' postings are read — and docs
+    * matching ALL terms survive the count filter (the distributed form
+    * of posting-list intersection). Output: (doc_id, n_hit).
+    *
+    * 100 TB shape: the posting build is one map-side explode+distinct
+    * and a bucketed write; a query scans a term-pruned slice of the
+    * index and shuffles ONLY the matching postings on doc_id (AQE
+    * collapses that to a handful of partitions). The corpus itself is
+    * never touched at query time — the IR backbone for corpus
+    * search/inspection tooling. */
+  private val x55_inverted_search: QFn = (s, d) => {
+    val terms = Seq("spark", "join", "window")
+    val idxDir = layoutDir(s, d, "documents", "invidx|v1") { cat =>
+      cat.writeBucketed("postings",
+        docsR(s, d).select(col("doc_id"),
+          explode(array_distinct(TF.words(col("text")))).as("word")),
+        buckets = 16, bucketCols = Seq("word"), sortCols = Seq("word"))
+    }
+    Catalog(s, idxDir).bucketedTable("postings")
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === terms.length)
+  }
+
+  /** Deterministic per-group k-sample (eval-slice construction: a fixed
+    * number of docs per language, reproducible across runs and
+    * engines): rank by salted hash within each language, keep rank ≤ k.
+    * The rank-limit filter plans as WindowGroupLimit — every task
+    * locally top-ks its partition BEFORE the shuffle, so at most
+    * k rows per (task, group) ever move; never a corpus-wide window.
+    * A changed salt draws a fresh, disjoint-looking sample. */
+  private val x56_group_sample: QFn = (s, d) => {
+    val k = 100
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        TF.hash60(col("doc_id").cast("string"), "val|").as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("lang"), col("rn"))
+  }
+
+  /** Temperature-weighted language mixture sampling
+    * ([[graft.ops.CorpusOps.temperatureSample]], α=0.5) — the XLM-R
+    * data-mixing step: every language keeps rate (n_min/n_lang)^0.5,
+    * so the smallest language survives whole and dominant languages
+    * are down-sampled toward it. Deterministic hash-threshold
+    * rejection ⇒ the sample is a pure function of (doc_id, salt,
+    * counts) and fully oracle-checked — not a rows-only RNG sample.
+    * Plan: languages-sized count agg + one-row min, both broadcast
+    * back; the corpus is scanned once, map-only, never shuffled. */
+  private val x54_mix_sample: QFn = (s, d) =>
+    graft.ops.CorpusOps.temperatureSample(docs(s, d))
+
   /** Training-sequence packing (concat-and-chunk): documents in
     * deterministic order are concatenated into one token stream and cut
     * into 256-token sequences; each doc reports its stream offset, its
@@ -1175,6 +1252,10 @@ object ExtensionQueries {
     "x50_index_dedup" -> x50_index_dedup,
     "x51_lm_score" -> x51_lm_score,
     "x52_quality_canonical" -> x52_quality_canonical,
+    "x53_bloom_decontaminate" -> x53_bloom_decontaminate,
+    "x54_mix_sample" -> x54_mix_sample,
+    "x55_inverted_search" -> x55_inverted_search,
+    "x56_group_sample" -> x56_group_sample,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1321,7 +1402,11 @@ object ExtensionQueries {
       "x47_simhash_pairbanded" -> oracles("x23_simhash_banded"),
       "x41_cluster_decision" -> x41Oracle,
       "x50_index_dedup" -> x50Oracle,
-      "x52_quality_canonical" -> x52Oracle)
+      "x52_quality_canonical" -> x52Oracle,
+      // the Bloom prefilter is lossless (no false negatives; false
+      // positives removed by the exact confirm join) ⇒ x53 must equal
+      // the exact decontamination oracle verbatim
+      "x53_bloom_decontaminate" -> oracles("x37_decontaminate"))
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->
@@ -1878,6 +1963,31 @@ object ExtensionQueries {
          |       row_number() OVER (PARTITION BY h % 8
          |                          ORDER BY h, doc_id)::BIGINT AS pos
          |  FROM t""".stripMargin,
+    "x54_mix_sample" ->
+      s"""WITH c AS (SELECT lang, count(*)::BIGINT AS n_group
+         |             FROM documents GROUP BY lang),
+         |m AS (SELECT min(n_group) AS n_min FROM c),
+         |r AS (SELECT lang, pow(n_min::DOUBLE / n_group, 0.5) AS rate
+         |        FROM c, m)
+         |SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+         |  FROM documents d JOIN r USING (lang)
+         | WHERE ${H60("'mix|'||d.doc_id::VARCHAR")} % 1000000
+         |       < round(r.rate * 1000000)::BIGINT""".stripMargin,
+    "x55_inverted_search" ->
+      s"""WITH w AS (SELECT doc_id,
+         |             unnest(list_distinct(string_split($NT,' '))) AS word
+         |             FROM documents)
+         |SELECT doc_id, count(*)::BIGINT AS n_hit
+         |  FROM w WHERE word IN ('spark','join','window')
+         | GROUP BY doc_id HAVING count(*) = 3""".stripMargin,
+    "x56_group_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |             ${H60("'val|'||doc_id::VARCHAR")} AS h
+         |             FROM documents)
+         |SELECT doc_id, lang,
+         |       row_number() OVER (PARTITION BY lang
+         |                          ORDER BY h, doc_id)::BIGINT AS rn
+         |  FROM t QUALIFY rn <= 100""".stripMargin,
     "x17_mvcc_snapshot" ->
       """WITH log AS (
         |  SELECT 1::BIGINT AS txn, 'U' AS op, o_orderkey AS rid, o_totalprice AS price FROM orders

@@ -81,6 +81,59 @@ object CorpusOps {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter — the form whose
+    * broadcast cost stays bounded when the benchmark suite itself is
+    * large. Output is IDENTICAL to [[decontaminate]]: the sketch only
+    * prunes (a Bloom filter has no false negatives, and its false
+    * positives are removed by the exact confirm join) — which is the
+    * correctness contract x53 hash-checks against the exact oracle.
+    *
+    * 100 TB shape: `bloom_filter_agg` collapses the benchmark shingle
+    * set to a fixed-size sketch (~1.2 bytes per item at the default
+    * 3% fpp, vs 8-byte hashes plus hash-table overhead for an exact
+    * broadcast); `might_contain` reads it through a scalar subquery =
+    * ONE tiny value shipped to every scan task, so ~all clean corpus
+    * shingles die map-side and the exact confirm join sees only true
+    * hits plus the fpp tail. With the corpus side pre-shrunk ~30×, the
+    * confirm join is cheap under either strategy Catalyst picks
+    * (broadcast while the benchmark fits, shuffle on the pruned
+    * remnant otherwise). Spark ships both expressions (they power its
+    * runtime join pruning) but registers neither as a function —
+    * [[graft.plans.GraftExtensions]] injects them, which also makes
+    * the scalar-subquery form `might_contain` requires expressible.
+    */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 8, expectedItems: Long = 1L << 20): DataFrame = {
+    val spark = train.sparkSession
+    def sh(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      explode(TF.shingleSetFast(TF.words(col(textCol)), shingleK)).as("sh"))
+    // might_contain's sketch input must be foldable or a scalar
+    // subquery (Spark's analysis contract), so this one op is phrased
+    // in SQL over uniquely-named temp views; analysis is eager, so the
+    // views can be dropped as soon as the DataFrame exists.
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val tv = s"graft_decon_train_$tag"
+    val bv = s"graft_decon_bench_$tag"
+    sh(train, "doc_id").createOrReplaceTempView(tv)
+    sh(benchmark, "eval_id").createOrReplaceTempView(bv)
+    try spark.sql(
+      s"""SELECT t.doc_id,
+         |       count(DISTINCT t.sh)      AS n_shared,
+         |       count(DISTINCT e.eval_id) AS n_eval_docs
+         |  FROM (SELECT doc_id, sh FROM $tv
+         |         WHERE might_contain(
+         |                 (SELECT bloom_filter_agg(sh, ${expectedItems}L)
+         |                    FROM $bv),
+         |                 sh)) t
+         |  JOIN $bv e ON t.sh = e.sh
+         | GROUP BY t.doc_id""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(tv)
+      spark.catalog.dropTempView(bv)
+    }
+  }
+
   /** Training-sequence packing (concat-and-chunk): rows ordered by
     * `idCol` are concatenated into one token stream and cut into
     * `seqLen`-token sequences; each row reports its global token
@@ -195,5 +248,47 @@ object CorpusOps {
       .filter(col("node") =!= col("canonical_id"))
       .select(col("node").as("drop_id"), col("canonical_id"),
         col("n_members"))
+  }
+
+  /** Temperature-weighted mixture sampling — the multilingual /
+    * multi-domain data-mixing step (Lample & Conneau NeurIPS'19 /
+    * XLM-R: sample groups with probability ∝ (n_g/N)^α so
+    * low-resource groups are up-weighted relative to their raw share).
+    * Deterministic rejection form: every group keeps rate
+    * r_g = (n_min/n_g)^(1-α) — the smallest group keeps everything,
+    * larger groups are down-sampled toward it (α=1 keeps all, α=0
+    * equalizes counts) — and a row survives iff
+    * `hash60(salt|id) mod resolution < round(r_g · resolution)`.
+    * Hash thresholding makes the sample a pure function of (id, salt,
+    * group counts): reproducible across runs, engines, and cluster
+    * sizes, and a changed salt draws a fresh epoch. Output: the kept
+    * rows as (id, group, rate — rounded to 6 for observability).
+    *
+    * 100 TB shape: the group-count aggregate is GROUPS-sized (map-side
+    * partial agg), its n_min reduction is one row, and both ride a
+    * broadcast back onto the corpus — the corpus itself is scanned
+    * once, map-only, never shuffled.
+    *
+    * Determinism across engines: the threshold is an INTEGER —
+    * `round(r·resolution)` — so the float boundary only matters if
+    * pow() drift crosses a whole resolution step (~1e-6); r's last-ulp
+    * is ~1e-16. */
+  def temperatureSample(docs: DataFrame, groupCol: String = "lang",
+      idCol: String = "doc_id", alpha: Double = 0.5, salt: String = "mix",
+      resolution: Long = 1000000L): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val counts = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_group"))
+    val nMin = counts.agg(min(col("n_group")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("rate",
+        pow(col("n_min").cast("double") / col("n_group").cast("double"),
+          lit(1.0 - alpha)))
+      .select(col(groupCol), col("rate"),
+        round(col("rate") * resolution).cast("long").as("thr"))
+    docs.join(broadcast(rates), groupCol)
+      .filter(TF.hash60(col(idCol).cast("string"), s"$salt|") % resolution
+        < col("thr"))
+      .select(col(idCol), col(groupCol), round(col("rate"), 6).as("rate"))
   }
 }

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Abs, Add, And, Expression, ExpressionInfo, GreaterThan, LessThan, Literal, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, And, BloomFilterMightContain, Expression, ExpressionInfo, GreaterThan, LessThan, Literal, Subtract}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -85,6 +86,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hash60_all"),
       new ExpressionInfo(classOf[Hash60All].getName, "hash60_all"),
       (children: Seq[Expression]) => Hash60All(children(0), children(1))))
+    // Spark's Bloom-filter sketch pair, surfaced as SQL functions. The
+    // engine ships both expressions (they power runtime join pruning)
+    // but registers neither; injecting them makes the map-side
+    // set-membership prefilter a first-class query tool:
+    //   bloom_filter_agg(h [, est_items [, num_bits]])  -> binary sketch
+    //   might_contain(<scalar subquery sketch>, h)      -> boolean
+    // might_contain requires its sketch input to be foldable or a
+    // scalar subquery (Spark's own analysis rule), which is exactly the
+    // broadcast-scalar shape the 100 TB plan wants: one tiny sketch
+    // shipped to every scan task, corpus rows pruned before any join.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c)       => new BloomFilterAggregate(c)
+        case Seq(c, n)    => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          s"bloom_filter_agg takes 1-3 arguments, got ${children.length}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) =>
+        BloomFilterMightContain(children(0), children(1))))
     ext.injectOptimizerRule(_ => EpsilonEqualityRewrite)
   }
 }

@@ -16,6 +16,20 @@ class ExtensionsSpec extends SparkTestBase {
     "the quick brown fox jumps over the lazy dog and runs far away " +
       "into the deep green forest while birds sing morning songs"
 
+  test("bloom_filter_agg / might_contain: injected SQL functions, zero false negatives") {
+    val tag = "bloom_src_spec"
+    (1L to 1000L).toDF("v").createOrReplaceTempView(tag)
+    // a Bloom filter may false-positive but must NEVER false-negative:
+    // every inserted value has to probe true
+    val misses = spark.sql(
+      s"""SELECT count(*) AS n FROM $tag
+         | WHERE NOT might_contain(
+         |   (SELECT bloom_filter_agg(v) FROM $tag), v)""".stripMargin)
+      .head().getLong(0)
+    spark.catalog.dropTempView(tag)
+    assert(misses == 0L)
+  }
+
   private lazy val planted = Seq(
     (0L, base),
     (1L, base.replace("lazy", "sleepy")), // near-dup of 0 (one word)

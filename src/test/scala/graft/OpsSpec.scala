@@ -418,6 +418,46 @@ class OpsSpec extends SparkTestBase {
     assert(out == Map(1L -> ((6L, 1L))), out.toString)
   }
 
+  test("CorpusOps.decontaminateBloom equals exact decontaminate (lossless prefilter)") {
+    // real fixture corpus: the bloom path must reproduce the exact
+    // path's output EXACTLY — the sketch only prunes (no false
+    // negatives; false positives die in the confirm join)
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val train = dd.filter(col("doc_id") % 5 =!= 0)
+    val bench = dd.filter(col("doc_id") % 5 === 0)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = toSet(graft.ops.CorpusOps.decontaminate(train, bench, shingleK = 8))
+    val bloom = toSet(graft.ops.CorpusOps.decontaminateBloom(train, bench, shingleK = 8))
+    assert(exact.nonEmpty, "fixture must contain contamination for this test to bite")
+    assert(bloom == exact)
+    // temp views must not leak out of the call
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_decon_")))
+  }
+
+  test("CorpusOps.temperatureSample: smallest group kept whole, rates follow (n_min/n_g)^(1-a), deterministic") {
+    // groups: a=2 docs, b=8 docs, c=32 docs
+    val df = ((0L until 2L).map((_, "a")) ++ (100L until 108L).map((_, "b")) ++
+      (200L until 232L).map((_, "c"))).toDF("doc_id", "lang")
+    val out = graft.ops.CorpusOps.temperatureSample(df, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byLang = out.groupBy(_._2)
+    // smallest group: rate 1.0 => every row survives the threshold
+    assert(byLang("a").map(_._1).toSet == Set(0L, 1L))
+    assert(byLang("a").forall(_._3 == 1.0))
+    // rates = sqrt(2/8)=0.5, sqrt(2/32)=0.25
+    assert(byLang.get("b").forall(_.forall(_._3 == 0.5)))
+    assert(byLang.get("c").forall(_.forall(_._3 == 0.25)))
+    // deterministic: same frame, same sample
+    val again = graft.ops.CorpusOps.temperatureSample(df, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // alpha=1: no resampling — every row kept at rate 1
+    val all = graft.ops.CorpusOps.temperatureSample(df, alpha = 1.0).collect()
+    assert(all.length == df.count())
+  }
+
   test("CorpusOps.packSequences: offsets/spans correct and blockSize-invariant") {
     val df = Seq(
       (0L, "a b c"), (1L, "d e"), (2L, (1 to 7).map(i => s"w$i").mkString(" ")),

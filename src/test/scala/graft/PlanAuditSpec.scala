@@ -295,6 +295,7 @@ class PlanAuditSpec extends SparkTestBase {
                                 // (trained centroids; search join is equi)
       "x32_ingest_dedup",       // MVCC committed-set semi-join through the
                                 // union, as x17
+      "x54_mix_sample",         // 1-row n_min broadcast scalar
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
@@ -312,6 +313,47 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("x37_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("x53: bloom prefilter runs map-side off a subquery scalar; confirm join stays equi") {
+    val p = plan("x53_bloom_decontaminate")
+    // the sketch rides a scalar subquery (one broadcast value), so the
+    // corpus-side filter is inside the scan stage, before any join
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("Subquery") || p.contains("subquery"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x54: rates ride broadcasts — the corpus is never shuffled for sampling") {
+    val p = plan("x54_mix_sample")
+    // lang->rate join must broadcast (languages-sized dim)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // hash exchanges only feed the languages-sized count aggregate (it
+    // has two consumers — rates and the n_min reduction — so it may
+    // plan twice unless reuse fires); the corpus itself never shuffles
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"corpus must not shuffle ($exchanges):\n$p")
+  }
+
+  test("x55: the term IN-list is pushed into the postings scan; the corpus is never read") {
+    // (string-form check: AQE wraps the plan, hiding scan nodes from
+    // collect(); the rendered tree still shows scan metadata)
+    val p = plan("x55_inverted_search")
+    assert(p.contains("PushedFilters: [In(word,"), p)
+    // only the inverted index is scanned (the documents table feeds the
+    // one-time layout BUILD, not the query plan)
+    assert(p.contains("postings.parquet"), p)
+    assert(!p.contains("documents.parquet"), p)
+  }
+
+  test("x56: per-group k-sample plans WindowGroupLimit (map-side top-k pruning)") {
+    val p = plan("x56_group_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("windowspecdefinition(lang#"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
   }
 
   test("x38: two-level prefix sum — no unpartitioned window over the full corpus") {
