@@ -49,10 +49,15 @@ class LogTablePropertySpec extends SparkTestBase {
     for (seed <- 1L to 6L) {
       val log = randomLog(seed).cache()
       try {
-        for (asOf <- Seq(2L, 5L); t <- asOf to MaxTxn.toLong) {
-          val compacted = LogTable.compact(log, asOf)
-          assert(snap(compacted, t) == snap(log, t),
-            s"seed=$seed asOf=$asOf t=$t")
+        for (asOf <- Seq(2L, 5L)) {
+          // compact depends only on asOf — plan it once per (log, asOf),
+          // not once per probed time (this loop dominates suite wall time)
+          val compacted = LogTable.compact(log, asOf).cache()
+          try
+            for (t <- asOf to MaxTxn.toLong)
+              assert(snap(compacted, t) == snap(log, t),
+                s"seed=$seed asOf=$asOf t=$t")
+          finally compacted.unpersist()
         }
       } finally log.unpersist()
     }
