@@ -61,7 +61,13 @@ object ScaleCheck {
       .drop("__r").write.mode("overwrite").parquet(s"$dst/documents.parquet")
     for (n <- Seq("x04_dedup_exact", "x07_minhash_lsh_pairs", "x23_simhash_banded",
         "x47_simhash_pairbanded", "x36_dup_clusters", "x38_pack_sequences",
-        "x39_repetition", "x43_chargram_lsh", "x10_ngram_jaccard")) {
+        "x39_repetition", "x43_chargram_lsh", "x10_ngram_jaccard",
+        // decontamination both ways: the Bloom-prefiltered path must
+        // track the exact-broadcast path (same output, same linearity) —
+        // its advantage is broadcast SIZE at large benchmark suites,
+        // which this corpus-replication can't surface, so equality is
+        // the pass criterion here
+        "x37_decontaminate", "x53_bloom_decontaminate")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)
