@@ -66,6 +66,18 @@ object ExtensionQueries {
       TF.tokenCount(col("text")).as("n_tokens"),
       TF.bpeTokenCount(col("text")).as("n_bpe"))
 
+  /** Composite quality score (shared by x02 and x57): 0.4·stopword
+    * ratio + 0.3·length saturation + 0.3·alpha ratio, rounded to 4. */
+  private def qualityExpr: Column = {
+    val nw = TF.tokenCount(col("text"))
+    val stopRaw = TF.stopwordHits(TF.words(col("text")),
+      Seq("the", "and", "of", "to", "in", "is", "a")).cast("double") / nw
+    val alphaRaw = regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
+      length(col("text"))
+    val lenRaw = least(nw.cast("double") / lit(100.0), lit(1.0))
+    round((lit(0.4) * stopRaw + lit(0.3) * lenRaw) + lit(0.3) * alphaRaw, 4)
+  }
+
   /** Quality scoring: length/stopword/alpha ratios + composite score.
     * (Compare note: a ratio landing exactly on a .xxxx5 boundary can
     * round apart between engines — same double, different round()
@@ -78,15 +90,13 @@ object ExtensionQueries {
       Seq("the", "and", "of", "to", "in", "is", "a")).cast("double") / nw
     val alphaRaw = regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
       length(col("text"))
-    val lenRaw = least(nw.cast("double") / lit(100.0), lit(1.0))
     docsR(s, d).select(
       col("doc_id"),
       nw.as("n_words"),
       round((length(norm) - (nw - 1)).cast("double") / nw, 4).as("avg_wlen"),
       round(stopRaw, 4).as("stop_ratio"),
       round(alphaRaw, 4).as("alpha_ratio"),
-      round((lit(0.4) * stopRaw + lit(0.3) * lenRaw) + lit(0.3) * alphaRaw, 4)
-        .as("quality"))
+      qualityExpr.as("quality"))
   }
 
   /** Language-ID: stopword-profile argmax (deterministic tie order). */
@@ -291,6 +301,25 @@ object ExtensionQueries {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("lang"), col("rn"))
+  }
+
+  /** CCNet-style per-language quality stratification (Wenzek et al.,
+    * LREC 2020 split each language into head/middle/tail by LM
+    * perplexity terciles): ntile(3) over the composite quality score
+    * within each language — bucket 1 = worst tercile, 3 = best; ties
+    * broken by doc_id so the split is a deterministic pure function of
+    * the corpus. Downstream pipelines keep head+middle, or sample the
+    * buckets at different rates (compose with x54).
+    *
+    * Scale: the window is partitioned by LANGUAGE — bounded cardinality
+    * (dozens), so this is the exact form. When a single group outgrows
+    * a task, the sketch path replaces ntile with approx_percentile
+    * cuts (mergeable, fixed-size state, broadcast back; q35's pattern)
+    * at the cost of boundary exactness. */
+  private val x57_quality_buckets: QFn = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))
+    docsR(s, d).select(col("doc_id"), col("lang"), qualityExpr.as("quality"))
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
   }
 
   /** Temperature-weighted language mixture sampling
@@ -1256,6 +1285,7 @@ object ExtensionQueries {
     "x54_mix_sample" -> x54_mix_sample,
     "x55_inverted_search" -> x55_inverted_search,
     "x56_group_sample" -> x56_group_sample,
+    "x57_quality_buckets" -> x57_quality_buckets,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1988,6 +2018,20 @@ object ExtensionQueries {
          |       row_number() OVER (PARTITION BY lang
          |                          ORDER BY h, doc_id)::BIGINT AS rn
          |  FROM t QUALIFY rn <= 100""".stripMargin,
+    "x57_quality_buckets" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         round(0.4*(len(list_filter(string_split($NT,' '),
+         |             w -> w IN ('the','and','of','to','in','is','a')))::DOUBLE
+         |               / len(string_split($NT,' ')))
+         |             + 0.3*least(len(string_split($NT,' '))::DOUBLE / 100.0, 1.0)
+         |             + 0.3*(len(regexp_extract_all(text,'[A-Za-z]'))::DOUBLE
+         |               / length(text)), 4) AS quality
+         |    FROM documents)
+         |SELECT doc_id, lang, quality,
+         |       ntile(3) OVER (PARTITION BY lang
+         |                      ORDER BY quality, doc_id)::BIGINT AS bucket
+         |  FROM t""".stripMargin,
     "x17_mvcc_snapshot" ->
       """WITH log AS (
         |  SELECT 1::BIGINT AS txn, 'U' AS op, o_orderkey AS rid, o_totalprice AS price FROM orders

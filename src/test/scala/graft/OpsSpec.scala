@@ -436,6 +436,16 @@ class OpsSpec extends SparkTestBase {
       .exists(_.name.startsWith("graft_decon_")))
   }
 
+  test("CorpusOps.decontaminateBloom: empty benchmark set flags nothing (null sketch path)") {
+    // bloom_filter_agg over zero rows yields a NULL sketch; might_contain
+    // then nulls out and the filter must drop every candidate — matching
+    // the exact path's empty join, not erroring
+    val train = Seq((1L, base)).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.CorpusOps.decontaminateBloom(train, bench).count() == 0)
+    assert(graft.ops.CorpusOps.decontaminate(train, bench).count() == 0)
+  }
+
   test("CorpusOps.temperatureSample: smallest group kept whole, rates follow (n_min/n_g)^(1-a), deterministic") {
     // groups: a=2 docs, b=8 docs, c=32 docs
     val df = ((0L until 2L).map((_, "a")) ++ (100L until 108L).map((_, "b")) ++

@@ -356,6 +356,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("x57: tercile window is partitioned by language — never corpus-wide") {
+    val p = plan("x57_quality_buckets")
+    assert(p.contains("windowspecdefinition(lang#"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("x38: two-level prefix sum — no unpartitioned window over the full corpus") {
     val p = plan("x38_pack_sequences")
     // the in-block window is partitioned by blk; only the tiny per-block
