@@ -65,4 +65,49 @@ class PipelineSpec extends SparkTestBase {
     assert(shuffled.groupBy("shard", "pos").count()
       .filter(col("count") > 1).isEmpty)
   }
+
+  test("curation pipeline v2: quality gate -> temperature mix -> bloom decontaminate composes deterministically") {
+    val docs = Catalog(spark, sf).table("documents")
+
+    // 1. quality gate: drop each language's worst tercile (x57 shape —
+    //    inline ntile here to keep the spec self-contained)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("q"), col("doc_id"))
+    val scored = docs
+      .withColumn("q", length(col("text")))
+      .withColumn("bucket", ntile(3).over(w))
+    val gated = scored.filter(col("bucket") >= 2).drop("q", "bucket")
+    val perLang = scored.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gatedPerLang = gated.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      // ntile(3): bucket 1 holds n/3 rows plus one of the remainder
+      val b1 = n / 3 + (if (n % 3 >= 1) 1 else 0)
+      assert(gatedPerLang(lang) == n - b1,
+        s"$lang: ${gatedPerLang(lang)} of $n survive a 1-tercile gate")
+    }
+
+    // 2. temperature mix over the gated pool: deterministic — re-running
+    //    on the same pool returns the identical sample
+    val mixed = CorpusOps.temperatureSample(gated, alpha = 0.5)
+    val ids = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = CorpusOps.temperatureSample(gated, alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == again, "sample must be a pure function of the pool")
+    // the sample respects the gate (no resurrected docs)
+    val gatedIds = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(gatedIds))
+
+    // 3. bloom decontamination of the mixed pool vs the held-out slice:
+    //    identical to the exact path on the composed (non-fixture) pool
+    val pool = docs.join(mixed.select("doc_id"), Seq("doc_id"))
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+      .join(mixed.select("doc_id"), Seq("doc_id"), "left_anti")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(keys(CorpusOps.decontaminateBloom(pool, bench, shingleK = 8)) ==
+      keys(CorpusOps.decontaminate(pool, bench, shingleK = 8)),
+      "bloom and exact decontamination must agree on a composed pool")
+  }
 }
