@@ -97,6 +97,21 @@ final case class Catalog(spark: SparkSession, dir: String) {
       .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
   }
 
+  /** Register every table in this catalog as a temp view (optionally
+    * `prefix`ed), making the whole directory queryable from plain
+    * `spark.sql` — together with the injected function surface
+    * ([[graft.plans.GraftExtensions]]: `cosine_sim`, the hash/minhash
+    * family, `bloom_filter_agg`/`might_contain`), SQL users get the
+    * full engine without touching the DataFrame API. Views are lazy
+    * plans over the parquet paths: no data moves at registration, and a
+    * re-register picks up newly appended files. Returns the view names.
+    */
+  def registerViews(prefix: String = ""): Seq[String] =
+    list.map { name =>
+      table(name).createOrReplaceTempView(s"$prefix$name")
+      s"$prefix$name"
+    }
+
   /** Write-path schema gate, the analogue of the reference's
     * `is_same_shape` check (src/collection/mod.rs:52-59): appending rows
     * whose shape differs from the live table is a SchemaError there and an

@@ -261,6 +261,24 @@ class CoreOpsSpec extends SparkTestBase {
     assert(rows.nonEmpty && rows.head.length == 3)
   }
 
+  test("registerViews: full catalog queryable from plain spark.sql with injected functions") {
+    val views = cat.registerViews(prefix = "g_")
+    assert(views.contains("g_documents") && views.contains("g_lineitem"))
+    // a pure-SQL user composes fixture tables with the injected
+    // expression surface (no DataFrame API anywhere)
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM g_documents
+        | WHERE simhash60(split(text, ' ')) IS NOT NULL""".stripMargin)
+      .head().getLong(0)
+    assert(n == cat.table("documents").count())
+    val joined = spark.sql(
+      """SELECT count(*) AS n
+        |  FROM g_lineitem l JOIN g_orders o ON l.l_orderkey = o.o_orderkey""".stripMargin)
+      .head().getLong(0)
+    assert(joined > 0)
+    views.foreach(spark.catalog.dropTempView(_))
+  }
+
   test("catalog csv/json round-trip preserves values with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     val tmp = Catalog(spark, dir)
