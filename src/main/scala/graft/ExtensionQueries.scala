@@ -322,6 +322,16 @@ object ExtensionQueries {
       .withColumn("bucket", ntile(3).over(w).cast("long"))
   }
 
+  /** Span-duplication scoring ([[graft.ops.CorpusOps.spanDupStats]],
+    * Lee et al. ACL 2022): stride-8 windows of 32 tokens fingerprinted;
+    * a doc's duplicated-window fraction is the repeated-substring
+    * quality signal document-level dedup can't see (boilerplate,
+    * templates, memorization risk). Cross-doc AND cross-offset repeats
+    * both count. Fingerprint groupBy on uniform hash keys + per-doc
+    * rollup — no data-sized state anywhere. */
+  private val x58_span_dup: QFn = (s, d) =>
+    graft.ops.CorpusOps.spanDupStats(docsR(s, d))
+
   /** Temperature-weighted language mixture sampling
     * ([[graft.ops.CorpusOps.temperatureSample]], α=0.5) — the XLM-R
     * data-mixing step: every language keeps rate (n_min/n_lang)^0.5,
@@ -1286,6 +1296,7 @@ object ExtensionQueries {
     "x55_inverted_search" -> x55_inverted_search,
     "x56_group_sample" -> x56_group_sample,
     "x57_quality_buckets" -> x57_quality_buckets,
+    "x58_span_dup" -> x58_span_dup,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2018,6 +2029,20 @@ object ExtensionQueries {
          |       row_number() OVER (PARTITION BY lang
          |                          ORDER BY h, doc_id)::BIGINT AS rn
          |  FROM t QUALIFY rn <= 100""".stripMargin,
+    "x58_span_dup" ->
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+         |s AS (SELECT doc_id, ws,
+         |        unnest(range(1, greatest(len(ws)-31, 1)+1, 8)) AS st FROM w),
+         |f AS (SELECT doc_id,
+         |        ${H60("'span|'||array_to_string(ws[st:st+31],' ')")} AS fp
+         |        FROM s),
+         |g AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
+         |SELECT doc_id, count(*)::BIGINT AS n_win,
+         |       sum(CASE WHEN fp IN (SELECT fp FROM g) THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_dup_win,
+         |       round(sum(CASE WHEN fp IN (SELECT fp FROM g) THEN 1 ELSE 0 END)::DOUBLE
+         |         / count(*), 4) AS dup_frac
+         |  FROM f GROUP BY doc_id""".stripMargin,
     "x57_quality_buckets" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,

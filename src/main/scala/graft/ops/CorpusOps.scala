@@ -250,6 +250,45 @@ object CorpusOps {
         col("n_members"))
   }
 
+  /** Span-duplication statistics — the repeated-substring signal of
+    * Lee et al., ACL 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): long token spans recurring across a corpus mark
+    * boilerplate, templated text, and memorization risk that
+    * whole-document dedup can't see. Overlapping `window`-token spans
+    * at `stride` are fingerprinted; a span whose fingerprint occurs
+    * ANYWHERE else (another doc, or another offset of the same doc) is
+    * duplicated; each doc reports its duplicated-span fraction — the
+    * filter/excision signal. Sliding fingerprints are the distributed
+    * approximation of the paper's suffix array: stride trades recall
+    * for volume (stride 1 = exact span cover at window granularity).
+    * Output: (doc_id, n_win, n_dup_win, dup_frac).
+    *
+    * 100 TB shape: fingerprints are map-side 8-byte hashes, volume
+    * n_tokens/stride per doc (a constant factor of the corpus); the
+    * only shuffles are the fingerprint groupBy (uniform hash keys,
+    * map-side partial agg) and the per-doc rollup. */
+  def spanDupStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 32,
+      stride: Int = 8): DataFrame = {
+    val wins = docs
+      .select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1),
+          greatest(size(col("ws")) - (window - 1), lit(1)),
+          lit(stride))).as("st"))
+      .select(col("doc_id"),
+        TF.hash60(concat_ws(" ", slice(col("ws"), col("st"), lit(window))),
+          "span|").as("fp"))
+    val dup = wins.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    wins.join(dup, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("n_occ").isNotNull, 1L).otherwise(0L)).as("n_dup_win"))
+      .withColumn("dup_frac",
+        round(col("n_dup_win").cast("double") / col("n_win"), 4))
+  }
+
   /** Temperature-weighted mixture sampling — the multilingual /
     * multi-domain data-mixing step (Lample & Conneau NeurIPS'19 /
     * XLM-R: sample groups with probability ∝ (n_g/N)^α so

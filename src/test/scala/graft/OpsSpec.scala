@@ -468,6 +468,26 @@ class OpsSpec extends SparkTestBase {
     assert(all.length == df.count())
   }
 
+  test("CorpusOps.spanDupStats: planted cross-doc and within-doc repeats flagged, unique text clean") {
+    val shared = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " unique tail closing words here"),     // span at offset 0
+      (2L, "different head words then " + shared),          // same span, other offset
+      (3L, (1 to 60).map(i => s"zzz$i").mkString(" ")),     // all unique
+      (4L, ((1 to 10).map(i => s"rep$i").mkString(" ") + " ") * 3)) // self-repeat
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.spanDupStats(df, window = 8, stride = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the shared 40-token run yields 33 duplicated 8-windows in each doc
+    // (content-keyed: offsets differ between the docs and don't matter)
+    assert(out(1L)._2 == 33 && out(2L)._2 == 33, out.toString)
+    assert(out(3L)._2 == 0, "unique doc must have zero duplicated spans")
+    // within-doc repetition counts too (period 10 < window 8*? no —
+    // every 8-window of the repeated block recurs 10 tokens later)
+    assert(out(4L)._2 == out(4L)._1,
+      "fully periodic doc: every window duplicated")
+  }
+
   test("CorpusOps.packSequences: offsets/spans correct and blockSize-invariant") {
     val df = Seq(
       (0L, "a b c"), (1L, "d e"), (2L, (1 to 7).map(i => s"w$i").mkString(" ")),
