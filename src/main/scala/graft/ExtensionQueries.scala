@@ -315,7 +315,13 @@ object ExtensionQueries {
     * (dozens), so this is the exact form. When a single group outgrows
     * a task, the sketch path replaces ntile with approx_percentile
     * cuts (mergeable, fixed-size state, broadcast back; q35's pattern)
-    * at the cost of boundary exactness. */
+    * at the cost of boundary exactness.
+    *
+    * Compare note: inherits x02's .xxxx5 round() boundary caveat on the
+    * quality VALUE column (sf0.1: the same 2/5000 rows as x02; bucket
+    * assignments still match — a last-ulp rounding difference can't
+    * reorder values a whole quality step apart). Clean at the sf0.01
+    * gate. */
   private val x57_quality_buckets: QFn = (s, d) => {
     val w = Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))
     docsR(s, d).select(col("doc_id"), col("lang"), qualityExpr.as("quality"))

@@ -67,7 +67,11 @@ object ScaleCheck {
         // its advantage is broadcast SIZE at large benchmark suites,
         // which this corpus-replication can't surface, so equality is
         // the pass criterion here
-        "x37_decontaminate", "x53_bloom_decontaminate")) {
+        "x37_decontaminate", "x53_bloom_decontaminate",
+        // span fingerprints: on the D-replicated corpus EVERY window is
+        // duplicated (D-1 exact twins), so this measures the worst-case
+        // dup-join fan-out, not the fingerprint pass
+        "x58_span_dup")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)
