@@ -311,7 +311,11 @@ object CorpusOps {
     * Determinism across engines: the threshold is an INTEGER —
     * `round(r·resolution)` — so the float boundary only matters if
     * pow() drift crosses a whole resolution step (~1e-6); r's last-ulp
-    * is ~1e-16. */
+    * is ~1e-16.
+    *
+    * Rows with a NULL group key are EXCLUDED from the output (equi-join
+    * semantics — null never matches its own rate row); `coalesce` the
+    * group column upstream if unknown-group rows must participate. */
   def temperatureSample(docs: DataFrame, groupCol: String = "lang",
       idCol: String = "doc_id", alpha: Double = 0.5, salt: String = "mix",
       resolution: Long = 1000000L): DataFrame = {
