@@ -328,6 +328,14 @@ object ExtensionQueries {
       .withColumn("bucket", ntile(3).over(w).cast("long"))
   }
 
+  /** Bigram-LM quality score ([[graft.ops.CorpusOps.bigramLmScore]]) —
+    * x51's next order: mean smoothed log P(w2|w1) under the corpus's
+    * own bigram distribution. Catches shuffled/templated junk whose
+    * unigram profile looks fluent. Same decimal-exact verification
+    * trick, one order up. */
+  private val x59_bigram_lm: QFn = (s, d) =>
+    graft.ops.CorpusOps.bigramLmScore(docsR(s, d))
+
   /** Span-duplication scoring ([[graft.ops.CorpusOps.spanDupStats]],
     * Lee et al. ACL 2022): stride-8 windows of 32 tokens fingerprinted;
     * a doc's duplicated-window fraction is the repeated-substring
@@ -1303,6 +1311,7 @@ object ExtensionQueries {
     "x56_group_sample" -> x56_group_sample,
     "x57_quality_buckets" -> x57_quality_buckets,
     "x58_span_dup" -> x58_span_dup,
+    "x59_bigram_lm" -> x59_bigram_lm,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2035,6 +2044,28 @@ object ExtensionQueries {
          |       row_number() OVER (PARTITION BY lang
          |                          ORDER BY h, doc_id)::BIGINT AS rn
          |  FROM t QUALIFY rn <= 100""".stripMargin,
+    "x59_bigram_lm" ->
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+         |bg AS (SELECT doc_id,
+         |         unnest([ws[i]||' '||ws[i+1] for i in range(1, len(ws))]) AS bg
+         |         FROM w),
+         |tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+         |cb AS (SELECT bg, sum(tf) AS cb FROM tf GROUP BY 1),
+         |cl AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cl
+         |         FROM cb GROUP BY 1),
+         |v AS (SELECT count(DISTINCT word) AS vocab
+         |        FROM (SELECT unnest(ws) AS word FROM w)),
+         |lp AS (SELECT t.doc_id, t.tf,
+         |       CAST(round(ln((k.cb + 1)::DOUBLE /
+         |                     (l.cl + v.vocab)::DOUBLE), 6)
+         |            AS DECIMAL(18,6)) AS lpb
+         |         FROM tf t JOIN cb k USING (bg)
+         |         JOIN cl l ON split_part(t.bg, ' ', 1) = l.w1
+         |         CROSS JOIN v)
+         |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+         |       round((sum(tf * lpb))::DOUBLE / (sum(tf))::DOUBLE, 4)
+         |         AS avg_logp2
+         |  FROM lp GROUP BY doc_id""".stripMargin,
     "x58_span_dup" ->
       s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
          |s AS (SELECT doc_id, ws,

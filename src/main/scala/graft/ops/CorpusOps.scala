@@ -250,6 +250,54 @@ object CorpusOps {
         col("n_members"))
   }
 
+  /** Bigram-LM quality score — [[lmScore]]'s next-order upgrade toward
+    * the CCNet n-gram filter: every adjacent word pair is scored by its
+    * smoothed conditional probability under the corpus's own bigram
+    * distribution, log P(w2|w1) = ln((c(w1 w2)+1) / (c(w1·)+V)), and a
+    * document reports its mean bigram log-probability. Fluent text
+    * rides common transitions; shuffled/junk text pays the unigram
+    * independence penalty that [[lmScore]] cannot see. Documents
+    * shorter than 2 words have no bigrams and are absent from the
+    * output. Output: (doc_id, n_bigrams, avg_logp2).
+    *
+    * 100 TB shape: identical to [[lmScore]] one order up — the count
+    * tables are bigram-vocab-sized (map-side partial agg absorbs
+    * stopword-pair skew), the left-context counts derive from the
+    * bigram table (no second corpus pass), and the vocab scalar rides a
+    * one-row broadcast. Decimal-exact summation (per-bigram log-prob
+    * rounded to 6, summed as DECIMAL) keeps the score hash-checkable
+    * across engines. */
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ws = TF.words(col(textCol))
+    val bigramArr = zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val tf2 = docs.select(col(idCol).as("doc_id"),
+        explode(bigramArr).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds corpus counts AND the scoring join
+    val cb = tf2.groupBy(col("bg")).agg(sum(col("tf")).as("cb"))
+    val cl = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cl"))
+    val vocab = docs.select(explode(ws).as("w"))
+      .agg(countDistinct(col("w")).as("vocab"))
+    tf2.join(cb, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(cl, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lpb",
+        round(log((col("cb") + 1).cast("double") /
+          (col("cl") + col("vocab")).cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        round(sum(col("tf") * col("lpb")).cast("double") /
+          sum(col("tf")).cast("double"), 4).as("avg_logp2"))
+  }
+
   /** Span-duplication statistics — the repeated-substring signal of
     * Lee et al., ACL 2022 ("Deduplicating Training Data Makes Language
     * Models Better"): long token spans recurring across a corpus mark

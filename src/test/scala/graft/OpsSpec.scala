@@ -468,6 +468,22 @@ class OpsSpec extends SparkTestBase {
     assert(all.length == df.count())
   }
 
+  test("CorpusOps.bigramLmScore: common transitions outscore scrambled text; <2-word docs excluded") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the dog sat on the mat"),
+      (4L, "rug dog mat cat on sat"), // same vocab, adjacency destroyed
+      (5L, "single"))                 // no bigrams -> absent
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.bigramLmScore(df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(5L), "a 1-word doc has no bigrams")
+    assert(out(1L)._1 == 5L)
+    assert(out(1L)._2 > out(4L)._2,
+      s"fluent doc must outscore scrambled doc: $out")
+  }
+
   test("CorpusOps.spanDupStats: planted cross-doc and within-doc repeats flagged, unique text clean") {
     val shared = (1 to 40).map(i => s"tok$i").mkString(" ")
     val df = Seq(
