@@ -287,6 +287,7 @@ class PlanAuditSpec extends SparkTestBase {
       "x21_tfidf",              // 1-row corpus-size broadcast
       "x42_bm25",               // 1-row corpus-scalars (N, avgdl) broadcast
       "x51_lm_score",           // 1-row corpus-scalars (N, vocab) broadcast
+      "x59_bigram_lm",          // 1-row vocab scalar broadcast (as x51)
       "x22_embed_dedup_bucketed", // 16-row broadcast centroid assignment
       "x28_ann_recall",         // exact evaluation side is brute force
       "x30_kmeans_step",        // 16-row broadcast centroid assignment
