@@ -71,7 +71,11 @@ object ScaleCheck {
         // span fingerprints: on the D-replicated corpus EVERY window is
         // duplicated (D-1 exact twins), so this measures the worst-case
         // dup-join fan-out, not the fingerprint pass
-        "x58_span_dup")) {
+        "x58_span_dup",
+        // sampling pair: x54 is map-only after a languages-sized agg
+        // (expect ~flat), x56's rank-limit must stay WindowGroupLimit-
+        // pruned as per-language row counts grow D×
+        "x54_mix_sample", "x56_group_sample")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)
