@@ -15,6 +15,16 @@ import graft.functions.{TextFunctions => TF}
   */
 object CorpusOps {
 
+  /** Pre-tokenized corpus view (doc_id, ws: array<string>) — the shared
+    * input of the `FromWords` scoring forms. Composed pipelines
+    * (unigram + bigram LM scoring, span stats) should compute this ONCE,
+    * `localCheckpoint(false)` it, and feed every consumer: tokenization
+    * (normalize + split) is the single most repeated map cost in a
+    * scoring stack, and the checkpoint makes it a one-pass cost. */
+  def tokenized(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws"))
+
   /** Corpus-trained unigram LM quality score — the engine-shaped core
     * of the CCNet-style LM filtering family (Wenzek et al., LREC 2020
     * train a KenLM and keep low-perplexity text; the unigram form needs
@@ -36,12 +46,23 @@ object CorpusOps {
     * sum (same trick as q37's decimal aggregates), so the oracle can
     * hash-match a float-heavy score instead of settling for rows-only. */
   def lmScore(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val tf = docs.select(col(idCol).as("doc_id"),
-        explode(TF.words(col(textCol))).as("word"))
+      textCol: String = "text"): DataFrame =
+    lmScoreFromWords(tokenized(docs, idCol, textCol))
+
+  /** [[lmScore]] over a pre-tokenized (doc_id, ws) frame ([[tokenized]]
+    * output) — the composition form that shares one tokenize pass with
+    * [[bigramLmScoreFromWords]]. */
+  def lmScoreFromWords(words: DataFrame): DataFrame = {
+    // LAZY checkpoint (same contract as TextDedup.bandJoinVerify):
+    // constructing the returned DataFrame runs no job; the (doc, word)
+    // counts materialize on the FIRST action and their blocks stay
+    // pinned for the session (executor-local, no lineage). Without it,
+    // column pruning would re-run the tokenize + groupBy once per
+    // consumer (the corpus counts AND the scoring join both read it).
+    val tf = words.select(col("doc_id"), explode(col("ws")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // feeds the counts AND the scoring join
+      .localCheckpoint(false)
     val counts = tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt"))
     val consts = counts.agg(sum(col("cnt")).as("n_total"),
       count(lit(1)).as("vocab"))
