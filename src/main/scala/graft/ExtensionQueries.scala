@@ -53,8 +53,11 @@ object ExtensionQueries {
     Catalog(s, d).tableRebalanced("documents")
   private def embsR(s: SparkSession, d: String): DataFrame =
     Catalog(s, d).tableRebalanced("embeddings")
+  // ts normalized to epoch-ns long whatever the parquet encoding
+  // (TIMESTAMP(NANOS) via nanosAsLong, or TIMESTAMP(MICROS)/NTZ) — see
+  // [[graft.functions.EventTime]]
   private def events(s: SparkSession, d: String): DataFrame =
-    Catalog(s, d).table("events")
+    graft.functions.EventTime.withNanos(Catalog(s, d).table("events"))
 
   // ---------------------------------------------------------- text analysis
 
@@ -345,6 +348,17 @@ object ExtensionQueries {
     * rollup — no data-sized state anywhere. */
   private val x58_span_dup: QFn = (s, d) =>
     graft.ops.CorpusOps.spanDupStats(docsR(s, d))
+
+  /** Span EXCISION ([[graft.ops.CorpusOps.exciseSpans]]) — the
+    * act-on-signal twin of x58 and the operation Lee et al. ACL 2022
+    * actually ship: every duplicated 32-token stride-8 span keeps its
+    * FIRST occurrence (min (doc_id, offset)) and every other occurrence
+    * is cut; each doc's text is reassembled from the surviving tokens.
+    * Same windowing constants as x58, so the measured signal and the
+    * applied excision agree by construction. Hash-checked end-to-end:
+    * the oracle rebuilds the excised TEXT, not just counts. */
+  private val x60_excise_spans: QFn = (s, d) =>
+    graft.ops.CorpusOps.exciseSpans(docsR(s, d))
 
   /** Temperature-weighted language mixture sampling
     * ([[graft.ops.CorpusOps.temperatureSample]], α=0.5) — the XLM-R
@@ -1115,10 +1129,12 @@ object ExtensionQueries {
     // arithmetic and the double dim one mul+add — the oracle recomputes
     // the identical IEEE/integer expressions from the same table. Time
     // works in MICROSECONDS (ts div 1000, = DuckDB epoch_us): the
-    // oracle's parquet reader truncates nanosecond timestamps to µs, so
-    // ns-precision bounds could never agree. The filter still hits the
-    // RAW ns column (µs bound × 1000 selects the identical rows since
-    // floor(ts/1000) >= b ⟺ ts >= b*1000) — footer pushdown intact.
+    // engine-side ts is normalized epoch-ns ([[events]]) while the
+    // oracle reads the native timestamp, so µs is the shared exact
+    // precision. The filter still hits the LAYOUT's ns column (µs bound
+    // × 1000 selects the identical rows since floor(ts/1000) >= b ⟺
+    // ts >= b*1000) — and the layout's ts is a plain long, so parquet
+    // footer pushdown on all three dims stays intact (PlanAuditSpec).
     val r = ev.agg(min(col("value")), max(col("value")),
       min(col("user_id")), max(col("user_id")),
       min(expr("ts div 1000")), max(expr("ts div 1000"))).head
@@ -1198,7 +1214,8 @@ object ExtensionQueries {
 
   /** Tumbling 1-hour window aggregation over the event stream (batch
     * form; the streaming form with watermark lives in graft.streaming).
-    * `ts` surfaces as raw ns (nanosAsLong) — bucket via integer div. */
+    * `ts` surfaces as epoch-ns long (normalized in [[events]] whatever
+    * the parquet encoding) — bucket via integer div. */
   private val x15_events_window: QFn = (s, d) =>
     events(s, d)
       .selectExpr("ts div 3600000000000 AS hour_bucket", "event_type", "value")
@@ -1312,6 +1329,7 @@ object ExtensionQueries {
     "x57_quality_buckets" -> x57_quality_buckets,
     "x58_span_dup" -> x58_span_dup,
     "x59_bigram_lm" -> x59_bigram_lm,
+    "x60_excise_spans" -> x60_excise_spans,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2080,6 +2098,37 @@ object ExtensionQueries {
          |       round(sum(CASE WHEN fp IN (SELECT fp FROM g) THEN 1 ELSE 0 END)::DOUBLE
          |         / count(*), 4) AS dup_frac
          |  FROM f GROUP BY doc_id""".stripMargin,
+    "x60_excise_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+         |t AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+         |s AS (SELECT doc_id, ws, n,
+         |        unnest(range(1, greatest(n-31, 1)+1, 8)) AS st FROM t),
+         |f AS (SELECT doc_id, n, st,
+         |        ${H60("'span|'||array_to_string(ws[st:st+31],' ')")} AS fp
+         |        FROM s),
+         |r AS (SELECT doc_id, n, st,
+         |        count(*) OVER (PARTITION BY fp) AS n_occ,
+         |        row_number() OVER (PARTITION BY fp
+         |                           ORDER BY doc_id, st) AS rk FROM f),
+         |e AS (SELECT doc_id, st, least(st+31, n) AS en
+         |        FROM r WHERE n_occ > 1 AND rk > 1),
+         |g AS (SELECT doc_id, list(struct_pack(st := st, en := en)) AS rs
+         |        FROM e GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, t.ws, t.n,
+         |        coalesce(g.rs, []) AS rs
+         |        FROM t LEFT JOIN g ON t.doc_id = g.doc_id),
+         |p AS (SELECT doc_id, ws, n,
+         |        list_filter(range(1, n+1),
+         |          i -> len(list_filter(rs,
+         |                 rr -> i >= rr.st AND i <= rr.en)) = 0) AS kept
+         |        FROM k)
+         |SELECT doc_id,
+         |       coalesce(array_to_string(list_transform(kept, i -> ws[i]),
+         |                ' '), '') AS text,
+         |       n::BIGINT AS n_tokens,
+         |       len(kept)::BIGINT AS n_kept,
+         |       (n - len(kept))::BIGINT AS n_cut
+         |  FROM p""".stripMargin,
     "x57_quality_buckets" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,

@@ -288,7 +288,7 @@ object Queries {
     * each click event gets the user's latest prior purchase value.
     * Oracle = DuckDB's native ASOF JOIN. */
   private val q26_asof_join: QFn = (s, d) => {
-    val ev = cat(s, d).table("events")
+    val ev = graft.functions.EventTime.withNanos(cat(s, d).table("events"))
     val clicks = Q(ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts")))
     val purchases = Q(ev.filter(col("event_type") === "purchase")

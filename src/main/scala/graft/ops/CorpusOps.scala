@@ -358,6 +358,68 @@ object CorpusOps {
         round(col("n_dup_win").cast("double") / col("n_win"), 4))
   }
 
+  /** Span EXCISION — the act-on-signal twin of [[spanDupStats]] and
+    * the deliverable of Lee et al., ACL 2022: remove every repeated
+    * occurrence of each duplicated span, keeping exactly the FIRST
+    * (deterministic rank: lexicographic min of (doc_id, offset)), then
+    * reassemble each document's text from the surviving token ranges.
+    * Windowing is IDENTICAL to [[spanDupStats]] (same `window`/`stride`
+    * defaults, same start sequence, same truncated tail span, same
+    * fingerprint seed), so measure and act can never disagree on what
+    * "a duplicated span" is. Excised ranges from different fingerprints
+    * may overlap; the union of ranges is removed. Output: (doc_id,
+    * text — the reassembled normalized-token text, n_tokens,
+    * n_kept, n_cut) for every input doc (docs with nothing to excise
+    * pass through, n_cut = 0).
+    *
+    * 100 TB shape: same as [[spanDupStats]] — map-side 8-byte span
+    * fingerprints (volume n_tokens/stride), one fingerprint groupBy
+    * (uniform hash keys, map-side partial agg) for the occurrence
+    * count + argmin, one per-doc rollup of the excised ranges, and a
+    * final equi-join of ranges back onto the tokenized corpus. The
+    * reassembly itself is per-row array work inside whole-stage
+    * codegen (token count × excised-range count per doc, both
+    * doc-bounded) — no shuffle, no driver. */
+  def exciseSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 32,
+      stride: Int = 8): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+    val wins = toks
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(1),
+          greatest(col("n") - (window - 1), lit(1)),
+          lit(stride))).as("st"))
+      .select(col("doc_id"), col("n"), col("st"),
+        TF.hash60(concat_ws(" ", slice(col("ws"), col("st"), lit(window))),
+          "span|").as("fp"))
+    // one pass over the fingerprints: occurrence count + the canonical
+    // (kept) occurrence — min(struct) is the lexicographic (doc_id, st)
+    // argmin, a plain hash aggregate (no window, no sort)
+    val occ = wins.groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("st"))).as("keep"))
+      .filter(col("n_occ") > 1)
+    val cut = wins.join(occ, Seq("fp"))
+      .filter(!(col("doc_id") === col("keep.doc_id") &&
+        col("st") === col("keep.st")))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("st"),
+        least(col("st") + (window - 1), col("n")).as("en"))).as("rs"))
+    toks.join(cut, Seq("doc_id"), "left")
+      .withColumn("rs",
+        coalesce(col("rs"), expr("array()").cast("array<struct<st:int,en:int>>")))
+      .withColumn("kept", expr(
+        "filter(sequence(1, n), i -> !exists(rs, r -> i >= r.st AND i <= r.en))"))
+      .select(col("doc_id"),
+        concat_ws(" ", expr("transform(kept, i -> element_at(ws, i))"))
+          .as("text"),
+        col("n").cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n") - size(col("kept"))).cast("long").as("n_cut"))
+  }
+
   /** Temperature-weighted mixture sampling — the multilingual /
     * multi-domain data-mixing step (Lample & Conneau NeurIPS'19 /
     * XLM-R: sample groups with probability ∝ (n_g/N)^α so

@@ -31,6 +31,14 @@ object EventStreams {
   def tsFromNs(nsCol: Column): Column =
     timestamp_micros((nsCol.cast("decimal(28,0)") / lit(1000)).cast("long"))
 
+  /** Event-time column for a frame whose `ts` may be raw long ns OR a
+    * native (NTZ) timestamp — newer testdata generations ship
+    * TIMESTAMP(MICROS) ([[graft.functions.EventTime]] normalizes to ns,
+    * then the exact decimal ns→µs division above applies). Branches on
+    * the static schema, so it works identically on streaming frames. */
+  private def eventTime(df: DataFrame, name: String = "ts"): Column =
+    tsFromNs(graft.functions.EventTime.nanosCol(df.schema(name).dataType, col(name)))
+
   /** Tumbling event-time window counts with watermark — the streaming
     * twin of batch x15_events_window. */
   def tumblingCounts(
@@ -38,7 +46,7 @@ object EventStreams {
       windowDur: String = "1 hour",
       watermarkDelay: String = "2 hours"): DataFrame =
     events
-      .withColumn("event_time", tsFromNs(col("ts")))
+      .withColumn("event_time", eventTime(events))
       .withWatermark("event_time", watermarkDelay)
       .groupBy(window(col("event_time"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -50,7 +58,7 @@ object EventStreams {
       gap: String = "30 minutes",
       watermarkDelay: String = "2 hours"): DataFrame =
     events
-      .withColumn("event_time", tsFromNs(col("ts")))
+      .withColumn("event_time", eventTime(events))
       .withWatermark("event_time", watermarkDelay)
       .groupBy(session_window(col("event_time"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -69,7 +77,7 @@ object EventStreams {
       fpCol: String,
       watermarkDelay: String = "2 hours"): DataFrame =
     events
-      .withColumn("event_time", tsFromNs(col("ts")))
+      .withColumn("event_time", eventTime(events))
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark(fpCol)
 
@@ -87,12 +95,12 @@ object EventStreams {
       interval: String = "1 hour",
       watermarkDelay: String = "2 hours"): DataFrame = {
     val l = left
-      .withColumn("l_time", tsFromNs(col("ts")))
+      .withColumn("l_time", eventTime(left))
       .withWatermark("l_time", watermarkDelay)
       .drop("ts")
     val r = right
       .withColumnRenamed("user_id", "r_user_id")
-      .withColumn("r_time", tsFromNs(col("ts")))
+      .withColumn("r_time", eventTime(right))
       .withWatermark("r_time", watermarkDelay)
       .drop("ts")
     l.join(r, expr(
@@ -238,7 +246,7 @@ object EventStreams {
     val keyExprs = graft.ops.TextDedup.simhashKeyExprs(
       col("sh"), maxHamming, pairKeys)
     docs
-      .withColumn("event_time", tsFromNs(col("ts")))
+      .withColumn("event_time", eventTime(docs))
       .withWatermark("event_time", watermarkDelay)
       .select(col("doc_id"),
         graft.functions.TextFunctions.simhashFast(col("text")).as("sh"),
@@ -363,7 +371,7 @@ object EventStreams {
     val keyExprs = graft.ops.TextDedup.minhashBandKeyExprs(
       col("mh"), numHashes, bands)
     docs
-      .withColumn("event_time", tsFromNs(col("ts")))
+      .withColumn("event_time", eventTime(docs))
       .withWatermark("event_time", watermarkDelay)
       .select(col("doc_id"),
         TF.shingleSetFast(TF.words(col("text")), shingleK).as("el_set"),

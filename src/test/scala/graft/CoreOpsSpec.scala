@@ -178,7 +178,7 @@ class CoreOpsSpec extends SparkTestBase {
 
   test("asofJoinSliced == asofJoin on fixture events, including the all-one-key hot case") {
     import spark.implicits._
-    val ev = cat.table("events")
+    val ev = graft.functions.EventTime.withNanos(cat.table("events"))
     val clicks = Q(ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts"))
     val purchases = Q(ev.filter(col("event_type") === "purchase")

@@ -504,6 +504,35 @@ class OpsSpec extends SparkTestBase {
       "fully periodic doc: every window duplicated")
   }
 
+  test("CorpusOps.exciseSpans: keep-first excision with overlapping spans, periodic doc collapses to one period") {
+    val S = (1 to 12).map(i => s"s$i").mkString(" ")   // shared 12-token run
+    val df = Seq(
+      (1L, S + " " + (1 to 8).map(i => s"a$i").mkString(" ")), // 1st occurrence
+      (2L, "b1 b2 " + S),                                      // repeat at offset 3
+      (3L, (1 to 9).map(i => s"u$i").mkString(" ")),           // all unique
+      (4L, ((1 to 5).map(i => s"r$i").mkString(" ") + " ") * 4)) // period-5 × 4
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.exciseSpans(df, window = 8, stride = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 4, "every input doc present in output")
+    // doc1 holds the first occurrence of every duplicated span — intact
+    assert(out(1L)._1 == S + " " + (1 to 8).map(i => s"a$i").mkString(" ")
+      && out(1L)._4 == 0, out(1L).toString)
+    // doc2's copy of S (5 overlapping 8-windows, union [3,14]) is excised
+    assert(out(2L)._1 == "b1 b2" && out(2L)._4 == 12, out(2L).toString)
+    // unique doc untouched
+    assert(out(3L)._1 == (1 to 9).map(i => s"u$i").mkString(" ")
+      && out(3L)._4 == 0, out(3L).toString)
+    // fully periodic doc: every window at offset >5 duplicates the one a
+    // period earlier; the excised-range union [6,20] leaves ONE period
+    assert(out(4L)._1 == (1 to 5).map(i => s"r$i").mkString(" ")
+      && out(4L)._2 == 20 && out(4L)._3 == 5 && out(4L)._4 == 15,
+      out(4L).toString)
+    // conservation: n_kept + n_cut == n_tokens everywhere
+    out.values.foreach { case (_, n, k, c) => assert(k + c == n) }
+  }
+
   test("CorpusOps.packSequences: offsets/spans correct and blockSize-invariant") {
     val df = Seq(
       (0L, "a b c"), (1L, "d e"), (2L, (1 to 7).map(i => s"w$i").mkString(" ")),

@@ -100,7 +100,7 @@ class ZOrderSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
     val cat = Catalog(spark, dir)
     try {
-      val ev = cat2.table("events")
+      val ev = graft.functions.EventTime.withNanos(cat2.table("events"))
         .select(col("event_id"), col("user_id"), col("value"), col("ts"))
       val total = ev.count()
       // 64 files give each of the 3 dims ~4 z-divisions (top 6 z-bits =
