@@ -339,6 +339,16 @@ object ExtensionQueries {
   private val x59_bigram_lm: QFn = (s, d) =>
     graft.ops.CorpusOps.bigramLmScore(docsR(s, d))
 
+  /** Composed unigram + bigram LM scoring
+    * ([[graft.ops.CorpusOps.lmScores]]) — x51 and x59 as ONE pipeline
+    * sharing a single tokenize pass: the corpus is tokenized once into
+    * a lazily-checkpointed view feeding the unigram tf table, the
+    * bigram tf table, and the shared vocab scalar (PipelineSpec audits
+    * the plan reads documents.parquet exactly once). Docs with <2
+    * words keep their unigram score with NULL bigram columns. */
+  private val x61_lm_scores: QFn = (s, d) =>
+    graft.ops.CorpusOps.lmScores(docsR(s, d))
+
   /** Span-duplication scoring ([[graft.ops.CorpusOps.spanDupStats]],
     * Lee et al. ACL 2022): stride-8 windows of 32 tokens fingerprinted;
     * a doc's duplicated-window fraction is the repeated-substring
@@ -359,6 +369,28 @@ object ExtensionQueries {
     * the oracle rebuilds the excised TEXT, not just counts. */
   private val x60_excise_spans: QFn = (s, d) =>
     graft.ops.CorpusOps.exciseSpans(docsR(s, d))
+
+  /** Corpus-trained BPE, wired into sequence packing
+    * ([[graft.ops.BpeOps]] → [[graft.ops.CorpusOps.packSequences]]) —
+    * the real-subword upgrade of x01's `n_bpe` regex proxy and x38's
+    * proxy-length packing: learn 16 merges from the corpus's own word
+    * distribution (Sennrich et al. ACL 2016; argmax with a total
+    * deterministic tie-break), count each doc's subword tokens by
+    * replaying the merges over the DISTINCT-word table, and pack
+    * training sequences with the learned lengths. Training iterates
+    * over the vocab-sized word-count table, never the corpus. No SQL
+    * oracle (iterative argmax training is not SQL-expressible) —
+    * OpsSpec pins the trainer and tokenizer against a naive
+    * single-node BPE reference instead; the driver records the
+    * rows-only check. */
+  private val x62_bpe_pack: QFn = (s, d) => {
+    val ds = docsR(s, d)
+    val merges = graft.ops.BpeOps.train(ds, numMerges = 16)
+    val counts = graft.ops.BpeOps.tokenCounts(ds, merges)
+    graft.ops.CorpusOps.packSequences(
+      ds.select(col("doc_id")).join(counts, Seq("doc_id")),
+      tokensCol = col("n_bpe"), seqLen = 256)
+  }
 
   /** Temperature-weighted language mixture sampling
     * ([[graft.ops.CorpusOps.temperatureSample]], α=0.5) — the XLM-R
@@ -1330,6 +1362,8 @@ object ExtensionQueries {
     "x58_span_dup" -> x58_span_dup,
     "x59_bigram_lm" -> x59_bigram_lm,
     "x60_excise_spans" -> x60_excise_spans,
+    "x61_lm_scores" -> x61_lm_scores,
+    "x62_bpe_pack" -> x62_bpe_pack,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2084,6 +2118,42 @@ object ExtensionQueries {
          |       round((sum(tf * lpb))::DOUBLE / (sum(tf))::DOUBLE, 4)
          |         AS avg_logp2
          |  FROM lp GROUP BY doc_id""".stripMargin,
+    "x61_lm_scores" ->
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+         |u AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM u GROUP BY 1, 2),
+         |cnts AS (SELECT word, sum(tf) AS cnt FROM tf GROUP BY 1),
+         |c AS (SELECT sum(cnt) AS n_total, count(*) AS vocab FROM cnts),
+         |ulp AS (SELECT t.doc_id, t.tf,
+         |       CAST(round(ln((k.cnt + 1)::DOUBLE /
+         |                     (c.n_total + c.vocab)::DOUBLE), 6)
+         |            AS DECIMAL(18,6)) AS lpw
+         |         FROM tf t JOIN cnts k USING (word) CROSS JOIN c),
+         |uni AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         |          round((sum(tf * lpw))::DOUBLE / (sum(tf))::DOUBLE, 4)
+         |            AS avg_logp
+         |          FROM ulp GROUP BY doc_id),
+         |bgx AS (SELECT doc_id,
+         |         unnest([ws[i]||' '||ws[i+1] for i in range(1, len(ws))]) AS bg
+         |         FROM w),
+         |tf2 AS (SELECT doc_id, bg, count(*) AS tf FROM bgx GROUP BY 1, 2),
+         |cb AS (SELECT bg, sum(tf) AS cb FROM tf2 GROUP BY 1),
+         |cl AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cl
+         |         FROM cb GROUP BY 1),
+         |blp AS (SELECT t.doc_id, t.tf,
+         |       CAST(round(ln((k.cb + 1)::DOUBLE /
+         |                     (l.cl + c.vocab)::DOUBLE), 6)
+         |            AS DECIMAL(18,6)) AS lpb
+         |         FROM tf2 t JOIN cb k USING (bg)
+         |         JOIN cl l ON split_part(t.bg, ' ', 1) = l.w1
+         |         CROSS JOIN c),
+         |big AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+         |          round((sum(tf * lpb))::DOUBLE / (sum(tf))::DOUBLE, 4)
+         |            AS avg_logp2
+         |          FROM blp GROUP BY doc_id)
+         |SELECT uni.doc_id, uni.n_tokens, uni.avg_logp,
+         |       big.n_bigrams, big.avg_logp2
+         |  FROM uni LEFT JOIN big USING (doc_id)""".stripMargin,
     "x58_span_dup" ->
       s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
          |s AS (SELECT doc_id, ws,

@@ -75,7 +75,21 @@ object ScaleCheck {
         // sampling pair: x54 is map-only after a languages-sized agg
         // (expect ~flat), x56's rank-limit must stay WindowGroupLimit-
         // pruned as per-language row counts grow D×
-        "x54_mix_sample", "x56_group_sample")) {
+        "x54_mix_sample", "x56_group_sample",
+        // LM scoring joins key on word/bigram — the Zipfian-stopword
+        // skew case: replication grows every tf table D× while the
+        // vocab is UNCHANGED (identical texts), so per-key join fan-in
+        // grows D× on exactly the hot keys. Near-linear scaleFactor
+        // here is the evidence the (doc,word)-grain join + AQE skew
+        // split absorb stopword skew; quadratic would mean a hot-key
+        // bottleneck needing a salt.
+        "x51_lm_score", "x59_bigram_lm", "x61_lm_scores",
+        // quality-canonical: x36's component pipeline + quality join +
+        // per-cluster window on D-clique-merged clusters
+        "x52_quality_canonical",
+        // span excision acts on a corpus where EVERY window is
+        // duplicated — worst-case cut-range fan-out and reassembly
+        "x60_excise_spans")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)

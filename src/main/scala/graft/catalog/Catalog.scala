@@ -123,8 +123,20 @@ final case class Catalog(spark: SparkSession, dir: String) {
     require(
       sameShape(existing, rows.schema),
       s"schema mismatch appending to '$name': table=$existing incoming=${rows.schema}")
+    // single-writer guard: a compaction swap in flight would silently
+    // swallow this append (rows land in the doomed `.old` directory) —
+    // fail loudly instead; retry after the compaction publishes
+    if (fs.exists(compactSentinel(name)))
+      throw new IllegalStateException(
+        s"append to '$name' rejected: compaction in flight " +
+          s"(${compactSentinel(name)} present)")
     rows.write.mode("append").parquet(path(name))
   }
+
+  /** Marker file held for the duration of a [[compactLog]] stage-and-
+    * swap; [[append]] and a second compactor refuse while it exists. */
+  private def compactSentinel(name: String): HPath =
+    new HPath(s"${path(name)}._compacting")
 
   /** On-disk MVCC log compaction — the reference's maintenance job
     * (src/storage/log_file/log_compaction.rs:9-64: rewrite the log file
@@ -146,21 +158,36 @@ final case class Catalog(spark: SparkSession, dir: String) {
     * re-open after the swap (parquet scans resolve files lazily).
     * Returns the number of reclaimed log entries. */
   def compactLog(name: String, asOf: Long): Long = {
-    val cols = table(name).columns
-    val before = table(name).count()
-    val compacted = graft.mvcc.LogTable.compact(table(name), asOf)
-      .select(cols.map(c => col(c)): _*)
-    val staging = new HPath(s"${path(name)}.compact-stage")
-    val old = new HPath(s"${path(name)}.old")
-    fs.delete(staging, true); fs.delete(old, true)
-    compacted.write.parquet(staging.toString)
-    val after = spark.read.parquet(staging.toString).count()
-    val live = new HPath(path(name))
-    require(fs.rename(live, old), s"compactLog: could not move $live aside")
-    require(fs.rename(staging, live),
-      s"compactLog: could not publish $staging (old data at $old)")
-    fs.delete(old, true)
-    before - after
+    // single-writer guard: atomic create (overwrite=false) — exactly
+    // one compactor can hold the sentinel; appends refuse while it
+    // exists ([[append]]), so no row can land in the doomed `.old`
+    // directory and be silently deleted with it. Removed on publish
+    // (and on failure — the documented crash-recovery states are
+    // unchanged; a crashed JVM leaves a stale sentinel to delete by
+    // hand along with the `.old`/stage remnants it already documents).
+    val sentinel = compactSentinel(name)
+    val acquired =
+      try { fs.create(sentinel, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!acquired) throw new IllegalStateException(
+      s"compactLog('$name') rejected: another compaction holds $sentinel")
+    try {
+      val cols = table(name).columns
+      val before = table(name).count()
+      val compacted = graft.mvcc.LogTable.compact(table(name), asOf)
+        .select(cols.map(c => col(c)): _*)
+      val staging = new HPath(s"${path(name)}.compact-stage")
+      val old = new HPath(s"${path(name)}.old")
+      fs.delete(staging, true); fs.delete(old, true)
+      compacted.write.parquet(staging.toString)
+      val after = spark.read.parquet(staging.toString).count()
+      val live = new HPath(path(name))
+      require(fs.rename(live, old), s"compactLog: could not move $live aside")
+      require(fs.rename(staging, live),
+        s"compactLog: could not publish $staging (old data at $old)")
+      fs.delete(old, true)
+      before - after
+    } finally fs.delete(sentinel, false)
   }
 
   /** Hive-style partitioned write — the working analogue of the

@@ -18,9 +18,13 @@ object CorpusOps {
   /** Pre-tokenized corpus view (doc_id, ws: array<string>) — the shared
     * input of the `FromWords` scoring forms. Composed pipelines
     * (unigram + bigram LM scoring, span stats) should compute this ONCE,
-    * `localCheckpoint(false)` it, and feed every consumer: tokenization
-    * (normalize + split) is the single most repeated map cost in a
-    * scoring stack, and the checkpoint makes it a one-pass cost. */
+    * `persist(MEMORY_AND_DISK)` it, and feed every consumer:
+    * tokenization (normalize + split) is the single most repeated map
+    * cost in a scoring stack, and the cache makes it a one-pass cost.
+    * (persist, NOT localCheckpoint: checkpointing calls `toRdd` at
+    * construction, which under AQE materializes every shuffle stage
+    * before the caller ever runs an action — persist defers ALL work
+    * to the first action and hands back an unpersist handle.) */
   def tokenized(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws"))
@@ -53,16 +57,19 @@ object CorpusOps {
     * output) — the composition form that shares one tokenize pass with
     * [[bigramLmScoreFromWords]]. */
   def lmScoreFromWords(words: DataFrame): DataFrame = {
-    // LAZY checkpoint (same contract as TextDedup.bandJoinVerify):
-    // constructing the returned DataFrame runs no job; the (doc, word)
-    // counts materialize on the FIRST action and their blocks stay
-    // pinned for the session (executor-local, no lineage). Without it,
-    // column pruning would re-run the tokenize + groupBy once per
-    // consumer (the corpus counts AND the scoring join both read it).
+    // LAZY shared materialization: constructing the returned DataFrame
+    // runs no job (persist defers to the first action — localCheckpoint
+    // would force every shuffle stage at construction under AQE); the
+    // (doc, word) counts cache on the FIRST action and their blocks
+    // stay pinned until unpersisted (sweep via
+    // sparkContext.getPersistentRDDs — the Bench/test hygiene).
+    // Without it, column pruning would re-run the tokenize + groupBy
+    // once per consumer (the corpus counts AND the scoring join both
+    // read it).
     val tf = words.select(col("doc_id"), explode(col("ws")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt"))
     val consts = counts.agg(sum(col("cnt")).as("n_total"),
       count(lit(1)).as("vocab"))
@@ -186,16 +193,19 @@ object CorpusOps {
       (col(idCol) / blockSize).cast("long").as("blk"))
     val wIn = Window.partitionBy("blk").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    // ONE tokenize + ONE shuffle: the window output is materialized
-    // (lineage-truncated) and BOTH consumers — the per-row offsets and
-    // the per-block totals — read it; deriving the totals from `base`
-    // instead would re-scan and re-tokenize the corpus (column pruning
-    // specializes each branch's scan, so exchange reuse can't kick in).
-    // The totals also come from the LAST row per block (max of
-    // off+n_tokens), already co-partitioned by blk — no extra exchange.
+    // ONE tokenize + ONE shuffle: the window output is cached (lazy
+    // persist — no job until the caller's first action) and BOTH
+    // consumers — the per-row offsets and the per-block totals — read
+    // its blocks; deriving the totals from `base` instead would
+    // re-scan and re-tokenize the corpus (column pruning specializes
+    // each branch's scan, so exchange reuse can't kick in). The totals
+    // also come from the LAST row per block (max of off+n_tokens),
+    // already co-partitioned by blk — no extra exchange. Blocks stay
+    // pinned until unpersisted; sweep via
+    // sparkContext.getPersistentRDDs (the Bench/test hygiene).
     val inBlk = base.withColumn("off_in_blk",
       coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wBlk = Window.orderBy("blk")
       .rowsBetween(Window.unboundedPreceding, -1)
     val blkOff = inBlk.groupBy("blk")
@@ -271,6 +281,15 @@ object CorpusOps {
         col("n_members"))
   }
 
+  /** Distinct-word count of a tokenized frame as a 1-row (vocab: long)
+    * frame — the smoothing denominator shared by [[lmScoreFromWords]]
+    * and [[bigramLmScoreFromWords]]. Computed over the TOKENIZED view,
+    * so when the caller checkpoints it ([[tokenized]] contract) this
+    * pass reads executor-local blocks, never the corpus. */
+  def vocabOf(words: DataFrame): DataFrame =
+    words.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab"))
+
   /** Bigram-LM quality score — [[lmScore]]'s next-order upgrade toward
     * the CCNet n-gram filter: every adjacent word pair is scored by its
     * smoothed conditional probability under the corpus's own bigram
@@ -284,31 +303,49 @@ object CorpusOps {
     * 100 TB shape: identical to [[lmScore]] one order up — the count
     * tables are bigram-vocab-sized (map-side partial agg absorbs
     * stopword-pair skew), the left-context counts derive from the
-    * bigram table (no second corpus pass), and the vocab scalar rides a
-    * one-row broadcast. Decimal-exact summation (per-bigram log-prob
-    * rounded to 6, summed as DECIMAL) keeps the score hash-checkable
-    * across engines. */
+    * bigram table, and the vocab scalar rides a one-row broadcast. The
+    * corpus is TOKENIZED ONCE: this form checkpoints the tokenized
+    * view, so the bigram explode and the vocab scalar both read
+    * executor-local blocks (the vocab pass is NOT a second corpus
+    * scan). Composing with [[lmScore]]? Use [[lmScores]], which shares
+    * one tokenize across both orders. Decimal-exact summation
+    * (per-bigram log-prob rounded to 6, summed as DECIMAL) keeps the
+    * score hash-checkable across engines. */
   def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val ws = TF.words(col(textCol))
+    val toks = tokenized(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bigramLmScoreFromWords(toks, vocab = Some(vocabOf(toks)))
+  }
+
+  /** [[bigramLmScore]] over a pre-tokenized (doc_id, ws) frame. `vocab`
+    * is the unigram distinct-word scalar frame ([[vocabOf]] shape);
+    * pass it when a composed pipeline already has one (or a checkpointed
+    * tokenized view to derive it from) — the default derives it from
+    * `words`, which is a second pass over WHATEVER `words` is, so
+    * un-checkpointed callers pay a second tokenize there. */
+  def bigramLmScoreFromWords(words: DataFrame,
+      vocab: Option[DataFrame] = None): DataFrame = {
     val bigramArr = zip_with(
-      slice(ws, lit(1), size(ws) - 1),
-      slice(ws, lit(2), size(ws) - 1),
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
       (a, b) => concat(a, lit(" "), b))
-    val tf2 = docs.select(col(idCol).as("doc_id"),
-        explode(bigramArr).as("bg"))
+    // lazy shared materialization (tokenize/explode shared by corpus
+    // counts AND the scoring join): no job at construction; caches on
+    // the first action, blocks pinned until unpersisted (sweep via
+    // sparkContext.getPersistentRDDs — the Bench/test hygiene)
+    val tf2 = words.select(col("doc_id"), explode(bigramArr).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // feeds corpus counts AND the scoring join
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb = tf2.groupBy(col("bg")).agg(sum(col("tf")).as("cb"))
     val cl = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cb")).as("cl"))
-    val vocab = docs.select(explode(ws).as("w"))
-      .agg(countDistinct(col("w")).as("vocab"))
+    val vocabDf = vocab.getOrElse(vocabOf(words))
     tf2.join(cb, Seq("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(cl, Seq("w1"))
-      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(vocabDf))
       .withColumn("lpb",
         round(log((col("cb") + 1).cast("double") /
           (col("cl") + col("vocab")).cast("double")), 6)
@@ -317,6 +354,24 @@ object CorpusOps {
       .agg(sum(col("tf")).cast("long").as("n_bigrams"),
         round(sum(col("tf") * col("lpb")).cast("double") /
           sum(col("tf")).cast("double"), 4).as("avg_logp2"))
+  }
+
+  /** Composed unigram + bigram LM scoring with ONE tokenize pass — the
+    * form a production quality-filtering stack runs (CCNet scores
+    * every document once per model order; tokenization dominates the
+    * map cost, so sharing it halves the scan work). The corpus is
+    * tokenized once into a lazily-checkpointed view; the unigram tf
+    * table, the bigram tf table, and the shared vocab scalar all read
+    * its executor-local blocks. Docs with <2 words carry NULL bigram
+    * columns (left join — they have a unigram score but no bigrams).
+    * Output: (doc_id, n_tokens, avg_logp, n_bigrams, avg_logp2). */
+  def lmScores(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokenized(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lmScoreFromWords(toks)
+      .join(bigramLmScoreFromWords(toks, vocab = Some(vocabOf(toks))),
+        Seq("doc_id"), "left")
   }
 
   /** Span-duplication statistics — the repeated-substring signal of

@@ -190,4 +190,38 @@ class LogTableSpec extends SparkTestBase {
     assert(snapMap(4L) == pre + (4L -> "d1"),
       "in-flight txn failed to commit after on-disk compaction")
   }
+
+  test("compactLog single-writer guard: concurrent append and second compactor error loudly, not silently swallowed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvcc_sw").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    val b1 = LogTable.upserts(
+      Seq((1L, "a1"), (2L, "b1")).toDF("rid", "v"), 1L, col("rid"))
+      .unionByName(LogTable.commitMarker(spark, 1L), allowMissingColumns = true)
+    cat.createNew("doclog", b1.schema)
+    cat.append("doclog", b1)
+    // simulate an in-flight compaction: the sentinel the stage-and-swap
+    // holds (same path compactLog creates)
+    val sentinel = new org.apache.hadoop.fs.Path(
+      s"${cat.path("doclog")}._compacting")
+    val fs = sentinel.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(sentinel, false).close()
+    // an append during the swap must ERROR (pre-guard it landed in the
+    // doomed `.old` directory and was deleted with it)
+    val more = LogTable.upserts(Seq((3L, "c1")).toDF("rid", "v"), 2L, col("rid"))
+      .unionByName(LogTable.commitMarker(spark, 2L), allowMissingColumns = true)
+    val e1 = intercept[IllegalStateException] { cat.append("doclog", more) }
+    assert(e1.getMessage.contains("compaction in flight"), e1.getMessage)
+    // a second compactor must refuse the same way
+    val e2 = intercept[IllegalStateException] { cat.compactLog("doclog", 1L) }
+    assert(e2.getMessage.contains("another compaction"), e2.getMessage)
+    // sentinel released -> both operations proceed, and a real
+    // compaction cleans up after itself (no sentinel left behind)
+    fs.delete(sentinel, false)
+    cat.append("doclog", more)
+    cat.compactLog("doclog", asOf = 2L)
+    assert(!fs.exists(sentinel), "sentinel must be released on publish")
+    val snap = LogTable.snapshot(cat.table("doclog"), 2L).select("rid", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap == Map(1L -> "a1", 2L -> "b1", 3L -> "c1"), snap.toString)
+  }
 }

@@ -533,6 +533,116 @@ class OpsSpec extends SparkTestBase {
     out.values.foreach { case (_, n, k, c) => assert(k + c == n) }
   }
 
+  test("BpeOps: distributed trainer and tokenizer match a naive single-node BPE reference") {
+    import graft.ops.BpeOps
+    // --- naive reference (classic scan-with-skip BPE) ---
+    def naiveApply(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    def naiveTrain(wc: Map[String, Long], n: Int): List[(String, String)] = {
+      var words = wc.map { case (w, c) => (w.split("").toList, c) }
+      val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      var continue = true
+      while (merges.length < n && continue) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- words; i <- 0 until syms.length - 1)
+          pairs((syms(i), syms(i + 1))) =
+            pairs.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        val best = pairs.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+        best match {
+          case Some(((l, r), c)) if c >= 2 =>
+            merges += ((l, r))
+            words = words.map { case (s, cc) => (naiveApply(s, l, r), cc) }
+          case _ => continue = false
+        }
+      }
+      merges.toList
+    }
+    // --- fixture: classic BPE corpus with controlled frequencies ---
+    val rows = Seq.fill(8)("low") ++ Seq.fill(6)("lower") ++
+      Seq.fill(5)("newest") ++ Seq.fill(3)("wider") ++ Seq.fill(2)("newer")
+    val docs = rows.zipWithIndex
+      .map { case (w, i) => (i.toLong, s"$w $w end$i") }
+      .toDF("doc_id", "text")
+    // the naive path sees the IDENTICAL word distribution
+    val wc = docs.collect().flatMap(_.getString(1).split(" "))
+      .groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    val expMerges = naiveTrain(wc, 12)
+    val gotMerges = BpeOps.train(docs, numMerges = 12)
+      .map(m => (m.left, m.right)).toList
+    assert(gotMerges == expMerges,
+      s"merge tables diverge:\n got=$gotMerges\n exp=$expMerges")
+    assert(gotMerges.nonEmpty, "fixture must learn at least one merge")
+    // token counts: replay the same merges both ways
+    val mergeObjs = gotMerges.zipWithIndex
+      .map { case ((l, r), i) => BpeOps.Merge(i, l, r) }
+    val got = BpeOps.tokenCounts(docs, mergeObjs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exp = docs.collect().map { row =>
+      val ws = row.getString(1).split(" ").filter(_.nonEmpty)
+      val n = ws.map { w =>
+        expMerges.foldLeft(w.split("").toList)((s, m) =>
+          naiveApply(s, m._1, m._2)).length.toLong
+      }.sum
+      row.getLong(0) -> (ws.length.toLong, n)
+    }.toMap
+    assert(got == exp, s"token counts diverge: got=$got exp=$exp")
+    // merging compresses: every doc's BPE count is <= its char count
+    // and >= its word count
+    got.foreach { case (_, (nw, nb)) => assert(nb >= nw) }
+  }
+
+  test("BpeOps.train stops early when no pair repeats (nothing left to learn)") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    val merges = graft.ops.BpeOps.train(docs, numMerges = 10)
+    assert(merges.isEmpty,
+      s"all adjacent pairs unique - no merge may be learned: $merges")
+  }
+
+  test("CorpusOps lazy-checkpoint lifecycle: construction runs no job; blocks pin on action and free on sweep") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sc = spark.sparkContext
+    val docs = graft.catalog.Catalog(spark, sf).table("documents")
+    @volatile var jobs = 0
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+    }
+    // quiesce: drop blocks from earlier tests so the pin check is ours
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    sc.addSparkListener(l)
+    try {
+      val built = Seq(
+        graft.ops.CorpusOps.packSequences(docs, seqLen = 64),
+        graft.ops.CorpusOps.bigramLmScore(docs),
+        graft.ops.CorpusOps.lmScores(docs))
+      Thread.sleep(500) // let any (wrongly) eager job's events land
+      assert(jobs == 0,
+        s"constructing CorpusOps frames ran $jobs Spark job(s) — " +
+          "checkpoints must be lazy (localCheckpoint(false))")
+      assert(built.head.count() > 0) // first action materializes
+      def cached() = sc.getRDDStorageInfo.count(_.isCached)
+      val deadline = System.currentTimeMillis + 5000
+      while (cached() == 0 && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(cached() > 0, "action must have pinned checkpoint blocks")
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val d2 = System.currentTimeMillis + 5000
+      while (cached() > 0 && System.currentTimeMillis < d2)
+        Thread.sleep(100)
+      assert(cached() == 0,
+        "storage sweep must free every pinned checkpoint block")
+    } finally sc.removeSparkListener(l)
+  }
+
   test("CorpusOps.packSequences: offsets/spans correct and blockSize-invariant") {
     val df = Seq(
       (0L, "a b c"), (1L, "d e"), (2L, (1 to 7).map(i => s"w$i").mkString(" ")),

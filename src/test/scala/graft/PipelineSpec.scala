@@ -110,4 +110,34 @@ class PipelineSpec extends SparkTestBase {
       keys(CorpusOps.decontaminate(pool, bench, shingleK = 8)),
       "bloom and exact decontamination must agree on a composed pool")
   }
+
+  test("lmScores scan-amplification audit: composed unigram+bigram scoring reads the corpus once") {
+    val sc = spark.sparkContext
+    val docs = Catalog(spark, sf).table("documents")
+    // Hadoop's global "file"-scheme statistics count REAL file I/O only
+    // (task-metric bytesRead also counts cached-block reads, which the
+    // shared persist legitimately produces in volume); local[4] runs
+    // executors in-process, so the counter is complete and synchronous
+    // once an action returns.
+    def fileBytes(): Long = {
+      val s = org.apache.hadoop.fs.FileSystem
+        .getGlobalStorageStatistics.get("file")
+      if (s == null) 0L else s.getLong("bytesRead")
+    }
+    def bytesOf(act: => Unit): Long = {
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val before = fileBytes(); act; fileBytes() - before
+    }
+    // one full-text corpus scan as the yardstick (text dominates bytes)
+    val single = bytesOf(
+      docs.select(length(col("text")).as("n")).agg(sum(col("n"))).collect())
+    // the composed pipeline: tokenize once into the shared lazy cache,
+    // fan out to unigram tf + bigram tf + vocab — file reads stay ~1×
+    val composed = bytesOf(CorpusOps.lmScores(docs).collect())
+    assert(single > 0, "yardstick scan measured zero file bytes")
+    assert(composed < single * 3 / 2,
+      s"composed lmScores read ${composed}B from disk vs one corpus " +
+        s"scan ${single}B — the shared tokenize cache is not shared " +
+        "(a second corpus pass is back)")
+  }
 }

@@ -288,6 +288,7 @@ class PlanAuditSpec extends SparkTestBase {
       "x42_bm25",               // 1-row corpus-scalars (N, avgdl) broadcast
       "x51_lm_score",           // 1-row corpus-scalars (N, vocab) broadcast
       "x59_bigram_lm",          // 1-row vocab scalar broadcast (as x51)
+      "x61_lm_scores",          // composed x51+x59: same 1-row scalar broadcasts
       "x22_embed_dedup_bucketed", // 16-row broadcast centroid assignment
       "x28_ann_recall",         // exact evaluation side is brute force
       "x30_kmeans_step",        // 16-row broadcast centroid assignment

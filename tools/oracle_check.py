@@ -30,6 +30,12 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    # queries whose dump FAILED are reported by Verify in errors.json —
+    # surface them as failures instead of silently shrinking the set
+    errs_path = f"{out_dir}/errors.json"
+    if os.path.exists(errs_path):
+        for q, msg in json.load(open(errs_path)).items():
+            results[q] = f"EXEC_ERROR: {msg[:200]}"
     qdirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
     for qd in qdirs:
         q = os.path.basename(qd)
