@@ -392,6 +392,37 @@ object ExtensionQueries {
       tokensCol = col("n_bpe"), seqLen = 256)
   }
 
+  /** Hot-key split join ([[graft.ops.SkewOps.hotColdJoin]]) — the
+    * explicit Zipfian-skew mitigation, exercised on the word-scoring
+    * join shape (the family ScaleCheck measured as volume-bound; this
+    * is the escape hatch for corpora where the measurement says
+    * hot-key-bound instead): the top-16 hottest words join via a
+    * broadcast of their 16-row count slice, every other word takes the
+    * normal shuffle, and the output — per-doc token totals + hot-token
+    * fraction + count-weighted mass — is hash-identical to the plain
+    * join the DuckDB oracle runs (the split must never change
+    * answers). */
+  private val x63_skew_join: QFn = (s, d) => {
+    val perDocWord = docsR(s, d)
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+    val counts = perDocWord.groupBy(col("word"))
+      .agg(sum(col("n")).as("cnt"))
+    // rank hot words by TOKEN weight (counts is pre-aggregated, one
+    // row per word carrying its mass): top-16 by (cnt desc, word asc)
+    val hotWords = graft.ops.SkewOps.hotKeys(
+      counts, "word", 16, weightCol = Some("cnt"))
+    graft.ops.SkewOps.hotColdJoin(perDocWord, counts, "word", hotWords)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("word").isInCollection(hotWords), col("n"))
+          .otherwise(0L)).as("n_hot"),
+        sum(col("n") * col("cnt")).as("wsum"))
+      .withColumn("hot_frac",
+        round(col("n_hot").cast("double") / col("n_tokens"), 4))
+  }
+
   /** Temperature-weighted language mixture sampling
     * ([[graft.ops.CorpusOps.temperatureSample]], α=0.5) — the XLM-R
     * data-mixing step: every language keeps rate (n_min/n_lang)^0.5,
@@ -1364,6 +1395,7 @@ object ExtensionQueries {
     "x60_excise_spans" -> x60_excise_spans,
     "x61_lm_scores" -> x61_lm_scores,
     "x62_bpe_pack" -> x62_bpe_pack,
+    "x63_skew_join" -> x63_skew_join,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2118,6 +2150,22 @@ object ExtensionQueries {
          |       round((sum(tf * lpb))::DOUBLE / (sum(tf))::DOUBLE, 4)
          |         AS avg_logp2
          |  FROM lp GROUP BY doc_id""".stripMargin,
+    "x63_skew_join" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
+         |             FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS n FROM w
+         |         WHERE length(word) > 0 GROUP BY 1, 2),
+         |c AS (SELECT word, sum(n) AS cnt FROM tf GROUP BY 1),
+         |hot AS (SELECT word FROM c ORDER BY cnt DESC, word LIMIT 16)
+         |SELECT t.doc_id, sum(t.n)::BIGINT AS n_tokens,
+         |       sum(CASE WHEN t.word IN (SELECT word FROM hot)
+         |                THEN t.n ELSE 0 END)::BIGINT AS n_hot,
+         |       sum(t.n * c.cnt)::BIGINT AS wsum,
+         |       round(sum(CASE WHEN t.word IN (SELECT word FROM hot)
+         |                      THEN t.n ELSE 0 END)::DOUBLE / sum(t.n), 4)
+         |         AS hot_frac
+         |  FROM tf t JOIN c USING (word)
+         | GROUP BY t.doc_id""".stripMargin,
     "x61_lm_scores" ->
       s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
          |u AS (SELECT doc_id, unnest(ws) AS word FROM w),

@@ -89,7 +89,11 @@ object ScaleCheck {
         "x52_quality_canonical",
         // span excision acts on a corpus where EVERY window is
         // duplicated — worst-case cut-range fan-out and reassembly
-        "x60_excise_spans")) {
+        "x60_excise_spans",
+        // hot-key split join on the same word grain as x51: the top-16
+        // broadcast slice is size-invariant under replication, so the
+        // split's cost must track the cold remainder (~linear)
+        "x63_skew_join")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)

@@ -34,7 +34,9 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(words(text)).cast("long")
 
   /** BPE-ish token estimate: letter runs, single digits, single
-    * non-alphanumeric marks — the standard cheap proxy for subword count.
+    * non-alphanumeric marks — the standard cheap proxy for subword
+    * count. This is the fast map-only ESTIMATE (x01, oracle-checked);
+    * the real corpus-trained tokenizer is [[graft.ops.BpeOps]] (x62).
     */
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long")

@@ -533,6 +533,47 @@ class OpsSpec extends SparkTestBase {
     out.values.foreach { case (_, n, k, c) => assert(k + c == n) }
   }
 
+  test("SkewOps.hotColdJoin: row-identical to the plain join on a Zipfian fixture, hot path broadcasts, cold path shuffles") {
+    import graft.ops.SkewOps
+    // Zipf-ish: key 0 carries half the probe side, key 1 a quarter...
+    val left = (0 until 4096).map { i =>
+      val k = java.lang.Long.numberOfTrailingZeros(i + 1).toLong min 9L
+      (k, i.toLong)
+    }.toDF("k", "v")
+    val right = (0L to 9L).map(k => (k, s"payload$k")).toDF("k", "p")
+    val hot = SkewOps.hotKeys(left, "k", 2)
+    assert(hot == Seq(0L, 1L), s"hottest keys must be 0,1: $hot")
+    val split = SkewOps.hotColdJoin(left, right, "k", hot)
+    val plain = left.join(right, Seq("k"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(rows(split) == rows(plain),
+      "split join must be row-identical (multiset) to the plain join")
+    // plan shape at SCALE: hot path broadcast (the explicit hint), cold
+    // path shuffle. Auto-broadcast is disabled for the assertion — on
+    // this tiny fixture Spark would otherwise broadcast the cold side
+    // too and hide the shape under test (the hint survives threshold
+    // -1, which is exactly the production guarantee: hot keys broadcast
+    // no matter what the planner estimates).
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = SkewOps.hotColdJoin(left, right, "k", hot)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"hot path must plan a broadcast hash join:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"cold path must keep the shuffle join:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    // weighted ranking: a pre-aggregated frame ranks by mass, not rows
+    val agg = left.groupBy("k").count().withColumnRenamed("count", "w")
+    assert(SkewOps.hotKeys(agg, "k", 2, weightCol = Some("w")) == Seq(0L, 1L))
+    // degenerate hot sets: empty = plain join; all-hot = all-broadcast
+    assert(rows(SkewOps.hotColdJoin(left, right, "k", Nil)) == rows(plain))
+    assert(rows(SkewOps.hotColdJoin(left, right, "k", (0L to 9L))) == rows(plain))
+  }
+
   test("BpeOps: distributed trainer and tokenizer match a naive single-node BPE reference") {
     import graft.ops.BpeOps
     // --- naive reference (classic scan-with-skip BPE) ---
