@@ -36,9 +36,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
-      // type for; surface it as a raw long (ns since epoch) and convert
-      // explicitly where needed.
+      // events.parquet has shipped ts as TIMESTAMP(NANOS) (no native
+      // Spark type — surfaced as raw long ns by this flag) and as
+      // TIMESTAMP(MICROS)/NTZ in newer generations; harmless for the
+      // latter. Queries normalize through graft.functions.EventTime
+      // (always epoch-ns long downstream) whatever the encoding.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Get-or-create with graft defaults (idempotent for tests). */
