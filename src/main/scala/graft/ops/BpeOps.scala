@@ -107,6 +107,24 @@ object BpeOps {
     merges.toSeq
   }
 
+  /** Persist a learned merge table as parquet — the train-once /
+    * tokenize-forever form: training is paid once per corpus
+    * generation (like the signature index, [[TextDedup
+    * .writeSignatureIndex]]), and every later tokenization replays the
+    * stored merges. 16–32k rows of (rank, left, right) — driver-tiny. */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession, path: String,
+      merges: Seq[Merge]): Unit =
+    spark.createDataFrame(merges)
+      .select(col("rank"), col("left"), col("right"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Reload a [[writeMerges]] table, in application order. */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Merge] =
+    spark.read.parquet(path).orderBy(col("rank"))
+      .collect().map(r => Merge(r.getInt(0), r.getString(1), r.getString(2)))
+      .toSeq
+
   /** Per-document BPE token counts under a learned merge table:
     * (doc_id, n_words, n_bpe). The merge replay runs once per DISTINCT
     * word; documents join against it on the word key. */

@@ -514,4 +514,47 @@ object EventStreams {
           }
       }
   }
+
+  /** Stream-static LM quality scoring — the inference form of batch
+    * x51 ([[graft.ops.CorpusOps.lmScore]]): incoming documents are
+    * scored against a PRE-TRAINED unigram count table (train once per
+    * corpus generation on the batch side; the stream pays only the
+    * lookup). The count table is a STATIC frame: the stream-static
+    * equi-join is stateless (no watermark state — Spark replans the
+    * static side per micro-batch), so the only streaming state is the
+    * per-(window, doc) aggregation, bounded by the watermark.
+    *
+    * Words unseen in training smooth as count 0 (add-one), so
+    * out-of-vocabulary junk scores low instead of erroring — exactly
+    * what an ingest-time quality gate wants. Scoring math mirrors the
+    * batch form digit-for-digit (per-word log-prob rounded to 6,
+    * decimal-exact sum, mean rounded to 4): StreamingSpec pins
+    * batch/stream score parity on a shared corpus.
+    *
+    * `counts`: (word, cnt) — [[graft.ops.BpeOps.wordCounts]] shape
+    * renamed, or the batch trainer's table. Output per finalized
+    * window: (window, doc_id, n_tokens, avg_logp). */
+  def lmScoreStream(docs: DataFrame, counts: DataFrame,
+      windowDur: String = "10 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val TF = graft.functions.TextFunctions
+    // corpus constants are static — resolved once at stream setup
+    val consts = counts.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("vocab")).head
+    val denom = (consts.getLong(0) + consts.getLong(1)).toDouble
+    docs
+      .withColumn("event_time", eventTime(docs))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("doc_id"), col("event_time"),
+        explode(TF.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(counts, Seq("word"), "left")
+      .withColumn("lpw",
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          lit(denom)), 6).cast("decimal(18,6)"))
+      .groupBy(window(col("event_time"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lpw")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("avg_logp"))
+  }
 }

@@ -641,6 +641,26 @@ class OpsSpec extends SparkTestBase {
     got.foreach { case (_, (nw, nb)) => assert(nb >= nw) }
   }
 
+  test("BpeOps merge-table roundtrip: write/read preserves order, tokenization unchanged") {
+    import graft.ops.BpeOps
+    val docs = Seq.fill(6)((1L, "abab abab cdcd")).zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = BpeOps.train(docs, numMerges = 6)
+    assert(merges.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    try {
+      BpeOps.writeMerges(spark, s"$dir/m.parquet", merges)
+      val back = BpeOps.readMerges(spark, s"$dir/m.parquet")
+      assert(back == merges, s"roundtrip diverged: $back vs $merges")
+      val a = BpeOps.tokenCounts(docs, merges).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      val b = BpeOps.tokenCounts(docs, back).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(a == b)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("BpeOps.train stops early when no pair repeats (nothing left to learn)") {
     import spark.implicits._
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")

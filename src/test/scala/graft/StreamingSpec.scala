@@ -451,4 +451,40 @@ class StreamingSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("stream-static LM scoring matches batch lmScore digit-for-digit on a shared corpus") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      1L -> "the cat sat on the mat and the cat slept",
+      2L -> "the dog barked at the cat",
+      3L -> "qq zz xx vv qq pp zz kk jj ww")
+    val batchDocs = corpus.toDF("doc_id", "text")
+    // trained count table (static side) from the SAME corpus, so the
+    // smoothing constants match the batch trainer's own derivation
+    val counts = graft.ops.BpeOps.wordCounts(batchDocs)
+      .select(col("w").as("word"), col("cnt"))
+    val expected = graft.ops.CorpusOps.lmScore(batchDocs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val input = MemoryStream[(Long, String, Long)]
+    val scored = EventStreams.lmScoreStream(
+      input.toDF().toDF("doc_id", "text", "ts"), counts,
+      windowDur = "1 hour", watermarkDelay = "1 hour")
+    val q = scored.writeStream.format("memory").queryName("lm_stream_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val B = H
+      input.addData(corpus.map { case (id, t) => (id, t, B + id) }: _*)
+      q.processAllAvailable()
+      input.addData((99L, "watermark advancer", B + 10 * H))
+      q.processAllAvailable()
+      val got = spark.table("lm_stream_test")
+        .select("doc_id", "n_tokens", "avg_logp").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == expected,
+        s"stream scores must equal batch scores: got=$got exp=$expected")
+      // junk doc must rank strictly below fluent ones (the gate signal)
+      assert(got(3L)._2 < got(1L)._2 && got(3L)._2 < got(2L)._2)
+    } finally q.stop()
+  }
 }
