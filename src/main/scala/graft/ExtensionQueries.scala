@@ -403,6 +403,36 @@ object ExtensionQueries {
       tokensCol = col("n_bpe"), seqLen = 256)
   }
 
+  /** End-to-end curation decision in ONE declarative plan — the
+    * composition a production corpus build runs, as a single
+    * oracle-hash-checked query (PipelineSpec checks the ops COMPOSE;
+    * this checks the composed VALUES): exact dedup (keep min doc_id
+    * per content hash, x04 semantics) → composite quality score on the
+    * survivors → keep the top tercile per language (x57's ntile on the
+    * DEDUPED pool) → XLM-R temperature sampling (α=0.5, x54 semantics,
+    * rates from the gated pool's language counts). Output: the kept
+    * rows (doc_id, lang, quality, rate).
+    *
+    * 100 TB shape: one content-hash groupBy (uniform keys), one
+    * per-language tercile window (never corpus-wide), languages-sized
+    * count aggregate riding a broadcast, and a deterministic
+    * hash-threshold filter — every stage map-side or keyed on uniform/
+    * bounded keys; nothing driver-side but the plan. */
+  private val x64_curate: QFn = (s, d) => {
+    val ds = docsR(s, d)
+    val keep = graft.ops.TextDedup.exact(ds)
+      .select(col("keep_id").as("doc_id"))
+    val pool = ds.join(keep, Seq("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))
+    val gated = pool
+      .select(col("doc_id"), col("lang"), qualityExpr.as("quality"))
+      .withColumn("bucket", ntile(3).over(w))
+      .filter(col("bucket") === 3).drop("bucket")
+    graft.ops.CorpusOps.temperatureSample(gated, salt = "curate")
+      .join(gated, Seq("doc_id", "lang"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("rate"))
+  }
+
   /** Hot-key split join ([[graft.ops.SkewOps.hotColdJoin]]) — the
     * explicit Zipfian-skew mitigation, exercised on the word-scoring
     * join shape (the family ScaleCheck measured as volume-bound; this
@@ -1407,6 +1437,7 @@ object ExtensionQueries {
     "x61_lm_scores" -> x61_lm_scores,
     "x62_bpe_pack" -> x62_bpe_pack,
     "x63_skew_join" -> x63_skew_join,
+    "x64_curate" -> x64_curate,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2161,6 +2192,30 @@ object ExtensionQueries {
          |       round((sum(tf * lpb))::DOUBLE / (sum(tf))::DOUBLE, 4)
          |         AS avg_logp2
          |  FROM lp GROUP BY doc_id""".stripMargin,
+    "x64_curate" ->
+      s"""WITH k AS (SELECT min(doc_id) AS doc_id
+         |             FROM documents GROUP BY md5($NT)),
+         |p AS (SELECT d.* FROM documents d JOIN k USING (doc_id)),
+         |q AS (SELECT doc_id, lang,
+         |        round(0.4*(len(list_filter(string_split($NT,' '),
+         |            w -> w IN ('the','and','of','to','in','is','a')))::DOUBLE
+         |              / len(string_split($NT,' ')))
+         |            + 0.3*least(len(string_split($NT,' '))::DOUBLE / 100.0, 1.0)
+         |            + 0.3*(len(regexp_extract_all(text,'[A-Za-z]'))::DOUBLE
+         |              / length(text)), 4) AS quality
+         |        FROM p),
+         |g AS (SELECT doc_id, lang, quality,
+         |        ntile(3) OVER (PARTITION BY lang
+         |                       ORDER BY quality, doc_id) AS b FROM q),
+         |gg AS (SELECT doc_id, lang, quality FROM g WHERE b = 3),
+         |c AS (SELECT lang, count(*)::BIGINT AS n_group FROM gg GROUP BY lang),
+         |m AS (SELECT min(n_group) AS n_min FROM c),
+         |r AS (SELECT lang, pow(n_min::DOUBLE / n_group, 0.5) AS rate
+         |        FROM c, m)
+         |SELECT gg.doc_id, gg.lang, gg.quality, round(r.rate, 6) AS rate
+         |  FROM gg JOIN r USING (lang)
+         | WHERE ${H60("'curate|'||gg.doc_id::VARCHAR")} % 1000000
+         |       < round(r.rate * 1000000)::BIGINT""".stripMargin,
     "x63_skew_join" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
          |             FROM documents),

@@ -298,6 +298,7 @@ class PlanAuditSpec extends SparkTestBase {
       "x32_ingest_dedup",       // MVCC committed-set semi-join through the
                                 // union, as x17
       "x54_mix_sample",         // 1-row n_min broadcast scalar
+      "x64_curate",             // same 1-row n_min scalar via temperatureSample
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
