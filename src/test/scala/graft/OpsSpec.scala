@@ -574,6 +574,33 @@ class OpsSpec extends SparkTestBase {
     assert(rows(SkewOps.hotColdJoin(left, right, "k", (0L to 9L))) == rows(plain))
   }
 
+  test("spanDupStats/exciseSpans measure-act agreement at the production stride on the fixture corpus") {
+    // the two ops share windowing constants BY CONSTRUCTION; this pins
+    // the behavioral consequence on real data at the default stride-8:
+    // excision only ever touches docs the measurement flags (a doc cut
+    // by exciseSpans MUST have duplicated windows in spanDupStats —
+    // the converse is not required: a doc holding only FIRST
+    // occurrences is flagged but never cut)
+    val docs = graft.catalog.Catalog(spark, sf).table("documents")
+    val stats = graft.ops.CorpusOps.spanDupStats(docs)
+      .select(col("doc_id"), col("n_dup_win"))
+    val cuts = graft.ops.CorpusOps.exciseSpans(docs)
+      .select(col("doc_id"), col("n_cut"), col("n_kept"), col("n_tokens"))
+    val j = stats.join(cuts, Seq("doc_id")).collect()
+    assert(j.length == docs.count(), "both ops must cover every doc")
+    val violated = j.filter(r => r.getLong(2) > 0 && r.getLong(1) == 0)
+    assert(violated.isEmpty,
+      s"docs cut without a measured duplicated window: ${violated.take(3).mkString}")
+    j.foreach { r =>
+      assert(r.getLong(3) + r.getLong(2) == r.getLong(4),
+        s"kept+cut != tokens for doc ${r.getLong(0)}")
+    }
+    // non-vacuous: the fixture corpus contains real duplication
+    assert(j.exists(_.getLong(2) > 0), "fixture must produce some cuts")
+    assert(j.exists(r => r.getLong(1) > 0 && r.getLong(2) == 0),
+      "some doc must hold only first occurrences (flagged, not cut)")
+  }
+
   test("BpeOps: distributed trainer and tokenizer match a naive single-node BPE reference") {
     import graft.ops.BpeOps
     // --- naive reference (classic scan-with-skip BPE) ---
