@@ -397,9 +397,11 @@ object ExtensionQueries {
     }
     val merges = graft.ops.BpeOps.readMerges(s,
       Catalog(s, dir).path("bpe_merges"))
-    val counts = graft.ops.BpeOps.tokenCounts(ds, merges)
+    // counts already carries a numeric doc_id + n_bpe — packing it
+    // directly avoids a pointless identity join back to the corpus
+    // (counts' ids are a subset of ds's by construction)
     graft.ops.CorpusOps.packSequences(
-      ds.select(col("doc_id")).join(counts, Seq("doc_id")),
+      graft.ops.BpeOps.tokenCounts(ds, merges),
       tokensCol = col("n_bpe"), seqLen = 256)
   }
 
@@ -424,10 +426,15 @@ object ExtensionQueries {
       .select(col("keep_id").as("doc_id"))
     val pool = ds.join(keep, Seq("doc_id"))
     val w = Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))
+    // lazily cached: temperatureSample reads gated twice (language
+    // counts + the rate join) and the quality join-back reads it a
+    // third time — without the cache each branch re-runs the corpus
+    // quality projection and the per-language window
     val gated = pool
       .select(col("doc_id"), col("lang"), qualityExpr.as("quality"))
       .withColumn("bucket", ntile(3).over(w))
       .filter(col("bucket") === 3).drop("bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.ops.CorpusOps.temperatureSample(gated, salt = "curate")
       .join(gated, Seq("doc_id", "lang"))
       .select(col("doc_id"), col("lang"), col("quality"), col("rate"))

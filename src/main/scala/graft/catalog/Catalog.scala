@@ -125,12 +125,24 @@ final case class Catalog(spark: SparkSession, dir: String) {
       s"schema mismatch appending to '$name': table=$existing incoming=${rows.schema}")
     // single-writer guard: a compaction swap in flight would silently
     // swallow this append (rows land in the doomed `.old` directory) —
-    // fail loudly instead; retry after the compaction publishes
-    if (fs.exists(compactSentinel(name)))
+    // fail loudly instead; retry after the compaction publishes. The
+    // pre-check rejects the common case; the POST-check closes the
+    // check-then-act window (a compaction acquiring the sentinel while
+    // our write job runs): if it fires, the rows may already sit in a
+    // directory the swap is about to discard, so the only honest
+    // outcome is an error telling the caller to re-append — never a
+    // silent success.
+    def inFlight(): Boolean = fs.exists(compactSentinel(name))
+    if (inFlight())
       throw new IllegalStateException(
         s"append to '$name' rejected: compaction in flight " +
           s"(${compactSentinel(name)} present)")
     rows.write.mode("append").parquet(path(name))
+    if (inFlight())
+      throw new IllegalStateException(
+        s"append to '$name' raced a concurrent compaction: the appended " +
+          "rows may be discarded by its swap — re-append after it " +
+          s"publishes (${compactSentinel(name)} present)")
   }
 
   /** Marker file held for the duration of a [[compactLog]] stage-and-
@@ -171,6 +183,14 @@ final case class Catalog(spark: SparkSession, dir: String) {
       catch { case _: java.io.IOException => false }
     if (!acquired) throw new IllegalStateException(
       s"compactLog('$name') rejected: another compaction holds $sentinel")
+    // release the sentinel on success and on any failure that leaves
+    // the LIVE directory intact; if the crash window between the two
+    // renames hit (live moved aside, publish failed), KEEP it — an
+    // append against the missing live dir would silently recreate an
+    // empty table, which is exactly the state the guard exists to
+    // block. Recovery: restore `<name>.parquet` from `.old` by hand,
+    // then delete the sentinel.
+    var liveIntact = true
     try {
       val cols = table(name).columns
       val before = table(name).count()
@@ -183,11 +203,14 @@ final case class Catalog(spark: SparkSession, dir: String) {
       val after = spark.read.parquet(staging.toString).count()
       val live = new HPath(path(name))
       require(fs.rename(live, old), s"compactLog: could not move $live aside")
+      liveIntact = false
       require(fs.rename(staging, live),
-        s"compactLog: could not publish $staging (old data at $old)")
+        s"compactLog: could not publish $staging (old data at $old; " +
+          s"sentinel $sentinel kept — restore by hand, then remove it)")
+      liveIntact = true
       fs.delete(old, true)
       before - after
-    } finally fs.delete(sentinel, false)
+    } finally if (liveIntact) fs.delete(sentinel, false)
   }
 
   /** Hive-style partitioned write — the working analogue of the

@@ -74,37 +74,56 @@ object BpeOps {
 
   /** Learn up to `numMerges` merges from the corpus. Stops early when
     * no adjacent pair occurs more than once (merging a unique pair
-    * learns nothing). Returns the merges in application order. */
+    * learns nothing). Returns the merges in application order.
+    *
+    * Round-loop storage contract: each round's symbol table is
+    * `persist`ed (NOT localCheckpoint — the plan chain here is a
+    * LINEAR projection stack, so there is no lineage explosion to
+    * truncate, and Dataset.unpersist actually frees a persisted
+    * frame's blocks where it is a no-op on a checkpointed one). The
+    * argmax action of round k materializes words(k), after which
+    * words(k-1) is unpersisted — at any moment at most two vocab-sized
+    * tables hold blocks, and train() exits with ZERO blocks pinned. */
   def train(docs: DataFrame, textCol: String = "text",
       numMerges: Int = 32): Seq[Merge] = {
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var words = wordCounts(docs, textCol)
       .select(col("cnt"), split(col("w"), "").as("syms"))
-      .localCheckpoint(true) // iterative: truncate lineage per round
+      .persist(level)
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var rank = 0
-    var done = false
-    while (rank < numMerges && !done) {
-      val top = words
-        .select(col("cnt"), explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty || top.head.getLong(2) < 2) done = true
-      else {
-        val (l, r) = (top.head.getString(0), top.head.getString(1))
-        merges += Merge(rank, l, r)
-        val prev = words
-        words = prev.select(col("cnt"), applyMerge(col("syms"), l, r).as("syms"))
-          .localCheckpoint(true)
-        prev.unpersist(false) // only the newest round's blocks stay pinned
-        rank += 1
+    try {
+      var rank = 0
+      var done = false
+      while (rank < numMerges && !done) {
+        val top = words
+          .select(col("cnt"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        // words(k) is materialized by the action above: the superseded
+        // round's blocks can be freed without forcing a recompute
+        if (prev != null) { prev.unpersist(false); prev = null }
+        if (top.isEmpty || top.head.getLong(2) < 2) done = true
+        else {
+          val (l, r) = (top.head.getString(0), top.head.getString(1))
+          merges += Merge(rank, l, r)
+          prev = words
+          words = prev
+            .select(col("cnt"), applyMerge(col("syms"), l, r).as("syms"))
+            .persist(level)
+          rank += 1
+        }
       }
+      merges.toSeq
+    } finally {
+      if (prev != null) prev.unpersist(false)
+      words.unpersist(false)
     }
-    merges.toSeq
   }
 
   /** Persist a learned merge table as parquet — the train-once /

@@ -281,6 +281,20 @@ object CorpusOps {
         col("n_members"))
   }
 
+  /** Corpus unigram count table (word, cnt) under EXACTLY [[lmScore]]'s
+    * tokenization (no empty-token filtering — an empty document yields
+    * one "" token, as the batch scorer and its oracle both count) —
+    * the static training table for the stream-static scorer
+    * ([[graft.streaming.EventStreams.lmScoreStream]]), which needs
+    * digit-for-digit batch parity. [[BpeOps.wordCounts]] differs: it
+    * drops empty tokens (an empty BPE symbol sequence is meaningless),
+    * so it is NOT a drop-in counts source for scoring parity. */
+  def unigramCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    tokenized(docs, idCol, textCol)
+      .select(explode(col("ws")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
   /** Distinct-word count of a tokenized frame as a 1-row (vocab: long)
     * frame — the smoothing denominator shared by [[lmScoreFromWords]]
     * and [[bigramLmScoreFromWords]]. Computed over the TOKENIZED view,

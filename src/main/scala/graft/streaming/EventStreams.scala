@@ -531,9 +531,12 @@ object EventStreams {
     * decimal-exact sum, mean rounded to 4): StreamingSpec pins
     * batch/stream score parity on a shared corpus.
     *
-    * `counts`: (word, cnt) — [[graft.ops.BpeOps.wordCounts]] shape
-    * renamed, or the batch trainer's table. Output per finalized
-    * window: (window, doc_id, n_tokens, avg_logp). */
+    * `counts`: (word, cnt) — [[graft.ops.CorpusOps.unigramCounts]],
+    * which uses EXACTLY the batch scorer's tokenization (an empty doc
+    * yields one "" token; a counts table that filters empties — e.g.
+    * BpeOps.wordCounts — shifts every denominator and breaks parity).
+    * Output per finalized window: (window, doc_id, n_tokens,
+    * avg_logp). */
   def lmScoreStream(docs: DataFrame, counts: DataFrame,
       windowDur: String = "10 minutes",
       watermarkDelay: String = "1 hour"): DataFrame = {
@@ -547,7 +550,6 @@ object EventStreams {
       .withWatermark("event_time", watermarkDelay)
       .select(col("doc_id"), col("event_time"),
         explode(TF.words(col("text"))).as("word"))
-      .filter(length(col("word")) > 0)
       .join(counts, Seq("word"), "left")
       .withColumn("lpw",
         round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /

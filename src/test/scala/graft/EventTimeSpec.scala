@@ -39,9 +39,16 @@ class EventTimeSpec extends SparkTestBase {
       graft.catalog.Catalog(spark, sf).table("events"))
     val probe = ev.select(col("event_id"), expr("ts div 1000").as("us"))
       .orderBy(col("event_id")).limit(5).collect()
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("event_id"),
-        unix_micros(col("ts").cast("timestamp")).as("us"))
+    // the raw side must branch on the file's encoding itself (a blind
+    // cast('timestamp') would read a NANOS-as-long generation as epoch
+    // SECONDS) — long ns divides, native timestamps go through
+    // unix_micros
+    val rawDf = spark.read.parquet(s"$sf/events.parquet")
+    val usCol = rawDf.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    val raw = rawDf.select(col("event_id"), usCol.as("us"))
       .orderBy(col("event_id")).limit(5).collect()
     assert(probe.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       raw.map(r => (r.getLong(0), r.getLong(1))).toSeq)

@@ -458,12 +458,14 @@ class StreamingSpec extends SparkTestBase {
     val corpus = Seq(
       1L -> "the cat sat on the mat and the cat slept",
       2L -> "the dog barked at the cat",
-      3L -> "qq zz xx vv qq pp zz kk jj ww")
+      3L -> "qq zz xx vv qq pp zz kk jj ww",
+      4L -> "")  // empty doc: tokenizes to one "" token in BOTH paths
     val batchDocs = corpus.toDF("doc_id", "text")
-    // trained count table (static side) from the SAME corpus, so the
-    // smoothing constants match the batch trainer's own derivation
-    val counts = graft.ops.BpeOps.wordCounts(batchDocs)
-      .select(col("w").as("word"), col("cnt"))
+    // trained count table (static side) from the SAME corpus under the
+    // batch scorer's exact tokenization, so the smoothing constants
+    // match the batch trainer's own derivation (including the "" token
+    // an empty doc contributes)
+    val counts = graft.ops.CorpusOps.unigramCounts(batchDocs)
     val expected = graft.ops.CorpusOps.lmScore(batchDocs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val input = MemoryStream[(Long, String, Long)]

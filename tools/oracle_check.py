@@ -39,6 +39,11 @@ def main(sf_dir, out_dir):
     qdirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
     for qd in qdirs:
         q = os.path.basename(qd)
+        if q in results:
+            # the dump dir is STALE (this run failed before overwriting
+            # it) — comparing it would mask the failure errors.json exists
+            # to surface
+            continue
         got_rel = con.sql(f"SELECT * FROM read_parquet('{qd}/*.parquet')")
         got_cols, got_rows = norm(got_rel)
         if q not in oracle:
