@@ -440,6 +440,54 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang"), col("quality"), col("rate"))
   }
 
+  /** Per-source quality quota — the domain-cap staple of web-corpus
+    * builds (no single crawl source may dominate the mix): keep at
+    * most 10 docs per `source`, ranked by the composite quality score
+    * (ties: min doc_id). Per-SOURCE window, never corpus-wide; the
+    * rank-limit filter plans WindowGroupLimit, so tasks top-k-prune
+    * map-side before the one shuffle — same scale shape as x56's
+    * per-language sampler, with quality (not a hash) as the rank. */
+  private val x65_source_quota: QFn = (s, d) => {
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    docsR(s, d)
+      .select(col("doc_id"), col("source"), qualityExpr.as("quality"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+  }
+
+  /** kNN label agreement — the embedding-quality metric the labeled
+    * fixture enables: for each query vector (vec_id < 20), the
+    * majority label among its 10 nearest neighbors (exact cosine,
+    * excluding itself; majority ties break to the smaller label) vs
+    * its own label. High agreement = the embedding space respects the
+    * labels; per-query rows keep the verdict auditable. Brute-force
+    * exact here (the oracle-checkable form, same labeled-baseline role
+    * as x12); the scale path swaps the cross join for the IVF probe
+    * (x18/x48) with the identical downstream vote. */
+  private val x66_knn_label: QFn = (s, d) => {
+    val e = embsR(s, d)
+    val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_e"), col("label").cast("long").as("q_label"))
+    val n = e.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_e"), col("label").cast("long").as("n_label"))
+    val byCos = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("n_id").asc)
+    val byVotes = Window.partitionBy("q_id")
+      .orderBy(col("n_votes").desc, col("knn_label").asc)
+    q.crossJoin(n).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(byCos))
+      .filter(col("rnk") <= 10)
+      .groupBy(col("q_id"), col("q_label"), col("n_label").as("knn_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("pick", row_number().over(byVotes))
+      .filter(col("pick") === 1).drop("pick")
+      .withColumn("agree",
+        when(col("knn_label") === col("q_label"), 1L).otherwise(0L))
+  }
+
   /** Hot-key split join ([[graft.ops.SkewOps.hotColdJoin]]) — the
     * explicit Zipfian-skew mitigation, exercised on the word-scoring
     * join shape (the family ScaleCheck measured as volume-bound; this
@@ -1445,6 +1493,8 @@ object ExtensionQueries {
     "x62_bpe_pack" -> x62_bpe_pack,
     "x63_skew_join" -> x63_skew_join,
     "x64_curate" -> x64_curate,
+    "x65_source_quota" -> x65_source_quota,
+    "x66_knn_label" -> x66_knn_label,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2199,6 +2249,39 @@ object ExtensionQueries {
          |       round((sum(tf * lpb))::DOUBLE / (sum(tf))::DOUBLE, 4)
          |         AS avg_logp2
          |  FROM lp GROUP BY doc_id""".stripMargin,
+    "x65_source_quota" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |        round(0.4*(len(list_filter(string_split($NT,' '),
+         |            w -> w IN ('the','and','of','to','in','is','a')))::DOUBLE
+         |              / len(string_split($NT,' ')))
+         |            + 0.3*least(len(string_split($NT,' '))::DOUBLE / 100.0, 1.0)
+         |            + 0.3*(len(regexp_extract_all(text,'[A-Za-z]'))::DOUBLE
+         |              / length(text)), 4) AS quality
+         |        FROM documents)
+         |SELECT doc_id, source, quality,
+         |       row_number() OVER (PARTITION BY source
+         |                          ORDER BY quality DESC, doc_id)::BIGINT AS rn
+         |  FROM t QUALIFY rn <= 10""".stripMargin,
+    "x66_knn_label" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_e,
+         |             label::BIGINT AS q_label
+         |             FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT q.q_id, q.q_label, n.vec_id AS n_id,
+         |        n.label::BIGINT AS n_label,
+         |        round(${COS("q.q_e", "n.embedding")}, 6) AS cos
+         |        FROM q CROSS JOIN embeddings n WHERE q.q_id <> n.vec_id),
+         |k AS (SELECT q_id, q_label, n_label FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY cos DESC, n_id) AS rnk FROM c)
+         |        WHERE rnk <= 10),
+         |v AS (SELECT q_id, q_label, n_label AS knn_label,
+         |        count(*)::BIGINT AS n_votes
+         |        FROM k GROUP BY 1, 2, 3)
+         |SELECT q_id, q_label, knn_label, n_votes,
+         |       CASE WHEN knn_label = q_label THEN 1 ELSE 0 END::BIGINT
+         |         AS agree
+         |  FROM v QUALIFY row_number() OVER (PARTITION BY q_id
+         |         ORDER BY n_votes DESC, knn_label) = 1""".stripMargin,
     "x64_curate" ->
       s"""WITH k AS (SELECT min(doc_id) AS doc_id
          |             FROM documents GROUP BY md5($NT)),

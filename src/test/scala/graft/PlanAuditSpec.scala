@@ -282,6 +282,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q32_scalar_sub",         // scalar subquery broadcast compare
       "x11_cosine_pairs",       // brute-force baseline (labeled)
       "x12_ann_topk",           // brute-force baseline (labeled)
+      "x66_knn_label",          // brute-force labeled baseline (as x12)
       "x18_ann_ivf",            // 16-row broadcast centroid assignment
       "x19_embed_dedup",        // brute-force baseline (labeled)
       "x21_tfidf",              // 1-row corpus-size broadcast
@@ -356,6 +357,13 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("x56_group_sample")
     assert(p.contains("WindowGroupLimit"), p)
     assert(p.contains("windowspecdefinition(lang#"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("x65: per-source quota plans WindowGroupLimit on a per-source window") {
+    val p = plan("x65_source_quota")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("windowspecdefinition(source#"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
