@@ -93,7 +93,12 @@ object ScaleCheck {
         // hot-key split join on the same word grain as x51: the top-16
         // broadcast slice is size-invariant under replication, so the
         // split's cost must track the cold remainder (~linear)
-        "x63_skew_join")) {
+        "x63_skew_join",
+        // source cardinality is replication-invariant (same 20 sources,
+        // 4x docs each): the quota output stays constant while the
+        // WindowGroupLimit prune sees 4x input — cost must track the
+        // scan, not the output
+        "x65_source_quota")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)
