@@ -126,12 +126,17 @@ final case class Catalog(spark: SparkSession, dir: String) {
     // single-writer guard: a compaction swap in flight would silently
     // swallow this append (rows land in the doomed `.old` directory) —
     // fail loudly instead; retry after the compaction publishes. The
-    // pre-check rejects the common case; the POST-check closes the
-    // check-then-act window (a compaction acquiring the sentinel while
-    // our write job runs): if it fires, the rows may already sit in a
-    // directory the swap is about to discard, so the only honest
-    // outcome is an error telling the caller to re-append — never a
-    // silent success.
+    // pre-check rejects the common case; the POST-check NARROWS the
+    // check-then-act window but is best-effort, not airtight: a
+    // compaction that acquires the sentinel AND fully publishes
+    // (sentinel removed) inside our write's window passes both checks
+    // while the appended files were discarded with `.old`. Conversely,
+    // when the post-check DOES fire, the racing compaction's read may
+    // already have included our fresh files — blind re-append would
+    // then duplicate rows. So the error below tells the caller to
+    // VERIFY presence after the compaction publishes, not to blindly
+    // re-append. A full fix needs a compare-and-swap manifest or an
+    // append-side sentinel the compactor respects.
     def inFlight(): Boolean = fs.exists(compactSentinel(name))
     if (inFlight())
       throw new IllegalStateException(
@@ -141,8 +146,10 @@ final case class Catalog(spark: SparkSession, dir: String) {
     if (inFlight())
       throw new IllegalStateException(
         s"append to '$name' raced a concurrent compaction: the appended " +
-          "rows may be discarded by its swap — re-append after it " +
-          s"publishes (${compactSentinel(name)} present)")
+          "rows may be discarded by its swap, OR may already be part of " +
+          "its compacted output — after it publishes, VERIFY whether the " +
+          "rows are present before re-appending (a blind re-append can " +
+          s"duplicate them) (${compactSentinel(name)} present)")
   }
 
   /** Marker file held for the duration of a [[compactLog]] stage-and-

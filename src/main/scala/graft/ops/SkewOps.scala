@@ -46,13 +46,22 @@ object SkewOps {
     * broadcasts — it comes from [[hotKeys]], so it is ≤K rows per
     * right-side key. */
   def hotColdJoin(left: DataFrame, right: DataFrame, key: String,
-      hot: Seq[Any]): DataFrame =
-    if (hot.isEmpty) left.join(right, Seq(key))
+      hot: Seq[Any]): DataFrame = {
+    // A null in `hot` (hotKeys keeps the null group, which can be the
+    // heaviest) would poison the split: `key IN (null, …)` is NULL for
+    // every non-hot key, and a bare `!isHot` filter rejects NULL — both
+    // paths would drop all cold rows. Null keys never match an inner
+    // equi-join anyway, so strip them from the hot set AND route
+    // null-keyed rows down the cold path with a null-safe predicate.
+    val hotKs = hot.filterNot(_ == null)
+    if (hotKs.isEmpty) left.join(right, Seq(key))
     else {
-      val isHot: Column = col(key).isInCollection(hot)
+      val isHot: Column = col(key).isInCollection(hotKs)
+      val isCold: Column = !(isHot <=> true)
       left.filter(isHot)
         .join(broadcast(right.filter(isHot)), Seq(key))
         .unionByName(
-          left.filter(!isHot).join(right.filter(!isHot), Seq(key)))
+          left.filter(isCold).join(right.filter(isCold), Seq(key)))
     }
+  }
 }

@@ -544,6 +544,10 @@ object EventStreams {
     // corpus constants are static — resolved once at stream setup
     val consts = counts.agg(sum(col("cnt")).as("n_total"),
       count(lit(1)).as("vocab")).head
+    // sum() over zero rows is null — fail with a real message instead
+    // of an NPE deep in Row.getLong when the counts table is empty
+    require(!consts.isNullAt(0),
+      "lmScoreStream: empty counts table (no training words)")
     val denom = (consts.getLong(0) + consts.getLong(1)).toDouble
     docs
       .withColumn("event_time", eventTime(docs))

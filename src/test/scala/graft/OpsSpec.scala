@@ -572,6 +572,17 @@ class OpsSpec extends SparkTestBase {
     // degenerate hot sets: empty = plain join; all-hot = all-broadcast
     assert(rows(SkewOps.hotColdJoin(left, right, "k", Nil)) == rows(plain))
     assert(rows(SkewOps.hotColdJoin(left, right, "k", (0L to 9L))) == rows(plain))
+    // null poisoning: a null in the hot set (hotKeys keeps the null
+    // group) must not nuke the cold path — `k IN (null, …)` is NULL
+    // for cold keys, so a naive `!isHot` would drop every cold row.
+    // Also null-KEYED rows must flow to the cold path and (inner join)
+    // match nothing, same as the plain join.
+    val leftN = left.unionByName(Seq((null.asInstanceOf[java.lang.Long], -1L))
+      .toDF("k", "v"))
+    val plainN = leftN.join(right, Seq("k"))
+    val hotN = SkewOps.hotKeys(leftN, "k", 3) :+ null
+    assert(rows(SkewOps.hotColdJoin(leftN, right, "k", hotN)) == rows(plainN),
+      "hot set containing null must still be row-identical to the plain join")
   }
 
   test("spanDupStats/exciseSpans measure-act agreement at the production stride on the fixture corpus") {
