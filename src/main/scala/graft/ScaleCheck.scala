@@ -98,7 +98,14 @@ object ScaleCheck {
         // 4x docs each): the quota output stays constant while the
         // WindowGroupLimit prune sees 4x input — cost must track the
         // scan, not the output
-        "x65_source_quota")) {
+        "x65_source_quota",
+        // end-to-end curation composes three individually-measured
+        // stages (exact dedup → quality gate → temperature sample);
+        // composition is where cache scopes and shuffle reuse break,
+        // so the COMPOSED factor gets its own row — it must track the
+        // dedup stage (the only corpus-sized shuffle; the gate is
+        // map-side, the sample per-group bounded)
+        "x64_curate")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)
@@ -110,6 +117,40 @@ object ScaleCheck {
     // across replicas through the exact twins), yet propagation depth
     // stays shallow — cliques have diameter 1 — so the round count, not
     // just the per-round cost, is what the measurement pins.
+
+    // Span-dedup stride sweep (Lee et al. fidelity vs cost): stride 1
+    // is the suffix-array-grade mode — every window fingerprinted, the
+    // exact span cover at window granularity; stride s samples 1/s of
+    // the windows. Two measurements: COST on the x$D corpus (the
+    // fingerprint volume term — wall should scale ~1/stride), and
+    // RECALL on the NATURAL corpus, where real partial overlaps exist:
+    // of the docs stride 1 flags (dup_frac > 0), how many does stride
+    // s still flag? (On the replicated corpus every window is a dup —
+    // agreement there is trivially 100%, so recall is measured on src.)
+    {
+      val docsBig = spark.read.parquet(s"$dst/documents.parquet")
+      val docsSrc = spark.read.parquet(s"$src/documents.parquet")
+      def flagged(d: org.apache.spark.sql.DataFrame, s: Int): Set[Long] =
+        graft.ops.CorpusOps.spanDupStats(d, window = 32, stride = s)
+          .filter(col("dup_frac") > 0).select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+      def cost(d: org.apache.spark.sql.DataFrame, s: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.ops.CorpusOps.spanDupStats(d, window = 32, stride = s)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      cost(docsBig, 8) // warm
+      val base = flagged(docsSrc, 1)
+      for (s <- Seq(1, 4, 8)) {
+        val t = cost(docsBig, s)
+        val f = flagged(docsSrc, s)
+        val rec = if (base.isEmpty) 1.0
+          else (base intersect f).size.toDouble / base.size
+        println(f"x58 stride=$s%d  cost(x$D%d corpus)=$t%6.2f s  " +
+          f"flagged(src)=${f.size}%4d  recall-vs-stride1=$rec%5.3f")
+      }
+    }
 
     // Incremental dedup: the signature index (x50) amortizes the corpus
     // pass — per-batch probe cost must be a fraction of the full-corpus

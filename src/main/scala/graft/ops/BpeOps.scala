@@ -59,11 +59,88 @@ object BpeOps {
           .otherwise(concat(acc, array(x))))
   }
 
-  /** Replay a whole merge table (rank order) over a symbol array. The
-    * expression nests one fold per merge — run it on the DISTINCT-word
-    * table, not the corpus. */
+  /** Replay a whole merge table (rank order) over a symbol array as a
+    * NESTED-FOLD expression — one [[applyMerge]] per merge. Correct and
+    * codegen'd at demo merge counts, but the expression tree (and the
+    * generated code) grows linearly with the merge count: at a
+    * production 16–32k-merge vocabulary planning/codegen explodes long
+    * before the data is touched. Kept as the executable SPEC of the
+    * replay semantics (OpsSpec pins [[replayTokens]] against it); the
+    * production path is [[replayTokens]]. */
   def applyMerges(syms: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.rank).foldLeft(syms)((c, m) => applyMerge(c, m.left, m.right))
+
+  /** [[applyMerges]] semantics — each merge applied once, in rank
+    * order, greedily left-to-right non-overlapping — as imperative
+    * per-row code: the form that survives a real 16–32k-merge
+    * vocabulary (constant-size plan; per-word cost = one hash probe per
+    * rule + one O(len) pass per rule that actually fires). The
+    * pair-present set makes the rank scan skip rules that cannot fire:
+    * total applied passes per word are bounded by len-1 (each pass
+    * shrinks the array), so work is O(rules + len²) per word, with the
+    * rules term a pure hash probe. */
+  private[graft] def replayWord(word: String,
+      rules: Array[(String, String)]): Array[String] = {
+    // split into code points — the exact grain of Spark's split(w, "")
+    var syms: Array[String] = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val n = Character.charCount(word.codePointAt(i))
+        b += word.substring(i, i + n); i += n
+      }
+      b.result()
+    }
+    if (syms.length < 2 || rules.isEmpty) return syms
+    val present = scala.collection.mutable.HashSet.empty[(String, String)]
+    def rebuild(): Unit = {
+      present.clear()
+      var i = 0
+      while (i < syms.length - 1) {
+        present += ((syms(i), syms(i + 1))); i += 1
+      }
+    }
+    rebuild()
+    var k = 0
+    while (k < rules.length && syms.length > 1) {
+      val rule = rules(k)
+      if (present.contains(rule)) {
+        val (l, r) = rule
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          val x = syms(i)
+          if (out.nonEmpty && out(out.length - 1) == l && x == r)
+            out(out.length - 1) = l + r
+          else out += x
+          i += 1
+        }
+        if (out.length < syms.length) { syms = out.toArray; rebuild() }
+      }
+      k += 1
+    }
+    syms
+  }
+
+  /** Tokenize a distinct-word table by per-partition merge replay:
+    * (word, toks). The merge table ships once per executor as a
+    * broadcast (32k rules ≈ a few hundred KB); each partition replays
+    * words independently — no shuffle, no per-merge plan growth. This
+    * is the production tokenize path; [[applyMerges]] is its
+    * executable spec. */
+  def replayTokens(vocab: DataFrame, merges: Seq[Merge],
+      wordCol: String = "w"): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val rules = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
+    val bc = spark.sparkContext.broadcast(rules)
+    vocab.select(col(wordCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val rs = bc.value
+        it.map(w => (w, replayWord(w, rs).toSeq))
+      }
+      .toDF(wordCol, "toks")
+  }
 
   /** Distinct-word count table — the training input (and the frame
     * tokenization joins against): one corpus pass, vocab-sized output. */
@@ -72,25 +149,40 @@ object BpeOps {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
+  /** Free a `localCheckpoint`ed frame's blocks. `Dataset.unpersist` is
+    * a no-op on a checkpointed frame (the CacheManager never saw it);
+    * the blocks belong to the `LogicalRDD` leaf's RDD, so unpersist
+    * THAT. Safe only once nothing will recompute from the frame —
+    * localCheckpoint truncates lineage, so lost blocks are
+    * unrecoverable. Best-effort: a plan that is not the expected leaf
+    * shape is left alone. */
+  private def freeCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Learn up to `numMerges` merges from the corpus. Stops early when
     * no adjacent pair occurs more than once (merging a unique pair
     * learns nothing). Returns the merges in application order.
     *
-    * Round-loop storage contract: each round's symbol table is
-    * `persist`ed (NOT localCheckpoint — the plan chain here is a
-    * LINEAR projection stack, so there is no lineage explosion to
-    * truncate, and Dataset.unpersist actually frees a persisted
-    * frame's blocks where it is a no-op on a checkpointed one). The
-    * argmax action of round k materializes words(k), after which
-    * words(k-1) is unpersisted — at any moment at most two vocab-sized
-    * tables hold blocks, and train() exits with ZERO blocks pinned. */
+    * Round-loop plan contract ([[GraphOps]]'s): each round's symbol
+    * table is an EAGER `localCheckpoint`, so every round plans against
+    * a fresh `LogicalRDD` leaf — one projection over a leaf, CONSTANT
+    * plan size at any merge count. The r9 form persisted each round
+    * instead, which kept blocks bounded but chained the logical plan:
+    * at a few hundred rounds the nested cached-plan *rendering*
+    * (explainString for the SQL-listener event) OOMed the driver long
+    * before any data did. Storage stays bounded too: round k's eager
+    * checkpoint materializes it, after which round k-1's blocks are
+    * freed ([[freeCheckpointed]]) — at most two vocab-sized tables
+    * live at any moment, zero after train() returns. */
   def train(docs: DataFrame, textCol: String = "text",
       numMerges: Int = 32): Seq[Merge] = {
-    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var words = wordCounts(docs, textCol)
       .select(col("cnt"), split(col("w"), "").as("syms"))
-      .persist(level)
-    var prev: DataFrame = null
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     try {
       var rank = 0
@@ -105,24 +197,22 @@ object BpeOps {
           .agg(sum(col("cnt")).as("c"))
           .orderBy(col("c").desc, col("l").asc, col("r").asc)
           .limit(1).collect()
-        // words(k) is materialized by the action above: the superseded
-        // round's blocks can be freed without forcing a recompute
-        if (prev != null) { prev.unpersist(false); prev = null }
         if (top.isEmpty || top.head.getLong(2) < 2) done = true
         else {
           val (l, r) = (top.head.getString(0), top.head.getString(1))
           merges += Merge(rank, l, r)
-          prev = words
+          val prev = words
+          // eager: materialized HERE, so prev's blocks can go at once
           words = prev
             .select(col("cnt"), applyMerge(col("syms"), l, r).as("syms"))
-            .persist(level)
+            .localCheckpoint(true)
+          freeCheckpointed(prev)
           rank += 1
         }
       }
       merges.toSeq
     } finally {
-      if (prev != null) prev.unpersist(false)
-      words.unpersist(false)
+      freeCheckpointed(words)
     }
   }
 
@@ -145,17 +235,18 @@ object BpeOps {
       .toSeq
 
   /** Per-document BPE token counts under a learned merge table:
-    * (doc_id, n_words, n_bpe). The merge replay runs once per DISTINCT
-    * word; documents join against it on the word key. */
+    * (doc_id, n_words, n_bpe). The merge replay ([[replayTokens]] —
+    * the per-partition path that survives a production vocab) runs
+    * once per DISTINCT word; documents join against it on the word
+    * key. */
   def tokenCounts(docs: DataFrame, merges: Seq[Merge],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val perDocWord = docs
       .select(col(idCol).as("doc_id"), explode(TF.words(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
-    val vocabToks = perDocWord.select(col("w")).distinct()
-      .select(col("w"),
-        size(applyMerges(split(col("w"), ""), merges)).cast("long").as("n_sub"))
+    val vocabToks = replayTokens(perDocWord.select(col("w")).distinct(), merges)
+      .select(col("w"), size(col("toks")).cast("long").as("n_sub"))
     perDocWord.join(vocabToks, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_words"),

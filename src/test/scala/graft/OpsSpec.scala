@@ -699,6 +699,70 @@ class OpsSpec extends SparkTestBase {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("BpeOps.replayTokens: per-partition replay is token-identical to the nested-fold spec form") {
+    import graft.ops.BpeOps
+    // real corpus vocab + really-trained merges, so the equality is
+    // checked on the distribution the production path actually sees
+    val docs = graft.catalog.Catalog(spark, sf).table("documents")
+    val merges = BpeOps.train(docs, numMerges = 16)
+    assert(merges.length == 16)
+    val vocab = BpeOps.wordCounts(docs).select(col("w"))
+    val fold = vocab
+      .select(col("w"), BpeOps.applyMerges(split(col("w"), ""), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val fast = BpeOps.replayTokens(vocab, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(fast.keySet == fold.keySet)
+    val diff = fold.keys.filter(w => fold(w) != fast(w))
+    assert(diff.isEmpty,
+      s"replay diverges from fold spec on ${diff.size} words, e.g. " +
+        diff.take(3).map(w => s"$w: fold=${fold(w)} fast=${fast(w)}").mkString("; "))
+  }
+
+  test("BpeOps: 512-merge train + replay completes (production-vocab scale the fold form cannot plan)") {
+    import graft.ops.BpeOps
+    // 60 distinct 12-char words, each twice: every adjacent pair has
+    // count >= 2, so >500 merges are learnable before words collapse
+    // to single symbols — enough to certify the 512-round trainer loop
+    // and a 512-rule replay (the nested-fold form's generated code
+    // grows linearly with rules and stops compiling far below this).
+    val rnd = new scala.util.Random(7)
+    val wordsFix = Seq.fill(60)((1 to 12).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar).mkString)
+    val docs = wordsFix.zipWithIndex
+      .map { case (w, i) => (i.toLong, s"$w $w") }.toDF("doc_id", "text")
+    val merges = BpeOps.train(docs, numMerges = 512)
+    assert(merges.length == 512, s"expected 512 merges, got ${merges.length}")
+    // correctness at 512 rules: pin against the naive single-node
+    // rank-order replay (same semantics the 16-merge test pins the
+    // fold to)
+    def naiveApply(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val vocab = BpeOps.wordCounts(docs).select(col("w"))
+    val fast = BpeOps.replayTokens(vocab, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val exp = fast.keySet.map { w =>
+      w -> merges.sortBy(_.rank).foldLeft(w.split("").toList)((s, m) =>
+        naiveApply(s, m.left, m.right))
+    }.toMap
+    val diverged = exp.keys.filter(w => exp(w) != fast(w))
+    assert(diverged.isEmpty,
+      s"512-rule replay diverges on ${diverged.size} words, e.g. " +
+        diverged.take(1).map(d => s"$d: exp=${exp(d)} got=${fast(d)}")
+          .mkString)
+    // trained-to-exhaustion sanity: words with count 2 fully merge
+    assert(fast.values.exists(_.length == 1),
+      "512 merges over 12-char twice-repeated words must collapse some word")
+  }
+
   test("BpeOps.train stops early when no pair repeats (nothing left to learn)") {
     import spark.implicits._
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")

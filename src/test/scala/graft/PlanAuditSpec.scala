@@ -216,6 +216,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(searchJoins.nonEmpty, s"no equi cell join found:\n$p")
   }
 
+  test("x67: IVF-path kNN vote — candidate join equi on cell, top-k WindowGroupLimit-pruned, no cartesian beyond the centroid broadcast") {
+    // x66's vote with the brute-force cross join swapped for the IVF
+    // probe: the ONLY non-equi join allowed is the 16-row centroid
+    // assignment (the same one x18/x48 carry); candidates and labels
+    // must join equi, and the per-query top-10 must prune to k rows
+    // per query before the exchange.
+    val p = plan("x67_knn_label_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    val cellJoins = p.linesIterator.filter(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("cell")).toSeq
+    assert(cellJoins.nonEmpty, s"no equi cell join found:\n$p")
+    // every BNLJ line is the centroid assignment (≤16-row build side),
+    // never the candidate set
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty, "centroid assignment should broadcast")
+  }
+
   test("x50: the persisted signature index never re-shuffles — exchanges only above joins or on the batch side") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -296,6 +316,8 @@ class PlanAuditSpec extends SparkTestBase {
       "x31_semantic_search",    // 16-row broadcast centroid assignment
       "x48_ann_trained",        // 16-row broadcast centroid assignment
                                 // (trained centroids; search join is equi)
+      "x67_knn_label_ivf",      // 16-row broadcast centroid assignment
+                                // (candidate + label joins are equi)
       "x32_ingest_dedup",       // MVCC committed-set semi-join through the
                                 // union, as x17
       "x54_mix_sample",         // 1-row n_min broadcast scalar
