@@ -433,6 +433,26 @@ object ExtensionQueries {
       .select(col("rank").cast("long").as("merge_rank"),
         col("left").as("lhs"), col("right").as("rhs"))
 
+  /** BPE ENCODE — per-document subword token-id sequences under the
+    * trained merge table ([[graft.ops.BpeOps.encodeDocs]]): the actual
+    * production tokenizer deliverable (x62 counts tokens; this emits
+    * them). Ids are the deterministic [[graft.ops.BpeOps.vocabIds]]
+    * assignment (base code points in code-point order, then merge
+    * outputs by rank, duplicates keep the smallest id), so the whole
+    * id sequence — replay, ordering, id mapping — is hash-checked
+    * against the DuckDB oracle, which rebuilds the identical
+    * vocabulary from its own unrolled training rounds.
+    *
+    * 100 TB shape: replay+encode once per DISTINCT word (broadcast
+    * rules + alphabet-sized id map); the corpus joins its (doc, pos,
+    * word) grain on the word key; reassembly is per-doc bounded array
+    * work. Reads the same train-once layout as [[x62_bpe_pack]]. */
+  private val x68_bpe_encode: QFn = (s, d) => {
+    val merges = graft.ops.BpeOps.readMerges(s,
+      Catalog(s, x62MergesDir(s, d)).path("bpe_merges"))
+    graft.ops.BpeOps.encodeDocs(docsR(s, d), merges)
+  }
+
   /** End-to-end curation decision in ONE declarative plan — the
     * composition a production corpus build runs, as a single
     * oracle-hash-checked query (PipelineSpec checks the ops COMPOSE;
@@ -1565,6 +1585,7 @@ object ExtensionQueries {
     "x61_lm_scores" -> x61_lm_scores,
     "x62_bpe_pack" -> x62_bpe_pack,
     "x62a_bpe_merges" -> x62a_bpe_merges,
+    "x68_bpe_encode" -> x68_bpe_encode,
     "x63_skew_join" -> x63_skew_join,
     "x64_curate" -> x64_curate,
     "x65_source_quota" -> x65_source_quota,
@@ -1766,6 +1787,40 @@ object ExtensionQueries {
        |       (start_tok + nt - 1) // 256 - start_tok // 256 + 1 AS n_seqs
        |  FROM c""".stripMargin
 
+  // x68: the same unrolled training rounds, then the FULL encode —
+  // vocabulary ids rebuilt from scratch (base = distinct code points of
+  // the training vocab in binary order == the Spark side's code-point
+  // order; merge outputs at nBase+rank; duplicate surface forms keep
+  // min id), every word's symbol list mapped to ids in order, and each
+  // doc's id lists flattened in word order. Hash-checks the complete
+  // token-id sequence, not just counts.
+  private lazy val x68Oracle: String = {
+    val mergeRows = (1 to X62Merges)
+      .map(k => s"SELECT ${k - 1} AS merge_rank, l || r AS tok FROM m$k")
+      .mkString(" UNION ALL ")
+    s"""WITH $x62Ctes,
+       |base AS (SELECT DISTINCT unnest(syms) AS tok FROM w0),
+       |basei AS (SELECT tok,
+       |    (row_number() OVER (ORDER BY tok) - 1)::INTEGER AS id FROM base),
+       |mergedi AS (SELECT ms.tok,
+       |    ((SELECT count(*) FROM base) + ms.merge_rank)::INTEGER AS id
+       |  FROM ($mergeRows) ms),
+       |idmap AS (SELECT tok, min(id) AS id
+       |  FROM (SELECT * FROM basei UNION ALL SELECT * FROM mergedi)
+       | GROUP BY tok),
+       |wtp AS (SELECT w, syms[i] AS tok, i
+       |  FROM w$X62Merges, unnest(range(1, len(syms)+1)) AS t(i)),
+       |wids AS (SELECT w, list(m.id ORDER BY p.i) AS ids
+       |  FROM wtp p JOIN idmap m ON m.tok = p.tok GROUP BY w),
+       |docw AS (SELECT doc_id, ws[i] AS w, i
+       |  FROM (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+       |       unnest(range(1, len(ws)+1)) AS t(i)
+       | WHERE length(ws[i]) > 0),
+       |enc AS (SELECT doc_id, flatten(list(wi.ids ORDER BY d.i)) AS token_ids
+       |  FROM docw d JOIN wids wi ON wi.w = d.w GROUP BY doc_id)
+       |SELECT doc_id, len(token_ids)::BIGINT AS n_bpe, token_ids FROM enc""".stripMargin
+  }
+
   // x67: x18's probed-cell assignment (rn <= nprobe) + x66's vote,
   // verbatim — the IVF candidate set is deterministic, so the whole
   // composition hash-checks
@@ -1804,6 +1859,7 @@ object ExtensionQueries {
       "x48_ann_trained" -> x48Oracle,
       "x62_bpe_pack" -> x62Oracle,
       "x62a_bpe_merges" -> x62aOracle,
+      "x68_bpe_encode" -> x68Oracle,
       "x67_knn_label_ivf" -> x67Oracle,
       "x33_text_dedup_decision" -> x33Oracle,
       "x34_simhash_dedup_decision" -> x34Oracle,

@@ -142,6 +142,78 @@ object BpeOps {
       .toDF(wordCol, "toks")
   }
 
+  /** Deterministic token-id vocabulary for a corpus + merge table —
+    * the id assignment a trained tokenizer ships: base symbols (the
+    * corpus's distinct code points, in code-point order — which equals
+    * binary UTF-8 order, so any engine sorting strings bytewise
+    * reproduces it) take ids 0..nBase-1; merge outputs take
+    * nBase+rank; a duplicate surface form (a merge output colliding
+    * with a base symbol, or two merges producing the same string —
+    * e.g. (a,bc) and (ab,c)) keeps the SMALLEST id. Alphabet-sized
+    * (bounded by the corpus's code-point inventory), so it lives on
+    * the driver and ships by broadcast. */
+  def vocabIds(vocab: DataFrame, merges: Seq[Merge],
+      wordCol: String = "w"): Map[String, Int] = {
+    val base = vocab
+      .select(explode(split(col(wordCol).cast("string"), "")).as("s"))
+      .filter(length(col("s")) > 0).distinct()
+      .collect().map(_.getString(0))
+      .sortBy(_.codePointAt(0))
+    val ids = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    base.zipWithIndex.foreach { case (s, i) => ids.getOrElseUpdate(s, i) }
+    merges.sortBy(_.rank).foreach { m =>
+      ids.getOrElseUpdate(m.left + m.right, base.length + m.rank)
+    }
+    ids.toMap
+  }
+
+  /** [[replayTokens]] + id lookup in one per-partition pass: (word,
+    * ids). Same broadcast discipline — rules and the alphabet-sized id
+    * map ship once per executor. Every replay output is in the map by
+    * construction (base symbols come from these words' own code
+    * points; merged symbols are merge outputs). */
+  def encodeTokens(vocab: DataFrame, merges: Seq[Merge],
+      ids: Map[String, Int], wordCol: String = "w"): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val rules = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
+    val bc = spark.sparkContext.broadcast((rules, ids))
+    vocab.select(col(wordCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val (rs, idm) = bc.value
+        it.map(w => (w, replayWord(w, rs).map(idm).toSeq))
+      }
+      .toDF(wordCol, "ids")
+  }
+
+  /** Per-document subword token-id sequences — the production
+    * tokenizer deliverable (what a training-data pipeline actually
+    * writes): (doc_id, n_bpe, token_ids) under a learned merge table
+    * and the [[vocabIds]] assignment.
+    *
+    * 100 TB shape: the replay+encode runs once per DISTINCT word
+    * (vocab-sized, broadcast rules); documents join their
+    * (doc, position, word) grain against it on the word key (AQE
+    * skew-split absorbs stopwords); reassembly is a per-doc sort of
+    * position-tagged id lists — doc-bounded array work, no window, no
+    * driver. */
+  def encodeDocs(docs: DataFrame, merges: Seq[Merge],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wordPos = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TF.words(col(textCol))).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val vocab = wordPos.select(col("w")).distinct()
+    val wIds = encodeTokens(vocab, merges, vocabIds(vocab, merges))
+    wordPos.join(wIds, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("ids")))),
+        x => x.getField("ids"))).as("token_ids"))
+      .select(col("doc_id"),
+        size(col("token_ids")).cast("long").as("n_bpe"), col("token_ids"))
+  }
+
   /** Distinct-word count table — the training input (and the frame
     * tokenization joins against): one corpus pass, vocab-sized output. */
   def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =

@@ -763,6 +763,29 @@ class OpsSpec extends SparkTestBase {
       "512 merges over 12-char twice-repeated words must collapse some word")
   }
 
+  test("BpeOps.encodeDocs: hand-derived id sequences; n_bpe agrees with tokenCounts on the corpus") {
+    import graft.ops.BpeOps
+    // base = {a,b,c} in code-point order -> a=0,b=1,c=2; merge ab=3.
+    // doc 1 "abc ca ab" -> [ab,c][c,a][ab] -> [3,2, 2,0, 3]
+    val docs = Seq((1L, "abc  ca ab"), (2L, "ab abc")).toDF("doc_id", "text")
+    val out = BpeOps.encodeDocs(docs, Seq(BpeOps.Merge(0, "a", "b")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2).toList)))
+      .toMap
+    assert(out(1L) == ((5L, List(3, 2, 2, 0, 3))))
+    assert(out(2L) == ((3L, List(3, 3, 2))))
+    // the count path and the encode path must agree doc-by-doc on the
+    // REAL corpus under really-trained merges
+    val corpus = graft.catalog.Catalog(spark, sf).table("documents")
+    val m16 = BpeOps.train(corpus, numMerges = 16)
+    val enc = BpeOps.encodeDocs(corpus, m16)
+      .select(col("doc_id"), col("n_bpe"))
+    val cnt = BpeOps.tokenCounts(corpus, m16)
+      .select(col("doc_id"), col("n_bpe"))
+    assert(enc.exceptAll(cnt).isEmpty && cnt.exceptAll(enc).isEmpty,
+      "encodeDocs n_bpe diverges from tokenCounts n_bpe")
+  }
+
   test("BpeOps.train stops early when no pair repeats (nothing left to learn)") {
     import spark.implicits._
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
