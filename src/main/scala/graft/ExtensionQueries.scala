@@ -581,6 +581,27 @@ object ExtensionQueries {
         when(col("knn_label") === col("q_label"), 1L).otherwise(0L))
   }
 
+  /** TOKEN-budget mixture sampling — x54's XLM-R temperature law
+    * applied to token mass instead of document counts (what a training
+    * mixture actually budgets: a language of few huge documents and
+    * one of many small documents should not sample alike). Group mass
+    * = sum of whitespace token counts (x01's oracle-checked count);
+    * keep rate per language = (W_min/W_g)^(1-α), α=0.5; the keep
+    * decision stays the same deterministic per-doc hash threshold, so
+    * expected kept TOKENS per language follow the rate law and the
+    * whole sample remains a pure function of (corpus, salt) —
+    * hash-checked, not rows-only.
+    *
+    * 100 TB shape: identical to x54 — a languages-sized weighted
+    * aggregate rides a broadcast back onto the corpus; the corpus is
+    * scanned once, map-only, never shuffled. */
+  private val x69_token_mix: QFn = (s, d) => {
+    val ds = docsR(s, d).select(col("doc_id"), col("lang"),
+      TF.tokenCount(col("text")).as("n_tokens"))
+    graft.ops.CorpusOps.temperatureSample(ds, salt = "tokmix",
+      weightCol = Some("n_tokens"))
+  }
+
   /** Hot-key split join ([[graft.ops.SkewOps.hotColdJoin]]) — the
     * explicit Zipfian-skew mitigation, exercised on the word-scoring
     * join shape (the family ScaleCheck measured as volume-bound; this
@@ -1591,6 +1612,7 @@ object ExtensionQueries {
     "x65_source_quota" -> x65_source_quota,
     "x66_knn_label" -> x66_knn_label,
     "x67_knn_label_ivf" -> x67_knn_label_ivf,
+    "x69_token_mix" -> x69_token_mix,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2441,6 +2463,19 @@ object ExtensionQueries {
          |SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
          |  FROM documents d JOIN r USING (lang)
          | WHERE ${H60("'mix|'||d.doc_id::VARCHAR")} % 1000000
+         |       < round(r.rate * 1000000)::BIGINT""".stripMargin,
+    "x69_token_mix" ->
+      s"""WITH tc AS (SELECT doc_id, lang,
+         |              len(string_split($NT,' '))::BIGINT AS n_tokens
+         |              FROM documents),
+         |c AS (SELECT lang, sum(n_tokens)::BIGINT AS n_group
+         |        FROM tc GROUP BY lang),
+         |m AS (SELECT min(n_group) AS n_min FROM c),
+         |r AS (SELECT lang, pow(n_min::DOUBLE / n_group, 0.5) AS rate
+         |        FROM c, m)
+         |SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+         |  FROM documents d JOIN r USING (lang)
+         | WHERE ${H60("'tokmix|'||d.doc_id::VARCHAR")} % 1000000
          |       < round(r.rate * 1000000)::BIGINT""".stripMargin,
     "x55_inverted_search" ->
       s"""WITH w AS (SELECT doc_id,

@@ -88,8 +88,9 @@ object ScaleCheck {
         "x58_span_dup",
         // sampling pair: x54 is map-only after a languages-sized agg
         // (expect ~flat), x56's rank-limit must stay WindowGroupLimit-
-        // pruned as per-language row counts grow D×
-        "x54_mix_sample", "x56_group_sample",
+        // pruned as per-language row counts grow D×; x69 is x54's
+        // token-budget twin (same shape, weighted agg)
+        "x54_mix_sample", "x56_group_sample", "x69_token_mix",
         // LM scoring joins key on word/bigram — the Zipfian-stopword
         // skew case: replication grows every tf table D× while the
         // vocab is UNCHANGED (identical texts), so per-key join fan-in
@@ -206,7 +207,10 @@ object ScaleCheck {
       .withColumn("vec_id", col("vec_id") + col("__r") * maxVec)
       .drop("__r").write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     for (n <- Seq("x13_ann_lsh", "x18_ann_ivf", "x22_embed_dedup_bucketed",
-        "x48_ann_trained")) {
+        // x67: the IVF kNN vote — query side fixed (20 vectors), the
+        // searched corpus grows Dx, so candidates (and the vote input)
+        // must track cell size, not corpus^2
+        "x48_ann_trained", "x67_knn_label_ivf")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)

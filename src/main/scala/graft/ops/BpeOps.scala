@@ -199,10 +199,17 @@ object BpeOps {
     * driver. */
   def encodeDocs(docs: DataFrame, merges: Seq[Merge],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // ONE corpus scan ([[CorpusOps]]'s shared-view discipline): the
+    // (doc, pos, word) grain is persisted and materialized by the
+    // alphabet collect below; the vocab branch and the final join both
+    // read executor-local blocks — without this, column pruning would
+    // specialize each branch's scan and the corpus would be read three
+    // times (blocks stay pinned until swept, the documented hygiene).
     val wordPos = docs
       .select(col(idCol).as("doc_id"),
         posexplode(TF.words(col(textCol))).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = wordPos.select(col("w")).distinct()
     val wIds = encodeTokens(vocab, merges, vocabIds(vocab, merges))
     wordPos.join(wIds, Seq("w"))

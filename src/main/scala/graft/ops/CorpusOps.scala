@@ -518,10 +518,21 @@ object CorpusOps {
     * group column upstream if unknown-group rows must participate. */
   def temperatureSample(docs: DataFrame, groupCol: String = "lang",
       idCol: String = "doc_id", alpha: Double = 0.5, salt: String = "mix",
-      resolution: Long = 1000000L): DataFrame = {
+      resolution: Long = 1000000L,
+      weightCol: Option[String] = None): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
-    val counts = docs.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_group"))
+    // weightCol: group mass = sum(weight) instead of row count — the
+    // TOKEN-budget form (training mixtures budget tokens, not docs:
+    // a language of few huge docs and one of many small docs should
+    // not sample alike). The keep decision stays per-ROW (same hash
+    // threshold), so expected kept weight per group follows the same
+    // (W_min/W_g)^(1-alpha) law the doc form applies to counts.
+    val counts = weightCol match {
+      case Some(w) => docs.groupBy(col(groupCol))
+        .agg(sum(col(w)).as("n_group"))
+      case None => docs.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_group"))
+    }
     val nMin = counts.agg(min(col("n_group")).as("n_min"))
     val rates = counts.crossJoin(broadcast(nMin))
       .withColumn("rate",

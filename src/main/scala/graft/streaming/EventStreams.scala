@@ -563,4 +563,49 @@ object EventStreams {
         round(sum(col("lpw")).cast("double") /
           count(lit(1)).cast("double"), 4).as("avg_logp"))
   }
+
+  /** Streaming BPE encode — ingest-time tokenization under a FIXED,
+    * pre-trained merge table and id vocabulary (the train-once /
+    * tokenize-forever contract: [[graft.ops.BpeOps.train]] +
+    * [[graft.ops.BpeOps.vocabIds]] run once per corpus generation on
+    * the batch side; the stream pays replay only). COMPLETELY
+    * stateless: a document's token-id sequence depends on nothing but
+    * its own row and the broadcast (rules, ids), so there is no
+    * watermark, no state store, and every micro-batch is a pure map —
+    * the executor-local word→ids memo amortizes repeated words within
+    * a partition's lifetime but is scratch, not streaming state.
+    *
+    * Parity: normalization/word-split happens in Catalyst (the same
+    * [[graft.functions.TextFunctions.words]] the batch encode uses),
+    * so the id sequences are identical to [[graft.ops.BpeOps
+    * .encodeDocs]] for in-vocabulary text (StreamingSpec pins it).
+    * Words containing code points OUTSIDE the training alphabet can't
+    * be fully encoded under the fixed vocabulary — their unknown
+    * symbols emit `unkId` (a production ingest gate routes docs with
+    * unk spikes to re-training, it does not crash the stream).
+    * Output: (doc_id, n_bpe, token_ids). */
+  def bpeEncodeStream(docs: DataFrame, merges: Seq[graft.ops.BpeOps.Merge],
+      ids: Map[String, Int], unkId: Int = -1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val TF = graft.functions.TextFunctions
+    val rules = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
+    val bc = spark.sparkContext.broadcast((rules, ids))
+    docs
+      .select(col("doc_id").cast("long"), TF.words(col("text")).as("ws"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val (rs, idm) = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.map { case (id, ws) =>
+          val toks = ws.iterator.filter(_.nonEmpty).flatMap { w =>
+            memo.getOrElseUpdate(w,
+              graft.ops.BpeOps.replayWord(w, rs)
+                .map(idm.getOrElse(_, unkId)))
+          }.toArray
+          (id, toks.length.toLong, toks.toSeq)
+        }
+      }
+      .toDF("doc_id", "n_bpe", "token_ids")
+  }
 }

@@ -468,6 +468,32 @@ class OpsSpec extends SparkTestBase {
     assert(all.length == df.count())
   }
 
+  test("CorpusOps.temperatureSample weightCol: token-mass rate law — the minimum-MASS group anchors, not the minimum-count one") {
+    // big: 2 docs x 100 tokens (few huge docs); small: 10 docs x 2
+    // tokens (many tiny docs). Doc counts pick big as the anchor
+    // (2 < 10); token mass picks small (20 < 200) — the two forms must
+    // disagree on exactly this corpus shape.
+    val docs = ((1 to 2).map(i => (i.toLong, "big", 100L)) ++
+      (11 to 20).map(i => (i.toLong, "small", 2L)))
+      .toDF("doc_id", "lang", "w")
+    val byDocs = graft.ops.CorpusOps.temperatureSample(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byTok = graft.ops.CorpusOps
+      .temperatureSample(docs, weightCol = Some("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // doc form: big anchors (rate 1.0, both docs kept); small at
+    // sqrt(2/10)
+    assert(byDocs.filter(_._2 == "big").map(_._1).toSet == Set(1L, 2L))
+    assert(byDocs.filter(_._2 == "big").forall(_._3 == 1.0))
+    assert(byDocs.filter(_._2 == "small").forall(_._3 == 0.447214))
+    // token form: small anchors (rate 1.0, all ten kept); big at
+    // sqrt(20/200)
+    assert(byTok.filter(_._2 == "small").map(_._1).toSet ==
+      (11L to 20L).toSet)
+    assert(byTok.filter(_._2 == "small").forall(_._3 == 1.0))
+    assert(byTok.filter(_._2 == "big").forall(_._3 == 0.316228))
+  }
+
   test("CorpusOps.bigramLmScore: common transitions outscore scrambled text; <2-word docs excluded") {
     val df = Seq(
       (1L, "the cat sat on the mat"),

@@ -140,4 +140,32 @@ class PipelineSpec extends SparkTestBase {
         s"scan ${single}B — the shared tokenize cache is not shared " +
         "(a second corpus pass is back)")
   }
+
+  test("encodeDocs scan-amplification audit: BPE encode reads the corpus once") {
+    // encodeDocs has THREE consumers of the (doc, pos, word) grain —
+    // the alphabet collect, the distinct-word encode branch, and the
+    // final join-back — which without the shared persisted view would
+    // each re-scan the corpus (column pruning specializes the scans,
+    // defeating exchange reuse).
+    val sc = spark.sparkContext
+    val docs = Catalog(spark, sf).table("documents")
+    val merges = graft.ops.BpeOps.train(docs, numMerges = 4)
+    def fileBytes(): Long = {
+      val s = org.apache.hadoop.fs.FileSystem
+        .getGlobalStorageStatistics.get("file")
+      if (s == null) 0L else s.getLong("bytesRead")
+    }
+    def bytesOf(act: => Unit): Long = {
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val before = fileBytes(); act; fileBytes() - before
+    }
+    val single = bytesOf(
+      docs.select(length(col("text")).as("n")).agg(sum(col("n"))).collect())
+    val encoded = bytesOf(
+      graft.ops.BpeOps.encodeDocs(docs, merges).collect())
+    assert(single > 0, "yardstick scan measured zero file bytes")
+    assert(encoded < single * 3 / 2,
+      s"encodeDocs read ${encoded}B from disk vs one corpus scan " +
+        s"${single}B — the shared word-grain cache is not shared")
+  }
 }

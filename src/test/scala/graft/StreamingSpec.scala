@@ -489,4 +489,40 @@ class StreamingSpec extends SparkTestBase {
       assert(got(3L)._2 < got(1L)._2 && got(3L)._2 < got(2L)._2)
     } finally q.stop()
   }
+
+  test("streaming BPE encode replay equals the batch x68 encode; out-of-alphabet text emits unkId") {
+    import graft.ops.BpeOps
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val merges = BpeOps.train(corpus, numMerges = 16)
+    val ids = BpeOps.vocabIds(
+      BpeOps.wordCounts(corpus).select(col("w")), merges)
+    val batch = BpeOps.encodeDocs(corpus, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2).toList)))
+      .toMap
+    val input = MemoryStream[(Long, String)]
+    val enc = EventStreams.bpeEncodeStream(
+      input.toDF().toDF("doc_id", "text"), merges, ids)
+    val q = enc.writeStream.format("memory").queryName("bpe_enc_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      docs.grouped(100).foreach { g =>
+        input.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+      // a doc whose code points are outside the trained alphabet: the
+      // fixed vocabulary can't encode it — every symbol maps to unkId
+      assume(!ids.contains("世"), "fixture alphabet collision")
+      input.addData((999999L, "世世")); q.processAllAvailable()
+      val got = spark.table("bpe_enc_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2).toList)))
+        .toMap
+      assert(got(999999L) == ((2L, List(-1, -1))),
+        s"OOV doc must emit unkId per symbol: ${got(999999L)}")
+      assert((got - 999999L) == batch,
+        "streamed id sequences diverge from the batch x68 encode")
+    } finally q.stop()
+  }
 }
