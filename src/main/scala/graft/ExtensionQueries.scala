@@ -602,6 +602,42 @@ object ExtensionQueries {
       weightCol = Some("n_tokens"))
   }
 
+  /** Corpus card — the release-statistics rollup a dataset ships
+    * (and the first thing an auditor asks for): per (lang, source)
+    * plus ROLLUP subtotals and the grand total, in ONE pass: doc
+    * count, token mass, char mass, exact-duplicate count (x04's
+    * keep-min-id semantics — a doc is a dup iff its normalized text
+    * has an earlier twin), and mean composite quality. The quality
+    * mean sums as DECIMAL (x51's trick) so the float-heavy average is
+    * hash-checkable across engines.
+    *
+    * 100 TB shape: one corpus scan computes every per-doc input; the
+    * dup flag is a min-over-content-hash window (the hash IS the
+    * partition key — uniform, never corpus-wide), so the corpus is
+    * shuffled ONCE; the rollup is a grouping-sets agg over
+    * (lang, source) — hundreds of cells, map-side partials riding a
+    * tiny exchange. (The alternative — x04's groupBy + join back on
+    * doc_id — costs a second full-row corpus shuffle; the window form
+    * subsumes the keep-set computation in the one it already pays.) */
+  private val x70_corpus_card: QFn = (s, d) => {
+    val wh = Window.partitionBy(col("h"))
+    docsR(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        qualityExpr.cast("decimal(18,4)").as("quality"),
+        md5(TF.normText(col("text"))).as("h"))
+      .withColumn("is_dup",
+        when(col("doc_id") === min(col("doc_id")).over(wh), 0L)
+          .otherwise(1L))
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        round(sum(col("quality")).cast("double") / count(lit(1)), 4)
+          .as("mean_quality"))
+  }
+
   /** Hot-key split join ([[graft.ops.SkewOps.hotColdJoin]]) — the
     * explicit Zipfian-skew mitigation, exercised on the word-scoring
     * join shape (the family ScaleCheck measured as volume-bound; this
@@ -1613,6 +1649,7 @@ object ExtensionQueries {
     "x66_knn_label" -> x66_knn_label,
     "x67_knn_label_ivf" -> x67_knn_label_ivf,
     "x69_token_mix" -> x69_token_mix,
+    "x70_corpus_card" -> x70_corpus_card,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2477,6 +2514,26 @@ object ExtensionQueries {
          |  FROM documents d JOIN r USING (lang)
          | WHERE ${H60("'tokmix|'||d.doc_id::VARCHAR")} % 1000000
          |       < round(r.rate * 1000000)::BIGINT""".stripMargin,
+    "x70_corpus_card" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, n_chars,
+         |        len(string_split($NT,' '))::BIGINT AS n_tokens,
+         |        round(0.4*(len(list_filter(string_split($NT,' '),
+         |            w -> w IN ('the','and','of','to','in','is','a')))::DOUBLE
+         |              / len(string_split($NT,' ')))
+         |            + 0.3*least(len(string_split($NT,' '))::DOUBLE / 100.0, 1.0)
+         |            + 0.3*(len(regexp_extract_all(text,'[A-Za-z]'))::DOUBLE
+         |              / length(text)), 4)::DECIMAL(18,4) AS quality,
+         |        md5($NT) AS h
+         |        FROM documents),
+         |k AS (SELECT min(doc_id) AS doc_id, 1 AS kept FROM t GROUP BY h),
+         |f AS (SELECT t.*, CASE WHEN k.kept IS NULL THEN 1 ELSE 0 END AS is_dup
+         |        FROM t LEFT JOIN k USING (doc_id))
+         |SELECT lang, source, count(*)::BIGINT AS n_docs,
+         |       sum(n_tokens)::BIGINT AS n_tokens,
+         |       sum(n_chars)::BIGINT AS n_chars,
+         |       sum(is_dup)::BIGINT AS n_dup_docs,
+         |       round(sum(quality)::DOUBLE / count(*), 4) AS mean_quality
+         |  FROM f GROUP BY ROLLUP(lang, source)""".stripMargin,
     "x55_inverted_search" ->
       s"""WITH w AS (SELECT doc_id,
          |             unnest(list_distinct(string_split($NT,' '))) AS word

@@ -321,6 +321,7 @@ class PlanAuditSpec extends SparkTestBase {
       "x32_ingest_dedup",       // MVCC committed-set semi-join through the
                                 // union, as x17
       "x54_mix_sample",         // 1-row n_min broadcast scalar
+      "x69_token_mix",          // same 1-row scalar (weighted n_min)
       "x64_curate",             // same 1-row n_min scalar via temperatureSample
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
@@ -333,6 +334,30 @@ class PlanAuditSpec extends SparkTestBase {
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
     assert(offenders.isEmpty, s"unintended cartesian/BNLJ in: $offenders")
+  }
+
+  test("x69: token-budget mixture — rates broadcast back, the corpus is never shuffled for the join") {
+    // x54's shape with a weighted agg: the languages-sized rate table
+    // must ride a broadcast; a sort-merge/shuffled-hash join here means
+    // the whole corpus shuffles for a hundred-row lookup
+    val p = plan("x69_token_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("x70: corpus card — dup window partitioned by content hash, rollup via Expand, no join") {
+    // the one corpus shuffle is the content-hash window (hash IS the
+    // partition key — never corpus-wide); the rollup is grouping-sets
+    // (Expand + hash agg). A join or an unpartitioned window would be
+    // the two ways this plan degrades.
+    val p = plan("x70_corpus_card")
+    assert(p.contains("Expand"), s"rollup should plan Expand:\n$p")
+    assert(!p.contains("Join"), s"dup flag must not join back:\n$p")
+    // the window is keyed (no corpus-wide single-partition window)
+    val winLines = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("h#")),
+      s"dup window must partition by the content hash:\n$p")
   }
 
   test("x37: benchmark side is broadcast — the corpus is scanned once, never shuffled for the join") {
