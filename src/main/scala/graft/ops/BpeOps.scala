@@ -191,6 +191,14 @@ object BpeOps {
     * writes): (doc_id, n_bpe, token_ids) under a learned merge table
     * and the [[vocabIds]] assignment.
     *
+    * Id stability: the vocabulary is derived from THESE docs' own
+    * code-point inventory, so ids are stable iff the doc set is (the
+    * train-and-encode-one-corpus case, x68). To encode NEW data under
+    * a FROZEN id space, derive ids once from the training corpus and
+    * use [[encodeTokens]] / [[graft.streaming.EventStreams
+    * .bpeEncodeStream]], which take the map explicitly (and map
+    * out-of-alphabet symbols to an unk id instead of throwing).
+    *
     * 100 TB shape: the replay+encode runs once per DISTINCT word
     * (vocab-sized, broadcast rules); documents join their
     * (doc, position, word) grain against it on the word key (AQE
