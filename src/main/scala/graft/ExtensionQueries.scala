@@ -1223,6 +1223,63 @@ object ExtensionQueries {
       k = 3, queryPred = col("q_id") < 10)
   }
 
+  /** Semantic dedup, SemDeDup-style (Abbas et al., arXiv 2303.09540):
+    * train k-means cells (the x48 trainer, identical Lloyd's rounds),
+    * score each vector's centroid-cosine, and within each cell drop
+    * near-duplicates (cos ≥ τ) keeping the representative FARTHEST from
+    * the centroid — the paper's diversity-preserving keep rule, vs
+    * x22's arbitrary min-id ([[graft.ops.VectorOps.semDedupDecision]]).
+    * The oracle unrolls the same two Lloyd's rounds (shared CTE chain
+    * with x48), so training + assignment + scoring + the keep decision
+    * are all hash-checked. 100 TB: same shape as x22 — broadcast
+    * centroids, Σ cell² candidate work under k ~ √n, one decision
+    * groupBy; the extra cq column rides the existing exchanges. */
+  private val x71_semdedup: QFn = (s, d) => {
+    val e = embs(s, d)
+    val cent = graft.ops.VectorOps.kmeansTrain(e, initK = 16, iters = X48Iters)
+    // τ = 0.35, not the pair queries' 0.45: the fixture's embeddings
+    // are near-orthogonal, so within-CLUSTER pairs clearing 0.45 are
+    // rare (6 rows at sf0.01) — 0.35 exercises the keep rule on 60
+    // decisions while staying a "semantic near-dup" bar for this corpus
+    graft.ops.VectorOps.semDedupDecision(
+      graft.ops.VectorOps.ivfCellsScored(e, cent, nprobe = 1),
+      threshold = 0.35)
+  }
+
+  /** Trainable corpus classifier ([[graft.ops.ClassifierOps]]) — the
+    * fastText-style quality/domain gate of CCNet/GPT-3-style curation,
+    * as multinomial Naive Bayes: train on the 4/5 deterministic split
+    * (doc_id % 5 ≠ 0), predict `lang` for the held-out 1/5, report the
+    * confusion matrix. Every log-prob is quantized to DECIMAL(18,6) at
+    * the leaf, so scores are exact decimal sums and the argmax is
+    * engine-reproducible — training, scoring, AND prediction are
+    * hash-checked, not rows-only. The confusion grain makes the check
+    * sharp: one flipped prediction anywhere moves a count. (Measured
+    * 42% on sf0.01's 5 langs vs 20% chance — the fixture's text is
+    * synthetic so `lang` is only weakly word-predictable; the op under
+    * test is the distributed train/score pipeline, not the model.) */
+  private val x72_nb_classifier: QFn = (s, d) => {
+    val all = docsR(s, d)
+    val train = all.filter(col("doc_id") % 5 =!= 0)
+    val test = all.filter(col("doc_id") % 5 === 0)
+    graft.ops.ClassifierOps.nbPredict(train, test)
+      .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_label"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Exact-quota weighted sampling ([[graft.ops.CorpusOps
+    * .weightedSample]], Efraimidis–Spirakis): exactly 25 docs per
+    * language, probability ∝ n_chars — the "k docs per group, long
+    * docs preferred" curation ask x54's Bernoulli form can't answer
+    * exactly. Hash-derived u makes the draw reproducible; the oracle
+    * replays key assignment + per-group top-k verbatim. Plan:
+    * WindowGroupLimit partial+final (PlanAuditSpec) — map tasks forward
+    * ≤ k rows per group, the exchange never carries the corpus. */
+  private val x73_weighted_sample: QFn = (s, d) =>
+    graft.ops.CorpusOps.weightedSample(docs(s, d), k = 25,
+      weightCol = "n_chars")
+
   /** Ingest-time dedup against the LIVE corpus — the composition an
     * incremental crawl pipeline runs on every batch: existing corpus =
     * MVCC snapshot of the committed log (x17 semantics); incoming batch
@@ -1650,6 +1707,9 @@ object ExtensionQueries {
     "x67_knn_label_ivf" -> x67_knn_label_ivf,
     "x69_token_mix" -> x69_token_mix,
     "x70_corpus_card" -> x70_corpus_card,
+    "x71_semdedup" -> x71_semdedup,
+    "x72_nb_classifier" -> x72_nb_classifier,
+    "x73_weighted_sample" -> x73_weighted_sample,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1739,13 +1799,14 @@ object ExtensionQueries {
        |${x36Oracle}
        |) WHERE doc_id <> cluster_id""".stripMargin
 
-  // x48: the SAME two Lloyd's rounds the Spark side runs, unrolled as a
-  // CTE chain. Centroid math is exact-integer quantized (sum of
-  // round(x*2^20) longs, divided back) so both engines derive
-  // bit-identical centroids each round — training is hash-checked, not
-  // approximated. Generated from X48Iters so query and oracle can't
-  // drift on the round count.
-  private lazy val x48Oracle: String = {
+  // x48/x71 shared: the SAME two Lloyd's rounds the Spark trainer runs,
+  // unrolled as a CTE chain ending in `cells` (vec_id, embedding, cell)
+  // with the final centroid table named cent$X48Iters. Centroid math is
+  // exact-integer quantized (sum of round(x*2^20) longs, divided back)
+  // so both engines derive bit-identical centroids each round —
+  // training is hash-checked, not approximated. Generated from X48Iters
+  // so queries and oracles can't drift on the round count.
+  private lazy val lloydCellCtes: String = {
     def asg(cent: String, name: String) =
       s"""$name AS (
          |  SELECT e.vec_id, e.embedding, c.c_id,
@@ -1765,11 +1826,15 @@ object ExtensionQueries {
     val rounds = (1 to X48Iters).map { i =>
       asg(s"cent${i - 1}", s"asg$i") + ",\n" + recenter(s"asg$i", s"cent$i")
     }.mkString(",\n")
-    s"""WITH cent0 AS (SELECT vec_id AS c_id, embedding AS c_e
+    s"""cent0 AS (SELECT vec_id AS c_id, embedding AS c_e
        |                 FROM embeddings WHERE vec_id < 16),
        |$rounds,
        |${asg(s"cent$X48Iters", "asgf")},
-       |cells AS (SELECT vec_id, embedding, c_id AS cell FROM asgf WHERE rn = 1),
+       |cells AS (SELECT vec_id, embedding, c_id AS cell FROM asgf WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val x48Oracle: String =
+    s"""WITH $lloydCellCtes,
        |cand AS (
        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
        |         round(${COS("q.embedding", "n.embedding")}, 6) AS cos
@@ -1781,7 +1846,71 @@ object ExtensionQueries {
        |         row_number() OVER (PARTITION BY q_id
        |                            ORDER BY cos DESC, n_id ASC) AS rnk
        |    FROM cand) WHERE rnk <= 3""".stripMargin
-  }
+
+  // x71: the same trained cells, scored with the integer-quantized
+  // centroid cosine (ivfCellsScored's cq), then the SemDeDup rule —
+  // within-cell pairs ≥ τ, canonical = farthest-from-centroid
+  // (min (cq, id)).
+  private lazy val x71Oracle: String =
+    s"""WITH $lloydCellCtes,
+       |scored AS (
+       |  SELECT c.vec_id, c.embedding, c.cell,
+       |         CAST(round((${COS("c.embedding", "k.c_e")}) * 1000000) AS BIGINT) AS cq
+       |    FROM cells c JOIN cent$X48Iters k ON c.cell = k.c_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, a.cq AS a_cq, b.vec_id AS b_id,
+       |         round(${COS("a.embedding", "b.embedding")}, 6) AS cos
+       |    FROM scored a JOIN scored b
+       |      ON a.cell = b.cell
+       |     AND (a.cq < b.cq OR (a.cq = b.cq AND a.vec_id < b.vec_id)))
+       |SELECT drop_id, keeper_id, n_dups FROM (
+       |  SELECT b_id AS drop_id, a_id AS keeper_id,
+       |         count(*) OVER (PARTITION BY b_id) AS n_dups,
+       |         row_number() OVER (PARTITION BY b_id
+       |                            ORDER BY a_cq ASC, a_id ASC) AS rn
+       |    FROM pairs WHERE cos >= 0.35) WHERE rn = 1""".stripMargin
+
+  // x72: the same NB model — (label, word) Laplace counts, DECIMAL(18,6)
+  // quantized log-probs, exact-decimal score sums, (score desc, label
+  // asc) argmax — replayed end-to-end in SQL.
+  private lazy val x72Oracle: String =
+    s"""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+       |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+       |trw AS (SELECT label, w, count(*) AS cnt
+       |          FROM (SELECT lang AS label,
+       |                       unnest(string_split($NT,' ')) AS w FROM tr)
+       |         WHERE length(w) > 0 GROUP BY 1, 2),
+       |tot AS (SELECT label, sum(cnt) AS tot FROM trw GROUP BY 1),
+       |vs AS (SELECT count(DISTINCT w) AS v FROM trw),
+       |nt AS (SELECT count(*) AS n FROM tr),
+       |lab AS (SELECT p.label,
+       |               CAST(round(ln(p.ndocs::DOUBLE / nt.n), 6)
+       |                    AS DECIMAL(18,6)) AS prior_q,
+       |               CAST(round(ln(1.0 / (t.tot + vs.v)), 6)
+       |                    AS DECIMAL(18,6)) AS l0
+       |          FROM (SELECT lang AS label, count(*) AS ndocs
+       |                  FROM tr GROUP BY 1) p
+       |          JOIN tot t USING (label) CROSS JOIN vs CROSS JOIN nt),
+       |lq AS (SELECT c.w, c.label,
+       |              CAST(round(ln((c.cnt + 1)::DOUBLE / (t.tot + vs.v)), 6)
+       |                   AS DECIMAL(18,6)) AS lq
+       |         FROM trw c JOIN tot t USING (label) CROSS JOIN vs),
+       |dw AS (SELECT doc_id, w, count(*) AS n
+       |         FROM (SELECT doc_id, unnest(string_split($NT,' ')) AS w FROM te)
+       |        WHERE length(w) > 0 GROUP BY 1, 2),
+       |sc AS (SELECT d.doc_id, l.label,
+       |              max(l.prior_q) + sum(d.n * coalesce(q.lq, l.l0)) AS score
+       |         FROM (SELECT dw.* FROM dw
+       |                 JOIN (SELECT DISTINCT w FROM trw) dv USING (w)) d
+       |         CROSS JOIN lab l
+       |         LEFT JOIN lq q ON q.label = l.label AND q.w = d.w
+       |        GROUP BY 1, 2),
+       |pr AS (SELECT doc_id, label AS pred_label FROM sc
+       |       QUALIFY row_number() OVER (PARTITION BY doc_id
+       |                ORDER BY score DESC, label ASC) = 1)
+       |SELECT te.lang, pr.pred_label, count(*) AS n_docs
+       |  FROM pr JOIN te USING (doc_id)
+       | GROUP BY 1, 2""".stripMargin
 
   // x62: the SAME X62Merges training rounds the Spark side runs,
   // unrolled as a MATERIALIZED-CTE chain (inlining would re-expand the
@@ -1916,6 +2045,8 @@ object ExtensionQueries {
   lazy val oraclesAll: Map[String, String] =
     oracles ++ Map(
       "x48_ann_trained" -> x48Oracle,
+      "x71_semdedup" -> x71Oracle,
+      "x72_nb_classifier" -> x72Oracle,
       "x62_bpe_pack" -> x62Oracle,
       "x62a_bpe_merges" -> x62aOracle,
       "x68_bpe_encode" -> x68Oracle,
@@ -2375,6 +2506,17 @@ object ExtensionQueries {
          |         row_number() OVER (PARTITION BY chunk_fp
          |                            ORDER BY doc_id, chunk_idx) AS rn
          |    FROM c) WHERE rn = 1""".stripMargin,
+    "x73_weighted_sample" ->
+      s"""SELECT lang, doc_id, n_chars, skey, rnk FROM (
+         |  SELECT lang, doc_id, n_chars, skey,
+         |         row_number() OVER (PARTITION BY lang
+         |             ORDER BY skey DESC, doc_id ASC) AS rnk
+         |    FROM (SELECT lang, doc_id, n_chars,
+         |                 round(ln(((${H60("'wsample|'||doc_id::VARCHAR")}
+         |                            % 1048576) + 1)::DOUBLE / 1048577.0)
+         |                       / n_chars::DOUBLE, 6) AS skey
+         |            FROM documents))
+         | WHERE rnk <= 25""".stripMargin,
     "x27_stratified_sample" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, ${H60("'sample|'||doc_id::VARCHAR")} % 100 AS h,

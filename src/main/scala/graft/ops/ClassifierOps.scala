@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Text classification for corpus curation — the trainable
+  * quality/domain classifier slot of an LLM data pipeline (the role
+  * fastText linear classifiers play in CCNet/GPT-3-style curation:
+  * label a small seed set, train, score the whole corpus, filter or
+  * stratify on the prediction). The model here is multinomial Naive
+  * Bayes with Laplace smoothing (Manning, Raghavan & Schütze, "An
+  * Introduction to Information Retrieval", ch. 13) — linear, exactly
+  * aggregable, and strong enough for the language/domain/quality
+  * gating these pipelines do.
+  *
+  * Determinism discipline: every log-probability is quantized to
+  * DECIMAL(18,6) at the leaf (round(ln(·),6) — the [[CorpusOps]] LM
+  * convention), so document scores are EXACT decimal sums and the
+  * argmax (score desc, label asc) is reproducible across engines,
+  * partitionings, and summation orders — the whole pipeline is
+  * hash-checkable against an independent SQL engine, not just
+  * rows-comparable.
+  *
+  * 100 TB shape: training is two corpus-wide hash aggregations
+  * ((label, word) counts and label totals — map-side partial combine,
+  * one shuffle each at the model's grain, not the corpus's). The model
+  * (|vocab| × |labels| smoothed log-likelihoods) is NOT broadcast — a
+  * web-scale vocab is GBs; instead scoring joins the document word
+  * grain against a per-WORD dense score map (one equi shuffle on the
+  * word key, no label-fanout in the exchange), expands by the
+  * labels-sized broadcast map-side, and partial-aggregates back to
+  * (doc, label) before the final docs×|labels|-row exchange. Nothing
+  * corpus-sized reaches the driver.
+  */
+object ClassifierOps {
+
+  /** Per-(doc, label) NB scores for `test` under a model trained on
+    * `train`: (doc_id, label, score), score = quantized log-prior +
+    * Σ_w tf(doc,w) · quantized log-lik(w | label), summed over the
+    * TRAIN vocabulary (OOV words carry no signal for any label and are
+    * dropped — the standard multinomial NB treatment; a test doc with
+    * no in-vocab word at all drops out rather than being scored on the
+    * prior alone). */
+  def nbScores(train: DataFrame, test: DataFrame,
+      labelCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def words(df: DataFrame, keep: Seq[String]) = df
+      .select(keep.map(col) :+ explode(TF.words(col(textCol))).as("w"): _*)
+      .filter(length(col("w")) > 0)
+    val lq6 = (x: org.apache.spark.sql.Column) =>
+      round(log(x), 6).cast("decimal(18,6)")
+
+    // model grain: (label, w) counts, per-label totals, vocab size
+    val cw = words(train, Seq(labelCol))
+      .groupBy(col(labelCol).as("label"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cw.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    val vsize = cw.select(col("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    // per-label constants: prior and the unseen-(label,word) default
+    val nTrain = train.agg(count(lit(1)).as("n"))
+    val lab = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("ndocs"))
+      .crossJoin(broadcast(nTrain)).crossJoin(broadcast(vsize))
+      .join(tot, Seq("label"))
+      .select(col("label"),
+        lq6(col("ndocs").cast("double") / col("n")).as("prior_q"),
+        lq6(lit(1.0) / (col("tot") + col("v")).cast("double")).as("l0"))
+    // smoothed log-likelihoods, folded to ONE dense map per word so the
+    // scoring join shuffles word-grain rows, not word×label
+    val wl = cw.join(tot, Seq("label"))
+      .crossJoin(broadcast(vsize))
+      .select(col("w"), col("label"),
+        lq6((col("cnt") + 1).cast("double") /
+          (col("tot") + col("v")).cast("double")).as("lq"))
+      .groupBy(col("w"))
+      .agg(map_from_entries(collect_list(struct(col("label"), col("lq"))))
+        .as("m"))
+
+    val dw = words(test, Seq(idCol))
+      .groupBy(col(idCol).as("doc_id"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    dw.join(wl, Seq("w")) // inner: OOV words drop here
+      .crossJoin(broadcast(lab)) // map-side label expansion
+      .select(col("doc_id"), col("label"), col("prior_q"),
+        (col("n") * coalesce(element_at(col("m"), col("label")), col("l0")))
+          .as("part"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg((max(col("prior_q")) + sum(col("part"))).as("score"))
+  }
+
+  /** Argmax over [[nbScores]]: (doc_id, pred_label). Exact-decimal
+    * scores make the (score desc, label asc) argmax deterministic;
+    * min(struct(-score, label)) keeps it a hash aggregate — no window,
+    * no per-doc sort. */
+  def nbPredict(train: DataFrame, test: DataFrame,
+      labelCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    nbScores(train, test, labelCol, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("label"))).as("k"))
+      .select(col("doc_id"), col("k.label").as("pred_label"))
+}

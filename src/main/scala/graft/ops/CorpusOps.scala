@@ -545,4 +545,40 @@ object CorpusOps {
         < col("thr"))
       .select(col(idCol), col(groupCol), round(col("rate"), 6).as("rate"))
   }
+
+  /** Weighted sampling WITHOUT replacement — exactly `k` rows per
+    * group, selection probability ∝ `weightCol` (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+    * each row draws u ∈ (0,1) and the k largest u^(1/w) win; ranking by
+    * the monotone-equivalent ln(u)/w avoids the pow. Complements
+    * [[temperatureSample]]: that is Bernoulli (expected rate, no exact
+    * count); this hits the quota exactly — the "give me exactly k docs
+    * per language, long docs preferred" curation ask.
+    *
+    * Determinism: u is hash-derived — (hash60(salt|id) mod 2²⁰ + 1) /
+    * (2²⁰ + 1), never 0 or 1 — so the sample is a pure function of
+    * (id, salt, weight), reproducible across runs/engines/partitioning;
+    * the rank key is rounded to 6 with id as total tie-break. Weights
+    * must be strictly positive (ln(u)/w with w ≤ 0 inverts or
+    * zero-divides the key — filter or clamp upstream).
+    *
+    * 100 TB shape: key assignment is map-side; row_number ≤ k over
+    * (group, key desc) plans WindowGroupLimit partial+final, so each
+    * map task forwards at most k rows per group — the exchange carries
+    * O(groups·k·tasks), never the corpus. Output: (group, id, weight,
+    * skey, rnk). */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+      groupCol: String = "lang", idCol: String = "doc_id",
+      salt: String = "wsample"): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val m = 1048576L
+    val u = (TF.hash60(col(idCol).cast("string"), s"$salt|") % m + 1)
+      .cast("double") / (m + 1).toDouble
+    val byGroup = Window.partitionBy(groupCol)
+      .orderBy(col("skey").desc, col(idCol).asc)
+    docs.select(col(groupCol), col(idCol), col(weightCol),
+        round(log(u) / col(weightCol).cast("double"), 6).as("skey"))
+      .withColumn("rnk", row_number().over(byGroup))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -63,6 +63,64 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
   }
 
+  /** [[ivfCells]] keeping the assignment score: (vec_id, embedding,
+    * cell, cq), where `cq` is the cosine to the assigned centroid
+    * QUANTIZED to an exact integer (round(cos·10⁶) as long) — the form
+    * downstream keep/drop rules can ORDER BY deterministically across
+    * engines and partitionings (double comparisons at a rule boundary
+    * would otherwise hash-flip; same discipline as [[kmeansStep]]'s
+    * exact-integer re-centering). Same plan as [[ivfCells]]: broadcast
+    * centroids, map-side scoring, one nprobe-row rank exchange. */
+  def ivfCellsScored(e: DataFrame, centroids: DataFrame, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    e.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        VF.cosineFast(col("embedding"), col("c_e")).as("c_cos"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"),
+        round(col("c_cos") * 1000000).cast("long").as("cq"))
+  }
+
+  /** SemDeDup keep/drop decision (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", arXiv
+    * 2303.09540): within each trained k-means cluster, vectors whose
+    * pairwise cosine clears `threshold` are semantic duplicates, and the
+    * kept representative is the one FARTHEST from the cluster centroid
+    * (lowest centroid-cosine — the paper's "keep low-similarity-to-
+    * centroid" rule, which preserves cluster-edge diversity instead of
+    * piling density at the center; id breaks exact ties). Input is an
+    * [[ivfCellsScored]] assignment so "farther from the centroid" is the
+    * integer `cq` order — deterministic across engines. Output:
+    * (drop_id, keeper_id, n_dups), keeper = the MOST canonical
+    * (min (cq, id)) qualifying partner.
+    *
+    * Contrast with [[ivfDedupDecision]]: same candidate shape (equi
+    * self-join on the cell key over one aliased subtree), different
+    * canonical rule — min-id there (cheap, arbitrary), centroid-distance
+    * here (the semantic-diversity objective). 100 TB shape: identical to
+    * ivfDedupDecision — broadcast centroids upstream, Σ cell² candidate
+    * work under k ~ √n ([[suggestK]]), one groupBy on the dropped id. */
+  def semDedupDecision(cells: DataFrame, threshold: Double,
+      dedupProbes: Boolean = false): DataFrame = {
+    val raw = cells.as("a").join(cells.as("b").hint("shuffle_hash"),
+      col("a.cell") === col("b.cell") &&
+        (col("a.cq") < col("b.cq") ||
+          (col("a.cq") === col("b.cq") && col("a.vec_id") < col("b.vec_id"))))
+      .select(col("a.vec_id").as("a_id"), col("a.cq").as("a_cq"),
+        col("b.vec_id").as("b_id"),
+        round(VF.cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+    val pairs = if (dedupProbes) raw.distinct() else raw
+    pairs.groupBy(col("b_id").as("drop_id"))
+      .agg(min(struct(col("a_cq"), col("a_id"))).as("k"),
+        count(lit(1)).as("n_dups"))
+      .select(col("drop_id"), col("k.a_id").as("keeper_id"), col("n_dups"))
+  }
+
   /** Bucketed near-dup keep/drop decision: IVF candidates (shared-cell
     * pairs over ONE aliased subtree — assignment computed once) →
     * exact-cosine verify ≥ `threshold` → drop any vector with a

@@ -278,6 +278,83 @@ class OpsSpec extends SparkTestBase {
     assert(drops.toSeq == Seq((200L, 100L))) // drop 200, canonical 100
   }
 
+  test("VectorOps.semDedupDecision: keeper = farthest-from-centroid, not min id") {
+    // one centroid at (1,0); three unit vectors at decreasing centroid
+    // cosine: v1 = 1.0, v2 ≈ 0.98, v3 ≈ 0.9. All pairwise cosines clear
+    // τ = 0.89 (the v1·v3 pair sits at ≈0.9 — τ stays off that float
+    // boundary), so SemDeDup's rule keeps ONLY v3 (lowest cq — the
+    // cluster-edge representative), with v3 the keeper for both drops —
+    // the opposite of ivfDedupDecision's min-id rule, which would keep v1.
+    val mk = (x: Double, y: Double) => Array(x.toFloat, y.toFloat, 0.0f)
+    val e = Seq(
+      (1L, mk(1.0, 0.0)),
+      (2L, mk(0.98, math.sqrt(1.0 - 0.98 * 0.98))),
+      (3L, mk(0.9, math.sqrt(1.0 - 0.9 * 0.9)))).toDF("vec_id", "embedding")
+    val cent = Seq((0L, mk(1.0, 0.0))).toDF("c_id", "c_e")
+    val cells = VectorOps.ivfCellsScored(e, cent, nprobe = 1)
+    val cqs = cells.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(cqs(1L) > cqs(2L) && cqs(2L) > cqs(3L), cqs.toString)
+    val out = VectorOps.semDedupDecision(cells, threshold = 0.89)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 3L, 2L), (2L, 3L, 1L)), out.toString)
+  }
+
+  test("ClassifierOps.nbPredict: separable two-label corpus, custom column names; OOV-only docs drop") {
+    val train = Seq(
+      (1L, "s", "win money money now"),
+      (2L, "s", "win prize money"),
+      (3L, "h", "meeting notes today"),
+      (4L, "h", "notes review meeting agenda")).toDF("id", "label", "body")
+    val test = Seq(
+      (10L, "money win win"),
+      (11L, "meeting review notes"),
+      (12L, "zzz qqq")). // no train-vocab word at all
+      toDF("id", "body")
+    val pred = graft.ops.ClassifierOps
+      .nbPredict(train, test, labelCol = "label", idCol = "id", textCol = "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(10L -> "s", 11L -> "h"), pred.toString)
+  }
+
+  test("ClassifierOps.nbScores: scores are exact decimals, one row per (in-vocab doc, label)") {
+    val train = Seq((1L, "a", "x x y"), (2L, "b", "y z z")).toDF("id", "l", "t")
+    val test = Seq((9L, "x z")).toDF("id", "t")
+    val rows = graft.ops.ClassifierOps
+      .nbScores(train, test, labelCol = "l", idCol = "id", textCol = "t")
+      .collect()
+    assert(rows.length == 2) // one per label
+    assert(rows.forall(_.get(2).isInstanceOf[java.math.BigDecimal]),
+      rows.map(_.get(2).getClass).mkString(","))
+    // hand-check label "a": prior ln(1/2) + x: ln((2+1)/(3+3)) + z: ln((0+1)/(3+3))
+    val sa = rows.find(_.getString(1) == "a").get.getDecimal(2).doubleValue()
+    val exp = math.log(0.5) + math.log(3.0 / 6) + math.log(1.0 / 6)
+    assert(math.abs(sa - exp) < 1e-5, s"$sa vs $exp")
+  }
+
+  test("CorpusOps.weightedSample: exact k per group, rank order, huge-weight row always wins, partitioning-invariant") {
+    val rows = (1L to 30L).map(i =>
+      (if (i <= 20) "en" else "de", i, 100.0 + i)) :+ (("en", 999L, 1e12))
+    val df = rows.toDF("lang", "doc_id", "wt")
+    val out = graft.ops.CorpusOps
+      .weightedSample(df, k = 3, weightCol = "wt")
+    val got = out.collect()
+    assert(got.count(_.getString(0) == "en") == 3)
+    assert(got.count(_.getString(0) == "de") == 3)
+    // w → ∞ ⇒ key = ln(u)/w → 0⁻, beating every finite-weight key
+    val en1 = got.find(r => r.getString(0) == "en" && r.getInt(4) == 1).get
+    assert(en1.getLong(1) == 999L, en1.toString)
+    // keys non-increasing in rank within each group
+    got.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getInt(4)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, g.mkString)
+    }
+    // pure function of (id, salt, weight): partitioning must not matter
+    val again = graft.ops.CorpusOps
+      .weightedSample(df.repartition(7), k = 3, weightCol = "wt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(4))).toSet
+    assert(again == got.map(r => (r.getString(0), r.getLong(1), r.getInt(4))).toSet)
+  }
+
   test("kmeansStep iterates: means feed back as centroids, assignment quality improves") {
     import org.apache.spark.sql.DataFrame
     import graft.functions.{VectorFunctions => VF}

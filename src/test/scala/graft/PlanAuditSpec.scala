@@ -186,6 +186,30 @@ class PlanAuditSpec extends SparkTestBase {
       (l.contains("SortMergeJoin") || l.contains("HashJoin")) && l.contains("cell#")), p)
   }
 
+  test("x73: weighted sample plans WindowGroupLimit (partial+final) — map tasks forward k rows per group, not the corpus") {
+    val p = plan("x73_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial") && p.contains("Final"), p)
+  }
+
+  test("x72: NB classifier joins are equi (word key, doc key) — no cartesian beyond the scalar/label broadcasts") {
+    val p = plan("x72_nb_classifier")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("HashJoin")) && l.contains("w#")), p)
+  }
+
+  test("x71: SemDeDup candidate join is equi on the cell key; only the centroid assignment is nested-loop") {
+    val p = plan("x71_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // same budget as x22: the 16-row broadcast centroid assignment per
+    // self-join side; the within-cell pair join must be equi on cell#
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 2, s"unexpected nested-loop joins ($bnl):\n$p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("HashJoin")) && l.contains("cell#")), p)
+  }
+
   private def cat2 = graft.catalog.Catalog(spark, sf)
 
   test("x22: self-join reuses the assignment exchange (map work computed once)") {
@@ -316,10 +340,14 @@ class PlanAuditSpec extends SparkTestBase {
       "x31_semantic_search",    // 16-row broadcast centroid assignment
       "x48_ann_trained",        // 16-row broadcast centroid assignment
                                 // (trained centroids; search join is equi)
+      "x71_semdedup",           // 16-row broadcast centroid assignment
+                                // (trained centroids; pair join is equi)
       "x67_knn_label_ivf",      // 16-row broadcast centroid assignment
                                 // (candidate + label joins are equi)
       "x32_ingest_dedup",       // MVCC committed-set semi-join through the
                                 // union, as x17
+      "x72_nb_classifier",      // labels-/1-row-scalar broadcasts (priors,
+                                // vocab size); word+doc joins are equi
       "x54_mix_sample",         // 1-row n_min broadcast scalar
       "x69_token_mix",          // same 1-row scalar (weighted n_min)
       "x64_curate",             // same 1-row n_min scalar via temperatureSample
