@@ -1280,6 +1280,20 @@ object ExtensionQueries {
     graft.ops.CorpusOps.weightedSample(docs(s, d), k = 25,
       weightCol = "n_chars")
 
+  /** Held-out LM quality scoring ([[graft.ops.CorpusOps
+    * .lmScoreApply]]) — the CCNet production shape: unigram counts
+    * trained on the 4/5 split, APPLIED to the held-out 1/5 (x51 scores
+    * the corpus under its own distribution — fine for corpus
+    * statistics, circular for quality gating). OOV words take the
+    * smoothed ln(1/(N+V)) floor, so junk outside the reference
+    * vocabulary scores low instead of being skipped. */
+  private val x74_lm_apply: QFn = (s, d) => {
+    val all = docsR(s, d)
+    graft.ops.CorpusOps.lmScoreApply(
+      all.filter(col("doc_id") % 5 === 0),
+      graft.ops.CorpusOps.unigramCounts(all.filter(col("doc_id") % 5 =!= 0)))
+  }
+
   /** Ingest-time dedup against the LIVE corpus — the composition an
     * incremental crawl pipeline runs on every batch: existing corpus =
     * MVCC snapshot of the committed log (x17 semantics); incoming batch
@@ -1710,6 +1724,7 @@ object ExtensionQueries {
     "x71_semdedup" -> x71_semdedup,
     "x72_nb_classifier" -> x72_nb_classifier,
     "x73_weighted_sample" -> x73_weighted_sample,
+    "x74_lm_apply" -> x74_lm_apply,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2517,6 +2532,23 @@ object ExtensionQueries {
          |                       / n_chars::DOUBLE, 6) AS skey
          |            FROM documents))
          | WHERE rnk <= 25""".stripMargin,
+    "x74_lm_apply" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
+         |             FROM documents WHERE doc_id % 5 <> 0),
+         |cnts AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+         |c AS (SELECT sum(cnt) AS n_total, count(*) AS vocab FROM cnts),
+         |tf AS (SELECT doc_id, word, count(*) AS tf
+         |         FROM (SELECT doc_id, unnest(string_split($NT,' ')) AS word
+         |                 FROM documents WHERE doc_id % 5 = 0)
+         |        GROUP BY 1, 2),
+         |lp AS (SELECT t.doc_id, t.tf,
+         |       CAST(round(ln((coalesce(k.cnt, 0) + 1)::DOUBLE /
+         |                     (c.n_total + c.vocab)::DOUBLE), 6)
+         |            AS DECIMAL(18,6)) AS lpw
+         |         FROM tf t LEFT JOIN cnts k USING (word) CROSS JOIN c)
+         |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         |       round((sum(tf * lpw))::DOUBLE / (sum(tf))::DOUBLE, 4) AS avg_logp
+         |  FROM lp GROUP BY doc_id""".stripMargin,
     "x27_stratified_sample" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, ${H60("'sample|'||doc_id::VARCHAR")} % 100 AS h,

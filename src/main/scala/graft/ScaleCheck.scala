@@ -114,6 +114,15 @@ object ScaleCheck {
         // WindowGroupLimit prune sees 4x input — cost must track the
         // scan, not the output
         "x65_source_quota",
+        // NB classifier: train counts grow D× on an UNCHANGED vocab
+        // (identical texts), so the word-key model join sees D× fan-in
+        // on exactly the hot keys — x51's Zipfian-skew story at the
+        // (label, word) grain; near-linear is the pass criterion
+        "x72_nb_classifier",
+        // exact-quota weighted sample: output is k·groups = CONSTANT
+        // under replication; WindowGroupLimit prune sees D× input —
+        // cost must track the scan, not the output (x65's shape)
+        "x73_weighted_sample",
         // end-to-end curation composes three individually-measured
         // stages (exact dedup → quality gate → temperature sample);
         // composition is where cache scopes and shuffle reuse break,
@@ -210,7 +219,11 @@ object ScaleCheck {
         // x67: the IVF kNN vote — query side fixed (20 vectors), the
         // searched corpus grows Dx, so candidates (and the vote input)
         // must track cell size, not corpus^2
-        "x48_ann_trained", "x67_knn_label_ivf")) {
+        "x48_ann_trained", "x67_knn_label_ivf",
+        // x71: SemDeDup — training + Σ cell² candidate work both grow
+        // with the corpus (fixture-pinned k=16, same caveat as x22;
+        // the library rule is k ~ sqrt(n) via suggestK)
+        "x71_semdedup")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)

@@ -46,16 +46,47 @@ object ClassifierOps {
   def nbScores(train: DataFrame, test: DataFrame,
       labelCol: String = "lang", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    def words(df: DataFrame, keep: Seq[String]) = df
-      .select(keep.map(col) :+ explode(TF.words(col(textCol))).as("w"): _*)
-      .filter(length(col("w")) > 0)
+    val (wl, lab) = nbModel(train, labelCol, textCol)
+    val dw = words(test, Seq(idCol), textCol)
+      .groupBy(col(idCol).as("doc_id"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    dw.join(wl, Seq("w")) // inner: OOV words drop here
+      .crossJoin(broadcast(lab)) // map-side label expansion
+      .select(col("doc_id"), col("label"), col("prior_q"),
+        (col("n") * coalesce(element_at(col("m"), col("label")), col("l0")))
+          .as("part"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg((max(col("prior_q")) + sum(col("part"))).as("score"))
+  }
+
+  private def words(df: DataFrame, keep: Seq[String], textCol: String) = df
+    .select(keep.map(col) :+ explode(TF.words(col(textCol))).as("w"): _*)
+    .filter(length(col("w")) > 0)
+
+  /** The trained model as two frames — the piece the batch scorer and
+    * the streaming twin ([[graft.streaming.EventStreams
+    * .nbScoreStream]]) share:
+    *  - `wl` (w, m): per-WORD dense map label → quantized smoothed
+    *    log-likelihood (vocab-sized — joins by word key, NOT broadcast);
+    *  - `lab` (label, prior_q, l0): per-label log-prior and the
+    *    unseen-(label,word) default (labels-sized — broadcast). */
+  def nbModel(train: DataFrame, labelCol: String = "lang",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     val lq6 = (x: org.apache.spark.sql.Column) =>
       round(log(x), 6).cast("decimal(18,6)")
 
-    // model grain: (label, w) counts, per-label totals, vocab size
-    val cw = words(train, Seq(labelCol))
+    // model grain: (label, w) counts, per-label totals, vocab size.
+    // LAZILY persisted ([[CorpusOps]]'s shared-view discipline): four
+    // consumers read this frame (totals, vocab size, the dense score
+    // maps, and the per-label constants via tot) — without the cache,
+    // column pruning specializes each consumer's plan and the corpus
+    // is re-tokenized once per consumer. Model-grain (|vocab|×|labels|)
+    // not corpus-grain, so the blocks are bounded at any corpus size;
+    // they stay pinned until swept (the documented Bench/test hygiene).
+    val cw = words(train, Seq(labelCol), textCol)
       .groupBy(col(labelCol).as("label"), col("w"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = cw.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
     val vsize = cw.select(col("w")).distinct()
       .agg(count(lit(1)).as("v"))
@@ -78,17 +109,7 @@ object ClassifierOps {
       .groupBy(col("w"))
       .agg(map_from_entries(collect_list(struct(col("label"), col("lq"))))
         .as("m"))
-
-    val dw = words(test, Seq(idCol))
-      .groupBy(col(idCol).as("doc_id"), col("w"))
-      .agg(count(lit(1)).as("n"))
-    dw.join(wl, Seq("w")) // inner: OOV words drop here
-      .crossJoin(broadcast(lab)) // map-side label expansion
-      .select(col("doc_id"), col("label"), col("prior_q"),
-        (col("n") * coalesce(element_at(col("m"), col("label")), col("l0")))
-          .as("part"))
-      .groupBy(col("doc_id"), col("label"))
-      .agg((max(col("prior_q")) + sum(col("part"))).as("score"))
+    (wl, lab)
   }
 
   /** Argmax over [[nbScores]]: (doc_id, pred_label). Exact-decimal

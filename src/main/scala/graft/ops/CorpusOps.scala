@@ -295,6 +295,41 @@ object CorpusOps {
       .select(explode(col("ws")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
+  /** Apply a TRAINED unigram LM to new documents — the CCNet shape
+    * (Wenzek et al., LREC 2020: the quality LM is trained ONCE on a
+    * reference corpus and applied to every crawl candidate), vs
+    * [[lmScore]] which scores a corpus under its own distribution.
+    * `counts` is any (word, cnt) table ([[unigramCounts]] of the
+    * reference corpus — typically persisted once, like the signature
+    * index); out-of-vocabulary words take the smoothed floor
+    * ln(1/(N+V)) via the same coalesce(cnt,0) rule the stream-static
+    * scorer ([[graft.streaming.EventStreams.lmScoreStream]]) applies,
+    * so batch-apply and stream-apply are digit-identical. Scoring
+    * itself is [[lmScoreFromWords]]'s decimal-exact discipline.
+    *
+    * 100 TB shape: ONE candidate-corpus scan (tokenize → (doc, word)
+    * tf); the model join is equi on the word key (AQE skew-split
+    * absorbs stopwords), the smoothing constants ride a 1-row
+    * broadcast, and the doc rollup partial-aggregates map-side. */
+  def lmScoreApply(docs: DataFrame, counts: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val consts = counts.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("vocab"))
+    tokenized(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("ws")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .join(counts, Seq("word"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("lpw",
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("n_total") + col("vocab")).cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        round(sum(col("tf") * col("lpw")).cast("double") /
+          sum(col("tf")).cast("double"), 4).as("avg_logp"))
+  }
+
   /** Distinct-word count of a tokenized frame as a 1-row (vocab: long)
     * frame — the smoothing denominator shared by [[lmScoreFromWords]]
     * and [[bigramLmScoreFromWords]]. Computed over the TOKENIZED view,

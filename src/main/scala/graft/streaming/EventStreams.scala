@@ -564,6 +564,64 @@ object EventStreams {
           count(lit(1)).cast("double"), 4).as("avg_logp"))
   }
 
+  /** Stream-static NB classifier scoring — ingest-time quality/domain
+    * gating under a model trained ONCE on the batch side
+    * ([[graft.ops.ClassifierOps.nbModel]]): each micro-batch joins its
+    * word grain against the static per-word score maps (equi on the
+    * word key — the model is vocab-sized, never broadcast), expands by
+    * the collected label constants map-side, and runs ONE streaming
+    * aggregation at (window, doc) grain. The argmax is computed
+    * per-OUTPUT-row from the L per-label sums (a stateless projection
+    * — Structured Streaming allows only one stateful aggregation, so
+    * the labels live as columns, not rows, through the agg).
+    *
+    * Parity ([[StreamingSpec]]): scores and predictions are
+    * digit-identical to the batch [[graft.ops.ClassifierOps
+    * .nbScores]]/[[graft.ops.ClassifierOps.nbPredict]] — same exact-
+    * decimal quantization, same (score desc, label asc) tie-break,
+    * same OOV-drop rule (a doc with no in-vocab word drops in both).
+    * Output: (window, doc_id, n_tokens, pred_label, score). */
+  def nbScoreStream(docs: DataFrame, train: DataFrame,
+      labelCol: String = "lang", textCol: String = "text",
+      windowDur: String = "10 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val TF = graft.functions.TextFunctions
+    val (wl, lab) = graft.ops.ClassifierOps.nbModel(train, labelCol, textCol)
+    // labels-sized constants to the driver at stream setup (static side)
+    val labArr = lab.orderBy(col("label")).collect()
+      .map(r => (r.getString(0), r.getDecimal(1), r.getDecimal(2)))
+    require(labArr.nonEmpty, "nbScoreStream: empty training set (no labels)")
+    val wordParts = docs
+      .withColumn("event_time", eventTime(docs))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("doc_id"), col("event_time"),
+        explode(TF.words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(wl, Seq("w")) // static; inner ⇒ OOV words drop (batch rule)
+      .select(Seq(col("doc_id"), col("event_time")) ++
+        labArr.zipWithIndex.map { case ((lbl, _, l0), i) =>
+          coalesce(element_at(col("m"), lit(lbl)), lit(l0)).as(s"p_$i")
+        }: _*)
+    val agged = wordParts
+      .groupBy(window(col("event_time"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        labArr.indices.map(i => sum(col(s"p_$i")).as(s"s_$i")): _*)
+    // stateless post-agg argmax: max score, tie → smallest label (labArr
+    // is label-sorted, so larger -i ⇔ earlier label)
+    val structs = labArr.zipWithIndex.map { case ((_, prior, _), i) =>
+      struct((col(s"s_$i") + lit(prior)).cast("decimal(28,6)").as("score"),
+        lit(-i).as("ni"))
+    }
+    val best = if (structs.length == 1) structs.head else greatest(structs: _*)
+    val withBest = agged.withColumn("b", best)
+    val pred = labArr.zipWithIndex.tail
+      .foldLeft(when(col("b.ni") === 0, labArr.head._1)) {
+        case (acc, ((lbl, _, _), i)) => acc.when(col("b.ni") === -i, lbl)
+      }
+    withBest.select(col("window"), col("doc_id"), col("n_tokens"),
+      pred.as("pred_label"), col("b.score").as("score"))
+  }
+
   /** Streaming BPE encode — ingest-time tokenization under a FIXED,
     * pre-trained merge table and id vocabulary (the train-once /
     * tokenize-forever contract: [[graft.ops.BpeOps.train]] +

@@ -331,6 +331,29 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(sa - exp) < 1e-5, s"$sa vs $exp")
   }
 
+  test("CorpusOps.lmScoreApply: OOV floor hand-checked; self-apply equals lmScore digit-for-digit") {
+    val train = Seq(1L -> "a a b").toDF("doc_id", "text")
+    val target = Seq(9L -> "a c").toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps
+      .lmScoreApply(target, graft.ops.CorpusOps.unigramCounts(train))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 2L) // n_tokens counts OOV words too
+    // counts: a→2, b→1; N=3, V=2 ⇒ lpw(a)=ln(3/5), lpw(c OOV)=ln(1/5)
+    val exp = (math.log(3.0 / 5) + math.log(1.0 / 5)) / 2
+    assert(math.abs(out.head.getDouble(2) - exp) < 2e-4, out.head.toString)
+    // applying a corpus's own counts to itself IS lmScore (every word
+    // in-vocab ⇒ the coalesce path never fires, same smoothing consts)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val self = graft.ops.CorpusOps
+      .lmScoreApply(docs, graft.ops.CorpusOps.unigramCounts(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val lm = graft.ops.CorpusOps.lmScore(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(self == lm)
+  }
+
   test("CorpusOps.weightedSample: exact k per group, rank order, huge-weight row always wins, partitioning-invariant") {
     val rows = (1L to 30L).map(i =>
       (if (i <= 20) "en" else "de", i, 100.0 + i)) :+ (("en", 999L, 1e12))

@@ -490,6 +490,53 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static NB classifier scoring matches batch nbScores/nbPredict digit-for-digit") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (1L, "s", "win money money now"),
+      (2L, "s", "win prize money"),
+      (3L, "h", "meeting notes today"),
+      (4L, "h", "notes review meeting agenda")).toDF("doc_id", "lang", "text")
+    val testCorpus = Seq(
+      10L -> "money win win",
+      11L -> "meeting review notes",
+      12L -> "zzz qqq") // all-OOV: must drop in BOTH paths
+    val testDf = testCorpus.toDF("doc_id", "text")
+    val batchScores = graft.ops.ClassifierOps.nbScores(train, testDf)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => r.getString(1) -> r.getDecimal(2).doubleValue()).toMap
+      }
+    val batchPred = graft.ops.ClassifierOps.nbPredict(train, testDf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val input = MemoryStream[(Long, String, Long)]
+    val out = EventStreams.nbScoreStream(
+      input.toDF().toDF("doc_id", "text", "ts"), train,
+      windowDur = "1 hour", watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("nb_stream_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val B = H
+      input.addData(testCorpus.map { case (id, t) => (id, t, B + id) }: _*)
+      q.processAllAvailable()
+      input.addData((99L, "win", B + 10 * H)) // watermark advancer (in-vocab)
+      q.processAllAvailable()
+      val got = spark.table("nb_stream_test")
+        .filter(col("doc_id") < 90)
+        .select("doc_id", "pred_label", "score").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDecimal(2).doubleValue())))
+        .toMap
+      assert(got.keySet == Set(10L, 11L), s"OOV-only doc must drop: $got")
+      for ((id, (pred, score)) <- got) {
+        assert(pred == batchPred(id), s"doc $id: stream $pred vs batch ${batchPred(id)}")
+        assert(math.abs(score - batchScores(id)(pred)) < 1e-9,
+          s"doc $id: stream score $score vs batch ${batchScores(id)(pred)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming BPE encode replay equals the batch x68 encode; out-of-alphabet text emits unkId") {
     import graft.ops.BpeOps
     import org.apache.spark.sql.functions._
