@@ -1294,6 +1294,33 @@ object ExtensionQueries {
       graft.ops.CorpusOps.unigramCounts(all.filter(col("doc_id") % 5 =!= 0)))
   }
 
+  /** Multi-signal fused dedup — what production pipelines actually run:
+    * no single signal catches everything (MinHash misses paraphrases,
+    * embeddings miss verbatim-but-reordered), so the TEXT edge set
+    * (x07's LSH-verified pairs) and the EMBEDDING edge set (x22's
+    * IVF-verified cosine pairs, [[graft.ops.VectorOps.ivfPairs]]) are
+    * UNIONED into one graph, components resolved once, one canonical
+    * per fused cluster (x41's decision). A doc caught by either signal
+    * joins the cluster — and transitive chains may cross signals (text
+    * edge a–b, embedding edge b–c ⇒ one cluster {a,b,c}).
+    *
+    * 100 TB shape: both edge generators are the already-measured
+    * scale paths (equi band/cell joins); the union is edge-grain;
+    * components + decision are x36/x41's bounded-round machinery.
+    * Embedding ids and doc ids share the key space (the fixture's
+    * vec_id ≡ doc_id contract, as x31's hydration join uses). */
+  private val x75_fused_dedup: QFn = (s, d) => {
+    val textPairs = graft.ops.TextDedup.minhashLshPairs(docsR(s, d),
+      shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.8)
+      .select(col("a_id"), col("b_id"))
+    val embPairs = graft.ops.VectorOps
+      .ivfPairs(ivfCells(embs(s, d), nprobe = IvfProbe), threshold = 0.45)
+      .select(col("a_id"), col("b_id"))
+    val edges = textPairs.unionByName(embPairs).distinct()
+    graft.ops.CorpusOps.clusterDedupDecision(
+      graft.ops.GraphOps.connectedComponents(edges))
+  }
+
   /** Ingest-time dedup against the LIVE corpus — the composition an
     * incremental crawl pipeline runs on every batch: existing corpus =
     * MVCC snapshot of the committed log (x17 semantics); incoming batch
@@ -1725,6 +1752,7 @@ object ExtensionQueries {
     "x72_nb_classifier" -> x72_nb_classifier,
     "x73_weighted_sample" -> x73_weighted_sample,
     "x74_lm_apply" -> x74_lm_apply,
+    "x75_fused_dedup" -> x75_fused_dedup,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1813,6 +1841,40 @@ object ExtensionQueries {
        |  FROM (
        |${x36Oracle}
        |) WHERE doc_id <> cluster_id""".stripMargin
+
+  // x75: x07's text pair set UNION x22's embedding pair set (same CTEs,
+  // pair grain instead of the decision groupBy), one transitive closure
+  // over the fused edges, x41's decision shape.
+  private lazy val x75Oracle: String =
+    s"""WITH RECURSIVE tp AS (
+       |${oracles("x07_minhash_lsh_pairs")}
+       |),
+       |ec AS (
+       |  WITH cent AS (SELECT vec_id AS c_id, embedding AS c_e
+       |                  FROM embeddings WHERE vec_id < 16),
+       |  asg AS (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |               ORDER BY ${COS("e.embedding", "c.c_e")} DESC, c.c_id ASC) AS rn
+       |      FROM embeddings e CROSS JOIN cent c),
+       |  cells AS (SELECT vec_id, embedding, c_id AS cell FROM asg WHERE rn <= 6)
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |    FROM cells a JOIN cells b
+       |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |   WHERE round(${COS("a.embedding", "b.embedding")}, 6) >= 0.45),
+       |pairs AS (SELECT a_id, b_id FROM tp UNION SELECT a_id, b_id FROM ec),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+       |lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+       |          FROM reach GROUP BY node)
+       |SELECT drop_id, canonical_id, n_members FROM (
+       |  SELECT doc_id AS drop_id, cluster_id AS canonical_id,
+       |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |    FROM lab) WHERE drop_id <> canonical_id""".stripMargin
 
   // x48/x71 shared: the SAME two Lloyd's rounds the Spark trainer runs,
   // unrolled as a CTE chain ending in `cells` (vec_id, embedding, cell)
@@ -2062,6 +2124,7 @@ object ExtensionQueries {
       "x48_ann_trained" -> x48Oracle,
       "x71_semdedup" -> x71Oracle,
       "x72_nb_classifier" -> x72Oracle,
+      "x75_fused_dedup" -> x75Oracle,
       "x62_bpe_pack" -> x62Oracle,
       "x62a_bpe_merges" -> x62aOracle,
       "x68_bpe_encode" -> x68Oracle,

@@ -223,7 +223,12 @@ object ScaleCheck {
         // x71: SemDeDup — training + Σ cell² candidate work both grow
         // with the corpus (fixture-pinned k=16, same caveat as x22;
         // the library rule is k ~ sqrt(n) via suggestK)
-        "x71_semdedup")) {
+        "x71_semdedup",
+        // x75: fused text+embedding dedup — BOTH corpora are D× at this
+        // point (docs replicated above); edge volume grows like its two
+        // generators (x07 ~linear, x22's fixed-k quadratic caveat), and
+        // cluster merges across replicas stress the component rounds
+        "x75_fused_dedup")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)

@@ -126,16 +126,24 @@ object VectorOps {
     * exact-cosine verify ≥ `threshold` → drop any vector with a
     * lower-id verified near-dup. Output: (drop_id, canonical_id,
     * n_dups). */
-  def ivfDedupDecision(cells: DataFrame, threshold: Double): DataFrame = {
-    val pairs = cells.as("a").join(cells.as("b").hint("shuffle_hash"),
+  def ivfDedupDecision(cells: DataFrame, threshold: Double): DataFrame =
+    ivfPairs(cells, threshold)
+      .groupBy(col("b_id").as("drop_id"))
+      .agg(min(col("a_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** The candidate-generation + verify half of [[ivfDedupDecision]] as
+    * its own op: verified near-dup PAIRS (a_id < b_id, exact cosine ≥
+    * `threshold`) from an [[ivfCells]] assignment — the edge set that
+    * feeds graph-based canonicalization ([[GraphOps
+    * .connectedComponents]]) or multi-signal fusion (union with the
+    * text-LSH pair set). Output: (a_id, b_id, cos). */
+  def ivfPairs(cells: DataFrame, threshold: Double): DataFrame =
+    cells.as("a").join(cells.as("b").hint("shuffle_hash"),
       col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         round(VF.cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct() // a pair can share several probed cells
-    pairs.groupBy(col("b_id").as("drop_id"))
-      .agg(min(col("a_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
-  }
 
   /** In-cell cosine top-k per query vector over an assignment (from
     * [[ivfCells]] or any bucketing). `queryPred` restricts which

@@ -172,6 +172,22 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows("x22_embed_dedup_bucketed") == rows("x19_embed_dedup"))
   }
 
+  test("x75 fused drop set ⊇ x41 text drops ∪ x22 embedding drops (merging clusters never un-drops)") {
+    // provable from the min-label rule: a node dropped by either signal
+    // has a lower-id node in its fused component, so the fused component
+    // min is below it and it stays dropped; fusion only MERGES clusters.
+    val fusedDrops = SparkEntry.queries("x75_fused_dedup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val textDrops = SparkEntry.queries("x41_cluster_decision")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val embDrops = SparkEntry.queries("x22_embed_dedup_bucketed")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(textDrops.subsetOf(fusedDrops),
+      s"missing text drops: ${textDrops -- fusedDrops}")
+    assert(embDrops.subsetOf(fusedDrops),
+      s"missing embedding drops: ${embDrops -- fusedDrops}")
+  }
+
   test("x23 banded simhash pairs ⊇ x09 lang-blocked pairs (pigeonhole: no true pair lost)") {
     val banded = rows("x23_simhash_banded")
     val blocked = rows("x09_simhash_pairs")

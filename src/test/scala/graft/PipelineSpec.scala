@@ -111,6 +111,51 @@ class PipelineSpec extends SparkTestBase {
       "bloom and exact decontamination must agree on a composed pool")
   }
 
+  test("curation pipeline v3: trained NB gate -> held-out LM floor -> exact-quota weighted sample composes deterministically") {
+    val docs = Catalog(spark, sf).table("documents")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val cand = docs.filter(col("doc_id") % 5 === 0)
+
+    // 1. trained-classifier gate (x72's model): keep candidates whose
+    //    predicted label agrees with the declared one — the trained
+    //    upgrade of x20's heuristic-langid gate
+    val pred = graft.ops.ClassifierOps.nbPredict(train, cand)
+    val gated = cand.join(pred, Seq("doc_id"))
+      .filter(col("pred_label") === col("lang"))
+    val candIds = cand.select("doc_id").collect().map(_.getLong(0)).toSet
+    val gatedIds = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gatedIds.nonEmpty && gatedIds.subsetOf(candIds))
+    assert(gatedIds.size < candIds.size, "gate must reject something")
+
+    // 2. held-out LM floor (x74's op): score the gated pool under the
+    //    TRAIN corpus's LM, keep docs at or above the pool mean —
+    //    relative floor, so the stage is corpus-independent
+    val scored = CorpusOps.lmScoreApply(gated, CorpusOps.unigramCounts(train))
+    val mean = scored.agg(avg(col("avg_logp"))).head.getDouble(0)
+    val kept = scored.filter(col("avg_logp") >= mean)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty && keptIds.subsetOf(gatedIds))
+    assert(keptIds.size < gatedIds.size, "floor must reject something")
+
+    // 3. exact per-language quota over the kept pool (x73's op):
+    //    exactly min(k, available) per language, and a re-run is
+    //    identical (the whole pipeline is a pure function of the corpus)
+    val pool = docs.join(kept.select("doc_id"), Seq("doc_id"))
+    def sampleIds() = CorpusOps.weightedSample(pool, k = 5,
+      weightCol = "n_chars").select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val s1 = sampleIds()
+    assert(s1 == sampleIds(), "pipeline must be deterministic end to end")
+    val avail = pool.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    avail.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0) == math.min(5L, n),
+        s"$lang: quota ${got.get(lang)} vs available $n")
+    }
+    assert(s1.map(_._2).subsetOf(keptIds), "no resurrected docs")
+  }
+
   test("lmScores scan-amplification audit: composed unigram+bigram scoring reads the corpus once") {
     val sc = spark.sparkContext
     val docs = Catalog(spark, sf).table("documents")

@@ -334,6 +334,8 @@ class PlanAuditSpec extends SparkTestBase {
       "x51_lm_score",           // 1-row corpus-scalars (N, vocab) broadcast
       "x59_bigram_lm",          // 1-row vocab scalar broadcast (as x51)
       "x61_lm_scores",          // composed x51+x59: same 1-row scalar broadcasts
+      "x74_lm_apply",           // same 1-row (N, vocab) smoothing-constants
+                                // broadcast as x51, over the trained counts
       "x22_embed_dedup_bucketed", // 16-row broadcast centroid assignment
       "x28_ann_recall",         // exact evaluation side is brute force
       "x30_kmeans_step",        // 16-row broadcast centroid assignment
@@ -342,6 +344,8 @@ class PlanAuditSpec extends SparkTestBase {
                                 // (trained centroids; search join is equi)
       "x71_semdedup",           // 16-row broadcast centroid assignment
                                 // (trained centroids; pair join is equi)
+      "x75_fused_dedup",        // 16-row broadcast centroid assignment
+                                // (embedding edge gen; band/cell joins equi)
       "x67_knn_label_ivf",      // 16-row broadcast centroid assignment
                                 // (candidate + label joins are equi)
       "x32_ingest_dedup",       // MVCC committed-set semi-join through the
