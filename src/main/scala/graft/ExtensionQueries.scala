@@ -1321,6 +1321,26 @@ object ExtensionQueries {
       graft.ops.GraphOps.connectedComponents(edges))
   }
 
+  /** End-to-end TRAINED-gate curation — x64's untrained pipeline with
+    * the model in the loop: train the NB classifier on the 4/5 split
+    * (x72's model), keep held-out docs whose PREDICTED label agrees
+    * with the declared one (the trained upgrade of x20's heuristic
+    * langid gate), then fill an exact per-language quota by weighted
+    * sampling (x73's op). Training, prediction, the gate, AND the
+    * quota draw are all hash-checked in one oracle — the whole
+    * model-gated pipeline is reproducible, not just its stages.
+    * PipelineSpec's v3 adds the LM-floor stage spec-side. */
+  private val x76_curate_trained: QFn = (s, d) => {
+    val all = docsR(s, d)
+    val train = all.filter(col("doc_id") % 5 =!= 0)
+    val test = all.filter(col("doc_id") % 5 === 0)
+    val gated = test
+      .join(graft.ops.ClassifierOps.nbPredict(train, test), Seq("doc_id"))
+      .filter(col("pred_label") === col("lang"))
+    graft.ops.CorpusOps.weightedSample(gated, k = 10,
+      weightCol = "n_chars", salt = "curate76")
+  }
+
   /** Ingest-time dedup against the LIVE corpus — the composition an
     * incremental crawl pipeline runs on every batch: existing corpus =
     * MVCC snapshot of the committed log (x17 semantics); incoming batch
@@ -1753,6 +1773,7 @@ object ExtensionQueries {
     "x73_weighted_sample" -> x73_weighted_sample,
     "x74_lm_apply" -> x74_lm_apply,
     "x75_fused_dedup" -> x75_fused_dedup,
+    "x76_curate_trained" -> x76_curate_trained,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1947,11 +1968,12 @@ object ExtensionQueries {
        |                            ORDER BY a_cq ASC, a_id ASC) AS rn
        |    FROM pairs WHERE cos >= 0.35) WHERE rn = 1""".stripMargin
 
-  // x72: the same NB model — (label, word) Laplace counts, DECIMAL(18,6)
-  // quantized log-probs, exact-decimal score sums, (score desc, label
-  // asc) argmax — replayed end-to-end in SQL.
-  private lazy val x72Oracle: String =
-    s"""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+  // x72/x76 shared: the NB model — (label, word) Laplace counts,
+  // DECIMAL(18,6) quantized log-probs, exact-decimal score sums,
+  // (score desc, label asc) argmax — replayed end-to-end in SQL,
+  // ending in `pr` (doc_id, pred_label) over the held-out split.
+  private lazy val x72Ctes: String =
+    s"""tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
        |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
        |trw AS (SELECT label, w, count(*) AS cnt
        |          FROM (SELECT lang AS label,
@@ -1984,10 +2006,31 @@ object ExtensionQueries {
        |        GROUP BY 1, 2),
        |pr AS (SELECT doc_id, label AS pred_label FROM sc
        |       QUALIFY row_number() OVER (PARTITION BY doc_id
-       |                ORDER BY score DESC, label ASC) = 1)
+       |                ORDER BY score DESC, label ASC) = 1)""".stripMargin
+
+  private lazy val x72Oracle: String =
+    s"""WITH $x72Ctes
        |SELECT te.lang, pr.pred_label, count(*) AS n_docs
        |  FROM pr JOIN te USING (doc_id)
        | GROUP BY 1, 2""".stripMargin
+
+  // x76: x72's prediction CTEs → agree-gate → x73's ES quota draw.
+  private lazy val x76Oracle: String =
+    s"""WITH $x72Ctes,
+       |gated AS (SELECT te.doc_id, te.lang, d.n_chars
+       |            FROM pr JOIN te USING (doc_id)
+       |            JOIN documents d USING (doc_id)
+       |           WHERE pr.pred_label = te.lang),
+       |skeys AS (SELECT lang, doc_id, n_chars,
+       |                 round(ln(((${H60("'curate76|'||doc_id::VARCHAR")}
+       |                            % 1048576) + 1)::DOUBLE / 1048577.0)
+       |                       / n_chars::DOUBLE, 6) AS skey
+       |            FROM gated)
+       |SELECT lang, doc_id, n_chars, skey, rnk FROM (
+       |  SELECT lang, doc_id, n_chars, skey,
+       |         row_number() OVER (PARTITION BY lang
+       |             ORDER BY skey DESC, doc_id ASC) AS rnk
+       |    FROM skeys) WHERE rnk <= 10""".stripMargin
 
   // x62: the SAME X62Merges training rounds the Spark side runs,
   // unrolled as a MATERIALIZED-CTE chain (inlining would re-expand the
@@ -2125,6 +2168,7 @@ object ExtensionQueries {
       "x71_semdedup" -> x71Oracle,
       "x72_nb_classifier" -> x72Oracle,
       "x75_fused_dedup" -> x75Oracle,
+      "x76_curate_trained" -> x76Oracle,
       "x62_bpe_pack" -> x62Oracle,
       "x62a_bpe_merges" -> x62aOracle,
       "x68_bpe_encode" -> x68Oracle,

@@ -352,6 +352,8 @@ class PlanAuditSpec extends SparkTestBase {
                                 // union, as x17
       "x72_nb_classifier",      // labels-/1-row-scalar broadcasts (priors,
                                 // vocab size); word+doc joins are equi
+      "x76_curate_trained",     // same broadcasts via the x72 model; gate
+                                // and quota stages are equi/window-only
       "x54_mix_sample",         // 1-row n_min broadcast scalar
       "x69_token_mix",          // same 1-row scalar (weighted n_min)
       "x64_curate",             // same 1-row n_min scalar via temperatureSample
