@@ -2024,7 +2024,7 @@ object ExtensionQueries {
        |skeys AS (SELECT lang, doc_id, n_chars,
        |                 round(ln(((${H60("'curate76|'||doc_id::VARCHAR")}
        |                            % 1048576) + 1)::DOUBLE / 1048577.0)
-       |                       / n_chars::DOUBLE, 6) AS skey
+       |                       / n_chars::DOUBLE, 6) + 0.0 AS skey
        |            FROM gated)
        |SELECT lang, doc_id, n_chars, skey, rnk FROM (
        |  SELECT lang, doc_id, n_chars, skey,
@@ -2636,7 +2636,7 @@ object ExtensionQueries {
          |    FROM (SELECT lang, doc_id, n_chars,
          |                 round(ln(((${H60("'wsample|'||doc_id::VARCHAR")}
          |                            % 1048576) + 1)::DOUBLE / 1048577.0)
-         |                       / n_chars::DOUBLE, 6) AS skey
+         |                       / n_chars::DOUBLE, 6) + 0.0 AS skey
          |            FROM documents))
          | WHERE rnk <= 25""".stripMargin,
     "x74_lm_apply" ->

@@ -611,8 +611,13 @@ object CorpusOps {
       .cast("double") / (m + 1).toDouble
     val byGroup = Window.partitionBy(groupCol)
       .orderBy(col("skey").desc, col(idCol).asc)
+    // + 0.0 normalizes IEEE -0.0 → 0.0: a huge weight drives the key
+    // to a tiny negative that can round to negative zero in one engine
+    // and positive zero in another (same ordering, different repr —
+    // observed at sf0.1); the addition is value-identical otherwise
     docs.select(col(groupCol), col(idCol), col(weightCol),
-        round(log(u) / col(weightCol).cast("double"), 6).as("skey"))
+        (round(log(u) / col(weightCol).cast("double"), 6) + lit(0.0))
+          .as("skey"))
       .withColumn("rnk", row_number().over(byGroup))
       .filter(col("rnk") <= k)
   }
