@@ -1330,6 +1330,15 @@ object ExtensionQueries {
     * quota draw are all hash-checked in one oracle — the whole
     * model-gated pipeline is reproducible, not just its stages.
     * PipelineSpec's v3 adds the LM-floor stage spec-side. */
+  /** Content-addressed shard manifest ([[graft.ops.CorpusOps
+    * .shardManifest]]) — the release-audit artifact: per deterministic
+    * shard, row count + two order-insensitive content fingerprints
+    * (exact decimal sum and XOR of the per-row (id, content) hash).
+    * The oracle recomputing the identical manifest IS the op's use
+    * case: an independent engine verifying a dataset copy. */
+  private val x77_shard_manifest: QFn = (s, d) =>
+    graft.ops.CorpusOps.shardManifest(docs(s, d), nShards = 16)
+
   private val x76_curate_trained: QFn = (s, d) => {
     val all = docsR(s, d)
     val train = all.filter(col("doc_id") % 5 =!= 0)
@@ -1774,6 +1783,7 @@ object ExtensionQueries {
     "x74_lm_apply" -> x74_lm_apply,
     "x75_fused_dedup" -> x75_fused_dedup,
     "x76_curate_trained" -> x76_curate_trained,
+    "x77_shard_manifest" -> x77_shard_manifest,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2764,6 +2774,14 @@ object ExtensionQueries {
          |       round(max(CASE WHEN rn = 1 THEN cnt END)::DOUBLE / sum(cnt), 4)
          |         AS top_frac
          |  FROM r GROUP BY doc_id""".stripMargin,
+    "x77_shard_manifest" ->
+      s"""WITH t AS (SELECT ${H60("'shuf|ep1|'||doc_id::VARCHAR")} % 16 AS shard,
+         |             ${H60(s"'manifest|'||doc_id::VARCHAR||'|'||$NT")} AS fp
+         |             FROM documents)
+         |SELECT shard, count(*)::BIGINT AS n_docs,
+         |       sum(fp)::DECIMAL(38,0) AS fp_sum,
+         |       bit_xor(fp) AS fp_xor
+         |  FROM t GROUP BY shard""".stripMargin,
     "x40_shuffle_shard" ->
       s"""WITH t AS (SELECT doc_id,
          |             ${H60("'shuf|ep1|'||doc_id::VARCHAR")} AS h

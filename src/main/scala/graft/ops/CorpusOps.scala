@@ -236,6 +236,35 @@ object CorpusOps {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Content-addressed shard manifest — the release-audit artifact a
+    * dataset publisher ships next to the data (and a consumer recomputes
+    * to verify a copy): per shard ([[epochShuffle]]'s deterministic
+    * hash sharding), the row count and two ORDER-INSENSITIVE content
+    * fingerprints — the exact decimal sum and the XOR of a per-row
+    * hash binding (id, normalized content). Any dropped, duplicated,
+    * re-idded, or edited row moves at least one of the three numbers;
+    * order-insensitivity means the manifest is a pure function of the
+    * row SET, stable across partitionings, engines, and rewrites.
+    *
+    * 100 TB shape: one map-side fingerprint pass + a shards-sized hash
+    * aggregate (map-side partial combine) — the corpus is scanned once
+    * and never shuffled beyond nShards-row partials. The sum rides
+    * DECIMAL(38,0) so it is exact (no long overflow, no ANSI throw) up
+    * to ~10^19 rows. Output: (shard, n_docs, fp_sum, fp_xor). */
+  def shardManifest(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", nShards: Int = 8,
+      epoch: Int = 1): DataFrame = {
+    val h = TF.hash60(col(idCol).cast("string"), s"shuf|ep$epoch|")
+    val fp = TF.hash60(
+      concat(col(idCol).cast("string"), lit("|"), TF.normText(col(textCol))),
+      "manifest|")
+    docs.select((h % nShards).as("shard"), fp.as("fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fp").cast("decimal(38,0)")).as("fp_sum"),
+        expr("bit_xor(fp)").as("fp_xor"))
+  }
+
   /** Cluster-level keep/drop decision: from [[GraphOps
     * .connectedComponents]] labels, drop every member that is not its
     * cluster's canonical (minimum) id. Unlike the pairwise

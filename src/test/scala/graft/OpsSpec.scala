@@ -354,6 +354,31 @@ class OpsSpec extends SparkTestBase {
     assert(self == lm)
   }
 
+  test("CorpusOps.shardManifest: detects edit/drop/duplicate, partitioning-invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.CorpusOps.shardManifest(df, nShards = 4)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDecimal(2), r.getLong(3)))).toMap
+    val base = m(docs)
+    assert(m(docs.repartition(7)) == base, "manifest must be order-insensitive")
+    // single-character edit in one row: counts hold, fingerprints move
+    val edited = m(docs.withColumn("text",
+      when(col("doc_id") === 3L, concat(col("text"), lit("x")))
+        .otherwise(col("text"))))
+    assert(edited.mapValues(_._1).toMap == base.mapValues(_._1).toMap)
+    assert(edited != base, "content edit must move a fingerprint")
+    // dropped row: that shard's count and fingerprints move
+    val dropped = m(docs.filter(col("doc_id") =!= 3L))
+    assert(dropped != base, "dropped row must move the manifest")
+    // duplicated row (same id + content twice): XOR cancels, but the
+    // count and the sum still catch it — the reason the manifest
+    // carries all three
+    val dup = m(docs.unionAll(docs.filter(col("doc_id") === 3L)))
+    assert(dup != base, "duplicated row must move count and sum")
+  }
+
   test("CorpusOps.weightedSample: exact k per group, rank order, huge-weight row always wins, partitioning-invariant") {
     val rows = (1L to 30L).map(i =>
       (if (i <= 20) "en" else "de", i, 100.0 + i)) :+ (("en", 999L, 1e12))
