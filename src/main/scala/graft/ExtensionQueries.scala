@@ -1330,6 +1330,30 @@ object ExtensionQueries {
     * quota draw are all hash-checked in one oracle — the whole
     * model-gated pipeline is reproducible, not just its stages.
     * PipelineSpec's v3 adds the LM-floor stage spec-side. */
+  /** Tokenizer-efficiency audit — the fertility/compression report a
+    * tokenizer owner publishes per corpus slice: under the SAME trained
+    * BPE layout x62/x68 use, per (lang, source) with ROLLUP subtotals:
+    * doc/char/word/subword mass and chars-per-BPE-token (the
+    * compression ratio; low outliers flag slices the vocabulary serves
+    * poorly — the retrain signal). Replay runs once per DISTINCT word
+    * ([[graft.ops.BpeOps.tokenCounts]]); the rollup is groups-sized.
+    * The oracle replays the identical 16 training rounds (x62's CTE
+    * chain), so the audit numbers are hash-checked end to end. */
+  private val x78_tokenizer_audit: QFn = (s, d) => {
+    val merges = graft.ops.BpeOps.readMerges(s,
+      Catalog(s, x62MergesDir(s, d)).path("bpe_merges"))
+    graft.ops.BpeOps.tokenCounts(docsR(s, d), merges)
+      .join(docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars")), Seq("doc_id"))
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe"),
+        round(sum(col("n_chars")).cast("double") /
+          sum(col("n_bpe")).cast("double"), 4).as("chars_per_token"))
+  }
+
   /** Content-addressed shard manifest ([[graft.ops.CorpusOps
     * .shardManifest]]) — the release-audit artifact: per deterministic
     * shard, row count + two order-insensitive content fingerprints
@@ -1784,6 +1808,7 @@ object ExtensionQueries {
     "x75_fused_dedup" -> x75_fused_dedup,
     "x76_curate_trained" -> x76_curate_trained,
     "x77_shard_manifest" -> x77_shard_manifest,
+    "x78_tokenizer_audit" -> x78_tokenizer_audit,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2105,6 +2130,29 @@ object ExtensionQueries {
        |       (start_tok + nt - 1) // 256 - start_tok // 256 + 1 AS n_seqs
        |  FROM c""".stripMargin
 
+  // x78: the same unrolled training rounds + x62's per-doc replay join,
+  // rolled up per (lang, source) with the documents metadata.
+  private lazy val x78Oracle: String =
+    s"""WITH $x62Ctes,
+       |pdw AS MATERIALIZED (
+       |  SELECT doc_id, w, count(*)::BIGINT AS n
+       |    FROM (SELECT doc_id, unnest(string_split($NT,' ')) AS w
+       |            FROM documents)
+       |   WHERE length(w) > 0 GROUP BY 1, 2),
+       |dc AS (
+       |  SELECT doc_id, sum(n)::BIGINT AS n_words,
+       |         sum(n * len(f.syms))::BIGINT AS n_bpe
+       |    FROM pdw JOIN w$X62Merges f USING (w) GROUP BY doc_id),
+       |j AS (SELECT d.lang, d.source, d.n_chars, c.n_words, c.n_bpe
+       |        FROM dc c JOIN documents d USING (doc_id))
+       |SELECT lang, source, count(*)::BIGINT AS n_docs,
+       |       sum(n_chars)::BIGINT AS n_chars,
+       |       sum(n_words)::BIGINT AS n_words,
+       |       sum(n_bpe)::BIGINT AS n_bpe,
+       |       round(sum(n_chars)::DOUBLE / sum(n_bpe)::DOUBLE, 4)
+       |         AS chars_per_token
+       |  FROM j GROUP BY ROLLUP(lang, source)""".stripMargin
+
   // x68: the same unrolled training rounds, then the FULL encode —
   // vocabulary ids rebuilt from scratch (base = distinct code points of
   // the training vocab in binary order == the Spark side's code-point
@@ -2182,6 +2230,7 @@ object ExtensionQueries {
       "x62_bpe_pack" -> x62Oracle,
       "x62a_bpe_merges" -> x62aOracle,
       "x68_bpe_encode" -> x68Oracle,
+      "x78_tokenizer_audit" -> x78Oracle,
       "x67_knn_label_ivf" -> x67Oracle,
       "x33_text_dedup_decision" -> x33Oracle,
       "x34_simhash_dedup_decision" -> x34Oracle,
