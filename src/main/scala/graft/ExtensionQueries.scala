@@ -1363,6 +1363,21 @@ object ExtensionQueries {
   private val x77_shard_manifest: QFn = (s, d) =>
     graft.ops.CorpusOps.shardManifest(docs(s, d), nShards = 16)
 
+  /** Manifest DIFF ([[graft.ops.CorpusOps.manifestDiff]]) — the
+    * incremental-reprocessing trigger: between corpus v1 (as shipped)
+    * and a deterministic v2 (drop every 97th doc, edit every 89th),
+    * report exactly the shards whose content moved. Downstream jobs
+    * re-run on those shards only. Changed-shard detection is
+    * hash-checked: the oracle recomputes both manifests and the same
+    * three-way comparison. */
+  private val x79_manifest_diff: QFn = (s, d) => {
+    val v1 = docs(s, d)
+    val v2 = v1.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text", when(col("doc_id") % 89 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    graft.ops.CorpusOps.manifestDiff(v1, v2, nShards = 16)
+  }
+
   private val x76_curate_trained: QFn = (s, d) => {
     val all = docsR(s, d)
     val train = all.filter(col("doc_id") % 5 =!= 0)
@@ -1809,6 +1824,7 @@ object ExtensionQueries {
     "x76_curate_trained" -> x76_curate_trained,
     "x77_shard_manifest" -> x77_shard_manifest,
     "x78_tokenizer_audit" -> x78_tokenizer_audit,
+    "x79_manifest_diff" -> x79_manifest_diff,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2831,6 +2847,30 @@ object ExtensionQueries {
          |       sum(fp)::DECIMAL(38,0) AS fp_sum,
          |       bit_xor(fp) AS fp_xor
          |  FROM t GROUP BY shard""".stripMargin,
+    "x79_manifest_diff" ->
+      s"""WITH v1 AS (SELECT ${H60("'shuf|ep1|'||doc_id::VARCHAR")} % 16 AS shard,
+         |             ${H60(s"'manifest|'||doc_id::VARCHAR||'|'||$NT")} AS fp
+         |             FROM documents),
+         |m1 AS (SELECT shard, count(*)::BIGINT AS n_docs,
+         |              sum(fp)::DECIMAL(38,0) AS s, bit_xor(fp) AS x
+         |         FROM v1 GROUP BY shard),
+         |d2 AS (SELECT doc_id,
+         |              CASE WHEN doc_id % 89 = 0 THEN text || ' v2'
+         |                   ELSE text END AS text
+         |         FROM documents WHERE doc_id % 97 <> 0),
+         |v2 AS (SELECT ${H60("'shuf|ep1|'||doc_id::VARCHAR")} % 16 AS shard,
+         |             ${H60(s"'manifest|'||doc_id::VARCHAR||'|'||$NT")} AS fp
+         |             FROM d2),
+         |m2 AS (SELECT shard, count(*)::BIGINT AS n_docs,
+         |              sum(fp)::DECIMAL(38,0) AS s, bit_xor(fp) AS x
+         |         FROM v2 GROUP BY shard)
+         |SELECT coalesce(m1.shard, m2.shard) AS shard,
+         |       coalesce(m1.n_docs, 0)::BIGINT AS n_docs_a,
+         |       coalesce(m2.n_docs, 0)::BIGINT AS n_docs_b
+         |  FROM m1 FULL OUTER JOIN m2 ON m1.shard = m2.shard
+         | WHERE NOT (m1.n_docs IS NOT DISTINCT FROM m2.n_docs
+         |        AND m1.s IS NOT DISTINCT FROM m2.s
+         |        AND m1.x IS NOT DISTINCT FROM m2.x)""".stripMargin,
     "x40_shuffle_shard" ->
       s"""WITH t AS (SELECT doc_id,
          |             ${H60("'shuf|ep1|'||doc_id::VARCHAR")} AS h

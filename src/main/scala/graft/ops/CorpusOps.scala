@@ -265,6 +265,31 @@ object CorpusOps {
         expr("bit_xor(fp)").as("fp_xor"))
   }
 
+  /** Diff of two corpus versions at shard granularity — compare
+    * [[shardManifest]]s and keep only shards where ANY of (count, sum,
+    * xor) moved: the change-detection step of incremental re-processing
+    * (re-dedup, re-score, re-publish only the shards that changed,
+    * skip the rest). Full-outer on the shard key, so shards present in
+    * only one version surface too (counts coalesce to 0). Output:
+    * (shard, n_docs_a, n_docs_b) for each differing shard.
+    *
+    * 100 TB shape: two manifest passes (each one scan + a shards-sized
+    * aggregate) and a shards-sized join — the diff itself costs
+    * nothing beyond the manifests. */
+  def manifestDiff(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", nShards: Int = 8,
+      epoch: Int = 1): DataFrame = {
+    val ma = shardManifest(a, idCol, textCol, nShards, epoch).as("a")
+    val mb = shardManifest(b, idCol, textCol, nShards, epoch).as("b")
+    ma.join(mb, col("a.shard") === col("b.shard"), "full_outer")
+      .filter(!(col("a.n_docs") <=> col("b.n_docs") &&
+        col("a.fp_sum") <=> col("b.fp_sum") &&
+        col("a.fp_xor") <=> col("b.fp_xor")))
+      .select(coalesce(col("a.shard"), col("b.shard")).as("shard"),
+        coalesce(col("a.n_docs"), lit(0L)).as("n_docs_a"),
+        coalesce(col("b.n_docs"), lit(0L)).as("n_docs_b"))
+  }
+
   /** Cluster-level keep/drop decision: from [[GraphOps
     * .connectedComponents]] labels, drop every member that is not its
     * cluster's canonical (minimum) id. Unlike the pairwise

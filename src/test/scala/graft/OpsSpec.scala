@@ -379,6 +379,20 @@ class OpsSpec extends SparkTestBase {
     assert(dup != base, "duplicated row must move count and sum")
   }
 
+  test("CorpusOps.manifestDiff: identical corpora diff empty; a one-row change flags exactly its shard") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    assert(graft.ops.CorpusOps.manifestDiff(docs, docs, nShards = 4).count() == 0L)
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 3L, concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+    val diff = graft.ops.CorpusOps.manifestDiff(docs, edited, nShards = 4)
+      .collect()
+    assert(diff.length == 1, diff.mkString)
+    // counts equal on an edit — only the fingerprints moved
+    assert(diff.head.getLong(1) == diff.head.getLong(2))
+  }
+
   test("CorpusOps.weightedSample: exact k per group, rank order, huge-weight row always wins, partitioning-invariant") {
     val rows = (1L to 30L).map(i =>
       (if (i <= 20) "en" else "de", i, 100.0 + i)) :+ (("en", 999L, 1e12))
