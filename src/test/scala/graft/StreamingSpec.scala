@@ -490,6 +490,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("shardManifest is streaming-maintainable as-is: incremental manifest equals the batch manifest") {
+    // the manifest aggregate is ALGEBRAIC (count/sum/xor are abelian),
+    // so the SAME op runs unchanged over a stream in Complete mode —
+    // nShards rows of state, no watermark needed. An ingest pipeline
+    // keeps the release manifest current for free.
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val expected = graft.ops.CorpusOps.shardManifest(docs, nShards = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2), r.getLong(3)))).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.CorpusOps
+      .shardManifest(input.toDF().toDF("doc_id", "text"), nShards = 4)
+      .writeStream.format("memory").queryName("manifest_stream_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+      val got = spark.table("manifest_stream_test")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDecimal(2), r.getLong(3)))).toMap
+      assert(got == expected,
+        s"incremental manifest diverged: got=$got expected=$expected")
+    } finally q.stop()
+  }
+
   test("stream-static NB classifier scoring matches batch nbScores/nbPredict digit-for-digit") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
