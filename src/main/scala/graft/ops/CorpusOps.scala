@@ -656,22 +656,30 @@ object CorpusOps {
     * map task forwards at most k rows per group — the exchange carries
     * O(groups·k·tasks), never the corpus. Output: (group, id, weight,
     * skey, rnk). */
+  /** The Efraimidis–Spirakis rank key ln(u)/w as a Column — shared by
+    * [[weightedSample]] and the streaming twin ([[graft.streaming
+    * .EventStreams.weightedSampleStream]]) so the draw can't drift
+    * between them. `+ 0.0` normalizes IEEE -0.0 → 0.0: a huge weight
+    * drives the key to a tiny negative that can round to negative zero
+    * in one engine and positive zero in another (same ordering —
+    * IEEE compares them equal — different value repr; observed at
+    * sf0.1); the addition is value-identical otherwise. */
+  private[graft] def esKey(idCol: String, weightCol: String,
+      salt: String): Column = {
+    val m = 1048576L
+    val u = (TF.hash60(col(idCol).cast("string"), s"$salt|") % m + 1)
+      .cast("double") / (m + 1).toDouble
+    round(log(u) / col(weightCol).cast("double"), 6) + lit(0.0)
+  }
+
   def weightedSample(docs: DataFrame, k: Int, weightCol: String,
       groupCol: String = "lang", idCol: String = "doc_id",
       salt: String = "wsample"): DataFrame = {
     require(k >= 1, s"k >= 1, got $k")
-    val m = 1048576L
-    val u = (TF.hash60(col(idCol).cast("string"), s"$salt|") % m + 1)
-      .cast("double") / (m + 1).toDouble
     val byGroup = Window.partitionBy(groupCol)
       .orderBy(col("skey").desc, col(idCol).asc)
-    // + 0.0 normalizes IEEE -0.0 → 0.0: a huge weight drives the key
-    // to a tiny negative that can round to negative zero in one engine
-    // and positive zero in another (same ordering, different repr —
-    // observed at sf0.1); the addition is value-identical otherwise
     docs.select(col(groupCol), col(idCol), col(weightCol),
-        (round(log(u) / col(weightCol).cast("double"), 6) + lit(0.0))
-          .as("skey"))
+        esKey(idCol, weightCol, salt).as("skey"))
       .withColumn("rnk", row_number().over(byGroup))
       .filter(col("rnk") <= k)
   }

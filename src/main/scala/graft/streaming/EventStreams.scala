@@ -564,6 +564,48 @@ object EventStreams {
           count(lit(1)).cast("double"), 4).as("avg_logp"))
   }
 
+  /** Streaming exact-quota weighted sampling — [[graft.ops.CorpusOps
+    * .weightedSample]]'s stateful twin: each group holds its current
+    * top-k rows by the SAME Efraimidis–Spirakis rank key (shared
+    * column builder, so batch and stream cannot drift), merged
+    * incrementally per micro-batch in `flatMapGroupsWithState`. The
+    * top-k selection under a total order is associative, so after any
+    * ingest order the state equals the batch draw over the union —
+    * StreamingSpec pins it. Each batch emits the group's CURRENT
+    * winners (Update mode; downstream keeps the latest per group).
+    *
+    * State: exactly k (skey, id, weight) triples per group — bounded
+    * by construction, no watermark needed (quota sampling has no
+    * event-time horizon; add a timeout upstream if groups churn).
+    * Output: (group, rnk, id, weight, skey). */
+  def weightedSampleStream(docs: DataFrame, k: Int, weightCol: String,
+      groupCol: String = "lang", idCol: String = "doc_id",
+      salt: String = "wsample"): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"),
+        col(weightCol).cast("double").as("w"),
+        graft.ops.CorpusOps.esKey(idCol, weightCol, salt).as("skey"))
+      .as[(String, Long, Double, Double)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Double, Long, Double)],
+          (String, Int, Long, Double, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g, rows, state) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+            rows.map(r => (r._4, r._2, r._3)))
+            .sortBy { case (skey, id, _) => (-skey, id) } // batch order
+            .take(k)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case ((skey, id, w), i) =>
+            (g, i + 1, id, w, skey)
+          }
+      }
+      .toDF(groupCol, "rnk", idCol, weightCol, "skey")
+  }
+
   /** Stream-static NB classifier scoring — ingest-time quality/domain
     * gating under a model trained ONCE on the batch side
     * ([[graft.ops.ClassifierOps.nbModel]]): each micro-batch joins its

@@ -417,6 +417,27 @@ class OpsSpec extends SparkTestBase {
     assert(again == got.map(r => (r.getString(0), r.getLong(1), r.getInt(4))).toSet)
   }
 
+  test("CorpusOps.weightedSample: selection frequency tracks weight across independent draws") {
+    // Efraimidis–Spirakis: P(select) increases with weight. 20 light
+    // (w=100) + 20 heavy (w=1000) docs in one group, k=8, 30 salts
+    // (independent deterministic draws): heavy docs must win clearly —
+    // in expectation they take ~7.4 of the 8 slots per draw; light
+    // exceeding 25% of picks would mean the weighting is broken.
+    val df = ((1L to 20L).map(i => ("g", i, 100.0)) ++
+      (21L to 40L).map(i => ("g", i, 1000.0))).toDF("lang", "doc_id", "wt")
+    var heavy = 0; var light = 0
+    for (s <- 1 to 30) {
+      graft.ops.CorpusOps
+        .weightedSample(df, k = 8, weightCol = "wt", salt = s"prop$s")
+        .collect().foreach { r =>
+          if (r.getLong(1) > 20L) heavy += 1 else light += 1
+        }
+    }
+    assert(heavy + light == 240)
+    assert(light < 60, s"light picks $light of 240 — weighting broken")
+    assert(heavy > 180, s"heavy picks $heavy of 240 — weighting broken")
+  }
+
   test("kmeansStep iterates: means feed back as centroids, assignment quality improves") {
     import org.apache.spark.sql.DataFrame
     import graft.functions.{VectorFunctions => VF}

@@ -520,6 +520,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming weighted sample: incremental per-group top-k equals the batch draw") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val real = for (g <- Seq("a", "b"); i <- 1 to 30)
+      yield (g, (if (g == "a") 0L else 100L) + i, 50.0 + i)
+    // trigger rows: valid but vanishingly small weight ⇒ key ≈ -∞ —
+    // they can never crack a full top-k, but they make every group
+    // re-emit its CURRENT winners in the final micro-batch
+    val trigger = Seq(("a", 900L, 1e-9), ("b", 901L, 1e-9))
+    val expected = graft.ops.CorpusOps
+      .weightedSample((real ++ trigger).toDF("lang", "doc_id", "wt"),
+        k = 5, weightCol = "wt")
+      .collect().map(r => (r.getString(0), r.getInt(4), r.getLong(1))).toSet
+    val input = MemoryStream[(String, Long, Double)]
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = EventStreams.weightedSampleStream(
+        input.toDF().toDF("lang", "doc_id", "wt"), k = 5, weightCol = "wt")
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val c = df.collect(); if (c.nonEmpty) last = c
+      }.start()
+    try {
+      val (b1, b2) = real.splitAt(40)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(trigger: _*); q.processAllAvailable()
+      val got = last.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"stream state diverged from batch draw:\ngot=$got\nexp=$expected")
+    } finally q.stop()
+  }
+
   test("stream-static NB classifier scoring matches batch nbScores/nbPredict digit-for-digit") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
