@@ -1363,6 +1363,30 @@ object ExtensionQueries {
   private val x77_shard_manifest: QFn = (s, d) =>
     graft.ops.CorpusOps.shardManifest(docs(s, d), nShards = 16)
 
+  /** Cross-source duplication matrix — the provenance report behind
+    * per-source quotas and crawl-frontier decisions (which sources
+    * mirror which; the C4/RefinedWeb-style overlap analysis): x07's
+    * verified near-dup pairs, each mapped to its UNORDERED source pair
+    * (least/greatest — (src2,src5) and (src5,src2) are the same
+    * relationship), counted per pair. The diagonal (src_1 = src_2) is
+    * within-source duplication; off-diagonal mass is cross-source
+    * mirroring. Edge-grain join + a sources²-bounded aggregate on top
+    * of the already-measured LSH pair generation. */
+  private val x80_source_overlap: QFn = (s, d) => {
+    val pairs = graft.ops.TextDedup.minhashLshPairs(docsR(s, d),
+      shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.8)
+      .select(col("a_id"), col("b_id"))
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")),
+        Seq("a_id"))
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")),
+        Seq("b_id"))
+      .groupBy(least(col("src_a"), col("src_b")).as("src_1"),
+        greatest(col("src_a"), col("src_b")).as("src_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Manifest DIFF ([[graft.ops.CorpusOps.manifestDiff]]) — the
     * incremental-reprocessing trigger: between corpus v1 (as shipped)
     * and a deterministic v2 (drop every 97th doc, edit every 89th),
@@ -1825,6 +1849,7 @@ object ExtensionQueries {
     "x77_shard_manifest" -> x77_shard_manifest,
     "x78_tokenizer_audit" -> x78_tokenizer_audit,
     "x79_manifest_diff" -> x79_manifest_diff,
+    "x80_source_overlap" -> x80_source_overlap,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1913,6 +1938,18 @@ object ExtensionQueries {
        |  FROM (
        |${x36Oracle}
        |) WHERE doc_id <> cluster_id""".stripMargin
+
+  // x80: x07's pair oracle mapped to unordered source pairs and counted.
+  private lazy val x80Oracle: String =
+    s"""WITH pairs AS (
+       |${oracles("x07_minhash_lsh_pairs")}
+       |),
+       |sp AS (SELECT least(da.source, db.source) AS src_1,
+       |              greatest(da.source, db.source) AS src_2
+       |         FROM pairs p
+       |         JOIN documents da ON p.a_id = da.doc_id
+       |         JOIN documents db ON p.b_id = db.doc_id)
+       |SELECT src_1, src_2, count(*) AS n_pairs FROM sp GROUP BY 1, 2""".stripMargin
 
   // x75: x07's text pair set UNION x22's embedding pair set (same CTEs,
   // pair grain instead of the decision groupBy), one transitive closure
@@ -2257,6 +2294,7 @@ object ExtensionQueries {
       // brute-force all-pairs oracle
       "x47_simhash_pairbanded" -> oracles("x23_simhash_banded"),
       "x41_cluster_decision" -> x41Oracle,
+      "x80_source_overlap" -> x80Oracle,
       "x50_index_dedup" -> x50Oracle,
       "x52_quality_canonical" -> x52Oracle,
       // the Bloom prefilter is lossless (no false negatives; false
