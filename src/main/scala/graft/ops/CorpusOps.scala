@@ -649,7 +649,11 @@ object CorpusOps {
     * (id, salt, weight), reproducible across runs/engines/partitioning;
     * the rank key is rounded to 6 with id as total tie-break. Weights
     * must be strictly positive (ln(u)/w with w ≤ 0 inverts or
-    * zero-divides the key — filter or clamp upstream).
+    * zero-divides the key — filter or clamp upstream). Rows with a
+    * NULL group key form their own null group and receive their own
+    * quota (window-partition semantics, identical across engines);
+    * `coalesce` the group column upstream if that is not wanted —
+    * contrast [[temperatureSample]], whose equi-join EXCLUDES them.
     *
     * 100 TB shape: key assignment is map-side; row_number ≤ k over
     * (group, key desc) plans WindowGroupLimit partial+final, so each
