@@ -1246,6 +1246,24 @@ object ExtensionQueries {
       threshold = 0.35)
   }
 
+  /** Embedding dedup decision at the SCALE-RULE operating point — x22
+    * with k grown the way the 100 TB path demands (k ~ √n,
+    * [[graft.ops.VectorOps.suggestK]]): 64 TRAINED centroids (the x48
+    * trainer, identical Lloyd's rounds) instead of the oracle-pinned 16
+    * stand-ins, nprobe=2 for Voronoi-boundary recall. ScaleCheck
+    * measured this regime 8–15× faster than fixed k=16 on the ×16
+    * corpus; this query makes the regime itself HASH-CHECKED — the
+    * oracle unrolls the same training rounds with 64 seeds, so the
+    * trained cells, the multi-probe assignment, and every keep/drop
+    * decision are verified, closing the "scale path is measured but
+    * not oracle-checked" gap. */
+  private val x81_embed_dedup_trained: QFn = (s, d) => {
+    val e = embs(s, d)
+    val cent = graft.ops.VectorOps.kmeansTrain(e, initK = 64, iters = X48Iters)
+    graft.ops.VectorOps.ivfDedupDecision(
+      graft.ops.VectorOps.ivfCells(e, cent, nprobe = 2), threshold = 0.45)
+  }
+
   /** Trainable corpus classifier ([[graft.ops.ClassifierOps]]) — the
     * fastText-style quality/domain gate of CCNet/GPT-3-style curation,
     * as multinomial Naive Bayes: train on the 4/5 deterministic split
@@ -1850,6 +1868,7 @@ object ExtensionQueries {
     "x78_tokenizer_audit" -> x78_tokenizer_audit,
     "x79_manifest_diff" -> x79_manifest_diff,
     "x80_source_overlap" -> x80_source_overlap,
+    "x81_embed_dedup_trained" -> x81_embed_dedup_trained,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1985,14 +2004,17 @@ object ExtensionQueries {
        |         count(*) OVER (PARTITION BY cluster_id) AS n_members
        |    FROM lab) WHERE drop_id <> canonical_id""".stripMargin
 
-  // x48/x71 shared: the SAME two Lloyd's rounds the Spark trainer runs,
-  // unrolled as a CTE chain ending in `cells` (vec_id, embedding, cell)
-  // with the final centroid table named cent$X48Iters. Centroid math is
-  // exact-integer quantized (sum of round(x*2^20) longs, divided back)
-  // so both engines derive bit-identical centroids each round —
-  // training is hash-checked, not approximated. Generated from X48Iters
-  // so queries and oracles can't drift on the round count.
-  private lazy val lloydCellCtes: String = {
+  // x48/x71/x81 shared: the SAME two Lloyd's rounds the Spark trainer
+  // runs, unrolled as a CTE chain ending in `cells` (vec_id, embedding,
+  // cell) with the final centroid table named cent$X48Iters. Centroid
+  // math is exact-integer quantized (sum of round(x*2^20) longs,
+  // divided back) so both engines derive bit-identical centroids each
+  // round — training is hash-checked, not approximated. Generated from
+  // X48Iters so queries and oracles can't drift on the round count.
+  // `seedK` = first-K-vectors seeding (kmeansTrain's initK); `nprobe` =
+  // how many nearest trained cells each vector lands in at the end
+  // (training assignment itself is always nprobe=1, as in kmeansTrain).
+  private def lloydCtes(seedK: Int, nprobe: Int): String = {
     def asg(cent: String, name: String) =
       s"""$name AS (
          |  SELECT e.vec_id, e.embedding, c.c_id,
@@ -2013,11 +2035,14 @@ object ExtensionQueries {
       asg(s"cent${i - 1}", s"asg$i") + ",\n" + recenter(s"asg$i", s"cent$i")
     }.mkString(",\n")
     s"""cent0 AS (SELECT vec_id AS c_id, embedding AS c_e
-       |                 FROM embeddings WHERE vec_id < 16),
+       |                 FROM embeddings WHERE vec_id < $seedK),
        |$rounds,
        |${asg(s"cent$X48Iters", "asgf")},
-       |cells AS (SELECT vec_id, embedding, c_id AS cell FROM asgf WHERE rn = 1)""".stripMargin
+       |cells AS (SELECT vec_id, embedding, c_id AS cell
+       |            FROM asgf WHERE rn <= $nprobe)""".stripMargin
   }
+
+  private lazy val lloydCellCtes: String = lloydCtes(seedK = 16, nprobe = 1)
 
   private lazy val x48Oracle: String =
     s"""WITH $lloydCellCtes,
@@ -2032,6 +2057,18 @@ object ExtensionQueries {
        |         row_number() OVER (PARTITION BY q_id
        |                            ORDER BY cos DESC, n_id ASC) AS rnk
        |    FROM cand) WHERE rnk <= 3""".stripMargin
+
+  // x81: the same unrolled training with 64 seeds, nprobe=2 cells, then
+  // x22's pair-verify + decision shape over the TRAINED assignment.
+  private lazy val x81Oracle: String =
+    s"""WITH ${lloydCtes(seedK = 64, nprobe = 2)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         round(${COS("a.embedding", "b.embedding")}, 6) AS cos
+       |    FROM cells a JOIN cells b
+       |      ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT b_id AS drop_id, min(a_id) AS canonical_id, count(*) AS n_dups
+       |  FROM cand WHERE cos >= 0.45 GROUP BY b_id""".stripMargin
 
   // x71: the same trained cells, scored with the integer-quantized
   // centroid cosine (ivfCellsScored's cq), then the SemDeDup rule —
@@ -2279,6 +2316,7 @@ object ExtensionQueries {
       "x71_semdedup" -> x71Oracle,
       "x72_nb_classifier" -> x72Oracle,
       "x75_fused_dedup" -> x75Oracle,
+      "x81_embed_dedup_trained" -> x81Oracle,
       "x76_curate_trained" -> x76Oracle,
       "x62_bpe_pack" -> x62Oracle,
       "x62a_bpe_merges" -> x62aOracle,

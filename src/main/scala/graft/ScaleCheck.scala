@@ -228,7 +228,11 @@ object ScaleCheck {
         // point (docs replicated above); edge volume grows like its two
         // generators (x07 ~linear, x22's fixed-k quadratic caveat), and
         // cluster merges across replicas stress the component rounds
-        "x75_fused_dedup")) {
+        "x75_fused_dedup",
+        // x81: the k=64 TRAINED regime of the same decision — must sit
+        // far below x22's fixed-k-16 growth on the same corpus (the
+        // oracle-checked face of the k ~ sqrt(n) rule)
+        "x81_embed_dedup_trained")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)

@@ -346,6 +346,8 @@ class PlanAuditSpec extends SparkTestBase {
                                 // (trained centroids; pair join is equi)
       "x75_fused_dedup",        // 16-row broadcast centroid assignment
                                 // (embedding edge gen; band/cell joins equi)
+      "x81_embed_dedup_trained", // 64-row broadcast trained-centroid
+                                // assignment; pair join is equi on cell
       "x67_knn_label_ivf",      // 16-row broadcast centroid assignment
                                 // (candidate + label joins are equi)
       "x32_ingest_dedup",       // MVCC committed-set semi-join through the
