@@ -1326,7 +1326,13 @@ object ExtensionQueries {
     * scale paths (equi band/cell joins); the union is edge-grain;
     * components + decision are x36/x41's bounded-round machinery.
     * Embedding ids and doc ids share the key space (the fixture's
-    * vec_id ≡ doc_id contract, as x31's hydration join uses). */
+    * vec_id ≡ doc_id contract, as x31's hydration join uses). The
+    * embedding edge generator here keeps x22's oracle-pinned k=16
+    * (fixed-k quadratic under replication — ScaleCheck measured 4.08×
+    * at ×4); at scale swap it for x81's trained k ~ √n regime
+    * ([[graft.ops.VectorOps.ivfPairs]] over `kmeansTrainAuto` cells,
+    * 1.68× on the same corpus) — the edge schema, and everything
+    * downstream, is unchanged. */
   private val x75_fused_dedup: QFn = (s, d) => {
     val textPairs = graft.ops.TextDedup.minhashLshPairs(docsR(s, d),
       shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.8)
