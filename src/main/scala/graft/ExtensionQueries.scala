@@ -1246,6 +1246,36 @@ object ExtensionQueries {
       threshold = 0.35)
   }
 
+  /** Dedup decisions APPLIED through the versioned write path — the
+    * loop every decision query (x33/x34/x41/x52…) feeds in production:
+    * the corpus lives as an MVCC log (txn 1 upserts), the x41 cluster
+    * drop set lands as txn-2 TOMBSTONES, and the committed snapshot is
+    * the cleaned corpus — reported per language. Ties the decision
+    * surface to the reference's own write-path semantics (set_objects
+    * tombstones + commit markers, x17's machinery): dedup is not a
+    * side-table here, it is an applied, versioned, revertible edit
+    * (snapshot asOf=1 still shows the uncleaned corpus). Oracle =
+    * x41's recursive-CTE drop set anti-joined and rolled up. */
+  private val x82_dedup_applied: QFn = (s, d) => {
+    val base = docs(s, d)
+      .select(col("doc_id").as("rid"), col("lang"), col("n_chars"))
+    val drops = graft.ops.CorpusOps.clusterDedupDecision(
+      graft.ops.GraphOps.connectedComponents(
+        graft.ops.TextDedup.minhashLshPairs(docsR(s, d),
+          shingleK = ShingleK, numHashes = NumHashes, bands = 4,
+          threshold = 0.8)))
+    val log = LogTable.upserts(base, 1L, col("rid"))
+      .unionByName(LogTable.deletes(
+        base.join(drops.select(col("drop_id").as("rid")), Seq("rid")),
+        2L, col("rid")), allowMissingColumns = true)
+      .unionByName(LogTable.commitMarker(s, 1L), allowMissingColumns = true)
+      .unionByName(LogTable.commitMarker(s, 2L), allowMissingColumns = true)
+    LogTable.snapshot(log, asOf = 2L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"))
+  }
+
   /** Embedding dedup decision at the SCALE-RULE operating point — x22
     * with k grown the way the 100 TB path demands (k ~ √n,
     * [[graft.ops.VectorOps.suggestK]]): 64 TRAINED centroids (the x48
@@ -1875,6 +1905,7 @@ object ExtensionQueries {
     "x79_manifest_diff" -> x79_manifest_diff,
     "x80_source_overlap" -> x80_source_overlap,
     "x81_embed_dedup_trained" -> x81_embed_dedup_trained,
+    "x82_dedup_applied" -> x82_dedup_applied,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2063,6 +2094,18 @@ object ExtensionQueries {
        |         row_number() OVER (PARTITION BY q_id
        |                            ORDER BY cos DESC, n_id ASC) AS rnk
        |    FROM cand) WHERE rnk <= 3""".stripMargin
+
+  // x82: x41's drop set anti-joined off the corpus (tombstone semantics:
+  // a committed delete removes the row from the snapshot), rolled up.
+  private lazy val x82Oracle: String =
+    s"""WITH drops AS (
+       |${x41Oracle}
+       |)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |       sum(n_chars)::BIGINT AS n_chars
+       |  FROM documents d
+       | WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.drop_id = d.doc_id)
+       | GROUP BY lang""".stripMargin
 
   // x81: the same unrolled training with 64 seeds, nprobe=2 cells, then
   // x22's pair-verify + decision shape over the TRAINED assignment.
@@ -2323,6 +2366,7 @@ object ExtensionQueries {
       "x72_nb_classifier" -> x72Oracle,
       "x75_fused_dedup" -> x75Oracle,
       "x81_embed_dedup_trained" -> x81Oracle,
+      "x82_dedup_applied" -> x82Oracle,
       "x76_curate_trained" -> x76Oracle,
       "x62_bpe_pack" -> x62Oracle,
       "x62a_bpe_merges" -> x62aOracle,

@@ -352,6 +352,8 @@ class PlanAuditSpec extends SparkTestBase {
                                 // (candidate + label joins are equi)
       "x32_ingest_dedup",       // MVCC committed-set semi-join through the
                                 // union, as x17
+      "x82_dedup_applied",      // same MVCC committed-set semi-join (x17's
+                                // machinery; decision + rollup joins equi)
       "x72_nb_classifier",      // labels-/1-row-scalar broadcasts (priors,
                                 // vocab size); word+doc joins are equi
       "x76_curate_trained",     // same broadcasts via the x72 model; gate
