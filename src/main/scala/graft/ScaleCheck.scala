@@ -123,6 +123,11 @@ object ScaleCheck {
         // under replication; WindowGroupLimit prune sees D× input —
         // cost must track the scan, not the output (x65's shape)
         "x73_weighted_sample",
+        // dedup applied through the MVCC write path: x41's decision
+        // (measured via x36) + tombstone snapshot (one per-rid window)
+        // — the applied form must track the decision, not add a
+        // corpus-sized term
+        "x82_dedup_applied",
         // end-to-end curation composes three individually-measured
         // stages (exact dedup → quality gate → temperature sample);
         // composition is where cache scopes and shuffle reuse break,
