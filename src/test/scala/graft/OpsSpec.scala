@@ -379,6 +379,35 @@ class OpsSpec extends SparkTestBase {
     assert(dup != base, "duplicated row must move count and sum")
   }
 
+  test("shardManifest property: permutation/partitioning-invariant, any single mutation detected (seeded random corpora)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(30)
+      val rows = (0 until n).map { i =>
+        (i.toLong, rnd.alphanumeric.take(8 + rnd.nextInt(40)).mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "text")
+      def m(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.CorpusOps.shardManifest(d, nShards = 4)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getDecimal(2), r.getLong(3)))).toMap
+      val base = m(df)
+      // row-set purity: shuffled order + different partitioning
+      assert(m(spark.createDataFrame(
+        rnd.shuffle(rows).toDF("doc_id", "text").rdd, df.schema)
+        .repartition(1 + rnd.nextInt(6))) == base, s"trial $trial order")
+      // one random mutation of each kind must move the manifest
+      val victim = rnd.nextInt(n).toLong
+      assert(m(df.withColumn("text", when(col("doc_id") === victim,
+        concat(col("text"), lit("!"))).otherwise(col("text")))) != base,
+        s"trial $trial edit undetected (doc $victim)")
+      assert(m(df.filter(col("doc_id") =!= victim)) != base,
+        s"trial $trial drop undetected (doc $victim)")
+      assert(m(df.unionAll(df.filter(col("doc_id") === victim))) != base,
+        s"trial $trial duplicate undetected (doc $victim)")
+    }
+  }
+
   test("CorpusOps.manifestDiff: identical corpora diff empty; a one-row change flags exactly its shard") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text")
