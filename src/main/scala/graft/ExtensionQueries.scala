@@ -441,7 +441,11 @@ object ExtensionQueries {
     * outputs by rank, duplicates keep the smallest id), so the whole
     * id sequence — replay, ordering, id mapping — is hash-checked
     * against the DuckDB oracle, which rebuilds the identical
-    * vocabulary from its own unrolled training rounds.
+    * vocabulary from its own unrolled training rounds. The sequence
+    * ships comma-joined as one string column: the check artifact must
+    * survive engines/harnesses that cannot sort or hash nested array
+    * cells (the in-engine op [[graft.ops.BpeOps.encodeDocs]] keeps the
+    * typed array).
     *
     * 100 TB shape: replay+encode once per DISTINCT word (broadcast
     * rules + alphabet-sized id map); the corpus joins its (doc, pos,
@@ -451,6 +455,8 @@ object ExtensionQueries {
     val merges = graft.ops.BpeOps.readMerges(s,
       Catalog(s, x62MergesDir(s, d)).path("bpe_merges"))
     graft.ops.BpeOps.encodeDocs(docsR(s, d), merges)
+      .withColumn("token_ids",
+        concat_ws(",", col("token_ids").cast("array<string>")))
   }
 
   /** End-to-end curation decision in ONE declarative plan — the
@@ -1375,15 +1381,6 @@ object ExtensionQueries {
       graft.ops.GraphOps.connectedComponents(edges))
   }
 
-  /** End-to-end TRAINED-gate curation — x64's untrained pipeline with
-    * the model in the loop: train the NB classifier on the 4/5 split
-    * (x72's model), keep held-out docs whose PREDICTED label agrees
-    * with the declared one (the trained upgrade of x20's heuristic
-    * langid gate), then fill an exact per-language quota by weighted
-    * sampling (x73's op). Training, prediction, the gate, AND the
-    * quota draw are all hash-checked in one oracle — the whole
-    * model-gated pipeline is reproducible, not just its stages.
-    * PipelineSpec's v3 adds the LM-floor stage spec-side. */
   /** Tokenizer-efficiency audit — the fertility/compression report a
     * tokenizer owner publishes per corpus slice: under the SAME trained
     * BPE layout x62/x68 use, per (lang, source) with ROLLUP subtotals:
@@ -1456,6 +1453,15 @@ object ExtensionQueries {
     graft.ops.CorpusOps.manifestDiff(v1, v2, nShards = 16)
   }
 
+  /** End-to-end TRAINED-gate curation — x64's untrained pipeline with
+    * the model in the loop: train the NB classifier on the 4/5 split
+    * (x72's model), keep held-out docs whose PREDICTED label agrees
+    * with the declared one (the trained upgrade of x20's heuristic
+    * langid gate), then fill an exact per-language quota by weighted
+    * sampling (x73's op). Training, prediction, the gate, AND the
+    * quota draw are all hash-checked in one oracle — the whole
+    * model-gated pipeline is reproducible, not just its stages.
+    * PipelineSpec's v3 adds the LM-floor stage spec-side. */
   private val x76_curate_trained: QFn = (s, d) => {
     val all = docsR(s, d)
     val train = all.filter(col("doc_id") % 5 =!= 0)
@@ -1820,6 +1826,116 @@ object ExtensionQueries {
       .select(col("rid"), round(col("price"), 2).as("price"))
   }
 
+  /** DSIR importance weights ([[graft.ops.CorpusOps.dsirWeights]],
+    * Xie et al. NeurIPS 2023) — target-domain data selection: target =
+    * the src0/src1 slice (stand-in for a curated reference set), pool
+    * = everything else, source distribution = the pool itself. Every
+    * pool doc gets its mean per-token log p̂_target − log p̂_pool; the
+    * whole weight table — both trained unigram models, the smoothing,
+    * the doc rollup — is hash-checked. Selection on top is
+    * [[x84_dsir_select]]. */
+  private val x83_dsir_weights: QFn = (s, d) => {
+    val all = docsR(s, d)
+    val inTarget = col("source").isin("src0", "src1")
+    val pool = all.filter(!inTarget)
+    graft.ops.CorpusOps.dsirWeights(pool,
+      graft.ops.CorpusOps.unigramCounts(all.filter(inTarget)),
+      graft.ops.CorpusOps.unigramCounts(pool))
+  }
+
+  /** DSIR SELECTION — the top-64 pool docs by [[x83_dsir_weights]]'s
+    * log ratio (ties by doc_id): the deterministic top-k form of the
+    * paper's importance resampling, i.e. the rows a target-domain
+    * continued-pretraining run would actually take. Plans
+    * TakeOrderedAndProject — per-partition top-k forwarded, the weight
+    * table itself never globally sorts (PlanAuditSpec pins it). */
+  private val x84_dsir_select: QFn = (s, d) =>
+    x83_dsir_weights(s, d)
+      .orderBy(col("log_ratio").desc, col("doc_id").asc)
+      .limit(64)
+
+  /** Token-budget mixture PLAN ([[graft.ops.CorpusOps.mixturePlan]]) —
+    * the static per-language allocation table a training run is
+    * configured from, at half the corpus's token mass under the α=0.5
+    * temperature law: weight, allocated tokens, and the EPOCH factor
+    * (epochs > 1 ⇒ the language repeats — the oversampling decision
+    * x69's Bernoulli keep-rate form cannot express). Groups-sized
+    * output; sqrt-quantized exact-decimal arithmetic end to end, so
+    * the plan itself is hash-checked. */
+  private val x85_mixture_plan: QFn = (s, d) =>
+    graft.ops.CorpusOps.mixturePlan(docs(s, d),
+      budgetFrac = new java.math.BigDecimal("0.5"))
+
+  /** Classifier CALIBRATION report — the reliability table a gate
+    * owner reads before trusting x72's scores as thresholds: held-out
+    * predictions bucketed into per-predicted-label score terciles
+    * (x57's window discipline — never corpus-wide), each bucket's doc
+    * count, agreement count, and accuracy. A well-calibrated gate's
+    * accuracy rises with the score bucket; a flat curve says the score
+    * carries no signal and thresholding on it is noise. Train/score/
+    * argmax reuse [[graft.ops.ClassifierOps]] verbatim (exact-decimal
+    * scores ⇒ deterministic buckets). */
+  private val x86_nb_calibration: QFn = (s, d) => {
+    val all = docsR(s, d)
+    val train = all.filter(col("doc_id") % 5 =!= 0)
+    val test = all.filter(col("doc_id") % 5 === 0)
+    val pred = graft.ops.ClassifierOps.nbScores(train, test)
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("label"))).as("k"))
+      .select(col("doc_id"), col("k.label").as("pred_label"),
+        (-col("k.ns")).as("score"))
+    val byScore = Window.partitionBy("pred_label")
+      .orderBy(col("score").asc, col("doc_id").asc)
+    pred.join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(byScore).cast("long"))
+      .groupBy(col("pred_label"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === col("pred_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("acc", round(col("n_agree").cast("double") /
+        col("n_docs").cast("double"), 4))
+  }
+
+  /** Contamination FRACTION ([[graft.ops.CorpusOps
+    * .contaminationReport]]) — x37's decision upgraded to the GPT-3
+    * appendix-C dirtiness metric: per contaminated training doc, the
+    * fraction of its distinct 8-word shingles found anywhere in the
+    * benchmark (the held-out 1/5, as x37), flagged at 20%. Numerator
+    * and denominator fall out of ONE training-shingle aggregate, so
+    * the fraction cannot mix tokenizations. */
+  private val x87_contamination_frac: QFn = (s, d) => {
+    val all = docsR(s, d)
+    graft.ops.CorpusOps.contaminationReport(
+      train = all.filter(col("doc_id") % 5 =!= 0),
+      benchmark = all.filter(col("doc_id") % 5 === 0),
+      shingleK = 8, flagFrac = 0.2)
+  }
+
+  /** Dedup threshold-sensitivity CURVE — the tuning report behind
+    * every near-dup threshold choice (how many pairs and how many
+    * dropped docs does each candidate threshold imply?): x07's
+    * LSH-verified pairs generated ONCE at the loosest candidate
+    * threshold (0.7 — banding is threshold-independent, only the
+    * verify filter moves), then per threshold in {0.7, 0.8, 0.9} the
+    * surviving pair count and the distinct docs the keep-min-id
+    * decision (x33) would drop. One pair-generation pass feeds the
+    * whole curve: the pairs frame is persisted and both rollups read
+    * it — pair-grain, never corpus-grain. */
+  private val x88_threshold_curve: QFn = (s, d) => {
+    val pairs = graft.ops.TextDedup.minhashLshPairs(docsR(s, d),
+      shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.7)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val th = explode(array(Seq(0.7, 0.8, 0.9).map(lit): _*)).as("threshold")
+    val pairCnt = pairs.select(col("jac"), th)
+      .filter(col("jac") >= col("threshold"))
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val dropCnt = pairs.groupBy(col("b_id")).agg(max(col("jac")).as("mj"))
+      .select(col("mj"), th)
+      .filter(col("mj") >= col("threshold"))
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs_dropped"))
+    pairCnt.join(dropCnt, Seq("threshold"))
+  }
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, QFn] = Map(
@@ -1906,6 +2022,12 @@ object ExtensionQueries {
     "x80_source_overlap" -> x80_source_overlap,
     "x81_embed_dedup_trained" -> x81_embed_dedup_trained,
     "x82_dedup_applied" -> x82_dedup_applied,
+    "x83_dsir_weights" -> x83_dsir_weights,
+    "x84_dsir_select" -> x84_dsir_select,
+    "x85_mixture_plan" -> x85_mixture_plan,
+    "x86_nb_calibration" -> x86_nb_calibration,
+    "x87_contamination_frac" -> x87_contamination_frac,
+    "x88_threshold_curve" -> x88_threshold_curve,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -1919,6 +2041,34 @@ object ExtensionQueries {
   private def COS(a: String, b: String) =
     s"""${DOT(a, b)} /
        |         (sqrt(${DOT(a, a)}) * sqrt(${DOT(b, b)}))""".stripMargin
+
+  /** x07's LSH pair generation with the verify threshold as the one
+    * parameter — banding is threshold-independent, so x07 (0.8) and
+    * x88's curve base (0.7) share every other line by construction. */
+  private def lshPairsSql(threshold: Double): String = {
+    val mhs = (0 until NumHashes).map(i =>
+      s"coalesce(list_min(list_transform(sh, s -> ${H60(s"'mh$i|'||s")})), -1) AS mh$i")
+      .mkString(",\n       ")
+    val bands = (0 until 4).map(bd =>
+      s"SELECT doc_id, sh_set, $bd AS band, mh${2 * bd}||':'||mh${2 * bd + 1} AS key FROM sig")
+      .mkString("\n UNION ALL\n")
+    s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |             [array_to_string(ws[i:i+${ShingleK - 1}],' ')
+       |              for i in range(1, len(ws)-${ShingleK - 2})] AS sh FROM w),
+       |sig AS (SELECT doc_id,
+       |        list_distinct(list_transform(list_distinct(sh),
+       |                                     x -> ${H60("x")})) AS sh_set,
+       |        $mhs FROM s),
+       |banded AS ($bands)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       round(len(list_intersect(a.sh_set,b.sh_set))::DOUBLE /
+       |             len(list_distinct(list_concat(a.sh_set,b.sh_set))), 4) AS jac
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       | WHERE round(len(list_intersect(a.sh_set,b.sh_set))::DOUBLE /
+       |             len(list_distinct(list_concat(a.sh_set,b.sh_set))), 4) >= $threshold""".stripMargin
+  }
 
   // x33 wraps x07's oracle (same pair semantics) in the decision groupBy
   private lazy val x33Oracle: String =
@@ -2323,7 +2473,9 @@ object ExtensionQueries {
        | WHERE length(ws[i]) > 0),
        |enc AS (SELECT doc_id, flatten(list(wi.ids ORDER BY d.i)) AS token_ids
        |  FROM docw d JOIN wids wi ON wi.w = d.w GROUP BY doc_id)
-       |SELECT doc_id, len(token_ids)::BIGINT AS n_bpe, token_ids FROM enc""".stripMargin
+       |SELECT doc_id, len(token_ids)::BIGINT AS n_bpe,
+       |       array_to_string(token_ids::VARCHAR[], ',') AS token_ids
+       |  FROM enc""".stripMargin
   }
 
   // x67: x18's probed-cell assignment (rn <= nprobe) + x66's vote,
@@ -2442,30 +2594,7 @@ object ExtensionQueries {
          |              for i in range(1, len(ws)-${ShingleK - 2})] AS sh FROM w)
          |SELECT doc_id, $mhs FROM s""".stripMargin
     },
-    "x07_minhash_lsh_pairs" -> {
-      val mhs = (0 until NumHashes).map(i =>
-        s"coalesce(list_min(list_transform(sh, s -> ${H60(s"'mh$i|'||s")})), -1) AS mh$i")
-        .mkString(",\n       ")
-      val bands = (0 until 4).map(bd =>
-        s"SELECT doc_id, sh_set, $bd AS band, mh${2 * bd}||':'||mh${2 * bd + 1} AS key FROM sig")
-        .mkString("\n UNION ALL\n")
-      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
-         |s AS (SELECT doc_id,
-         |             [array_to_string(ws[i:i+${ShingleK - 1}],' ')
-         |              for i in range(1, len(ws)-${ShingleK - 2})] AS sh FROM w),
-         |sig AS (SELECT doc_id,
-         |        list_distinct(list_transform(list_distinct(sh),
-         |                                     x -> ${H60("x")})) AS sh_set,
-         |        $mhs FROM s),
-         |banded AS ($bands)
-         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |       round(len(list_intersect(a.sh_set,b.sh_set))::DOUBLE /
-         |             len(list_distinct(list_concat(a.sh_set,b.sh_set))), 4) AS jac
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         | WHERE round(len(list_intersect(a.sh_set,b.sh_set))::DOUBLE /
-         |             len(list_distinct(list_concat(a.sh_set,b.sh_set))), 4) >= 0.8""".stripMargin
-    },
+    "x07_minhash_lsh_pairs" -> lshPairsSql(0.8),
     "x08_simhash" ->
       s"""WITH t AS (
          |  SELECT doc_id,
@@ -2970,7 +3099,7 @@ object ExtensionQueries {
          |             ${H60(s"'manifest|'||doc_id::VARCHAR||'|'||$NT")} AS fp
          |             FROM documents)
          |SELECT shard, count(*)::BIGINT AS n_docs,
-         |       sum(fp)::DECIMAL(38,0) AS fp_sum,
+         |       sum(fp)::DECIMAL(38,0)::VARCHAR AS fp_sum,
          |       bit_xor(fp) AS fp_xor
          |  FROM t GROUP BY shard""".stripMargin,
     "x79_manifest_diff" ->

@@ -250,7 +250,11 @@ object CorpusOps {
     * aggregate (map-side partial combine) — the corpus is scanned once
     * and never shuffled beyond nShards-row partials. The sum rides
     * DECIMAL(38,0) so it is exact (no long overflow, no ANSI throw) up
-    * to ~10^19 rows. Output: (shard, n_docs, fp_sum, fp_xor). */
+    * to ~10^19 rows, then ships as its canonical decimal STRING — a
+    * manifest is an interchange artifact read by other engines, and
+    * decimal binary/display representations differ across them while
+    * the digit string does not. Output: (shard, n_docs, fp_sum,
+    * fp_xor). */
   def shardManifest(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", nShards: Int = 8,
       epoch: Int = 1): DataFrame = {
@@ -261,7 +265,7 @@ object CorpusOps {
     docs.select((h % nShards).as("shard"), fp.as("fp"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("fp").cast("decimal(38,0)")).as("fp_sum"),
+        sum(col("fp").cast("decimal(38,0)")).cast("string").as("fp_sum"),
         expr("bit_xor(fp)").as("fp_xor"))
   }
 
@@ -686,5 +690,125 @@ object CorpusOps {
         esKey(idCol, weightCol, salt).as("skey"))
       .withColumn("rnk", row_number().over(byGroup))
       .filter(col("rnk") <= k)
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023, with
+    * unigram features): every pool document gets the mean per-token
+    * log importance ratio ln p̂_target(w) − ln p̂_source(w), where both
+    * distributions are add-one-smoothed unigram tables
+    * ([[unigramCounts]] of a small curated target set and of the raw
+    * pool itself). High `log_ratio` = "looks like the target domain";
+    * resample or top-k select on it downstream. Per-word logs reuse
+    * [[lmScoreApply]]'s exact-decimal quantization (round(ln,6) →
+    * DECIMAL(18,6)), so the doc-level sums are order-insensitive and
+    * the whole weight table hash-checks against an independent engine.
+    * Output: (doc_id, n_tokens, log_ratio).
+    *
+    * 100 TB shape: ONE pool scan to the (doc, word) tf grain; both
+    * model joins are equi on the word key (vocab-sized tables — AQE
+    * skew-split absorbs stopwords); the two smoothing-constant pairs
+    * ride 1-row broadcasts; the doc rollup partial-aggregates
+    * map-side. The target set is curation-sized, so its count table
+    * costs nothing next to the pool scan. */
+  def dsirWeights(pool: DataFrame, targetCounts: DataFrame,
+      sourceCounts: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def consts(c: DataFrame, n: String, v: String) = broadcast(
+      c.agg(sum(col("cnt")).as(n), count(lit(1)).as(v)))
+    def lpw(cnt: Column, n: Column, v: Column) =
+      round(log((coalesce(cnt, lit(0L)) + 1).cast("double") /
+        (n + v).cast("double")), 6).cast("decimal(18,6)")
+    tokenized(pool, idCol, textCol)
+      .select(col("doc_id"), explode(col("ws")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .join(targetCounts.select(col("word"), col("cnt").as("cnt_t")),
+        Seq("word"), "left")
+      .join(sourceCounts.select(col("word"), col("cnt").as("cnt_s")),
+        Seq("word"), "left")
+      .crossJoin(consts(targetCounts, "nt_t", "v_t"))
+      .crossJoin(consts(sourceCounts, "nt_s", "v_s"))
+      .withColumn("lpw_t", lpw(col("cnt_t"), col("nt_t"), col("v_t")))
+      .withColumn("lpw_s", lpw(col("cnt_s"), col("nt_s"), col("v_s")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        round(sum(col("tf") * (col("lpw_t") - col("lpw_s"))).cast("double") /
+          sum(col("tf")).cast("double"), 4).as("log_ratio"))
+  }
+
+  /** Token-budget mixture PLAN — the static allocation table a training
+    * run is configured from (the artifact DoReMi-style recipes ship),
+    * complementing [[temperatureSample]]/x69 which SAMPLE rows under a
+    * rate law: per group, the α=0.5 temperature weight over token mass
+    * (XLM-R's smoothing, computed via sqrt so both engines round the
+    * same — IEEE sqrt is correctly rounded, pow is not), the token
+    * allocation under `budgetFrac` of the corpus, and the EPOCH factor
+    * alloc/tokens. epochs > 1 means the group must repeat (oversample)
+    * — the low-resource upweighting a Bernoulli keep-rate can never
+    * express, and the number a data loader actually needs. All
+    * arithmetic is exact decimal after one sqrt quantization, so the
+    * plan is hash-checkable. Output: (group, n_tokens, weight,
+    * alloc_tokens, epochs, oversampled).
+    *
+    * 100 TB shape: one map-side token-count scan into a groups-sized
+    * aggregate; the total rides a 1-row broadcast; everything after is
+    * arithmetic on a groups-sized frame. */
+  def mixturePlan(docs: DataFrame, budgetFrac: java.math.BigDecimal,
+      groupCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(groupCol), TF.tokenCount(col(textCol)).as("n"))
+      .groupBy(col(groupCol)).agg(sum(col("n")).as("n_tokens"))
+      .withColumn("s",
+        round(sqrt(col("n_tokens").cast("double")), 6).cast("decimal(18,6)"))
+    val tot = broadcast(toks.agg(sum(col("s")).as("s_tot"),
+      sum(col("n_tokens")).as("tok_tot")))
+    toks.crossJoin(tot)
+      .withColumn("weight",
+        round(col("s").cast("double") / col("s_tot").cast("double"), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("alloc_tokens",
+        floor(floor(lit(budgetFrac) * col("tok_tot")) * col("weight"))
+          .cast("long"))
+      .withColumn("epochs", round(col("alloc_tokens").cast("double") /
+        col("n_tokens").cast("double"), 4))
+      .select(col(groupCol), col("n_tokens"), col("weight"),
+        col("alloc_tokens"), col("epochs"),
+        when(col("epochs") > 1.0d, 1L).otherwise(0L).as("oversampled"))
+  }
+
+  /** Contamination FRACTION report — [[decontaminate]] upgraded from
+    * "shares ≥1 shingle" to the GPT-3 appendix-C dirtiness metric: per
+    * contaminated training doc, what fraction of its distinct k-word
+    * shingles appear anywhere in the benchmark suite, and a flag at
+    * `flagFrac` (docs above it are removed; below, spot-checked).
+    * Both numerator and denominator come from ONE training-corpus
+    * shingle pass: the per-doc set grain left-joins the deduplicated
+    * benchmark shingle set, so n_shingles (set size) and n_shared
+    * (hits) fall out of the same aggregate — no second scan, and the
+    * fraction can never mix two tokenizations. Output: (doc_id,
+    * n_shingles, n_shared, frac, flagged) for docs with n_shared > 0.
+    *
+    * 100 TB shape: one corpus scan; the benchmark set is broadcast
+    * (suite-sized); swap in [[decontaminateBloom]]'s sketch prefilter
+    * when the suite outgrows a comfortable broadcast — the aggregate
+    * shape is unchanged. */
+  def contaminationReport(train: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 8, flagFrac: Double = 0.2): DataFrame = {
+    val tsh = train.select(col(idCol).as("doc_id"),
+      explode(TF.shingleSetFast(TF.words(col(textCol)), shingleK)).as("sh"))
+    val bsh = benchmark
+      .select(explode(TF.shingleSetFast(TF.words(col(textCol)), shingleK))
+        .as("sh"))
+      .distinct().withColumn("hit", lit(1L))
+    tsh.join(broadcast(bsh), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .withColumn("frac", round(col("n_shared").cast("double") /
+        col("n_shingles").cast("double"), 4))
+      .withColumn("flagged",
+        when(col("frac") >= flagFrac, 1L).otherwise(0L))
   }
 }

@@ -594,9 +594,14 @@ object EventStreams {
           (String, Int, Long, Double, Double)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (g, rows, state) =>
+          // distinctBy id AFTER the sort: an at-least-once upstream may
+          // re-deliver a row already in state, and the batch draw is
+          // over the row SET — without this, a replayed id occupies two
+          // of the k slots. First occurrence in rank order wins.
           val merged = (state.getOption.getOrElse(Nil) ++
             rows.map(r => (r._4, r._2, r._3)))
             .sortBy { case (skey, id, _) => (-skey, id) } // batch order
+            .distinctBy { case (_, id, _) => id }
             .take(k)
           state.update(merged)
           merged.iterator.zipWithIndex.map { case ((skey, id, w), i) =>

@@ -360,7 +360,7 @@ class OpsSpec extends SparkTestBase {
     def m(df: org.apache.spark.sql.DataFrame) =
       graft.ops.CorpusOps.shardManifest(df, nShards = 4)
         .collect().map(r => r.getLong(0) ->
-          ((r.getLong(1), r.getDecimal(2), r.getLong(3)))).toMap
+          ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
     val base = m(docs)
     assert(m(docs.repartition(7)) == base, "manifest must be order-insensitive")
     // single-character edit in one row: counts hold, fingerprints move
@@ -390,7 +390,7 @@ class OpsSpec extends SparkTestBase {
       def m(d: org.apache.spark.sql.DataFrame) =
         graft.ops.CorpusOps.shardManifest(d, nShards = 4)
           .collect().map(r => r.getLong(0) ->
-            ((r.getLong(1), r.getDecimal(2), r.getLong(3)))).toMap
+            ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
       val base = m(df)
       // row-set purity: shuffled order + different partitioning
       assert(m(spark.createDataFrame(

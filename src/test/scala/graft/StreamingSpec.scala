@@ -501,7 +501,7 @@ class StreamingSpec extends SparkTestBase {
       .select("doc_id", "text")
     val expected = graft.ops.CorpusOps.shardManifest(docs, nShards = 4)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getDecimal(2), r.getLong(3)))).toMap
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
     val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
     val input = MemoryStream[(Long, String)]
     val q = graft.ops.CorpusOps
@@ -514,7 +514,7 @@ class StreamingSpec extends SparkTestBase {
       input.addData(h2: _*); q.processAllAvailable()
       val got = spark.table("manifest_stream_test")
         .collect().map(r => r.getLong(0) ->
-          ((r.getLong(1), r.getDecimal(2), r.getLong(3)))).toMap
+          ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
       assert(got == expected,
         s"incremental manifest diverged: got=$got expected=$expected")
     } finally q.stop()

@@ -12,6 +12,14 @@ import sys, os, json, glob
 import duckdb
 
 def norm(rel):
+    # compare DECIMAL columns as their exact digit strings: fetchdf
+    # coerces DECIMAL to float64, which silently rounds 38-digit sums
+    # to ~53-bit precision on BOTH sides and would pass drifted values
+    types = [str(t) for t in rel.types]
+    if any(t.startswith("DECIMAL") for t in types):
+        rel = rel.project(", ".join(
+            f'"{c}"::VARCHAR AS "{c}"' if t.startswith("DECIMAL") else f'"{c}"'
+            for c, t in zip(rel.columns, types)))
     df = rel.fetchdf()
     df = df.reindex(sorted(df.columns), axis=1)
     # canonicalize values: floats to repr, others to str
