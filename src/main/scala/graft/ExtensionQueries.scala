@@ -655,10 +655,16 @@ object ExtensionQueries {
     * join the DuckDB oracle runs (the split must never change
     * answers). */
   private val x63_skew_join: QFn = (s, d) => {
+    // persisted (x61's one-pass discipline): three consumers read this
+    // grain — the hot-key rank (eager collect below), the word-count
+    // build side, and the probe side of the split join (different
+    // partition keys, so no exchange reuse is possible) — without the
+    // cache the corpus tokenizes once per consumer
     val perDocWord = docsR(s, d)
       .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = perDocWord.groupBy(col("word"))
       .agg(sum(col("n")).as("cnt"))
     // rank hot words by TOKEN weight (counts is pre-aggregated, one
@@ -1922,10 +1928,12 @@ object ExtensionQueries {
     * whole curve: the pairs frame is persisted and both rollups read
     * it — pair-grain, never corpus-grain. */
   private val x88_threshold_curve: QFn = (s, d) => {
+    import s.implicits._
     val pairs = graft.ops.TextDedup.minhashLshPairs(docsR(s, d),
       shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.7)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val th = explode(array(Seq(0.7, 0.8, 0.9).map(lit): _*)).as("threshold")
+    val thresholds = Seq(0.7, 0.8, 0.9)
+    val th = explode(array(thresholds.map(lit): _*)).as("threshold")
     val pairCnt = pairs.select(col("jac"), th)
       .filter(col("jac") >= col("threshold"))
       .groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
@@ -1933,7 +1941,45 @@ object ExtensionQueries {
       .select(col("mj"), th)
       .filter(col("mj") >= col("threshold"))
       .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs_dropped"))
-    pairCnt.join(dropCnt, Seq("threshold"))
+    // every candidate threshold gets a row even when NOTHING survives it
+    // (plausible at 0.9 on a sparse corpus): left-join both rollups onto
+    // the candidate list and zero-fill — an inner join would silently
+    // drop the "this threshold kills everything" data point, the most
+    // informative row on the curve
+    thresholds.toDF("threshold")
+      .join(pairCnt, Seq("threshold"), "left")
+      .join(dropCnt, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
+  }
+
+  /** DSIR importance RESAMPLING — the paper's actual selector (Xie et
+    * al. NeurIPS 2023 §2: sample k docs WITHOUT replacement with
+    * probability ∝ exp(log_ratio)), where [[x84_dsir_select]] is the
+    * deterministic top-k simplification. Realized as Gumbel-top-k,
+    * which is EXACTLY Efraimidis–Spirakis sampling with weight
+    * exp(log_ratio) but never evaluates exp: rank key = log_ratio +
+    * Gumbel(0,1) noise g = −ln(−ln(u)), u hash-derived per doc (x73's
+    * reproducible-u recipe; exp is not correctly rounded IEEE, so
+    * avoiding it is what keeps the key digit-identical across
+    * engines). Both addends are quantized doubles the oracle
+    * recomputes bit-for-bit, the sum is one IEEE op, ties break by
+    * doc_id — the draw is a pure function of (doc_id, salt, corpus)
+    * and fully hash-checked.
+    *
+    * 100 TB shape: x83's weight pass plus a map-side key column and a
+    * TakeOrderedAndProject — per-partition top-64 forwarded, no
+    * global sort, nothing corpus-sized moves. */
+  private val x89_dsir_resample: QFn = (s, d) => {
+    val m = 1048576L
+    val u = (TF.hash60(col("doc_id").cast("string"), "dsir|") % m + 1)
+      .cast("double") / (m + 1).toDouble
+    x83_dsir_weights(s, d)
+      .withColumn("gkey", round(-log(-log(u)), 6) + lit(0.0))
+      .withColumn("skey", col("log_ratio") + col("gkey"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(64)
   }
 
   // --------------------------------------------------------------- registry
@@ -2028,6 +2074,7 @@ object ExtensionQueries {
     "x86_nb_calibration" -> x86_nb_calibration,
     "x87_contamination_frac" -> x87_contamination_frac,
     "x88_threshold_curve" -> x88_threshold_curve,
+    "x89_dsir_resample" -> x89_dsir_resample,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2356,6 +2403,151 @@ object ExtensionQueries {
        |             ORDER BY skey DESC, doc_id ASC) AS rnk
        |    FROM skeys) WHERE rnk <= 10""".stripMargin
 
+  // x83/x84/x89: the DSIR weight table replayed verbatim — target =
+  // src0/src1, pool = the rest, both unigram models under EXACTLY
+  // unigramCounts' tokenization (NO empty-token filter: tokenized()
+  // keeps the "" token an empty doc yields, unlike the x72 NB CTEs),
+  // per-word logs quantized round(ln,6)::DECIMAL(18,6) so the doc sums
+  // are order-insensitive, mean ratio rounded to 4.
+  private lazy val x83Ctes: String =
+    s"""tg AS (SELECT text FROM documents WHERE source IN ('src0','src1')),
+       |pl AS (SELECT doc_id, text FROM documents
+       |        WHERE source NOT IN ('src0','src1')),
+       |ct AS (SELECT w, count(*) AS cnt
+       |         FROM (SELECT unnest(string_split($NT,' ')) AS w FROM tg)
+       |        GROUP BY 1),
+       |cs AS (SELECT w, count(*) AS cnt
+       |         FROM (SELECT unnest(string_split($NT,' ')) AS w FROM pl)
+       |        GROUP BY 1),
+       |kt AS (SELECT sum(cnt) AS n_t, count(*) AS v_t FROM ct),
+       |ks AS (SELECT sum(cnt) AS n_s, count(*) AS v_s FROM cs),
+       |tf AS (SELECT doc_id, w, count(*) AS tf
+       |         FROM (SELECT doc_id, unnest(string_split($NT,' ')) AS w
+       |                 FROM pl)
+       |        GROUP BY 1, 2),
+       |lp AS (SELECT t.doc_id, t.tf,
+       |        CAST(round(ln((coalesce(c1.cnt, 0) + 1)::DOUBLE /
+       |                      (kt.n_t + kt.v_t)::DOUBLE), 6)
+       |             AS DECIMAL(18,6)) AS lt,
+       |        CAST(round(ln((coalesce(c2.cnt, 0) + 1)::DOUBLE /
+       |                      (ks.n_s + ks.v_s)::DOUBLE), 6)
+       |             AS DECIMAL(18,6)) AS ls
+       |         FROM tf t LEFT JOIN ct c1 USING (w)
+       |                   LEFT JOIN cs c2 USING (w)
+       |         CROSS JOIN kt CROSS JOIN ks),
+       |wtab AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+       |        round((sum(tf * (lt - ls)))::DOUBLE / (sum(tf))::DOUBLE, 4)
+       |          AS log_ratio
+       |         FROM lp GROUP BY doc_id)""".stripMargin
+
+  private lazy val x83Oracle: String =
+    s"""WITH $x83Ctes
+       |SELECT doc_id, n_tokens, log_ratio FROM wtab""".stripMargin
+
+  private lazy val x84Oracle: String =
+    s"""WITH $x83Ctes
+       |SELECT doc_id, n_tokens, log_ratio FROM wtab
+       | ORDER BY log_ratio DESC, doc_id ASC LIMIT 64""".stripMargin
+
+  // x89: Gumbel-top-k over the weight table — gkey replays the Spark
+  // side's hash-derived u and double-ln digit-for-digit (x73's recipe,
+  // incl. the +0.0 IEEE −0.0 guard); skey is ONE double add of two
+  // quantized doubles, so the order (and the top-64 cut) is exact.
+  private lazy val x89Oracle: String =
+    s"""WITH $x83Ctes,
+       |g AS (SELECT doc_id, n_tokens, log_ratio,
+       |        round(-ln(-ln(((${H60("'dsir|'||doc_id::VARCHAR")}
+       |                        % 1048576) + 1)::DOUBLE / 1048577.0)), 6)
+       |          + 0.0 AS gkey
+       |        FROM wtab)
+       |SELECT doc_id, n_tokens, log_ratio, gkey,
+       |       log_ratio + gkey AS skey
+       |  FROM g ORDER BY skey DESC, doc_id ASC LIMIT 64""".stripMargin
+
+  // x85: one token-count scan → per-language mass; sqrt quantized to
+  // DECIMAL(18,6) (IEEE sqrt is correctly rounded, so both engines
+  // agree BEFORE the round), everything after is exact decimal.
+  private lazy val x85Oracle: String =
+    s"""WITH t AS (SELECT lang, len(string_split($NT,' '))::BIGINT AS n
+         |            FROM documents),
+         |g AS (SELECT lang, sum(n)::BIGINT AS n_tokens FROM t GROUP BY 1),
+         |g2 AS (SELECT lang, n_tokens,
+         |         CAST(round(sqrt(n_tokens::DOUBLE), 6) AS DECIMAL(18,6)) AS s
+         |         FROM g),
+         |tot AS (SELECT sum(s) AS s_tot, sum(n_tokens)::BIGINT AS tok_tot
+         |          FROM g2),
+         |w AS (SELECT lang, n_tokens,
+         |        CAST(round(s::DOUBLE / s_tot::DOUBLE, 6) AS DECIMAL(18,6))
+         |          AS weight,
+         |        tok_tot FROM g2 CROSS JOIN tot),
+         |a AS (SELECT lang, n_tokens, weight,
+         |        CAST(floor(CAST(floor(0.5 * tok_tot) AS DECIMAL(18,0))
+         |                   * weight) AS BIGINT) AS alloc_tokens
+         |        FROM w)
+         |SELECT lang, n_tokens, weight, alloc_tokens,
+         |       round(alloc_tokens::DOUBLE / n_tokens::DOUBLE, 4) AS epochs,
+         |       CASE WHEN round(alloc_tokens::DOUBLE / n_tokens::DOUBLE, 4)
+         |                 > 1.0 THEN 1 ELSE 0 END::BIGINT AS oversampled
+         |  FROM a""".stripMargin
+
+  // x86: x72's scoring CTEs verbatim, argmax keeps its (exact-decimal)
+  // score, terciles within each predicted label over (score asc,
+  // doc_id asc) — a total order, so ntile is deterministic.
+  private lazy val x86Oracle: String =
+    s"""WITH $x72Ctes,
+       |p2 AS (SELECT doc_id, label AS pred_label, score FROM sc
+       |       QUALIFY row_number() OVER (PARTITION BY doc_id
+       |                ORDER BY score DESC, label ASC) = 1),
+       |b AS (SELECT p2.pred_label, te.lang,
+       |             ntile(3) OVER (PARTITION BY p2.pred_label
+       |                 ORDER BY p2.score ASC, p2.doc_id ASC)::BIGINT
+       |               AS bucket
+       |        FROM p2 JOIN te USING (doc_id))
+       |SELECT pred_label, bucket, count(*)::BIGINT AS n_docs,
+       |       sum(CASE WHEN lang = pred_label THEN 1 ELSE 0 END)::BIGINT
+       |         AS n_agree,
+       |       round(sum(CASE WHEN lang = pred_label THEN 1 ELSE 0 END)::DOUBLE
+       |             / count(*)::DOUBLE, 4) AS acc
+       |  FROM b GROUP BY 1, 2""".stripMargin
+
+  // x87: x37's shingle CTE (k=8, hashed distinct per-doc sets) with the
+  // per-doc set size as denominator — numerator and denominator from
+  // the same grain, exactly as contaminationReport computes them.
+  private lazy val x87Oracle: String =
+    s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+       |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         [array_to_string(ws[i:i+7],' ') for i in range(1, len(ws)-6)],
+       |         x -> ${H60("x")}))) AS sh FROM w),
+       |t AS (SELECT doc_id, sh FROM s WHERE doc_id % 5 <> 0),
+       |b AS (SELECT DISTINCT sh FROM s WHERE doc_id % 5 = 0),
+       |j AS (SELECT t.doc_id, count(*)::BIGINT AS n_shingles,
+       |             sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |               AS n_shared
+       |        FROM t LEFT JOIN b ON t.sh = b.sh GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_shared,
+       |       round(n_shared::DOUBLE / n_shingles::DOUBLE, 4) AS frac,
+       |       CASE WHEN round(n_shared::DOUBLE / n_shingles::DOUBLE, 4)
+       |                 >= 0.2 THEN 1 ELSE 0 END::BIGINT AS flagged
+       |  FROM j WHERE n_shared > 0""".stripMargin
+
+  // x88: x07's pair oracle at the loosest threshold (lshPairsSql —
+  // banding is threshold-independent), three filters over it; LEFT
+  // joins from the candidate list so an all-killing threshold still
+  // reports (threshold, 0, 0), matching the Spark side's zero-fill.
+  private lazy val x88Oracle: String =
+    s"""WITH pairs AS (${lshPairsSql(0.7)}),
+       |th AS (SELECT unnest([0.7, 0.8, 0.9])::DOUBLE AS threshold),
+       |pc AS (SELECT threshold, count(*)::BIGINT AS n_pairs
+       |         FROM th JOIN pairs ON jac >= threshold GROUP BY 1),
+       |dm AS (SELECT b_id, max(jac) AS mj FROM pairs GROUP BY 1),
+       |dc AS (SELECT threshold, count(*)::BIGINT AS n_docs_dropped
+       |         FROM th JOIN dm ON mj >= threshold GROUP BY 1)
+       |SELECT th.threshold,
+       |       coalesce(pc.n_pairs, 0)::BIGINT AS n_pairs,
+       |       coalesce(dc.n_docs_dropped, 0)::BIGINT AS n_docs_dropped
+       |  FROM th LEFT JOIN pc USING (threshold)
+       |          LEFT JOIN dc USING (threshold)""".stripMargin
+
   // x62: the SAME X62Merges training rounds the Spark side runs,
   // unrolled as a MATERIALIZED-CTE chain (inlining would re-expand the
   // previous round TWICE per round — 2^16 scans). Each round: adjacent
@@ -2540,7 +2732,14 @@ object ExtensionQueries {
       // the Bloom prefilter is lossless (no false negatives; false
       // positives removed by the exact confirm join) ⇒ x53 must equal
       // the exact decontamination oracle verbatim
-      "x53_bloom_decontaminate" -> oracles("x37_decontaminate"))
+      "x53_bloom_decontaminate" -> oracles("x37_decontaminate"),
+      "x83_dsir_weights" -> x83Oracle,
+      "x84_dsir_select" -> x84Oracle,
+      "x85_mixture_plan" -> x85Oracle,
+      "x86_nb_calibration" -> x86Oracle,
+      "x87_contamination_frac" -> x87Oracle,
+      "x88_threshold_curve" -> x88Oracle,
+      "x89_dsir_resample" -> x89Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -123,6 +123,29 @@ object ScaleCheck {
         // under replication; WindowGroupLimit prune sees D× input —
         // cost must track the scan, not the output (x65's shape)
         "x73_weighted_sample",
+        // DSIR weights: x51's Zipfian word-join story on TWO unigram
+        // models at once — replication grows every tf table D× on an
+        // UNCHANGED vocab, so both equi word joins see D× fan-in on
+        // exactly the hot keys; near-linear = the (doc,word) grain +
+        // broadcast smoothing constants absorb it. (x84/x89 add only
+        // a TakeOrderedAndProject on this, so x83 is the cost proxy
+        // for the whole selection family.)
+        "x83_dsir_weights",
+        // mixture plan: one map-side token-count scan into a
+        // languages-sized agg + 1-row broadcast — x54's ~flat
+        // expectation; growth here would mean the groups-sized
+        // arithmetic somehow acquired a corpus-sized term
+        "x85_mixture_plan",
+        // contamination fraction: x37's broadcast shingle-join shape
+        // with the per-doc set-size denominator riding the SAME
+        // aggregate — must track decontaminate's linearity (the
+        // benchmark set is replication-invariant in size per doc)
+        "x87_contamination_frac",
+        // threshold curve: pair-grain rollups over ONE persisted LSH
+        // pass — must track x07's pair growth (~D² per original
+        // near-dup cluster, bounded per band bucket), never add a
+        // corpus-sized term of its own
+        "x88_threshold_curve",
         // dedup applied through the MVCC write path: x41's decision
         // (measured via x36) + tombstone snapshot (one per-rid window)
         // — the applied form must track the decision, not add a

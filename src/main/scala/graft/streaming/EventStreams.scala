@@ -577,6 +577,14 @@ object EventStreams {
     * State: exactly k (skey, id, weight) triples per group — bounded
     * by construction, no watermark needed (quota sampling has no
     * event-time horizon; add a timeout upstream if groups churn).
+    *
+    * CONTRACT: ids must be stable-keyed — a given id always arrives
+    * with the same weight (and thus the same skey; the hash-derived u
+    * makes exact replays identical, which is what the dedup below
+    * absorbs). If the same id is re-delivered with a DIFFERENT weight,
+    * the max-skey version wins (first in rank order), not the latest —
+    * weight UPDATES are not a supported input; key state by id
+    * upstream if you need last-writer-wins semantics.
     * Output: (group, rnk, id, weight, skey). */
   def weightedSampleStream(docs: DataFrame, k: Int, weightCol: String,
       groupCol: String = "lang", idCol: String = "doc_id",

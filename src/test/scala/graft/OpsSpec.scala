@@ -1133,4 +1133,58 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 10L).forall(full(_) == 0L))
   }
+
+  test("CorpusOps.dsirWeights: hand-derived log ratios on a planted target/pool") {
+    // target model: "a a b" → counts a:2 b:1, N_t=3, V_t=2
+    // pool (= source model): "a a" + "c c" → counts a:2 c:2, N_s=4, V_s=2
+    val target = Seq((100L, "a a b")).toDF("doc_id", "text")
+    val pool = Seq((1L, "a a"), (2L, "c c")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.dsirWeights(pool,
+        graft.ops.CorpusOps.unigramCounts(target),
+        graft.ops.CorpusOps.unigramCounts(pool))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // doc 1 ("a a"): lpw_t(a)=round(ln(3/5),6)=-0.510826,
+    //   lpw_s(a)=round(ln(3/6),6)=-0.693147 → ratio = 0.182321 → 0.1823
+    // doc 2 ("c c"): lpw_t(c)=round(ln(1/5),6)=-1.609438,
+    //   lpw_s(c)=round(ln(3/6),6)=-0.693147 → ratio = -0.916291 → -0.9163
+    assert(out == Map(1L -> ((2L, 0.1823)), 2L -> ((2L, -0.9163))), out)
+    // the target-looking doc ranks ABOVE the off-target one — the
+    // property DSIR selection (x84/x89) depends on
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("CorpusOps.mixturePlan: starved group oversamples (epochs > 1), weights follow sqrt mass") {
+    // group a: 4 tokens, group b: 36 tokens → s=(2, 6), weights (0.25,
+    // 0.75); budget = 100% of 40 tokens → a gets 10 (2.5 epochs —
+    // MUST repeat), b gets 30 (0.83 epochs)
+    val df = (Seq((1L, "t1 t2 t3 t4", "a")) ++ (0 until 3).map(i =>
+      (10L + i, (1 to 12).map(j => s"w$j").mkString(" "), "b")))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.CorpusOps
+      .mixturePlan(df, budgetFrac = new java.math.BigDecimal("1.0"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).toPlainString, r.getLong(3),
+          r.getDouble(4), r.getLong(5)))).toMap
+    assert(out == Map(
+      "a" -> ((4L, "0.250000", 10L, 2.5, 1L)),
+      "b" -> ((36L, "0.750000", 30L, 0.8333, 0L))), out)
+  }
+
+  test("CorpusOps.contaminationReport: fraction from one shingle grain, flag boundary at flagFrac") {
+    // k=2 shingles; benchmark set = {"a b"}:
+    //  doc 1 "a b c d e" → 4 shingles, 1 shared → frac 0.25 < 0.5
+    //  doc 2 "a b c"     → 2 shingles, 1 shared → frac 0.5  = flagFrac
+    //  doc 3 "x y z"     → no overlap → absent from the report
+    val train = Seq((1L, "a b c d e"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps
+      .contaminationReport(train, bench, shingleK = 2, flagFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> ((4L, 1L, 0.25, 0L)),
+      2L -> ((2L, 1L, 0.5, 1L))), out)
+  }
 }

@@ -361,6 +361,18 @@ class PlanAuditSpec extends SparkTestBase {
       "x54_mix_sample",         // 1-row n_min broadcast scalar
       "x69_token_mix",          // same 1-row scalar (weighted n_min)
       "x64_curate",             // same 1-row n_min scalar via temperatureSample
+      "x83_dsir_weights",       // two 1-row smoothing-constant pairs (N, V
+                                // per model) ride broadcast crossJoins, as
+                                // x51/x74; both model joins are equi on word
+      "x84_dsir_select",        // x83's weight table + TakeOrderedAndProject
+                                // (inherits the scalar broadcasts)
+      "x89_dsir_resample",      // x83's weight table + Gumbel key + top-k
+                                // (inherits the scalar broadcasts)
+      "x85_mixture_plan",       // 1-row (s_tot, tok_tot) broadcast over the
+                                // groups-sized frame, as x42's corpus scalars
+      "x86_nb_calibration",     // x72's model broadcasts (labels-sized
+                                // priors + 1-row vocab scalar); the word,
+                                // doc, and lang joins are all equi
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
@@ -372,6 +384,21 @@ class PlanAuditSpec extends SparkTestBase {
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
     assert(offenders.isEmpty, s"unintended cartesian/BNLJ in: $offenders")
+  }
+
+  test("x84/x89: DSIR selection plans TakeOrderedAndProject — per-partition top-k, no global sort of the weight table") {
+    // the selector must forward ≤64 rows per partition and merge on the
+    // driver; a global Sort/Exchange of the doc-grain weight table is
+    // the way this plan degrades at corpus scale
+    for (q <- Seq("x84_dsir_select", "x89_dsir_resample")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      // a range-partitioning exchange is how a global sort of the
+      // doc-grain table would appear (SMJ's partition-local sorts are
+      // not the degradation this guards against)
+      assert(!p.contains("rangepartitioning"),
+        s"$q must not globally sort the weight table:\n$p")
+    }
   }
 
   test("x69: token-budget mixture — rates broadcast back, the corpus is never shuffled for the join") {
