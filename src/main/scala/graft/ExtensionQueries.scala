@@ -1982,6 +1982,19 @@ object ExtensionQueries {
       .limit(64)
   }
 
+  /** Gopher rule-based quality gate ([[graft.ops.CorpusOps
+    * .gopherRules]], Rae et al. 2021 A1.1) — the hand-written filter
+    * that runs BEFORE any trained classifier in every major
+    * pretraining corpus: per doc, the rule signals (word count, mean
+    * word length, symbol ratio, alpha fraction, distinct stopwords)
+    * and the composite keep decision, all quantized so the whole rule
+    * table — not just the keep bit — is hash-checked. Complements
+    * x02 (continuous quality score) and x72 (trained gate): this is
+    * the interpretable threshold tier of the same stack. Plan: one
+    * scan, map-only — no shuffle at any corpus size. */
+  private val x90_gopher_rules: QFn = (s, d) =>
+    graft.ops.CorpusOps.gopherRules(docsR(s, d))
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, QFn] = Map(
@@ -2075,6 +2088,7 @@ object ExtensionQueries {
     "x87_contamination_frac" -> x87_contamination_frac,
     "x88_threshold_curve" -> x88_threshold_curve,
     "x89_dsir_resample" -> x89_dsir_resample,
+    "x90_gopher_rules" -> x90_gopher_rules,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2437,7 +2451,7 @@ object ExtensionQueries {
        |         CROSS JOIN kt CROSS JOIN ks),
        |wtab AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
        |        round((sum(tf * (lt - ls)))::DOUBLE / (sum(tf))::DOUBLE, 4)
-       |          AS log_ratio
+       |          + 0.0 AS log_ratio
        |         FROM lp GROUP BY doc_id)""".stripMargin
 
   private lazy val x83Oracle: String =
@@ -2547,6 +2561,33 @@ object ExtensionQueries {
        |       coalesce(dc.n_docs_dropped, 0)::BIGINT AS n_docs_dropped
        |  FROM th LEFT JOIN pc USING (threshold)
        |          LEFT JOIN dc USING (threshold)""".stripMargin
+
+  // x90: the rule table replayed with DuckDB string/list functions —
+  // occurrence counts via the same replace-length deltas, ratios
+  // rounded to 4 BEFORE thresholding in both engines.
+  private lazy val x90Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $NT AS nt, string_split($NT,' ') AS ws
+       |             FROM documents),
+       |m AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+       |        round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE /
+       |              len(ws)::DOUBLE, 4) AS mean_word_len,
+       |        round(((length(nt) - length(replace(nt,'#',''))) +
+       |               (length(nt) - length(replace(nt,'...','')))//3)::DOUBLE /
+       |              len(ws)::DOUBLE, 4) AS symbol_ratio,
+       |        round(len(list_filter(ws, w -> regexp_matches(w,'[a-z]')))::DOUBLE /
+       |              len(ws)::DOUBLE, 4) AS alpha_frac,
+       |        len(list_distinct(list_filter(ws,
+       |            w -> w IN ('the','and','of','to','in','is','a'))))::BIGINT
+       |          AS n_stop
+       |        FROM t)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       |       n_stop,
+       |       CASE WHEN n_words BETWEEN 50 AND 100000
+       |             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |             AND symbol_ratio < 0.1 AND alpha_frac >= 0.8
+       |             AND n_stop >= 2
+       |            THEN 1 ELSE 0 END::BIGINT AS keep
+       |  FROM m""".stripMargin
 
   // x62: the SAME X62Merges training rounds the Spark side runs,
   // unrolled as a MATERIALIZED-CTE chain (inlining would re-expand the
@@ -2739,7 +2780,8 @@ object ExtensionQueries {
       "x86_nb_calibration" -> x86Oracle,
       "x87_contamination_frac" -> x87Oracle,
       "x88_threshold_curve" -> x88Oracle,
-      "x89_dsir_resample" -> x89Oracle)
+      "x89_dsir_resample" -> x89Oracle,
+      "x90_gopher_rules" -> x90Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

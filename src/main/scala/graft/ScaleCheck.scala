@@ -146,6 +146,9 @@ object ScaleCheck {
         // near-dup cluster, bounded per band bucket), never add a
         // corpus-sized term of its own
         "x88_threshold_curve",
+        // Gopher rule gate: map-only per-row array arithmetic, no
+        // shuffle — the scan-bound floor any rule filter should sit at
+        "x90_gopher_rules",
         // dedup applied through the MVCC write path: x41's decision
         // (measured via x36) + tombstone snapshot (one per-rid window)
         // — the applied form must track the decision, not add a

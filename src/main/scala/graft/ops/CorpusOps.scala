@@ -732,8 +732,12 @@ object CorpusOps {
       .withColumn("lpw_s", lpw(col("cnt_s"), col("nt_s"), col("v_s")))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
-        round(sum(col("tf") * (col("lpw_t") - col("lpw_s"))).cast("double") /
-          sum(col("tf")).cast("double"), 4).as("log_ratio"))
+        // + 0.0 normalizes IEEE −0.0: a doc whose true ratio is a tiny
+        // negative (< 5e-5) rounds to −0.0 in one engine and +0.0 in
+        // the other — same ordering, different repr hash (the x73
+        // rank-key class, observed here at sf0.1)
+        (round(sum(col("tf") * (col("lpw_t") - col("lpw_s"))).cast("double") /
+          sum(col("tf")).cast("double"), 4) + lit(0.0)).as("log_ratio"))
   }
 
   /** Token-budget mixture PLAN — the static allocation table a training
@@ -810,5 +814,55 @@ object CorpusOps {
         col("n_shingles").cast("double"), 4))
       .withColumn("flagged",
         when(col("frac") >= flagFrac, 1L).otherwise(0L))
+  }
+
+  /** Gopher/MassiveText rule-based quality gate (Rae et al. 2021,
+    * appendix A1.1 — the hand-written filter every major pretraining
+    * corpus runs BEFORE any trained classifier): per document, the
+    * rule signals and the composite keep decision. Rules carried (the
+    * subset meaningful for single-line documents; thresholds are the
+    * paper's): 50 ≤ word count ≤ 100k, 3 ≤ mean word length ≤ 10,
+    * symbol-to-word ratio (# and …) < 0.1, ≥ 80% of words contain an
+    * alphabetic character, and ≥ 2 distinct stopwords from the
+    * engine's stopword list (the x02 quality convention; the paper
+    * uses its own 8-word list). Rule signals are emitted alongside
+    * `keep` so a pipeline can audit WHICH rule fired — the number a
+    * filtering report actually needs.
+    *
+    * Ratios are rounded to 4 before thresholding, so the decision is
+    * a pure function of quantized values both engines agree on (all
+    * ratios are ≥ 0 — no −0.0 class here). Output: (doc_id, n_words,
+    * mean_word_len, symbol_ratio, alpha_frac, n_stop, keep).
+    *
+    * 100 TB shape: one scan, map-only per-row array arithmetic — no
+    * shuffle, no join, nothing leaves the partition. */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val nt = TF.normText(col(textCol))
+    val ws = TF.words(col(textCol))
+    val nw = size(ws).cast("long")
+    val meanLen = round(
+      aggregate(ws, lit(0L), (a, w) => a + length(w).cast("long"))
+        .cast("double") / nw.cast("double"), 4)
+    // non-overlapping occurrence counts via replace-length deltas —
+    // the '…' delta is a multiple of 3, so the division is exact
+    val nHash = (length(nt) - length(regexp_replace(nt, "#", ""))).cast("long")
+    val nEll = ((length(nt) - length(regexp_replace(nt, "\\.\\.\\.", "")))
+      .cast("long") / lit(3)).cast("long")
+    val symRatio = round((nHash + nEll).cast("double") / nw.cast("double"), 4)
+    val alphaFrac = round(
+      size(filter(ws, w => w.rlike("[a-z]"))).cast("double") /
+        nw.cast("double"), 4)
+    val stops = Seq("the", "and", "of", "to", "in", "is", "a")
+    val nStop = size(array_distinct(
+      filter(ws, w => w.isin(stops.map(x => x: Any): _*)))).cast("long")
+    docs.select(col(idCol).as("doc_id"), nw.as("n_words"),
+        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
+        alphaFrac.as("alpha_frac"), nStop.as("n_stop"))
+      .withColumn("keep",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") < 0.1 && col("alpha_frac") >= 0.8 &&
+          col("n_stop") >= 2).cast("long"))
   }
 }

@@ -1171,6 +1171,29 @@ class OpsSpec extends SparkTestBase {
       "b" -> ((36L, "0.750000", 30L, 0.8333, 0L))), out)
   }
 
+  test("CorpusOps.gopherRules: each rule rejects its planted violator; clean doc passes with hand-checked signals") {
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val clean = doc(Seq("the", "a") ++ (1 to 48).map(_ => "word")) // 50 words
+    val df = Seq(
+      (1L, clean),                                   // passes every rule
+      (2L, "tiny doc"),                              // n_words < 50
+      (3L, doc(Seq("the", "a") ++ (1 to 48).map(_ => "####"))), // symbols
+      (4L, doc((1 to 50).map(_ => "extraordinarily"))), // mean len > 10
+      (5L, doc((1 to 50).map(_ => "word"))))         // no stopwords
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.gopherRules(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // clean doc, fully hand-derived: 50 words, mean (3+1+48*4)/50 =
+    // 3.92, no symbols, all-alpha, stopwords {the, a}
+    assert(out(1L) == ((50L, 3.92, 0.0, 1.0, 2L, 1L)), out(1L))
+    assert(out.view.filterKeys(_ != 1L).values.forall(_._6 == 0L), out)
+    // the symbol doc fails the symbol rule specifically (ratio ≥ 0.1),
+    // not just incidentally: 192 '#'s over 50 words
+    assert(out(3L)._3 == 3.84, out(3L))
+  }
+
   test("CorpusOps.contaminationReport: fraction from one shingle grain, flag boundary at flagFrac") {
     // k=2 shingles; benchmark set = {"a b"}:
     //  doc 1 "a b c d e" → 4 shingles, 1 shared → frac 0.25 < 0.5
