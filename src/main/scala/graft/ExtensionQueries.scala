@@ -1995,6 +1995,19 @@ object ExtensionQueries {
   private val x90_gopher_rules: QFn = (s, d) =>
     graft.ops.CorpusOps.gopherRules(docsR(s, d))
 
+  /** Mixture plan MATERIALIZED ([[graft.ops.CorpusOps
+    * .mixtureMaterialize]]) — x85's allocation turned into the per-doc
+    * COPY counts a data loader actually consumes: whole epochs repeat
+    * every doc of the group, the remainder budget fills greedily in
+    * deterministic hash order. No RNG anywhere, so the copy table is
+    * hash-checked end to end (allocation arithmetic + greedy boundary
+    * per group). Plan: one persisted tokenize pass, a two-level
+    * per-group prefix sum (no task ever windows a whole group), plan
+    * and block-offset tables broadcast. */
+  private val x91_mixture_materialize: QFn = (s, d) =>
+    graft.ops.CorpusOps.mixtureMaterialize(docs(s, d),
+      budgetFrac = new java.math.BigDecimal("0.5"))
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, QFn] = Map(
@@ -2089,6 +2102,7 @@ object ExtensionQueries {
     "x88_threshold_curve" -> x88_threshold_curve,
     "x89_dsir_resample" -> x89_dsir_resample,
     "x90_gopher_rules" -> x90_gopher_rules,
+    "x91_mixture_materialize" -> x91_mixture_materialize,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2478,31 +2492,57 @@ object ExtensionQueries {
        |       log_ratio + gkey AS skey
        |  FROM g ORDER BY skey DESC, doc_id ASC LIMIT 64""".stripMargin
 
-  // x85: one token-count scan → per-language mass; sqrt quantized to
-  // DECIMAL(18,6) (IEEE sqrt is correctly rounded, so both engines
-  // agree BEFORE the round), everything after is exact decimal.
+  // x85/x91: one token-count scan → per-language mass; sqrt quantized
+  // to DECIMAL(18,6) (IEEE sqrt is correctly rounded, so both engines
+  // agree BEFORE the round), everything after is exact decimal. The
+  // CTE chain is shared so plan (x85) and materialization (x91)
+  // cannot drift on the allocation arithmetic. Parameterized on the
+  // budget fraction (a decimal literal both engines take exactly).
+  private def x85Ctes(budget: String): String =
+    s"""t AS (SELECT lang, len(string_split($NT,' '))::BIGINT AS n
+       |            FROM documents),
+       |g AS (SELECT lang, sum(n)::BIGINT AS n_tokens FROM t GROUP BY 1),
+       |g2 AS (SELECT lang, n_tokens,
+       |         CAST(round(sqrt(n_tokens::DOUBLE), 6) AS DECIMAL(18,6)) AS s
+       |         FROM g),
+       |tot AS (SELECT sum(s) AS s_tot, sum(n_tokens)::BIGINT AS tok_tot
+       |          FROM g2),
+       |w AS (SELECT lang, n_tokens,
+       |        CAST(round(s::DOUBLE / s_tot::DOUBLE, 6) AS DECIMAL(18,6))
+       |          AS weight,
+       |        tok_tot FROM g2 CROSS JOIN tot),
+       |a AS (SELECT lang, n_tokens, weight,
+       |        CAST(floor(CAST(floor($budget * tok_tot) AS DECIMAL(18,0))
+       |                   * weight) AS BIGINT) AS alloc_tokens
+       |        FROM w)""".stripMargin
+
   private lazy val x85Oracle: String =
-    s"""WITH t AS (SELECT lang, len(string_split($NT,' '))::BIGINT AS n
-         |            FROM documents),
-         |g AS (SELECT lang, sum(n)::BIGINT AS n_tokens FROM t GROUP BY 1),
-         |g2 AS (SELECT lang, n_tokens,
-         |         CAST(round(sqrt(n_tokens::DOUBLE), 6) AS DECIMAL(18,6)) AS s
-         |         FROM g),
-         |tot AS (SELECT sum(s) AS s_tot, sum(n_tokens)::BIGINT AS tok_tot
-         |          FROM g2),
-         |w AS (SELECT lang, n_tokens,
-         |        CAST(round(s::DOUBLE / s_tot::DOUBLE, 6) AS DECIMAL(18,6))
-         |          AS weight,
-         |        tok_tot FROM g2 CROSS JOIN tot),
-         |a AS (SELECT lang, n_tokens, weight,
-         |        CAST(floor(CAST(floor(0.5 * tok_tot) AS DECIMAL(18,0))
-         |                   * weight) AS BIGINT) AS alloc_tokens
-         |        FROM w)
-         |SELECT lang, n_tokens, weight, alloc_tokens,
-         |       round(alloc_tokens::DOUBLE / n_tokens::DOUBLE, 4) AS epochs,
-         |       CASE WHEN round(alloc_tokens::DOUBLE / n_tokens::DOUBLE, 4)
-         |                 > 1.0 THEN 1 ELSE 0 END::BIGINT AS oversampled
-         |  FROM a""".stripMargin
+    s"""WITH ${x85Ctes("0.5")}
+       |SELECT lang, n_tokens, weight, alloc_tokens,
+       |       round(alloc_tokens::DOUBLE / n_tokens::DOUBLE, 4) AS epochs,
+       |       CASE WHEN round(alloc_tokens::DOUBLE / n_tokens::DOUBLE, 4)
+       |                 > 1.0 THEN 1 ELSE 0 END::BIGINT AS oversampled
+       |  FROM a""".stripMargin
+
+  // x91: the copy table replayed with ONE per-language window cumsum
+  // in (h, doc_id) order — equivalent to the Spark side's two-level
+  // per-group prefix sum (the blocks partition the same order).
+  private lazy val x91Oracle: String =
+    s"""WITH ${x85Ctes("0.5")},
+       |d AS (SELECT doc_id, lang, len(string_split($NT,' '))::BIGINT
+       |               AS n_tokens,
+       |             ${H60("'mix|'||doc_id::VARCHAR")} AS h
+       |        FROM documents),
+       |r AS (SELECT d.*, coalesce(sum(n_tokens) OVER (PARTITION BY lang
+       |               ORDER BY h, doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |             0)::BIGINT AS running FROM d)
+       |SELECT r.doc_id, r.lang, r.n_tokens,
+       |       (a.alloc_tokens // a.n_tokens +
+       |        CASE WHEN r.running + r.n_tokens
+       |                  <= a.alloc_tokens % a.n_tokens
+       |             THEN 1 ELSE 0 END)::BIGINT AS n_copies
+       |  FROM r JOIN a USING (lang)""".stripMargin
 
   // x86: x72's scoring CTEs verbatim, argmax keeps its (exact-decimal)
   // score, terciles within each predicted label over (score asc,
@@ -2781,7 +2821,8 @@ object ExtensionQueries {
       "x87_contamination_frac" -> x87Oracle,
       "x88_threshold_curve" -> x88Oracle,
       "x89_dsir_resample" -> x89Oracle,
-      "x90_gopher_rules" -> x90Oracle)
+      "x90_gopher_rules" -> x90Oracle,
+      "x91_mixture_materialize" -> x91Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

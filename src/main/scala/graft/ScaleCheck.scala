@@ -149,6 +149,11 @@ object ScaleCheck {
         // Gopher rule gate: map-only per-row array arithmetic, no
         // shuffle — the scan-bound floor any rule filter should sit at
         "x90_gopher_rules",
+        // materialized mixture: the two-level per-group prefix sum —
+        // replication grows each (group, block) window's rows D× while
+        // the block count stays 128, so the level-1 windows must absorb
+        // the growth in parallel (x38's discipline, per group)
+        "x91_mixture_materialize",
         // dedup applied through the MVCC write path: x41's decision
         // (measured via x36) + tombstone snapshot (one per-rid window)
         // — the applied form must track the decision, not add a

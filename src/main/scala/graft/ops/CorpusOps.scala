@@ -758,10 +758,19 @@ object CorpusOps {
     * aggregate; the total rides a 1-row broadcast; everything after is
     * arithmetic on a groups-sized frame. */
   def mixturePlan(docs: DataFrame, budgetFrac: java.math.BigDecimal,
-      groupCol: String = "lang", textCol: String = "text"): DataFrame = {
-    val toks = docs
-      .select(col(groupCol), TF.tokenCount(col(textCol)).as("n"))
-      .groupBy(col(groupCol)).agg(sum(col("n")).as("n_tokens"))
+      groupCol: String = "lang", textCol: String = "text"): DataFrame =
+    mixtureAlloc(
+      docs.select(col(groupCol), TF.tokenCount(col(textCol)).as("n"))
+        .groupBy(col(groupCol)).agg(sum(col("n")).as("n_tokens")),
+      budgetFrac, groupCol)
+
+  /** The allocation arithmetic of [[mixturePlan]] over an already-
+    * aggregated (group, n_tokens) frame — shared with
+    * [[mixtureMaterialize]] so plan and materialization cannot drift
+    * on the weight law. */
+  private def mixtureAlloc(grouped: DataFrame,
+      budgetFrac: java.math.BigDecimal, groupCol: String): DataFrame = {
+    val toks = grouped
       .withColumn("s",
         round(sqrt(col("n_tokens").cast("double")), 6).cast("decimal(18,6)"))
     val tot = broadcast(toks.agg(sum(col("s")).as("s_tot"),
@@ -778,6 +787,63 @@ object CorpusOps {
       .select(col(groupCol), col("n_tokens"), col("weight"),
         col("alloc_tokens"), col("epochs"),
         when(col("epochs") > 1.0d, 1L).otherwise(0L).as("oversampled"))
+  }
+
+  /** Mixture plan MATERIALIZED to the document grain — the step
+    * between [[mixturePlan]]'s per-group allocation and an actual
+    * data-loader order ([[epochShuffle]]): per doc, how many COPIES
+    * the loader delivers under the plan. Every doc in a group repeats
+    * `alloc div n_tokens` times (the whole epochs); the remainder
+    * budget `alloc mod n_tokens` is filled greedily in deterministic
+    * hash order (h = hash60("mix|" + id), ties by id): a doc joins the
+    * partial epoch iff the docs before it left room for ALL its
+    * tokens. Pure function of (ids, texts, budget) — no RNG — so the
+    * copy table is hash-checked; Σ n_copies·n_tokens ≤ alloc per
+    * group by construction, undershooting by at most one doc at each
+    * greedy boundary.
+    *
+    * 100 TB shape: ONE tokenize pass (persisted — plan aggregate and
+    * doc grain both read it); the per-group running sum is a TWO-LEVEL
+    * prefix sum ([[packSequences]]'s discipline, per group): level 1
+    * windows partition by (group, hash-block) — 128 blocks split the
+    * hash space order-compatibly, so no single task ever sees a whole
+    * group — and the blocks-sized offset table rides a broadcast back.
+    * The plan table is groups-sized, also broadcast. Output: (doc_id,
+    * group, n_tokens, n_copies). */
+  def mixtureMaterialize(docs: DataFrame,
+      budgetFrac: java.math.BigDecimal, groupCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol), col(idCol).as("doc_id"),
+        TF.tokenCount(col(textCol)).as("n_tokens"),
+        TF.hash60(col(idCol).cast("string"), "mix|").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plan = mixtureAlloc(
+      toks.groupBy(col(groupCol)).agg(sum(col("n_tokens")).as("n_tokens")),
+      budgetFrac, groupCol)
+      .select(col(groupCol), col("n_tokens").as("g_tokens"),
+        col("alloc_tokens"))
+    // two-level per-group prefix sum in (h, doc_id) order: hash60 is
+    // 60-bit, so h div 2^53 yields 128 order-compatible blocks
+    val blocked = toks.withColumn("blk", expr("h div " + (1L << 53)))
+    val w1 = Window.partitionBy(groupCol, "blk")
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wb = Window.partitionBy(groupCol).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = blocked.groupBy(col(groupCol), col("blk"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("blk_off", coalesce(sum(col("bt")).over(wb), lit(0L)))
+      .select(col(groupCol), col("blk"), col("blk_off"))
+    blocked
+      .withColumn("run1", coalesce(sum(col("n_tokens")).over(w1), lit(0L)))
+      .join(broadcast(blkOff), Seq(groupCol, "blk"))
+      .join(broadcast(plan), Seq(groupCol))
+      .withColumn("running", col("run1") + col("blk_off"))
+      .withColumn("full_ep", expr("alloc_tokens div g_tokens"))
+      .withColumn("rem", col("alloc_tokens") - col("full_ep") * col("g_tokens"))
+      .select(col("doc_id"), col(groupCol), col("n_tokens"),
+        (col("full_ep") + when(col("running") + col("n_tokens") <= col("rem"),
+          1L).otherwise(0L)).as("n_copies"))
   }
 
   /** Contamination FRACTION report — [[decontaminate]] upgraded from

@@ -1171,6 +1171,31 @@ class OpsSpec extends SparkTestBase {
       "b" -> ((36L, "0.750000", 30L, 0.8333, 0L))), out)
   }
 
+  test("CorpusOps.mixtureMaterialize: whole epochs + greedy remainder fill; partitioning-invariant") {
+    // x85's fixture: group a = 1 doc x 4 tokens, group b = 3 docs x 12
+    // tokens, budget 100% of 40 -> alloc a=10, b=30 (weights 0.25/0.75)
+    val df = (Seq((1L, "t1 t2 t3 t4", "a")) ++ (0 until 3).map(i =>
+      (10L + i, (1 to 12).map(j => s"w$j").mkString(" "), "b")))
+      .toDF("doc_id", "text", "lang")
+    def run(d: org.apache.spark.sql.DataFrame) = graft.ops.CorpusOps
+      .mixtureMaterialize(d, budgetFrac = new java.math.BigDecimal("1.0"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val out = run(df)
+    val byGroup = out.groupBy(_._2)
+    // a: full = 10 div 4 = 2 epochs; remainder 2 cannot fit the 4-token
+    // doc -> exactly 2 copies
+    assert(byGroup("a") == Set((1L, "a", 4L, 2L)), byGroup("a"))
+    // b: full = 30 div 36 = 0; remainder 30 fits exactly two 12-token
+    // docs greedily (24 <= 30, 36 > 30) -> copies multiset {1,1,0},
+    // delivered mass 24 <= alloc 30
+    assert(byGroup("b").toSeq.map(_._4).sorted == Seq(0L, 1L, 1L), byGroup("b"))
+    assert(byGroup("b").toSeq.map(r => r._4 * r._3).sum == 24L)
+    // pure function of (ids, texts, budget): a different physical
+    // partitioning must not move the greedy boundary
+    assert(run(df.repartition(7)) == out)
+  }
+
   test("CorpusOps.gopherRules: each rule rejects its planted violator; clean doc passes with hand-checked signals") {
     def doc(words: Seq[String]) = words.mkString(" ")
     val clean = doc(Seq("the", "a") ++ (1 to 48).map(_ => "word")) // 50 words

@@ -370,6 +370,9 @@ class PlanAuditSpec extends SparkTestBase {
                                 // (inherits the scalar broadcasts)
       "x85_mixture_plan",       // 1-row (s_tot, tok_tot) broadcast over the
                                 // groups-sized frame, as x42's corpus scalars
+      "x91_mixture_materialize", // x85's allocation arithmetic (same 1-row
+                                // broadcast); doc-grain joins are equi on
+                                // (group, blk) / group
       "x86_nb_calibration",     // x72's model broadcasts (labels-sized
                                 // priors + 1-row vocab scalar); the word,
                                 // doc, and lang joins are all equi
@@ -399,6 +402,49 @@ class PlanAuditSpec extends SparkTestBase {
       assert(!p.contains("rangepartitioning"),
         s"$q must not globally sort the weight table:\n$p")
     }
+  }
+
+  test("x87: benchmark shingle set broadcast — the training corpus is never shuffled for the contamination join") {
+    // x37's discipline on the fraction report: the suite-sized
+    // benchmark set rides a broadcast; a sort-merge/shuffled-hash join
+    // here would shuffle the corpus-sized shingle grain for a
+    // suite-sized lookup
+    val p = plan("x87_contamination_frac")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("x90: rule gate is map-only — no keyed shuffle, no join, one scan") {
+    // the rule tier must sit at the scan-bound floor: per-row array
+    // arithmetic only. The single round-robin rebalance (docsR's
+    // under-split guard for regex/array-heavy map work) is allowed;
+    // a hash or range exchange — or any join — means a quality filter
+    // acquired a corpus-keyed shuffle it cannot justify.
+    val p = plan("x90_gopher_rules")
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"map-only plan must not shuffle on a key:\n$p")
+    assert(!p.contains("Join"), s"map-only plan must not join:\n$p")
+    assert("Scan parquet".r.findAllIn(
+      p.split("== Initial Plan ==").head).length == 1,
+      s"exactly one corpus scan expected:\n$p")
+  }
+
+  test("x91: materialized mixture — doc-grain window is (group, block)-keyed, offsets and plan broadcast back") {
+    // the per-group running sum must be the two-level form: the
+    // doc-grain window partitions by (lang, blk) — no task ever sees a
+    // whole group — and the blocks-sized offset table + groups-sized
+    // plan ride broadcasts. A doc-grain window keyed by lang ALONE
+    // would serialize each language through one task at corpus scale.
+    val p = plan("x91_mixture_materialize")
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, p)
+    // every window: either the doc-grain (lang, blk) one or the
+    // blocks-table (lang ordered by blk) one — both carry blk#
+    assert(winLines.forall(_.contains("blk#")),
+      s"un-blocked window found:\n${winLines.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
   test("x69: token-budget mixture — rates broadcast back, the corpus is never shuffled for the join") {
