@@ -156,6 +156,59 @@ class PipelineSpec extends SparkTestBase {
     assert(s1.map(_._2).subsetOf(keptIds), "no resurrected docs")
   }
 
+  test("curation pipeline v4: gopher rule gate -> DSIR target selection -> materialized mixture composes deterministically") {
+    val docs = Catalog(spark, sf).table("documents")
+    val nDocs = docs.count()
+
+    // 1. rule tier (x90): the hand-written gate runs FIRST — cheapest
+    //    signal, no model, map-only
+    val kept = CorpusOps.gopherRules(docs).filter(col("keep") === 1L)
+    val pool0 = docs.join(kept.select("doc_id"), Seq("doc_id"))
+    val n0 = pool0.count()
+    assert(n0 > 0 && n0 < nDocs, s"gate must discriminate: $n0 of $nDocs")
+
+    // 2. DSIR selection toward the src0/src1 target domain (x83/x84
+    //    shape) over the GATED pool — gate and selector compose
+    val inTarget = col("source").isin("src0", "src1")
+    val pool = pool0.filter(!inTarget)
+    val wts = CorpusOps.dsirWeights(pool,
+      CorpusOps.unigramCounts(pool0.filter(inTarget)),
+      CorpusOps.unigramCounts(pool))
+    val sel = wts.orderBy(col("log_ratio").desc, col("doc_id").asc).limit(64)
+    val selIds = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    val wmap = wts.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(selIds.size == math.min(64L, pool.count()).toInt)
+    assert(selIds.subsetOf(wmap.keySet), "no resurrected docs")
+    // top-k actually selects by weight (ties at the boundary allowed)
+    val unsel = wmap.keySet -- selIds
+    if (unsel.nonEmpty)
+      assert(selIds.map(wmap).min >= unsel.map(wmap).max,
+        "every selected weight must dominate every unselected one")
+
+    // 3. materialized mixture over the selected slice: the copy table
+    //    agrees with its OWN plan's allocation — per group, delivered
+    //    token mass lands in [alloc - g_tokens, alloc] (whole epochs
+    //    always delivered; the greedy remainder never overshoots)
+    val selected = docs.join(sel.select("doc_id"), Seq("doc_id"))
+    val budget = new java.math.BigDecimal("0.5")
+    val mat = CorpusOps.mixtureMaterialize(selected, budget)
+    assert(mat.count() == selIds.size, "one copy-count row per doc")
+    val delivered = mat.groupBy("lang")
+      .agg(sum(col("n_copies") * col("n_tokens")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    CorpusOps.mixturePlan(selected, budget).collect().foreach { r =>
+      val (lang, gTokens, alloc) =
+        (r.getString(0), r.getLong(1), r.getLong(3))
+      val d = delivered(lang)
+      assert(d <= alloc && d >= alloc - gTokens,
+        s"$lang: delivered $d outside [${alloc - gTokens}, $alloc]")
+    }
+    // the whole chain is a pure function of the corpus
+    val again = CorpusOps.mixtureMaterialize(selected, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(mat.collect().map(r => (r.getLong(0), r.getLong(3))).toSet == again)
+  }
+
   test("lmScores scan-amplification audit: composed unigram+bigram scoring reads the corpus once") {
     val sc = spark.sparkContext
     val docs = Catalog(spark, sf).table("documents")
