@@ -520,6 +520,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("gopherRules is streaming-applicable as-is: ingest-time rule gating equals the batch table") {
+    // the rule tier is STATELESS (per-row array arithmetic, no agg, no
+    // window), so the same op runs unchanged over a stream in Append
+    // mode — rule-gate documents at ingest, before they ever land in
+    // the corpus, with zero state and batch-identical signals.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val expected = graft.ops.CorpusOps.gopherRules(docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.CorpusOps
+      .gopherRules(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_stream_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+      val got = spark.table("gopher_stream_test")
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(got == expected,
+        s"stream gate diverged from batch on ${
+          got.count { case (k, v) => expected.get(k) != Some(v) }} docs")
+    } finally q.stop()
+  }
+
   test("streaming weighted sample: incremental per-group top-k equals the batch draw") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
