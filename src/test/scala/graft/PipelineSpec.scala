@@ -266,4 +266,42 @@ class PipelineSpec extends SparkTestBase {
       s"encodeDocs read ${encoded}B from disk vs one corpus scan " +
         s"${single}B — the shared word-grain cache is not shared")
   }
+
+  test("x63/x91 scan-amplification audit: the persisted shared grain reads the corpus once") {
+    // both queries fan one tokenized frame out to multiple consumers —
+    // x63: hot-key rank (eager collect) + build side + probe side of
+    // the split join; x91: plan aggregate + doc-grain window — and
+    // both persist it. Without the cache, column pruning specializes
+    // each consumer's scan and the corpus tokenizes once per consumer
+    // (x63 read 3x before the round-12 fix).
+    val sc = spark.sparkContext
+    val docs = Catalog(spark, sf).table("documents")
+    def fileBytes(): Long = {
+      val s = org.apache.hadoop.fs.FileSystem
+        .getGlobalStorageStatistics.get("file")
+      if (s == null) 0L else s.getLong("bytesRead")
+    }
+    def bytesOf(act: => Unit): Long = {
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val before = fileBytes(); act; fileBytes() - before
+    }
+    val single = bytesOf(
+      docs.select(length(col("text")).as("n")).agg(sum(col("n"))).collect())
+    assert(single > 0, "yardstick scan measured zero file bytes")
+    // query construction included: x63's hotKeys collect scans during
+    // construction and must populate the cache the plan then reads.
+    // Threshold 2.5×, not 1.5×: at fixture size the parquet footer
+    // pass costs as much as the data pass (the file is a few KB), and
+    // docsR's partition probe adds one more metadata read — ~2× is the
+    // honest single-scan floor here, while the pre-fix x63 (three
+    // tokenize passes) measures ≥3× and any re-introduced double scan
+    // lands above the bar.
+    for (q <- Seq("x63_skew_join", "x91_mixture_materialize")) {
+      val b = bytesOf(
+        SparkEntry.queries(q)(spark, sf).queryExecution.toRdd.count())
+      assert(b < single * 5 / 2,
+        s"$q read ${b}B from disk vs one corpus scan ${single}B — " +
+          "the shared tokenize persist is not being reused")
+    }
+  }
 }
