@@ -2008,6 +2008,24 @@ object ExtensionQueries {
     graft.ops.CorpusOps.mixtureMaterialize(docs(s, d),
       budgetFrac = new java.math.BigDecimal("0.5"))
 
+  /** CCNet-style boilerplate excision ([[graft.ops.CorpusOps
+    * .boilerplateExcise]], Wenzek et al. LREC 2020 §4.1) — blocks
+    * recurring in ≥ 3 distinct docs are chrome and removed from EVERY
+    * doc (x60 keeps a canonical first occurrence; boilerplate has
+    * none). Hash-checked end-to-end: the oracle rebuilds the excised
+    * TEXT. Block df measured at all fixture SFs (max df 4/3 at
+    * sf0.001/sf0.01) — the ≥3 gate is non-degenerate everywhere. */
+  private val x92_boilerplate: QFn = (s, d) =>
+    graft.ops.CorpusOps.boilerplateExcise(docsR(s, d))
+
+  /** Shingle-grain novelty ([[graft.ops.CorpusOps.noveltyScore]]) —
+    * fraction of a doc's distinct 3-shingles it introduced (min
+    * doc_id attribution). Exact dups of earlier docs score 0. Same
+    * ShingleK as the x07 dedup family, so "novel" and "near-dup" are
+    * measured on the same unit. */
+  private val x93_novelty: QFn = (s, d) =>
+    graft.ops.CorpusOps.noveltyScore(docsR(s, d))
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, QFn] = Map(
@@ -2103,6 +2121,8 @@ object ExtensionQueries {
     "x89_dsir_resample" -> x89_dsir_resample,
     "x90_gopher_rules" -> x90_gopher_rules,
     "x91_mixture_materialize" -> x91_mixture_materialize,
+    "x92_boilerplate" -> x92_boilerplate,
+    "x93_novelty" -> x93_novelty,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2629,6 +2649,58 @@ object ExtensionQueries {
        |            THEN 1 ELSE 0 END::BIGINT AS keep
        |  FROM m""".stripMargin
 
+  // x92: block starts 1 + i·4 for the floor(n/4) full blocks (the
+  // Spark side's stride-4 sequence with the full-block filter), df
+  // over DISTINCT docs, every occurrence of a boilerplate block cut at
+  // token grain (anti join), text reassembled in token order. The
+  // string_agg of a fully-cut doc is NULL → coalesced to '' to match
+  // Spark's concat_ws over an empty array.
+  private lazy val x92Oracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split($NT,' ') AS ws,
+       |                  len(string_split($NT,' ')) AS n FROM documents),
+       |blk AS (SELECT doc_id, n, ws,
+       |               unnest([1 + i*4 for i in range(0, n//4)]) AS st
+       |          FROM t),
+       |fps AS (SELECT doc_id, st,
+       |               ${H60("'bp|' || array_to_string(ws[st:st+3],' ')")} AS fp
+       |          FROM blk),
+       |bp AS (SELECT fp FROM fps GROUP BY fp
+       |        HAVING count(DISTINCT doc_id) >= 3),
+       |cuti AS (SELECT f.doc_id, unnest([f.st + k for k in range(0, 4)]) AS i
+       |           FROM fps f JOIN bp USING (fp)),
+       |tok AS (SELECT doc_id, i, ws[i] AS tk
+       |          FROM t, unnest(range(1, n+1)) AS r(i)),
+       |kept AS (SELECT tok.doc_id, tok.i, tok.tk FROM tok
+       |          ANTI JOIN cuti
+       |            ON tok.doc_id = cuti.doc_id AND tok.i = cuti.i),
+       |re AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS text,
+       |              count(*) AS n_kept FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(re.text, '') AS text,
+       |       t.n::BIGINT AS n_tokens,
+       |       coalesce(re.n_kept, 0)::BIGINT AS n_kept,
+       |       (t.n - coalesce(re.n_kept, 0))::BIGINT AS n_cut
+       |  FROM t LEFT JOIN re USING (doc_id)""".stripMargin
+
+  // x93: distinct 3-shingles per doc (x07's shingle CTE + list_distinct),
+  // min-doc attribution per fingerprint, per-doc novelty rollup. Docs
+  // with < 3 words have no shingles → 0/0/NULL via the left join.
+  private lazy val x93Oracle: String =
+    s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |             list_distinct([array_to_string(ws[i:i+2],' ')
+       |                            for i in range(1, len(ws)-1)]) AS sh
+       |        FROM w),
+       |e AS (SELECT doc_id, ${H60("'nov|' || unnest(sh)")} AS fp FROM s),
+       |f AS (SELECT fp, min(doc_id) AS first_id FROM e GROUP BY fp),
+       |p AS (SELECT e.doc_id, count(*) AS n_shingles,
+       |             sum(CASE WHEN f.first_id = e.doc_id
+       |                      THEN 1 ELSE 0 END) AS n_novel
+       |        FROM e JOIN f USING (fp) GROUP BY e.doc_id)
+       |SELECT d.doc_id, coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+       |       coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+       |       round(p.n_novel::DOUBLE / p.n_shingles, 4) AS novel_frac
+       |  FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
+
   // x62: the SAME X62Merges training rounds the Spark side runs,
   // unrolled as a MATERIALIZED-CTE chain (inlining would re-expand the
   // previous round TWICE per round — 2^16 scans). Each round: adjacent
@@ -2822,7 +2894,9 @@ object ExtensionQueries {
       "x88_threshold_curve" -> x88Oracle,
       "x89_dsir_resample" -> x89Oracle,
       "x90_gopher_rules" -> x90Oracle,
-      "x91_mixture_materialize" -> x91Oracle)
+      "x91_mixture_materialize" -> x91Oracle,
+      "x92_boilerplate" -> x92Oracle,
+      "x93_novelty" -> x93Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -149,6 +149,17 @@ object ScaleCheck {
         // Gopher rule gate: map-only per-row array arithmetic, no
         // shuffle — the scan-bound floor any rule filter should sit at
         "x90_gopher_rules",
+        // boilerplate excision: block-fingerprint volume grows D× and
+        // replication turns EVERY full block into a ≥minDf boilerplate
+        // block (each doc has D-1 exact twins), so the cut-range join
+        // and the reassembly see the worst case — near-linear means
+        // the df groupBy + equi join + per-row array work absorb it
+        "x92_boilerplate",
+        // novelty: x58's fingerprint-groupBy shape at shingle grain;
+        // replication multiplies occurrences of an UNCHANGED distinct-
+        // shingle set, so the min-doc agg sees D× fan-in on the same
+        // keys (partial-agg absorption is exactly what's measured)
+        "x93_novelty",
         // materialized mixture: the two-level per-group prefix sum —
         // replication grows each (group, block) window's rows D× while
         // the block count stays 128, so the level-1 windows must absorb

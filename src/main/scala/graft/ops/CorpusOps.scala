@@ -931,4 +931,105 @@ object CorpusOps {
           col("symbol_ratio") < 0.1 && col("alpha_frac") >= 0.8 &&
           col("n_stop") >= 2).cast("long"))
   }
+
+  /** Boilerplate EXCISION by global block frequency — the CCNet /
+    * RefinedWeb paragraph-dedup step (Wenzek et al. LREC 2020 §4.1:
+    * hash every paragraph, drop paragraphs whose hash repeats across
+    * the corpus; RefinedWeb runs the same gate line-wise): chrome that
+    * recurs across many distinct documents (navigation, headers,
+    * licence stubs) is removed from EVERY document — unlike
+    * [[exciseSpans]], which keeps a canonical first occurrence of
+    * repeated content, boilerplate has no canonical: all occurrences
+    * go. The fixture corpus has no newline/paragraph structure, so the
+    * paragraph unit here is the non-overlapping `block`-token block
+    * (same normalization as every text op); the last `n mod block`
+    * tokens of a doc are unblocked and always survive. A block is
+    * boilerplate iff it occurs in ≥ `minDf` DISTINCT documents —
+    * within-doc repetition alone never marks it (that is [[spanDupStats]]'s
+    * signal). Output: (doc_id, text — reassembled from surviving
+    * tokens, n_tokens, n_kept, n_cut) for every input doc.
+    *
+    * 100 TB shape: map-side 8-byte block fingerprints (volume
+    * n_tokens/block), one fingerprint groupBy with an exact
+    * count-distinct (two-level hash agg, uniform keys), the
+    * boilerplate set joined back equi on the fingerprint, one per-doc
+    * rollup of cut ranges, and per-row array reassembly inside
+    * whole-stage codegen — the same excision plan PlanAudit pins for
+    * x60, with the df gate replacing the first-occurrence rank. */
+  def boilerplateExcise(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", block: Int = 4, minDf: Int = 3): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+    val blocks = toks
+      .select(col("doc_id"), col("n"), col("ws"),
+        explode(sequence(lit(1),
+          greatest(col("n") - (block - 1), lit(1)),
+          lit(block))).as("st"))
+      // full blocks only: a doc shorter than `block` contributes nothing
+      // (the greatest() guard above only protects sequence() from a
+      // descending range)
+      .filter(col("st") + (block - 1) <= col("n"))
+      .select(col("doc_id"), col("st"),
+        TF.hash60(concat_ws(" ", slice(col("ws"), col("st"), lit(block))),
+          "bp|").as("fp"))
+    val bp = blocks.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDf)
+      .select(col("fp"))
+    val cut = blocks.join(bp, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("st"),
+        (col("st") + (block - 1)).as("en"))).as("rs"))
+    toks.join(cut, Seq("doc_id"), "left")
+      .withColumn("rs",
+        coalesce(col("rs"), expr("array()").cast("array<struct<st:int,en:int>>")))
+      .withColumn("kept", expr(
+        "filter(sequence(1, n), i -> !exists(rs, r -> i >= r.st AND i <= r.en))"))
+      .select(col("doc_id"),
+        concat_ws(" ", expr("transform(kept, i -> element_at(ws, i))"))
+          .as("text"),
+        col("n").cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n") - size(col("kept"))).cast("long").as("n_cut"))
+  }
+
+  /** Shingle-grain NOVELTY score — the "how much of this document is
+    * new text" signal dataset-growth audits and memorization studies
+    * run (the doc-grain complement of [[spanDupStats]]'s span signal):
+    * a document's distinct `k`-word shingles are attributed to the
+    * document that introduced them (min doc_id = earliest ingest), and
+    * the doc's novelty is the fraction of its shingle set it
+    * introduced itself. Exact duplicates of an earlier doc score 0;
+    * fully original docs score 1; partial rewrites land in between.
+    * Set semantics per doc (within-doc repetition doesn't inflate
+    * novelty). Docs with < k words have no shingles: n_shingles = 0,
+    * novel_frac = NULL. Output: (doc_id, n_shingles, n_novel,
+    * novel_frac — rounded to 4).
+    *
+    * 100 TB shape: map-side distinct shingle fingerprints (8 bytes
+    * each), one fingerprint groupBy for the min-doc attribution
+    * (uniform hash keys, map-side partial min), an equi join back on
+    * the fingerprint, and a doc-grain rollup — the x58 family plan at
+    * shingle grain, no window, no skew (shingle keys are
+    * content-hashed). */
+  def noveltyScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TF.shingles(col(textCol), k))).as("s"))
+      .select(col("doc_id"), TF.hash60(col("s"), "nov|").as("fp"))
+    val first = sh.groupBy("fp").agg(min(col("doc_id")).as("first_id"))
+    val per = sh.join(first, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 4)
+          .as("novel_frac"))
+  }
 }

@@ -827,6 +827,64 @@ class OpsSpec extends SparkTestBase {
       "some doc must hold only first occurrences (flagged, not cut)")
   }
 
+  test("CorpusOps.boilerplateExcise: cross-doc frequent blocks cut everywhere, df<minDf and within-doc repeats survive") {
+    val B = "nav home about contact"                  // the planted chrome
+    val df = Seq(
+      (1L, B + " alpha beta gamma delta tail1"),      // B + shared-by-2 + tail
+      (2L, B + " epsilon zeta eta theta x1"),
+      (3L, B + " alpha beta gamma delta end9"),
+      (4L, "u1 u2 u3 u4 u5"),                         // unrelated
+      (5L, "w1 w2 w3 w4 w1 w2 w3 w4"),                // within-doc repeat only
+      (6L, "s1 s2 s3"),                               // shorter than a block
+      (7L, "pre " + B + " q1 q2 q3"))                 // B block-misaligned
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.boilerplateExcise(df, block = 4, minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 7, "every input doc present in output")
+    // B occurs in 3 distinct docs -> boilerplate, removed from ALL of
+    // them (no canonical survivor — this is what distinguishes the op
+    // from exciseSpans' keep-first)
+    assert(out(1L)._1 == "alpha beta gamma delta tail1" && out(1L)._4 == 4)
+    assert(out(2L)._1 == "epsilon zeta eta theta x1" && out(2L)._4 == 4)
+    assert(out(3L)._1 == "alpha beta gamma delta end9" && out(3L)._4 == 4)
+    // "alpha beta gamma delta" occurs in only 2 docs (< minDf) -> kept
+    assert(out(1L)._1.startsWith("alpha"), "df=2 block must survive")
+    // unrelated and within-doc-repeated docs untouched (df counts
+    // DISTINCT docs)
+    assert(out(4L)._4 == 0 && out(5L)._4 == 0, (out(4L), out(5L)).toString)
+    // sub-block doc has no fingerprints and passes through
+    assert(out(6L)._1 == "s1 s2 s3" && out(6L)._4 == 0)
+    // block grain: a misaligned occurrence of B hashes into different
+    // blocks and is NOT detected (the CCNet unit is the aligned
+    // paragraph; here, the aligned block)
+    assert(out(7L)._4 == 0, out(7L).toString)
+    // conservation
+    out.values.foreach { case (_, n, k, c) => assert(k + c == n) }
+  }
+
+  test("CorpusOps.noveltyScore: min-doc attribution, exact dup scores 0, set semantics, sub-k doc has no shingles") {
+    val df = Seq(
+      (1L, "a b c d"),      // introduces ab, bc, cd
+      (2L, "a b c e"),      // ab, bc seen; introduces ce
+      (3L, "a b c d"),      // exact dup of doc 1
+      (4L, "x"),            // shorter than k
+      (5L, "q r q r"))      // distinct shingles {qr, rq, qr} -> {qr, rq}
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.noveltyScore(df, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 1.0)), out(1L).toString)
+    assert(out(2L) == ((3L, 1L, 0.3333)), out(2L).toString)
+    assert(out(3L) == ((3L, 0L, 0.0)), "exact dup of an earlier doc is 0-novel")
+    assert(out(4L)._1 == 0L && out(4L)._3 == null,
+      "sub-k doc: no shingles, NULL fraction")
+    assert(out(5L) == ((2L, 2L, 1.0)),
+      "within-doc repetition must not inflate the shingle set")
+  }
+
   test("BpeOps: distributed trainer and tokenizer match a naive single-node BPE reference") {
     import graft.ops.BpeOps
     // --- naive reference (classic scan-with-skip BPE) ---
