@@ -2026,6 +2026,85 @@ object ExtensionQueries {
   private val x93_novelty: QFn = (s, d) =>
     graft.ops.CorpusOps.noveltyScore(docsR(s, d))
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    * SIGIR 2009) — the RAG-stack workhorse: for each query doc
+    * (doc_id < 3; the fixture's embeddings are row-aligned with
+    * documents, standing in for the doc's embedding column), rank
+    * candidates LEXICALLY (BM25 retrieval: sum over the query's terms
+    * of x42's per-term weight — each term quantized to DECIMAL(18,6)
+    * and summed exactly, so the ranking is engine-identical) and
+    * SEMANTICALLY (cosine over the embedding, x12's exact form), take
+    * each modality's top-20, and fuse: rrf = Σ 1/(60+rank), absent
+    * modality contributing 0 — k=60 per the paper. Output: top-10 per
+    * query with both ranks (NULL where one modality missed) and the
+    * fused score.
+    *
+    * 100 TB shape: the corpus-grain work is exactly x42's (tf/dl/df
+    * shuffles at (doc,word) grain, 1-row scalar broadcast); the query
+    * set is tiny and rides broadcasts into both scorings (the
+    * non-equi query-probe joins are the declared x12 scoring shape).
+    * Both per-(query, modality) top-20s and the final top-10 plan
+    * WindowGroupLimit — map tasks forward ≤ k rows per query, never
+    * the corpus (PlanAuditSpec pins it). The fusion join is equi on
+    * (q_id, doc_id) over ≤ 20-row-per-query frames. */
+  private val x94_hybrid_rrf: QFn = (s, d) => {
+    val dd = docsR(s, d)
+    // tf is consumed by five branches (dl, dfreq, corpus, qterms, the
+    // probe side) — materialize once, the x42 discipline
+    val tf = dd
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("dfreq"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5)))
+    val norm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val term = tf.join(dl, Seq("doc_id"))
+      .join(dfreq, Seq("word"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("word"),
+        round(idf * norm, 6).cast("decimal(18,6)").as("t"))
+    val qterms = tf.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("word"))
+    val wt = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val tr = qterms.join(term, Seq("word"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("t")).as("score"))
+      .withColumn("r_text", row_number().over(wt).cast("long"))
+      .filter(col("r_text") <= 20)
+      .select(col("q_id"), col("doc_id"), col("r_text"))
+    val e = embs(s, d)
+    val qv = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"))
+    val wv = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val vr = qv.crossJoin(
+        e.select(col("vec_id").as("doc_id"), col("embedding").as("n_e")))
+      .filter(col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
+      .withColumn("r_vec", row_number().over(wv).cast("long"))
+      .filter(col("r_vec") <= 20)
+      .select(col("q_id"), col("doc_id"), col("r_vec"))
+    val wf = Window.partitionBy("q_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    tr.join(vr, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("doc_id"), col("r_text"), col("r_vec"),
+        col("rrf"))
+  }
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, QFn] = Map(
@@ -2123,6 +2202,7 @@ object ExtensionQueries {
     "x91_mixture_materialize" -> x91_mixture_materialize,
     "x92_boilerplate" -> x92_boilerplate,
     "x93_novelty" -> x93_novelty,
+    "x94_hybrid_rrf" -> x94_hybrid_rrf,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2701,6 +2781,54 @@ object ExtensionQueries {
        |       round(p.n_novel::DOUBLE / p.n_shingles, 4) AS novel_frac
        |  FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
 
+  // x94: x42's per-term BM25 weight quantized to DECIMAL(18,6) and
+  // summed exactly per (query, doc); cosine per x11/x12's exact fold;
+  // top-20 per modality, RRF k=60 fusion (1.0::DOUBLE — a bare 1.0 is
+  // DECIMAL in DuckDB and would fuse in decimal arithmetic), top-10.
+  private lazy val x94Oracle: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, w AS word, count(*)::BIGINT AS tf
+       |    FROM (SELECT doc_id, unnest(string_split($NT,' ')) AS w
+       |            FROM documents) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+       |df AS (SELECT word, count(*)::BIGINT AS dfreq FROM tf GROUP BY word),
+       |c AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |term AS (
+       |  SELECT tf.doc_id, tf.word,
+       |         round(ln(1.0 + (c.n_docs - df.dfreq + 0.5) /
+       |                        (df.dfreq + 0.5)) *
+       |               (tf.tf * 2.2 /
+       |                (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))),
+       |               6)::DECIMAL(18,6) AS t
+       |    FROM tf JOIN dl USING (doc_id) JOIN df USING (word) CROSS JOIN c),
+       |q AS (SELECT doc_id AS q_id, word FROM tf WHERE doc_id < 3),
+       |ts AS (SELECT q.q_id, term.doc_id, sum(t) AS score
+       |         FROM q JOIN term USING (word)
+       |        WHERE term.doc_id <> q.q_id GROUP BY 1, 2),
+       |tr AS (SELECT q_id, doc_id,
+       |              row_number() OVER (PARTITION BY q_id
+       |                  ORDER BY score DESC, doc_id ASC)::BIGINT AS r_text
+       |         FROM ts QUALIFY r_text <= 20),
+       |vs AS (SELECT a.vec_id AS q_id, b.vec_id AS doc_id,
+       |              round(${COS("a.embedding", "b.embedding")}, 6) AS cos
+       |         FROM embeddings a JOIN embeddings b
+       |           ON a.vec_id < 3 AND a.vec_id <> b.vec_id),
+       |vr AS (SELECT q_id, doc_id,
+       |              row_number() OVER (PARTITION BY q_id
+       |                  ORDER BY cos DESC, doc_id ASC)::BIGINT AS r_vec
+       |         FROM vs QUALIFY r_vec <= 20),
+       |f AS (SELECT coalesce(tr.q_id, vr.q_id) AS q_id,
+       |             coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+       |             tr.r_text, vr.r_vec,
+       |             round(coalesce(1.0::DOUBLE / (60 + tr.r_text), 0) +
+       |                   coalesce(1.0::DOUBLE / (60 + vr.r_vec), 0), 6)
+       |               AS rrf
+       |        FROM tr FULL JOIN vr
+       |          ON tr.q_id = vr.q_id AND tr.doc_id = vr.doc_id)
+       |SELECT q_id, doc_id, r_text, r_vec, rrf
+       |  FROM f QUALIFY row_number() OVER (PARTITION BY q_id
+       |         ORDER BY rrf DESC, doc_id ASC) <= 10""".stripMargin
+
   // x62: the SAME X62Merges training rounds the Spark side runs,
   // unrolled as a MATERIALIZED-CTE chain (inlining would re-expand the
   // previous round TWICE per round — 2^16 scans). Each round: adjacent
@@ -2896,7 +3024,8 @@ object ExtensionQueries {
       "x90_gopher_rules" -> x90Oracle,
       "x91_mixture_materialize" -> x91Oracle,
       "x92_boilerplate" -> x92Oracle,
-      "x93_novelty" -> x93Oracle)
+      "x93_novelty" -> x93Oracle,
+      "x94_hybrid_rrf" -> x94Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -160,6 +160,11 @@ object ScaleCheck {
         // shingle set, so the min-doc agg sees D× fan-in on the same
         // keys (partial-agg absorption is exactly what's measured)
         "x93_novelty",
+        // hybrid RRF: the query set stays 3 while both modality
+        // candidate sides grow D× — near-linear means the
+        // WindowGroupLimit prunes keep the per-query exchanges at
+        // ≤ k rows and the cost tracks x42's corpus-grain tf work
+        "x94_hybrid_rrf",
         // materialized mixture: the two-level per-group prefix sum —
         // replication grows each (group, block) window's rows D× while
         // the block count stays 128, so the level-1 windows must absorb

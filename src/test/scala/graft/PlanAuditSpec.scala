@@ -229,6 +229,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Partial") && p.contains("Final"), p)
   }
 
+  test("x94: hybrid fusion — every ranking stage plans WindowGroupLimit, fusion join equi on (q_id, doc_id)") {
+    // three rank()<=k windows (text top-20, vector top-20, fused
+    // top-10) must ALL become group-limits so map tasks forward ≤ k
+    // rows per query — the corpus never rides a per-query exchange
+    val p = plan("x94_hybrid_rrf")
+    val wgl = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    // partial+final per window ⇒ ≥ 2 nodes each; at least the three
+    // finals plus partials on the corpus-sized text/vector sides
+    assert(wgl >= 5, s"expected ≥5 WindowGroupLimit nodes, got $wgl:\n$p")
+    val fuse = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toSeq
+    assert(fuse.exists(l => l.contains("FullOuter") || l.contains("full")),
+      s"fusion must be an equi full-outer join:\n$p")
+  }
+
   test("x48: trained-centroid search join is equi (hash) with WindowGroupLimit top-k") {
     // training swaps the centroid VALUES, never the plan: the search must
     // keep x18's shape — equi join on the cell id, rank pruned to k rows
@@ -331,6 +346,10 @@ class PlanAuditSpec extends SparkTestBase {
       "x19_embed_dedup",        // brute-force baseline (labeled)
       "x21_tfidf",              // 1-row corpus-size broadcast
       "x42_bm25",               // 1-row corpus-scalars (N, avgdl) broadcast
+      "x94_hybrid_rrf",         // x42's 1-row corpus-scalar broadcast + the
+                                // 3-row broadcast query-vector probe (x12's
+                                // declared scoring shape); fusion join is
+                                // equi on (q_id, doc_id)
       "x51_lm_score",           // 1-row corpus-scalars (N, vocab) broadcast
       "x59_bigram_lm",          // 1-row vocab scalar broadcast (as x51)
       "x61_lm_scores",          // composed x51+x59: same 1-row scalar broadcasts
