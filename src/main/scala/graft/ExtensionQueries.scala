@@ -2105,6 +2105,21 @@ object ExtensionQueries {
         col("rrf"))
   }
 
+  /** Iteration count for the x95 power method — one constant feeds the
+    * Spark iteration AND the generated unrolled-CTE oracle (the
+    * x48/x62 pattern), so query and oracle can't drift on rounds. */
+  private val X95Iters = 8
+
+  /** Distributed PCA: dominant principal component
+    * ([[graft.ops.VectorOps.pcaPower]]) — exact-decimal Gram matrix
+    * (one corpus pass, d²-key partial agg) + 8 unrolled power-method
+    * rounds (d²-sized equi joins, 1-row ∞-norm broadcasts). The whole
+    * loading vector AND the eigenvalue estimate are hash-checked: the
+    * oracle replays the identical 8 rounds as an unrolled CTE chain
+    * over the same quantized decimals. */
+  private val x95_pca_power: QFn = (s, d) =>
+    graft.ops.VectorOps.pcaPower(embsR(s, d), iters = X95Iters)
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, QFn] = Map(
@@ -2203,6 +2218,7 @@ object ExtensionQueries {
     "x92_boilerplate" -> x92_boilerplate,
     "x93_novelty" -> x93_novelty,
     "x94_hybrid_rrf" -> x94_hybrid_rrf,
+    "x95_pca_power" -> x95_pca_power,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2829,6 +2845,35 @@ object ExtensionQueries {
        |  FROM f QUALIFY row_number() OVER (PARTITION BY q_id
        |         ORDER BY rrf DESC, doc_id ASC) <= 10""".stripMargin
 
+  // x95: the SAME X95Iters power-method rounds, unrolled. Gram products
+  // quantized round(xi·xj, 9)::DECIMAL(28,9) and summed exactly; each
+  // round's M·v is exact decimal (DECIMAL(20,9)×DECIMAL(8,6)); only the
+  // ∞-norm ratio passes through doubles, re-quantized to DECIMAL(8,6)
+  // with the −0.0 guard. Dims 1-based on both sides.
+  private lazy val x95Oracle: String = {
+    val rounds = (1 to X95Iters).map { k =>
+      s"""w$k AS (SELECT g.i, sum(g.m * v.v) AS w
+         |  FROM g JOIN v${k - 1} v ON g.j = v.j GROUP BY g.i),
+         |m$k AS (SELECT max(abs(w)) AS mx FROM w$k),
+         |v$k AS (SELECT i AS j,
+         |  (round((w::DOUBLE) / (mx::DOUBLE), 6) + 0.0)::DECIMAL(8,6) AS v
+         |  FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS xi
+       |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+       |g AS (SELECT a.i, b.i AS j,
+       |             CAST(sum(round(a.xi * b.xi, 9)::DECIMAL(28,9))
+       |                  AS DECIMAL(20,9)) AS m
+       |        FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT i AS j,
+       |              (CASE WHEN i = 1 THEN 1 ELSE 0 END)::DECIMAL(8,6) AS v
+       |         FROM g),
+       |$rounds
+       |SELECT v.j AS dim, (v.v)::DOUBLE AS loading,
+       |       round(m$X95Iters.mx::DOUBLE, 4) AS lambda
+       |  FROM v$X95Iters v, m$X95Iters""".stripMargin
+  }
+
   // x62: the SAME X62Merges training rounds the Spark side runs,
   // unrolled as a MATERIALIZED-CTE chain (inlining would re-expand the
   // previous round TWICE per round — 2^16 scans). Each round: adjacent
@@ -3025,7 +3070,8 @@ object ExtensionQueries {
       "x91_mixture_materialize" -> x91Oracle,
       "x92_boilerplate" -> x92Oracle,
       "x93_novelty" -> x93Oracle,
-      "x94_hybrid_rrf" -> x94Oracle)
+      "x94_hybrid_rrf" -> x94Oracle,
+      "x95_pca_power" -> x95Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -165,6 +165,11 @@ object ScaleCheck {
         // WindowGroupLimit prunes keep the per-query exchanges at
         // ≤ k rows and the cost tracks x42's corpus-grain tf work
         "x94_hybrid_rrf",
+        // PCA: the n·d² map-side product volume grows D× while the
+        // shuffle stays d²-keyed and the iteration d²-sized — the
+        // gram pass must scale like a scan (partial agg absorbs the
+        // fan-in; everything after the first aggregate is constant)
+        "x95_pca_power",
         // materialized mixture: the two-level per-group prefix sum —
         // replication grows each (group, block) window's rows D× while
         // the block count stays 128, so the level-1 windows must absorb

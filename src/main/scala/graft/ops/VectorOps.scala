@@ -313,4 +313,80 @@ object VectorOps {
       else cat.table(name)
     inCellTopK(t, k, queryPred, dedupProbes = true)
   }
+
+  /** Exact-decimal Gram (second-moment) matrix Σ x xᵀ over the vector
+    * column — the first step of distributed PCA and the only
+    * corpus-sized pass of [[pcaPower]]. Per row, all d² coordinate
+    * products are emitted inside whole-stage codegen (two chained
+    * posexplodes — nothing is materialized before the partial
+    * aggregate) and quantized to DECIMAL(28,9) before the EXACT sum, so
+    * the matrix is a pure function of the data, independent of
+    * partitioning and shuffle order — the property that lets the
+    * downstream iteration hash-check across engines. Dims are 1-based.
+    *
+    * 100 TB shape: map-side volume is n·d² products but the shuffle
+    * carries only d² keys × partitions (partial agg collapses each
+    * partition to ≤ d² rows) — the classic distributed-Gramian plan.
+    * For d beyond a few hundred, quantize/shard the vector first
+    * (d² = 4096 at d=64; 10⁶ at d=1000 is still fine — the shuffle is
+    * constant in n either way). */
+  def gramMatrix(e: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    e.select(col(idCol), col(vecCol).as("__v"),
+        posexplode(col(vecCol)).as(Seq("__i", "__xi")))
+      .select((col("__i") + 1).cast("long").as("i"), col("__xi"),
+        posexplode(col("__v")).as(Seq("__j", "__xj")))
+      .select(col("i"), (col("__j") + 1).cast("long").as("j"),
+        round(col("__xi").cast("double") * col("__xj").cast("double"), 9)
+          .cast("decimal(28,9)").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).cast("decimal(20,9)").as("m"))
+
+  /** Dominant principal component by UNROLLED power iteration — the
+    * distributed-PCA core (top eigenvector of the second-moment
+    * matrix), fully deterministic: [[gramMatrix]]'s exact-decimal M,
+    * v₀ = e₁, and `iters` rounds of v ← round((M v)/‖M v‖∞, 6). Every
+    * round's matrix-vector product is exact decimal arithmetic
+    * (DECIMAL(20,9) × DECIMAL(8,6) summed without precision loss), the
+    * ∞-norm is an exact decimal max, and only the normalization ratio
+    * passes through IEEE doubles (both engines divide the same two
+    * doubles) — so after quantization the iterate is digit-identical
+    * across engines and partitionings, and the whole loading vector is
+    * hash-checkable. The result is the 8-round ITERATE by definition —
+    * convergence is a property of the spectrum, determinism of the
+    * construction (v₀ = e₁ only stalls if dim 1 is exactly invariant —
+    * measure-zero on real data). ‖M v‖∞ of the last round is the
+    * eigenvalue estimate (‖v‖∞ = 1 by construction). Output:
+    * (dim — 1-based, loading ∈ [−1,1] with ‖·‖∞ = 1, lambda).
+    *
+    * 100 TB shape: one corpus pass ([[gramMatrix]], checkpointed);
+    * everything after is d²-sized — `iters` tiny equi joins on the dim
+    * key plus 1-row ∞-norm broadcasts. Nothing data-sized moves after
+    * the first aggregate. */
+  def pcaPower(e: DataFrame, iters: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    // consumed by every round — without the checkpoint each round's
+    // join re-runs the corpus-sized gram pass
+    val g = gramMatrix(e, idCol, vecCol).localCheckpoint(true)
+    var v = g.select(col("i")).distinct()
+      .select(col("i").as("j"),
+        when(col("i") === 1, lit(1)).otherwise(lit(0))
+          .cast("decimal(8,6)").as("v"))
+    var mx: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = g.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("m") * col("v")).as("w"))
+      mx = w.agg(max(abs(col("w"))).as("mx"))
+      // round()+0.0: the −0.0 repr-hash guard on a signed rounded value
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          (round(col("w").cast("double") / col("mx").cast("double"), 6)
+            + lit(0.0)).cast("decimal(8,6)").as("v"))
+    }
+    v.crossJoin(broadcast(mx))
+      .select(col("j").as("dim"), col("v").cast("double").as("loading"),
+        round(col("mx").cast("double"), 4).as("lambda"))
+  }
 }

@@ -885,6 +885,46 @@ class OpsSpec extends SparkTestBase {
       "within-doc repetition must not inflate the shingle set")
   }
 
+  test("VectorOps.pcaPower: tracks a driver-side double power iteration, ∞-norm 1, partitioning-invariant") {
+    val d = 6
+    // planted dominant direction ~ (3,2,1,0,0,0) with small wiggle
+    val vecs = (0 until 40).map { r =>
+      val t = r * 0.37
+      Array(3.0 + math.sin(t), 2.0 + 0.5 * math.cos(1.3 * t), 1.0,
+        0.3 * math.sin(2.1 * t), 0.2 * math.cos(t), 0.1)
+        .map(x => (x * (1 + 0.05 * math.sin(5 * t))).toFloat)
+    }
+    val df = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val out = graft.ops.VectorOps.pcaPower(df, iters = 8)
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == d)
+    val load = out.map(_.getDouble(1))
+    // the argmax component divides to exactly 1.0 each round
+    assert(load.map(math.abs).max == 1.0, load.mkString(","))
+    // reference: plain double gram + the same 8 ∞-norm-normalized rounds
+    val M = Array.ofDim[Double](d, d)
+    for (v <- vecs; i <- 0 until d; j <- 0 until d)
+      M(i)(j) += v(i).toDouble * v(j).toDouble
+    var vv = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    var mx = 0.0
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => M(i)(j) * vv(j)).sum)
+      mx = w.map(math.abs).max
+      vv = w.map(_ / mx)
+    }
+    // per-round 1e-6 quantization compounds — 1e-4 is generous headroom
+    for (i <- 0 until d)
+      assert(math.abs(load(i) - vv(i)) < 1e-4,
+        s"dim ${i + 1}: ${load(i)} vs reference ${vv(i)}")
+    assert(math.abs(out.head.getDouble(2) - mx) / mx < 1e-3,
+      s"lambda ${out.head.getDouble(2)} vs reference $mx")
+    // the loading vector is a pure function of the data, not the layout
+    val out2 = graft.ops.VectorOps.pcaPower(df.repartition(7), iters = 8)
+      .collect().sortBy(_.getLong(0))
+    assert(out.toSeq == out2.toSeq, "pcaPower must be partitioning-invariant")
+  }
+
   test("BpeOps: distributed trainer and tokenizer match a naive single-node BPE reference") {
     import graft.ops.BpeOps
     // --- naive reference (classic scan-with-skip BPE) ---
