@@ -2112,13 +2112,27 @@ object ExtensionQueries {
 
   /** Distributed PCA: dominant principal component
     * ([[graft.ops.VectorOps.pcaPower]]) — exact-decimal Gram matrix
-    * (one corpus pass, d²-key partial agg) + 8 unrolled power-method
-    * rounds (d²-sized equi joins, 1-row ∞-norm broadcasts). The whole
-    * loading vector AND the eigenvalue estimate are hash-checked: the
-    * oracle replays the identical 8 rounds as an unrolled CTE chain
-    * over the same quantized decimals. */
+    * (one distributed corpus pass, d²-key partial agg) + 8 power-method
+    * rounds replayed as an exact driver constant-fold over the
+    * d²-bounded matrix (the `RowMatrix.computePrincipalComponents`
+    * split). The whole loading vector AND the eigenvalue estimate are
+    * hash-checked: the oracle replays the identical 8 rounds as an
+    * unrolled CTE chain over the same quantized decimals. */
   private val x95_pca_power: QFn = (s, d) =>
     graft.ops.VectorOps.pcaPower(embsR(s, d), iters = X95Iters)
+
+  /** PCA projection ([[graft.ops.VectorOps.pcaProject]]) — x95's
+    * trained component applied back to every embedding: the 1-d
+    * whitening / curriculum-key feature. Train-and-apply in one query
+    * (two corpus passes by construction: the gram pass and the
+    * projection pass; the d-row component rides a broadcast between
+    * them). Exact per-term decimal sums ⇒ the full score column
+    * hash-checks. */
+  private val x96_pca_project: QFn = (s, d) => {
+    val e = embsR(s, d)
+    graft.ops.VectorOps.pcaProject(e,
+      graft.ops.VectorOps.pcaPower(e, iters = X95Iters))
+  }
 
   // --------------------------------------------------------------- registry
 
@@ -2219,6 +2233,7 @@ object ExtensionQueries {
     "x93_novelty" -> x93_novelty,
     "x94_hybrid_rrf" -> x94_hybrid_rrf,
     "x95_pca_power" -> x95_pca_power,
+    "x96_pca_project" -> x96_pca_project,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2850,7 +2865,7 @@ object ExtensionQueries {
   // round's M·v is exact decimal (DECIMAL(20,9)×DECIMAL(8,6)); only the
   // ∞-norm ratio passes through doubles, re-quantized to DECIMAL(8,6)
   // with the −0.0 guard. Dims 1-based on both sides.
-  private lazy val x95Oracle: String = {
+  private lazy val x95Ctes: String = {
     val rounds = (1 to X95Iters).map { k =>
       s"""w$k AS (SELECT g.i, sum(g.m * v.v) AS w
          |  FROM g JOIN v${k - 1} v ON g.j = v.j GROUP BY g.i),
@@ -2859,7 +2874,7 @@ object ExtensionQueries {
          |  (round((w::DOUBLE) / (mx::DOUBLE), 6) + 0.0)::DECIMAL(8,6) AS v
          |  FROM w$k, m$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS xi
+    s"""x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS xi
        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
        |g AS (SELECT a.i, b.i AS j,
        |             CAST(sum(round(a.xi * b.xi, 9)::DECIMAL(28,9))
@@ -2868,11 +2883,24 @@ object ExtensionQueries {
        |v0 AS (SELECT DISTINCT i AS j,
        |              (CASE WHEN i = 1 THEN 1 ELSE 0 END)::DECIMAL(8,6) AS v
        |         FROM g),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val x95Oracle: String =
+    s"""WITH $x95Ctes
        |SELECT v.j AS dim, (v.v)::DOUBLE AS loading,
        |       round(m$X95Iters.mx::DOUBLE, 4) AS lambda
        |  FROM v$X95Iters v, m$X95Iters""".stripMargin
-  }
+
+  // x96: x95's trained component (same unrolled chain) applied back to
+  // the corpus — per-term quantized DECIMAL(28,9) products, exact sum.
+  private lazy val x96Oracle: String =
+    s"""WITH $x95Ctes,
+       |comp AS (SELECT j AS dim, v FROM v$X95Iters),
+       |pr AS (SELECT x.vec_id,
+       |              sum(round((c.v::DOUBLE) * x.xi, 9)::DECIMAL(28,9)) AS p
+       |         FROM x JOIN comp c ON x.i = c.dim GROUP BY 1)
+       |SELECT vec_id, (p)::DOUBLE AS proj FROM pr""".stripMargin
 
   // x62: the SAME X62Merges training rounds the Spark side runs,
   // unrolled as a MATERIALIZED-CTE chain (inlining would re-expand the
@@ -3071,7 +3099,8 @@ object ExtensionQueries {
       "x92_boilerplate" -> x92Oracle,
       "x93_novelty" -> x93Oracle,
       "x94_hybrid_rrf" -> x94Oracle,
-      "x95_pca_power" -> x95Oracle)
+      "x95_pca_power" -> x95Oracle,
+      "x96_pca_project" -> x96Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -160,16 +160,6 @@ object ScaleCheck {
         // shingle set, so the min-doc agg sees D× fan-in on the same
         // keys (partial-agg absorption is exactly what's measured)
         "x93_novelty",
-        // hybrid RRF: the query set stays 3 while both modality
-        // candidate sides grow D× — near-linear means the
-        // WindowGroupLimit prunes keep the per-query exchanges at
-        // ≤ k rows and the cost tracks x42's corpus-grain tf work
-        "x94_hybrid_rrf",
-        // PCA: the n·d² map-side product volume grows D× while the
-        // shuffle stays d²-keyed and the iteration d²-sized — the
-        // gram pass must scale like a scan (partial agg absorbs the
-        // fan-in; everything after the first aggregate is constant)
-        "x95_pca_power",
         // materialized mixture: the two-level per-group prefix sum —
         // replication grows each (group, block) window's rows D× while
         // the block count stays 128, so the level-1 windows must absorb
@@ -289,7 +279,23 @@ object ScaleCheck {
         // x81: the k=64 TRAINED regime of the same decision — must sit
         // far below x22's fixed-k-16 growth on the same corpus (the
         // oracle-checked face of the k ~ sqrt(n) rule)
-        "x81_embed_dedup_trained")) {
+        "x81_embed_dedup_trained",
+        // x94: hybrid RRF — BOTH corpora are D× here; the query set
+        // stays 3 while both modality candidate sides grow, so
+        // near-linear means the WindowGroupLimit prunes keep the
+        // per-query exchanges at ≤ k rows and the cost tracks the
+        // corpus-grain tf work (x42's shape)
+        "x94_hybrid_rrf",
+        // x95: PCA — the n·d² map-side product volume grows D× while
+        // the shuffle stays d²-keyed and the iteration d²-sized; the
+        // gram pass must scale like a scan (partial agg absorbs the
+        // fan-in, everything after the first aggregate is constant)
+        "x95_pca_power",
+        // x96: PCA projection — train (gram) + apply (broadcast
+        // component, id-grain partial sum); both passes scale with
+        // the corpus, nothing else does — must track x95 plus one
+        // map-side pass
+        "x96_pca_project")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)

