@@ -2121,6 +2121,65 @@ object ExtensionQueries {
   private val x95_pca_power: QFn = (s, d) =>
     graft.ops.VectorOps.pcaPower(embsR(s, d), iters = X95Iters)
 
+  /** Quality-signal AGREEMENT report — the audit a pipeline owner runs
+    * before trusting any one gate: Pearson correlation between the
+    * three independent quality tiers (x02's continuous score, x90's
+    * Gopher rule keep bit, x93's novelty fraction), pairwise over the
+    * corpus. Signals that should agree and don't (or agree so highly
+    * one is redundant) are the finding. Exact arithmetic end to end:
+    * each signal is on its 1e-4 grid (cast DECIMAL(18,4)), all ten
+    * sufficient statistics (n, Σx, Σx², Σxy per pair) are EXACT
+    * decimal sums — so the correlations are pure functions of the
+    * data, engine- and partitioning-identical; only the final ratio
+    * passes through doubles (round 4, −0.0-guarded).
+    *
+    * 100 TB shape: three map-side signal passes (novelty adds its
+    * shingle groupBy) joined at doc grain, then ONE global partial
+    * aggregate collapsing to a single statistics row — the 3-row
+    * report explodes from that. No window, no skew, nothing
+    * corpus-sized after the joins. */
+  private val x97_signal_corr: QFn = (s, d) => {
+    val dd = docsR(s, d)
+    val q = dd.select(col("doc_id"),
+      qualityExpr.cast("decimal(18,4)").as("q"))
+    val g = graft.ops.CorpusOps.gopherRules(dd)
+      .select(col("doc_id"), col("keep").cast("decimal(18,4)").as("g"))
+    val nv = graft.ops.CorpusOps.noveltyScore(dd)
+      .select(col("doc_id"), col("novel_frac").cast("decimal(18,4)").as("v"))
+    val j = q.join(g, Seq("doc_id")).join(nv, Seq("doc_id"))
+      .filter(col("q").isNotNull && col("v").isNotNull)
+    // sufficient statistics: every sum exact decimal; the (14,4)/(18,8)
+    // downcasts keep all later products inside DECIMAL(38) EXACTLY
+    // (bounds: signals ∈ [0,1], n ≤ 10^10)
+    val agg = j.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("q")).cast("decimal(14,4)").as("sq"),
+      sum(col("q") * col("q")).cast("decimal(18,8)").as("sqq"),
+      sum(col("g")).cast("decimal(14,4)").as("sg"),
+      sum(col("g") * col("g")).cast("decimal(18,8)").as("sgg"),
+      sum(col("v")).cast("decimal(14,4)").as("sv"),
+      sum(col("v") * col("v")).cast("decimal(18,8)").as("svv"),
+      sum(col("q") * col("g")).cast("decimal(18,8)").as("sqg"),
+      sum(col("q") * col("v")).cast("decimal(18,8)").as("sqv"),
+      sum(col("g") * col("v")).cast("decimal(18,8)").as("sgv"))
+      .withColumn("n10", col("n").cast("decimal(10,0)"))
+    def r(sxy: Column, sx: Column, sxx: Column,
+        sy: Column, syy: Column): Column =
+      round((col("n10") * sxy - sx * sy).cast("double") /
+        sqrt((col("n10") * sxx - sx * sx).cast("double") *
+          (col("n10") * syy - sy * sy).cast("double")), 4) + lit(0.0)
+    agg.select(col("n"),
+      r(col("sqg"), col("sq"), col("sqq"), col("sg"), col("sgg")).as("r_qg"),
+      r(col("sqv"), col("sq"), col("sqq"), col("sv"), col("svv")).as("r_qv"),
+      r(col("sgv"), col("sg"), col("sgg"), col("sv"), col("svv")).as("r_gv"))
+      .select(col("n"), explode(array(
+        struct(lit("quality~gopher").as("pair"), col("r_qg").as("r")),
+        struct(lit("quality~novelty").as("pair"), col("r_qv").as("r")),
+        struct(lit("gopher~novelty").as("pair"), col("r_gv").as("r"))))
+        .as("p"))
+      .select(col("p.pair").as("pair"), col("n"), col("p.r").as("r"))
+  }
+
   /** PCA projection ([[graft.ops.VectorOps.pcaProject]]) — x95's
     * trained component applied back to every embedding: the 1-d
     * whitening / curriculum-key feature. Train-and-apply in one query
@@ -2234,6 +2293,7 @@ object ExtensionQueries {
     "x94_hybrid_rrf" -> x94_hybrid_rrf,
     "x95_pca_power" -> x95_pca_power,
     "x96_pca_project" -> x96_pca_project,
+    "x97_signal_corr" -> x97_signal_corr,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2902,6 +2962,55 @@ object ExtensionQueries {
        |         FROM x JOIN comp c ON x.i = c.dim GROUP BY 1)
        |SELECT vec_id, (p)::DOUBLE AS proj FROM pr""".stripMargin
 
+  // x97: the three signal oracles composed verbatim (x02 quality, x90
+  // gopher keep, x93 novelty), each cast onto its exact 1e-4 grid;
+  // sufficient statistics as exact decimal sums with the same
+  // (14,4)/(18,8) downcasts as the Spark side, ratio through doubles.
+  private lazy val x97Oracle: String =
+    s"""WITH s AS (
+       |  SELECT q.quality::DECIMAL(18,4) AS q,
+       |         g.keep::DECIMAL(18,4) AS g,
+       |         v.novel_frac::DECIMAL(18,4) AS v
+       |    FROM (SELECT doc_id, quality FROM (
+       |${oracles("x02_quality")}
+       |         )) q
+       |    JOIN (SELECT doc_id, keep FROM (
+       |$x90Oracle
+       |         )) g USING (doc_id)
+       |    JOIN (SELECT doc_id, novel_frac FROM (
+       |$x93Oracle
+       |         )) v USING (doc_id)
+       |   WHERE q.quality IS NOT NULL AND v.novel_frac IS NOT NULL),
+       |a AS (SELECT count(*)::BIGINT AS n,
+       |             count(*)::DECIMAL(10,0) AS n10,
+       |             CAST(sum(q) AS DECIMAL(14,4)) AS sq,
+       |             CAST(sum(q*q) AS DECIMAL(18,8)) AS sqq,
+       |             CAST(sum(g) AS DECIMAL(14,4)) AS sg,
+       |             CAST(sum(g*g) AS DECIMAL(18,8)) AS sgg,
+       |             CAST(sum(v) AS DECIMAL(14,4)) AS sv,
+       |             CAST(sum(v*v) AS DECIMAL(18,8)) AS svv,
+       |             CAST(sum(q*g) AS DECIMAL(18,8)) AS sqg,
+       |             CAST(sum(q*v) AS DECIMAL(18,8)) AS sqv,
+       |             CAST(sum(g*v) AS DECIMAL(18,8)) AS sgv
+       |        FROM s)
+       |SELECT 'quality~gopher' AS pair, n,
+       |       round((n10*sqg - sq*sg)::DOUBLE /
+       |             sqrt(((n10*sqq - sq*sq)::DOUBLE) *
+       |                  ((n10*sgg - sg*sg)::DOUBLE)), 4) + 0.0 AS r
+       |  FROM a
+       |UNION ALL
+       |SELECT 'quality~novelty' AS pair, n,
+       |       round((n10*sqv - sq*sv)::DOUBLE /
+       |             sqrt(((n10*sqq - sq*sq)::DOUBLE) *
+       |                  ((n10*svv - sv*sv)::DOUBLE)), 4) + 0.0 AS r
+       |  FROM a
+       |UNION ALL
+       |SELECT 'gopher~novelty' AS pair, n,
+       |       round((n10*sgv - sg*sv)::DOUBLE /
+       |             sqrt(((n10*sgg - sg*sg)::DOUBLE) *
+       |                  ((n10*svv - sv*sv)::DOUBLE)), 4) + 0.0 AS r
+       |  FROM a""".stripMargin
+
   // x62: the SAME X62Merges training rounds the Spark side runs,
   // unrolled as a MATERIALIZED-CTE chain (inlining would re-expand the
   // previous round TWICE per round — 2^16 scans). Each round: adjacent
@@ -3100,7 +3209,8 @@ object ExtensionQueries {
       "x93_novelty" -> x93Oracle,
       "x94_hybrid_rrf" -> x94Oracle,
       "x95_pca_power" -> x95Oracle,
-      "x96_pca_project" -> x96Oracle)
+      "x96_pca_project" -> x96Oracle,
+      "x97_signal_corr" -> x97Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -160,6 +160,13 @@ object ScaleCheck {
         // shingle set, so the min-doc agg sees D× fan-in on the same
         // keys (partial-agg absorption is exactly what's measured)
         "x93_novelty",
+        // signal agreement: three map-side signal passes (novelty adds
+        // its shingle groupBy) joined at doc grain, collapsed into ONE
+        // global partial-agg statistics row — must track the slowest
+        // constituent signal (x93); growth beyond that would mean the
+        // doc-grain joins or the final agg acquired a corpus-sized
+        // non-parallel term
+        "x97_signal_corr",
         // materialized mixture: the two-level per-group prefix sum —
         // replication grows each (group, block) window's rows D× while
         // the block count stays 128, so the level-1 windows must absorb

@@ -961,23 +961,8 @@ object CorpusOps {
     val toks = docs
       .select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws"))
       .withColumn("n", size(col("ws")))
-    val blocks = toks
-      .select(col("doc_id"), col("n"), col("ws"),
-        explode(sequence(lit(1),
-          greatest(col("n") - (block - 1), lit(1)),
-          lit(block))).as("st"))
-      // full blocks only: a doc shorter than `block` contributes nothing
-      // (the greatest() guard above only protects sequence() from a
-      // descending range)
-      .filter(col("st") + (block - 1) <= col("n"))
-      .select(col("doc_id"), col("st"),
-        TF.hash60(concat_ws(" ", slice(col("ws"), col("st"), lit(block))),
-          "bp|").as("fp"))
-    val bp = blocks.groupBy("fp")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= minDf)
-      .select(col("fp"))
-    val cut = blocks.join(bp, Seq("fp"))
+    val blocks = blockFps(toks, block)
+    val cut = blocks.join(boilerplateSetFromBlocks(blocks, minDf), Seq("fp"))
       .groupBy("doc_id")
       .agg(collect_list(struct(col("st"),
         (col("st") + (block - 1)).as("en"))).as("rs"))
@@ -993,6 +978,40 @@ object CorpusOps {
         size(col("kept")).cast("long").as("n_kept"),
         (col("n") - size(col("kept"))).cast("long").as("n_cut"))
   }
+
+  /** Aligned full-block fingerprints of a (doc_id, ws, n) frame — the
+    * shared block unit of [[boilerplateExcise]] and the streaming gate
+    * twin (one definition so measure and act can't desynchronize).
+    * Extra columns (e.g. a streaming event_time) pass through. */
+  private[graft] def blockFps(toks: DataFrame, block: Int): DataFrame =
+    toks
+      .withColumn("st", explode(sequence(lit(1),
+        greatest(col("n") - (block - 1), lit(1)), lit(block))))
+      // full blocks only: a doc shorter than `block` contributes nothing
+      // (the greatest() guard above only protects sequence() from a
+      // descending range)
+      .filter(col("st") + (block - 1) <= col("n"))
+      .withColumn("fp",
+        TF.hash60(concat_ws(" ", slice(col("ws"), col("st"), lit(block))),
+          "bp|"))
+      .drop("ws")
+
+  private def boilerplateSetFromBlocks(blocks: DataFrame,
+      minDf: Int): DataFrame =
+    blocks.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDf)
+      .select(col("fp"))
+
+  /** The trained boilerplate fingerprint set alone — the train-once
+    * artifact the streaming gate consumes ([[graft.streaming
+    * .EventStreams.boilerplateGateStream]]): blocks occurring in
+    * ≥ `minDf` distinct docs of the training corpus. */
+  def boilerplateSet(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", block: Int = 4, minDf: Int = 3): DataFrame =
+    boilerplateSetFromBlocks(blockFps(
+      docs.select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws"))
+        .withColumn("n", size(col("ws"))), block), minDf)
 
   /** Shingle-grain NOVELTY score — the "how much of this document is
     * new text" signal dataset-growth audits and memorization studies

@@ -677,6 +677,47 @@ object EventStreams {
       pred.as("pred_label"), col("b.score").as("score"))
   }
 
+  /** Streaming boilerplate gate — ingest-time chrome measurement under
+    * a FIXED boilerplate set trained on the batch corpus
+    * ([[graft.ops.CorpusOps.boilerplateSet]]; train-once /
+    * gate-forever, the x62/x74 contract). Each incoming doc's aligned
+    * full blocks are fingerprinted with the BATCH op's shared block
+    * builder ([[graft.ops.CorpusOps.blockFps]] — one definition, so
+    * the stream gate and batch excision can never disagree on what a
+    * block is) and stream-static-joined against the trained set; one
+    * watermarked stateful agg rolls the blocks back up to doc grain.
+    * Output: (window, doc_id, n_blocks, n_bp_blocks, n_tokens, n_cut)
+    * — the measurement half of [[graft.ops.CorpusOps
+    * .boilerplateExcise]] (reassembled TEXT needs ordered token
+    * collection; the stream emits the signal an ingest gate acts on,
+    * n_cut = tokens the batch excision would remove). Docs shorter
+    * than one block emit no blocks and drop from the output (the
+    * nbScoreStream OOV rule); route them past the gate upstream.
+    *
+    * Scale: state is (window, doc_id)-keyed and watermark-bounded;
+    * the bp set joins as a static side (vocab-of-chrome-sized, not
+    * broadcast-collected), blocks are map-side 8-byte fps. */
+  def boilerplateGateStream(docs: DataFrame, bpSet: DataFrame,
+      block: Int = 4, windowDur: String = "10 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val TF = graft.functions.TextFunctions
+    val toks = docs
+      .withColumn("event_time", eventTime(docs))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("doc_id"), col("event_time"),
+        TF.words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")))
+    graft.ops.CorpusOps.blockFps(toks, block)
+      .join(bpSet.select(col("fp"), lit(1L).as("__bp")), Seq("fp"), "left")
+      .groupBy(window(col("event_time"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_bp_blocks"),
+        max(col("n")).cast("long").as("n_tokens"))
+      .select(col("window"), col("doc_id"), col("n_blocks"),
+        col("n_bp_blocks"), col("n_tokens"),
+        (col("n_bp_blocks") * block).as("n_cut"))
+  }
+
   /** Streaming BPE encode — ingest-time tokenization under a FIXED,
     * pre-trained merge table and id vocabulary (the train-once /
     * tokenize-forever contract: [[graft.ops.BpeOps.train]] +

@@ -259,4 +259,39 @@ class ExtensionsSpec extends SparkTestBase {
     assert(fromDisk == live,
       "searching against persisted centroids diverged from the live frame")
   }
+
+  test("x97 signal correlations equal Spark's double-precision corr on the same gridded signals") {
+    val out = SparkEntry.queries("x97_signal_corr")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet ==
+      Set("quality~gopher", "quality~novelty", "gopher~novelty"))
+    out.values.foreach { case (_, r) =>
+      assert(r >= -1.0 && r <= 1.0, s"correlation out of range: $r")
+    }
+    // independent reference: join the three PUBLISHED signal queries on
+    // the same DECIMAL(18,4) grid and run Spark's built-in double corr
+    // — the exact-decimal sufficient statistics must reproduce it
+    def sig(q: String, c: String, as: String) =
+      SparkEntry.queries(q)(spark, sf)
+        .select(col("doc_id"),
+          col(c).cast("decimal(18,4)").cast("double").as(as))
+    val j = sig("x02_quality", "quality", "q")
+      .join(sig("x90_gopher_rules", "keep", "g"), Seq("doc_id"))
+      .join(sig("x93_novelty", "novel_frac", "v"), Seq("doc_id"))
+      .filter(col("q").isNotNull && col("v").isNotNull)
+    val ref = j.agg(count(lit(1)).as("n"), corr("q", "g").as("qg"),
+      corr("q", "v").as("qv"), corr("g", "v").as("gv")).head()
+    assert(out("quality~gopher")._1 == ref.getLong(0), "n mismatch")
+    val pairs = Seq("quality~gopher" -> ref.getDouble(1),
+      "quality~novelty" -> ref.getDouble(2),
+      "gopher~novelty" -> ref.getDouble(3))
+    pairs.foreach { case (k, expect) =>
+      assert(math.abs(out(k)._2 - expect) < 1e-3,
+        s"$k: exact-decimal r ${out(k)._2} vs Spark corr $expect")
+    }
+    // the audit is non-degenerate on the fixture: at least one pair of
+    // independent signals must actually correlate (|r| > 0.05)
+    assert(out.values.exists { case (_, r) => math.abs(r) > 0.05 },
+      "all three signal pairs uncorrelated — fixture degenerate")
+  }
 }

@@ -548,6 +548,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming boilerplate gate: trained-set stream signals equal the batch excision") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val bp = graft.ops.CorpusOps.boilerplateSet(docs)
+    // doc -> (n_tokens, n_cut) from the ACTING batch op — the stream
+    // gate must report exactly what excision would remove
+    val batch = graft.ops.CorpusOps.boilerplateExcise(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4))))
+      .toMap
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), 1000000000L))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.EventStreams.boilerplateGateStream(
+        input.toDF().toDF("doc_id", "text", "ts"), bp)
+      .writeStream.format("memory").queryName("bp_stream_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+      val got = spark.table("bp_stream_test").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(4), r.getLong(5)))).toMap
+      assert(got.exists(_._2._2 > 0), "gate must flag some chrome")
+      got.foreach { case (id, (nt, nc)) =>
+        assert(batch(id) == ((nt, nc)),
+          s"doc $id: stream ($nt,$nc) vs batch ${batch(id)}")
+      }
+      // every doc with at least one full block is covered (shorter
+      // docs emit no blocks — the documented drop rule)
+      val expected = batch.filter(_._2._1 >= 4).keySet
+      assert(got.keySet == expected,
+        s"coverage gap: ${(expected -- got.keySet).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming weighted sample: incremental per-group top-k equals the batch draw") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
