@@ -2193,6 +2193,115 @@ object ExtensionQueries {
       graft.ops.VectorOps.pcaPower(e, iters = X95Iters))
   }
 
+  // DoReMi MWU chain length + rates — ONE set of constants generates the
+  // Spark fold AND the oracle's CTE chain (the X48Iters discipline), so
+  // query and oracle cannot drift on the step count or the literals.
+  private val X98Steps = 4
+  private val X98Eta = "0.5"
+  private val X98Smooth = "0.2"
+
+  /** DoReMi-style domain reweighting ([[graft.ops.CorpusOps
+    * .doremiWeights]], Xie et al. arXiv 2305.10429): per-domain excess
+    * held-out loss under the x74 reference LM drives an unrolled
+    * multiplicative-weights chain (4 steps, per-step DECIMAL rounding —
+    * the linearized (1+η·e) update, exp being non-portable IEEE), then
+    * uniform smoothing. The full weight table — loss, excess, and the
+    * final mixture weight per domain — is hash-checked against a DuckDB
+    * replay of the same chain. Closes the mixture-design loop: x85
+    * allocates a GIVEN weight law; x98 LEARNS the law from model loss. */
+  private val x98_doremi: QFn = (s, d) => {
+    val all = docsR(s, d)
+    graft.ops.CorpusOps.doremiWeights(
+      all.filter(col("doc_id") % 5 =!= 0),
+      all.filter(col("doc_id") % 5 === 0),
+      eta = new java.math.BigDecimal(X98Eta), steps = X98Steps,
+      smooth = new java.math.BigDecimal(X98Smooth))
+  }
+
+  /** D4 prototypicality decision ([[graft.ops.VectorOps
+    * .prototypicality]], Tirumala et al. arXiv 2308.12284): within each
+    * trained k-means cell (the x48 trainer, identical Lloyd's rounds),
+    * rank by centroid-cosine and drop the top 10% most prototypical —
+    * the diversification pass D4 runs AFTER SemDeDup (x71 is the dedup
+    * half; this is the other half). The cut is integer arithmetic
+    * (⌈n/10⌉ via (n+9) div 10), the rank key is the integer-quantized
+    * cq — the whole decision table hash-checks against the shared
+    * unrolled-Lloyd's oracle CTEs. */
+  private val x99_prototypical: QFn = (s, d) => {
+    val e = embs(s, d)
+    val cent = graft.ops.VectorOps.kmeansTrain(e, initK = 16,
+      iters = X48Iters)
+    graft.ops.VectorOps.prototypicality(
+      graft.ops.VectorOps.ivfCellsScored(e, cent, nprobe = 1),
+      dropNum = 1, dropDen = 10)
+  }
+
+  /** Margin-based mining ([[graft.ops.VectorOps.marginMine]], Artetxe &
+    * Schwenk ACL 2019 — the LASER/CCMatrix criterion): even-id vectors
+    * mine their best odd-id partner by RATIO MARGIN over in-cell
+    * candidates of the trained assignment — cosine relative to both
+    * sides' average top-4 neighborhood cosine, the score that suppresses
+    * dense-hub false positives plain cosine (x11/x22) cannot. Margin
+    * arithmetic is one double division of exact decimal sums, rounded
+    * to 4 — pairs, cosines, AND margins hash-check against the shared
+    * unrolled-Lloyd's oracle. */
+  private val x100_margin_mine: QFn = (s, d) => {
+    val e = embs(s, d)
+    val cent = graft.ops.VectorOps.kmeansTrain(e, initK = 16,
+      iters = X48Iters)
+    graft.ops.VectorOps.marginMine(
+      graft.ops.VectorOps.ivfCells(e, cent, nprobe = 1),
+      xSide = _ % 2 === 0, k = 4, minCos = 0.1, minMargin = 1.05)
+  }
+
+  /** x75's multi-signal fused dedup at the TRAINED k=64 operating point
+    * — the same closure x81 gave x22: x75 deliberately keeps the
+    * oracle-pinned fixed k=16 embedding edge generator (its ScaleCheck
+    * rows show the quadratic fixture class, 4.9× at ×4), and its
+    * docstring points here for the scale regime. This query IS that
+    * regime, hash-checked: text edges unchanged (x07's banded LSH),
+    * embedding edges from the TRAINED k=64 / nprobe=2 assignment (the
+    * x81 trainer — identical Lloyd's rounds, 64-seed unrolled-CTE
+    * oracle), same union → transitive closure → min-id decision. The
+    * two queries' outputs may legitimately differ in edge RECALL (a
+    * trained cell boundary splits what a fixture cell joined, and vice
+    * versa) — each is exactly verified against its own assignment. */
+  private val x101_fused_trained: QFn = (s, d) => {
+    val textPairs = graft.ops.TextDedup.minhashLshPairs(docsR(s, d),
+      shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.8)
+      .select(col("a_id"), col("b_id"))
+    val e = embs(s, d)
+    val cent = graft.ops.VectorOps.kmeansTrain(e, initK = 64,
+      iters = X48Iters)
+    val embPairs = graft.ops.VectorOps
+      .ivfPairs(graft.ops.VectorOps.ivfCells(e, cent, nprobe = 2),
+        threshold = 0.45)
+      .select(col("a_id"), col("b_id"))
+    val edges = textPairs.unionByName(embPairs).distinct()
+    graft.ops.CorpusOps.clusterDedupDecision(
+      graft.ops.GraphOps.connectedComponents(edges))
+  }
+
+  /** Semantic decontamination ([[graft.ops.VectorOps
+    * .semDecontaminate]]) — x37's benchmark gate in the EMBEDDING
+    * space: training vectors cosine-≥ 0.35 to any held-out benchmark
+    * vector (vec_id % 10 = 0, the fixture's held-out convention) are
+    * flagged with hit counts and the max similarity. Completes the
+    * decontamination tier: x37/x53/x87 catch verbatim/lexical leaks,
+    * x102 catches paraphrased ones lexical shingles cannot see
+    * (the published motivation for embedding-based contamination
+    * checks). Plan is x37's scale shape verbatim: suite-sized
+    * benchmark broadcast, ONE corpus scan, map-side exact cosines —
+    * deliberately no ANN (n·|suite| beats building candidates when
+    * one side is suite-sized); τ = 0.35 is x71's near-dup bar for
+    * this near-orthogonal fixture. */
+  private val x102_sem_decontaminate: QFn = (s, d) => {
+    val e = embsR(s, d)
+    graft.ops.VectorOps.semDecontaminate(
+      e.filter(col("vec_id") % 10 =!= 0),
+      e.filter(col("vec_id") % 10 === 0), threshold = 0.35)
+  }
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, QFn] = Map(
@@ -2294,6 +2403,11 @@ object ExtensionQueries {
     "x95_pca_power" -> x95_pca_power,
     "x96_pca_project" -> x96_pca_project,
     "x97_signal_corr" -> x97_signal_corr,
+    "x98_doremi" -> x98_doremi,
+    "x99_prototypical" -> x99_prototypical,
+    "x100_margin_mine" -> x100_margin_mine,
+    "x101_fused_trained" -> x101_fused_trained,
+    "x102_sem_decontaminate" -> x102_sem_decontaminate,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2456,6 +2570,46 @@ object ExtensionQueries {
        |  SELECT doc_id AS drop_id, cluster_id AS canonical_id,
        |         count(*) OVER (PARTITION BY cluster_id) AS n_members
        |    FROM lab) WHERE drop_id <> canonical_id""".stripMargin
+
+  // x101: x75's fusion + transitive closure verbatim, with the
+  // embedding edge set from the TRAINED 64-seed / nprobe=2 cells
+  // (x81's unrolled-CTE chain) instead of the fixture k=16 stand-ins.
+  private lazy val x101Oracle: String =
+    s"""WITH RECURSIVE tp AS (
+       |${oracles("x07_minhash_lsh_pairs")}
+       |),
+       |${lloydCtes(seedK = 64, nprobe = 2)},
+       |ec AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |    FROM cells a JOIN cells b
+       |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |   WHERE round(${COS("a.embedding", "b.embedding")}, 6) >= 0.45),
+       |pairs AS (SELECT a_id, b_id FROM tp UNION SELECT a_id, b_id FROM ec),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+       |lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+       |          FROM reach GROUP BY node)
+       |SELECT drop_id, canonical_id, n_members FROM (
+       |  SELECT doc_id AS drop_id, cluster_id AS canonical_id,
+       |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |    FROM lab) WHERE drop_id <> canonical_id""".stripMargin
+
+  // x102: plain cross join against the %10 held-out slice — the oracle
+  // needs no Lloyd's chain because the query deliberately has no index
+  // (suite-sized broadcast, exact cosines).
+  private lazy val x102Oracle: String =
+    s"""WITH c AS (
+       |  SELECT t.vec_id AS train_id,
+       |         CAST(round(${COS("t.embedding", "b.embedding")}, 6)
+       |              AS DECIMAL(18,6)) AS cos
+       |    FROM embeddings t, embeddings b
+       |   WHERE t.vec_id % 10 <> 0 AND b.vec_id % 10 = 0)
+       |SELECT train_id, count(*)::BIGINT AS n_hits, max(cos) AS max_cos
+       |  FROM c WHERE cos >= 0.35 GROUP BY train_id""".stripMargin
 
   // x48/x71/x81 shared: the SAME two Lloyd's rounds the Spark trainer
   // runs, unrolled as a CTE chain ending in `cells` (vec_id, embedding,
@@ -3011,6 +3165,111 @@ object ExtensionQueries {
        |                  ((n10*svv - sv*sv)::DOUBLE)), 4) + 0.0 AS r
        |  FROM a""".stripMargin
 
+  // x98: x74's train/eval LM shape aggregated straight onto the domain
+  // grain, then the SAME X98Steps multiplicative-weights rounds the
+  // Spark fold runs, unrolled as a CTE chain (generated from X98Steps/
+  // X98Eta/X98Smooth — one constant set, both engines). Every step is
+  // exact DECIMAL(18,6) multiply-then-round; the final smoothing is the
+  // one IEEE double expression, rounded once.
+  private lazy val x98Oracle: String = {
+    val steps = (1 to X98Steps).map { i =>
+      s"""s$i AS (SELECT lang, n_tokens, loss, excess, m, n_dom,
+         |        CAST(round(w * m, 6) AS DECIMAL(18,6)) AS w
+         |        FROM s${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
+       |             FROM documents WHERE doc_id % 5 <> 0),
+       |cnts AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+       |c AS (SELECT sum(cnt) AS n_total, count(*) AS vocab FROM cnts),
+       |dt AS (SELECT lang, word, count(*) AS tf
+       |         FROM (SELECT lang, unnest(string_split($NT,' ')) AS word
+       |                 FROM documents WHERE doc_id % 5 = 0)
+       |        GROUP BY 1, 2),
+       |lp AS (SELECT d.lang, d.tf,
+       |       CAST(round(ln((coalesce(k.cnt, 0) + 1)::DOUBLE /
+       |                     (c.n_total + c.vocab)::DOUBLE), 6)
+       |            AS DECIMAL(18,6)) AS lpw
+       |         FROM dt d LEFT JOIN cnts k USING (word) CROSS JOIN c),
+       |dl AS (SELECT lang, sum(tf)::BIGINT AS n_tokens,
+       |       CAST(round(-(sum(tf * lpw)::DOUBLE / sum(tf)::DOUBLE), 6)
+       |            AS DECIMAL(18,6)) AS loss
+       |         FROM lp GROUP BY lang),
+       |b AS (SELECT min(loss) AS loss_min, count(*)::BIGINT AS n_dom
+       |        FROM dl),
+       |s0 AS (SELECT lang, n_tokens, loss,
+       |         CAST(loss - loss_min AS DECIMAL(18,6)) AS excess,
+       |         CAST(round(1 + $X98Eta * (loss - loss_min), 6)
+       |              AS DECIMAL(18,6)) AS m,
+       |         n_dom, CAST(1 AS DECIMAL(18,6)) AS w
+       |         FROM dl CROSS JOIN b),
+       |$steps,
+       |t AS (SELECT sum(w) AS w_tot FROM s$X98Steps)
+       |SELECT lang, n_tokens, loss, excess,
+       |       round((1 - $X98Smooth)::DOUBLE *
+       |               round(w::DOUBLE / w_tot::DOUBLE, 6) +
+       |             ($X98Smooth)::DOUBLE / n_dom::DOUBLE, 6) AS weight
+       |  FROM s$X98Steps CROSS JOIN t""".stripMargin
+  }
+
+  // x99: the shared unrolled-Lloyd's cells, scored with the
+  // integer-quantized centroid cosine (x71's scored CTE), ranked
+  // within cell; the drop cut is pure integer arithmetic.
+  private lazy val x99Oracle: String =
+    s"""WITH $lloydCellCtes,
+       |scored AS (
+       |  SELECT c.vec_id, c.cell,
+       |         CAST(round((${COS("c.embedding", "k.c_e")}) * 1000000) AS BIGINT) AS cq
+       |    FROM cells c JOIN cent$X48Iters k ON c.cell = k.c_id),
+       |r AS (SELECT vec_id, cell, cq,
+       |        row_number() OVER (PARTITION BY cell
+       |                           ORDER BY cq DESC, vec_id ASC) AS rn,
+       |        count(*) OVER (PARTITION BY cell) AS n_cell
+       |        FROM scored)
+       |SELECT vec_id, cell, cq, rn, n_cell,
+       |       (CASE WHEN rn > (n_cell + 9) // 10 THEN 1 ELSE 0 END)::BIGINT
+       |         AS kept
+       |  FROM r""".stripMargin
+
+  // x100: the same cells; candidates are even×odd in-cell pairs with
+  // the quantized cosine; neighborhood sums/counts as window aggregates
+  // over the rank columns; the margin is the identical one-division
+  // double expression; best-per-x with the identical tie-break.
+  private lazy val x100Oracle: String =
+    s"""WITH $lloydCellCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS x_id, b.vec_id AS y_id,
+       |         CAST(round(${COS("a.embedding", "b.embedding")}, 6)
+       |              AS DECIMAL(18,6)) AS cos
+       |    FROM cells a JOIN cells b ON a.cell = b.cell
+       |   WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       |f AS (SELECT * FROM cand WHERE cos >= 0.1),
+       |r AS (SELECT x_id, y_id, cos,
+       |        row_number() OVER (PARTITION BY x_id
+       |                           ORDER BY cos DESC, y_id ASC) AS rx,
+       |        row_number() OVER (PARTITION BY y_id
+       |                           ORDER BY cos DESC, x_id ASC) AS ry
+       |        FROM f),
+       |agg AS (SELECT x_id, y_id, cos,
+       |        sum(CASE WHEN rx <= 4 THEN cos END)
+       |          OVER (PARTITION BY x_id) AS sx,
+       |        sum(CASE WHEN rx <= 4 THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY x_id) AS kx,
+       |        sum(CASE WHEN ry <= 4 THEN cos END)
+       |          OVER (PARTITION BY y_id) AS sy,
+       |        sum(CASE WHEN ry <= 4 THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY y_id) AS ky
+       |        FROM r),
+       |mg AS (SELECT x_id, y_id, cos,
+       |        round((2.0 * cos::DOUBLE * kx * ky) /
+       |              (sx::DOUBLE * ky + sy::DOUBLE * kx), 4) AS margin
+       |        FROM agg)
+       |SELECT x_id, y_id, cos, margin FROM (
+       |  SELECT x_id, y_id, cos, margin,
+       |         row_number() OVER (PARTITION BY x_id
+       |                            ORDER BY margin DESC, cos DESC,
+       |                                     y_id ASC) AS rnk
+       |    FROM mg WHERE margin >= 1.05) WHERE rnk = 1""".stripMargin
+
   // x62: the SAME X62Merges training rounds the Spark side runs,
   // unrolled as a MATERIALIZED-CTE chain (inlining would re-expand the
   // previous round TWICE per round — 2^16 scans). Each round: adjacent
@@ -3210,7 +3469,12 @@ object ExtensionQueries {
       "x94_hybrid_rrf" -> x94Oracle,
       "x95_pca_power" -> x95Oracle,
       "x96_pca_project" -> x96Oracle,
-      "x97_signal_corr" -> x97Oracle)
+      "x97_signal_corr" -> x97Oracle,
+      "x98_doremi" -> x98Oracle,
+      "x99_prototypical" -> x99Oracle,
+      "x100_margin_mine" -> x100Oracle,
+      "x101_fused_trained" -> x101Oracle,
+      "x102_sem_decontaminate" -> x102Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

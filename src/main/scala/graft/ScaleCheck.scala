@@ -172,6 +172,12 @@ object ScaleCheck {
         // the block count stays 128, so the level-1 windows must absorb
         // the growth in parallel (x38's discipline, per group)
         "x91_mixture_materialize",
+        // DoReMi reweighting: two x74-shaped LM passes (train + eval)
+        // on word-key equi joins with broadcast scalars; the MWU chain
+        // lives on the domains-sized grain — must track x74's
+        // sub-linearity (vocab unchanged under replication), never
+        // acquire a doc-grain term
+        "x98_doremi",
         // dedup applied through the MVCC write path: x41's decision
         // (measured via x36) + tombstone snapshot (one per-rid window)
         // — the applied form must track the decision, not add a
@@ -302,7 +308,29 @@ object ScaleCheck {
         // component, id-grain partial sum); both passes scale with
         // the corpus, nothing else does — must track x95 plus one
         // map-side pass
-        "x96_pca_project")) {
+        "x96_pca_project",
+        // x99: prototypicality — trained assignment (broadcast
+        // centroids) + ONE per-cell rank window; growth beyond the
+        // assignment's own factor would mean the window acquired a
+        // corpus-wide partition
+        "x99_prototypical",
+        // x101: fused dedup at the TRAINED k=64 operating point — must
+        // sit far below x75's fixed-k growth on the same corpus (x75
+        // measured 4.9x at x4; the embedding half here is x81's
+        // regime, the text half x07's banding)
+        "x101_fused_trained",
+        // x102: semantic decontamination — suite-sized broadcast, one
+        // corpus scan of map-side cosines; replication grows the scan
+        // side D× and the broadcast side D× too (the %10 slice of the
+        // replicated corpus), so expect ~D×·D× = super-linear HERE —
+        // in production the benchmark suite is FIXED-size and the
+        // growth is the scan's alone
+        "x102_sem_decontaminate",
+        // x100: margin mining — in-cell even×odd candidates under the
+        // FIXED oracle-pinned k=16 (x22's quadratic fixture class:
+        // expect super-linear here; k ~ sqrt(n) is the scale rule) +
+        // four keyed window passes over the one candidate frame
+        "x100_margin_mine")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)

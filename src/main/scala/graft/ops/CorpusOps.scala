@@ -1051,4 +1051,81 @@ object CorpusOps {
         round(col("n_novel").cast("double") / col("n_shingles"), 4)
           .as("novel_frac"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining", NeurIPS 2023,
+    * arXiv 2305.10429) in its static data-engine form. The paper
+    * alternates proxy-model training with a multiplicative-weights
+    * update on per-domain EXCESS LOSS; here the reference model is a
+    * held-out unigram LM ([[lmScoreApply]]'s CCNet shape) and excess is
+    * each domain's held-out per-token loss over the best-fit domain's,
+    * so the model is static — but the MWU chain is still unrolled step
+    * by step with per-step DECIMAL(18,6) rounding
+    * (w ← round(w·(1+η·excess), 6), `steps` times) because the rounded
+    * chain IS the hash-checked contract: the DuckDB oracle replays the
+    * same `steps` multiplications digit for digit (the x48Iters
+    * discipline — one Scala constant generates both sides). The paper's
+    * exponential update exp(η·e) is deliberately linearized to
+    * (1+η·e)ᵀ: exp is not correctly-rounded IEEE and drifts across
+    * engines (the x89 Gumbel-key lesson), while decimal multiplication
+    * is exact; for η·e ≲ 0.5 the two produce the same domain ORDERING,
+    * which is what the normalized mixture consumes. Final weights mix
+    * with uniform (w ← (1−s)·w_norm + s/D — the paper's smoothing
+    * step); that last step is plain IEEE double arithmetic on exact
+    * operands, rounded once to 6.
+    *
+    * Output: (group, n_tokens, loss, excess, weight); weights sum to 1
+    * up to per-domain rounding.
+    *
+    * 100 TB shape: the train pass and the eval pass are x74's — one
+    * tokenize each, word-key equi model join (AQE skew-split absorbs
+    * stopwords), smoothing constants on a 1-row broadcast — and the
+    * eval aggregate lands directly on the DOMAINS-sized grain (the
+    * per-doc grain is never materialized). Everything after is
+    * arithmetic on that domains-sized frame; the min-loss baseline and
+    * the normalization total ride 1-row broadcasts (the
+    * PlanAuditSpec-allowlisted scalar shape, as x85). */
+  def doremiWeights(ref: DataFrame, eval: DataFrame,
+      eta: java.math.BigDecimal, steps: Int,
+      smooth: java.math.BigDecimal, groupCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val counts = unigramCounts(ref, idCol, textCol)
+    val consts = counts.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("vocab"))
+    val domLoss = eval
+      .select(col(groupCol), explode(TF.words(col(textCol))).as("word"))
+      .groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .join(counts, Seq("word"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("lpw",
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("n_total") + col("vocab")).cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        round(-(sum(col("tf") * col("lpw")).cast("double") /
+          sum(col("tf")).cast("double")), 6)
+          .cast("decimal(18,6)").as("loss"))
+    val base = broadcast(domLoss.agg(min(col("loss")).as("loss_min"),
+      count(lit(1)).as("n_dom")))
+    val seeded = domLoss.crossJoin(base)
+      .withColumn("excess", (col("loss") - col("loss_min"))
+        .cast("decimal(18,6)"))
+      .withColumn("m", round(lit(java.math.BigDecimal.ONE) +
+        lit(eta) * col("excess"), 6).cast("decimal(18,6)"))
+      .withColumn("w", lit(java.math.BigDecimal.ONE).cast("decimal(18,6)"))
+    val stepped = (1 to steps).foldLeft(seeded) { (df, _) =>
+      df.withColumn("w", round(col("w") * col("m"), 6)
+        .cast("decimal(18,6)"))
+    }
+    val tot = broadcast(stepped.agg(sum(col("w")).as("w_tot")))
+    stepped.crossJoin(tot)
+      .withColumn("weight", round(
+        (lit(java.math.BigDecimal.ONE.subtract(smooth)).cast("double") *
+          round(col("w").cast("double") / col("w_tot").cast("double"), 6)) +
+        lit(smooth).cast("double") / col("n_dom").cast("double"), 6))
+      .select(col(groupCol), col("n_tokens"), col("loss"), col("excess"),
+        col("weight"))
+  }
 }

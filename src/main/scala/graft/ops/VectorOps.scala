@@ -441,4 +441,126 @@ object VectorOps {
           .cast("decimal(28,9)")).as("__p"))
       .select(col(idCol), col("__p").cast("double").as("proj"))
   }
+
+  /** D4-style prototypicality decision (Tirumala et al., "D4: Improving
+    * LLM Pretraining via Document De-Duplication and Diversification",
+    * arXiv 2308.12284): after SemDeDup ([[semDedupDecision]]) D4 ranks
+    * each example by cosine to its cluster centroid and DROPS the most
+    * prototypical fraction — cluster cores are over-represented, easy
+    * examples; keeping the band away from the center diversifies the
+    * corpus. Input is an [[ivfCellsScored]] assignment (cq =
+    * round(cos·1e6) as BIGINT — a deterministic total order); rank
+    * within cell by (cq DESC, id ASC) and drop
+    * rn ≤ ⌈n_cell·dropNum/dropDen⌉. The cut is PURE INTEGER arithmetic
+    * ((n·num + den − 1) div den), so the keep set has no floating cut
+    * boundary to drift on. Output: (vec_id, cell, cq, rn, n_cell,
+    * kept 0/1) — decision-grain, like [[ivfDedupDecision]].
+    *
+    * 100 TB shape: centroids ride the broadcast upstream
+    * ([[ivfCells]]); the rank is per-CELL (k ~ √n via [[suggestK]]
+    * bounds cells — never a corpus-wide window); output is one row per
+    * vector with no join back to the payload. */
+  def prototypicality(cells: DataFrame, dropNum: Int,
+      dropDen: Int): DataFrame = {
+    val w = Window.partitionBy("cell")
+      .orderBy(col("cq").desc, col("vec_id").asc)
+    cells.select(col("vec_id"), col("cell"), col("cq"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy("cell")))
+      .withColumn("kept", when(col("rn") >
+        expr(s"(n_cell * $dropNum + ${dropDen - 1}) div $dropDen"),
+        1L).otherwise(0L))
+  }
+
+  /** Margin-based cross-corpus candidate mining (Artetxe & Schwenk,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", ACL 2019 — the LASER/CCMatrix criterion): raw cosine
+    * over-fires in dense neighborhoods, so a candidate pair (x, y) is
+    * scored by its cosine RELATIVE to both sides' average top-k
+    * neighborhood cosine — ratio margin
+    * cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2). Candidates are
+    * in-cell pairs of an IVF assignment between the two sides (the
+    * mining approximation: neighborhoods are over in-cell candidates
+    * clearing `minCos`, not the exact k-NN — the same recall tradeoff
+    * x28 measures for ANN); per x the single best y by
+    * (margin DESC, cos DESC, y ASC) survives if margin ≥ `minMargin`.
+    * `xSide` splits the corpus (x where true, y where false), written
+    * over the vec_id column.
+    *
+    * Determinism: cos is the quantized round(·,6) DECIMAL; the top-k
+    * neighborhood sums are exact decimal sums of those; the margin is
+    * ONE double division of exactly-representable operands — margin =
+    * (2·cos·kx·ky) / (sx·ky + sy·kx), every product integer-scaled far
+    * under 2^53 — rounded to 4. `minCos > 0` also makes the
+    * denominator strictly positive. Output: (x_id, y_id, cos, margin).
+    *
+    * 100 TB shape: candidates are equi cell joins over ONE aliased
+    * assignment subtree (broadcast centroids upstream, k ~ √n bounds
+    * cells); the neighborhood aggregates and the final cut are windows
+    * keyed by x_id or y_id — never corpus-wide; all four window passes
+    * read one candidate frame. */
+  /** Semantic decontamination — the benchmark-overlap gate lifted from
+    * lexical shingles ([[CorpusOps.decontaminate]]) to the embedding
+    * space: a training vector is contaminated if any benchmark vector
+    * sits within cosine ≥ `threshold`. Benchmark suites are tiny next
+    * to a training corpus, so the scale-right plan is x37's exactly:
+    * the WHOLE benchmark side rides a broadcast and the corpus is
+    * scanned ONCE with map-side cosines — no shuffle at all until the
+    * flagged-id rollup (which partial-aggregates map-side). No ANN
+    * index, no k-means: at n·|suite| map work the exact answer is
+    * cheaper than building candidates (contrast [[ivfPairs]], whose
+    * n²/k candidate economics only pay off when BOTH sides are
+    * corpus-sized). Output per contaminated training vector:
+    * (train_id, n_hits, max_cos) — n_hits for severity triage,
+    * max_cos for threshold audits (x88's curve discipline). */
+  def semDecontaminate(train: DataFrame, bench: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val b = broadcast(bench.select(col(idCol).as("bench_id"),
+      col(vecCol).as("b_e")))
+    train.select(col(idCol).as("train_id"), col(vecCol).as("t_e"))
+      .crossJoin(b)
+      .withColumn("cos",
+        round(VF.cosineFast(col("t_e"), col("b_e")), 6)
+          .cast("decimal(18,6)"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+  }
+
+  def marginMine(cells: DataFrame,
+      xSide: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      k: Int, minCos: Double, minMargin: Double): DataFrame = {
+    val cand = cells.as("a").join(cells.as("b").hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") &&
+          xSide(col("a.vec_id")) && !xSide(col("b.vec_id")))
+      .select(col("a.vec_id").as("x_id"), col("b.vec_id").as("y_id"),
+        round(VF.cosineFast(col("a.embedding"), col("b.embedding")), 6)
+          .cast("decimal(18,6)").as("cos"))
+      .filter(col("cos") >= minCos)
+      .distinct() // multi-probe assignments repeat a pair per shared cell
+    val wx = Window.partitionBy("x_id").orderBy(col("cos").desc,
+      col("y_id").asc)
+    val wy = Window.partitionBy("y_id").orderBy(col("cos").desc,
+      col("x_id").asc)
+    val wxa = Window.partitionBy("x_id")
+    val wya = Window.partitionBy("y_id")
+    val best = Window.partitionBy("x_id").orderBy(col("margin").desc,
+      col("cos").desc, col("y_id").asc)
+    cand
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+      .withColumn("sx", sum(when(col("rx") <= k, col("cos"))).over(wxa))
+      .withColumn("kx", sum(when(col("rx") <= k, 1L).otherwise(0L)).over(wxa))
+      .withColumn("sy", sum(when(col("ry") <= k, col("cos"))).over(wya))
+      .withColumn("ky", sum(when(col("ry") <= k, 1L).otherwise(0L)).over(wya))
+      .withColumn("margin", round(
+        (lit(2.0d) * col("cos").cast("double") * col("kx") * col("ky")) /
+          (col("sx").cast("double") * col("ky") +
+            col("sy").cast("double") * col("kx")), 4))
+      .filter(col("margin") >= minMargin)
+      .withColumn("rnk", row_number().over(best))
+      .filter(col("rnk") === 1)
+      .select(col("x_id"), col("y_id"), col("cos"), col("margin"))
+  }
 }

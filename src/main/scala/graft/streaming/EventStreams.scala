@@ -762,4 +762,35 @@ object EventStreams {
       }
       .toDF("doc_id", "n_bpe", "token_ids")
   }
+
+  /** Streaming semantic decontamination — [[graft.ops.VectorOps
+    * .semDecontaminate]]'s gate at ingest time: every incoming
+    * embedding row is scored against a FIXED benchmark suite (frozen on
+    * the batch side — the train-once / gate-forever contract of
+    * [[bpeEncodeStream]]). COMPLETELY STATELESS: the suite rides the
+    * plan as a literal array (suite-sized, like the broadcast merge
+    * rules), each row's hit count and max cosine come from Catalyst
+    * higher-order functions over it — no watermark, no state store,
+    * every micro-batch a pure map. The cosines are the same
+    * round(·,6)-quantized decimals as the batch op, so a row's
+    * (n_hits, max_cos) is DIGIT-identical to the batch gate's
+    * (StreamingSpec pins the parity). Rows with no hit pass silently
+    * (emit nothing), flagged rows surface for quarantine.
+    *
+    * Scale: the literal suite is fine to a few thousand vectors (the
+    * size of real benchmark suites); for corpus-sized "benchmarks" use
+    * the batch op's broadcast-join form on a stream-static join
+    * instead. Output: (vec_id, n_hits, max_cos). */
+  def semDecontaminateStream(vecs: DataFrame, bench: Seq[Seq[Float]],
+      threshold: Double): DataFrame = {
+    val VF = graft.functions.VectorFunctions
+    val coss = transform(typedLit(bench), b =>
+      round(VF.cosineFast(col("embedding"), b), 6).cast("decimal(18,6)"))
+    vecs
+      .select(col("vec_id").cast("long"),
+        filter(coss, c => c >= threshold).as("__h"))
+      .filter(size(col("__h")) > 0)
+      .select(col("vec_id"), size(col("__h")).cast("long").as("n_hits"),
+        array_max(col("__h")).as("max_cos"))
+  }
 }

@@ -188,6 +188,19 @@ class ExtensionsSpec extends SparkTestBase {
       s"missing embedding drops: ${embDrops -- fusedDrops}")
   }
 
+  test("x101 trained-fused drop set ⊇ x41 text drops ∪ x81 trained embedding drops (same min-label argument at the k=64 operating point)") {
+    val fusedDrops = SparkEntry.queries("x101_fused_trained")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val textDrops = SparkEntry.queries("x41_cluster_decision")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val embDrops = SparkEntry.queries("x81_embed_dedup_trained")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(textDrops.subsetOf(fusedDrops),
+      s"missing text drops: ${textDrops -- fusedDrops}")
+    assert(embDrops.subsetOf(fusedDrops),
+      s"missing embedding drops: ${embDrops -- fusedDrops}")
+  }
+
   test("x23 banded simhash pairs ⊇ x09 lang-blocked pairs (pigeonhole: no true pair lost)") {
     val banded = rows("x23_simhash_banded")
     val blocked = rows("x09_simhash_pairs")

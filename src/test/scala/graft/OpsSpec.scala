@@ -1344,4 +1344,88 @@ class OpsSpec extends SparkTestBase {
       1L -> ((4L, 1L, 0.25, 0L)),
       2L -> ((2L, 1L, 0.5, 1L))), out)
   }
+
+  test("CorpusOps.doremiWeights: hand-derived MWU chain on a planted easy/hard domain pair") {
+    // ref model: "a a b" → cnts a:2 b:1, N=3, V=2
+    // domain hi: "a a" → lpw(a)=round(ln(3/5),6)=-0.510826 → loss 0.510826
+    // domain lo: "c c" → lpw(c)=round(ln(1/5),6)=-1.609438 → loss 1.609438
+    // excess: hi 0, lo 1.098612; m: hi 1.000000, lo round(1.549306,6)
+    // 4 rounded squarings: lo w = 1.549306 → 2.400349 → 3.718875
+    //   → 5.761675; w_tot 6.761675
+    // w_norm: hi 0.147892, lo 0.852108
+    // weight = 0.8·w_norm + 0.2/2: hi 0.218314, lo 0.781686 (sums to 1)
+    val ref = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val eval = Seq((10L, "a a", "hi"), (11L, "c c", "lo"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.CorpusOps.doremiWeights(ref, eval,
+        eta = new java.math.BigDecimal("0.5"), steps = 4,
+        smooth = new java.math.BigDecimal("0.2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).toPlainString,
+          r.getDecimal(3).toPlainString, r.getDouble(4)))).toMap
+    assert(out == Map(
+      "hi" -> ((2L, "0.510826", "0.000000", 0.218314)),
+      "lo" -> ((2L, "1.609438", "1.098612", 0.781686))), out)
+    // the harder-to-fit domain is upweighted — DoReMi's whole point
+    assert(out("lo")._4 > out("hi")._4)
+  }
+
+  test("VectorOps.prototypicality: integer ceil cut per cell, cq-desc rank, tie by id") {
+    // cell 1: 11 vectors → drop ⌈11/10⌉ = 2 (the two highest cq);
+    // cell 2: 3 vectors → drop ⌈3/10⌉ = 1; tie on cq broken by id asc
+    val cells = ((1 to 11).map(i => (i.toLong, 1L, (1000L - i))) ++
+      Seq((20L, 2L, 500L), (21L, 2L, 500L), (22L, 2L, 400L)))
+      .toDF("vec_id", "cell", "cq")
+    val out = graft.ops.VectorOps.prototypicality(cells, 1, 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // cell 1: vec 1 (cq 999, rn 1) and vec 2 (cq 998, rn 2) dropped
+    assert(out(1L) == ((1L, 11L, 0L)) && out(2L) == ((2L, 11L, 0L)), out)
+    assert((3 to 11).forall(i => out(i.toLong)._3 == 1L), out)
+    // cell 2: equal cq 500 → id asc: vec 20 ranks 1 and is dropped
+    assert(out(20L) == ((1L, 3L, 0L)) && out(21L) == ((2L, 3L, 1L)), out)
+    assert(out(22L) == ((3L, 3L, 1L)), out)
+  }
+
+  test("VectorOps.marginMine: ratio margin from hand-built neighborhoods; minCos gates the denominator") {
+    // one cell; x = even ids {2, 4}, y = odd ids {1, 3, 5}
+    // cos: (2,1)=1.0 (4,3)=1.0 (2,3)=(4,1)=0.6; y=5 pairs are negative
+    // and fall to the minCos gate, so every neighborhood is top-2 of
+    // {1.0, 0.6}: sx=sy=1.6, kx=ky=2
+    // margin(2,1) = (2·1.0·2·2)/(1.6·2 + 1.6·2) = 8/6.4 = 1.25 — kept
+    // margin(2,3) = 4.8/6.4 = 0.75 — below minMargin
+    val cells = Seq(
+      (1L, Seq(1.0f, 0.0f), 7L), (3L, Seq(0.6f, 0.8f), 7L),
+      (5L, Seq(-1.0f, 0.0f), 7L),
+      (2L, Seq(1.0f, 0.0f), 7L), (4L, Seq(0.6f, 0.8f), 7L))
+      .toDF("vec_id", "embedding", "cell")
+    val out = graft.ops.VectorOps.marginMine(cells,
+        xSide = _ % 2 === 0, k = 2, minCos = 0.1, minMargin = 1.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).toPlainString, r.getDouble(3))).toSet
+    assert(out == Set(
+      (2L, 1L, "1.000000", 1.25),
+      (4L, 3L, "1.000000", 1.25)), out)
+  }
+
+  test("VectorOps.semDecontaminate: hit counts and max cosine against a planted benchmark; clean vector absent") {
+    // bench: b1=[1,0], b2=[0.6,0.8] (cos(b1,b2)=0.6)
+    // train: t1=[1,0] hits both (1.0, 0.6) → n_hits 2, max 1.0
+    //        t2=[0.6,0.8] hits both (0.6, 1.0) → n_hits 2, max 1.0
+    //        t3=[0,1] → cos (0, 0.8) → one hit at 0.8
+    //        t4=[-1,0] → cos (-1, -0.6) → absent
+    val bench = Seq((10L, Seq(1.0f, 0.0f)), (20L, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.6f, 0.8f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.VectorOps
+      .semDecontaminate(train, bench, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2).toPlainString))).toMap
+    assert(out == Map(
+      1L -> ((2L, "1.000000")),
+      2L -> ((2L, "1.000000")),
+      3L -> ((1L, "0.800000"))), out)
+  }
 }

@@ -401,6 +401,22 @@ class PlanAuditSpec extends SparkTestBase {
       "x86_nb_calibration",     // x72's model broadcasts (labels-sized
                                 // priors + 1-row vocab scalar); the word,
                                 // doc, and lang joins are all equi
+      "x98_doremi",             // x74's 1-row (N, vocab) smoothing scalars
+                                // plus the domains-grain (loss_min, n_dom)
+                                // and w_tot 1-row broadcasts; the model
+                                // join is equi on word
+      "x99_prototypical",       // 16-row broadcast trained-centroid
+                                // assignment (x48's shape); the rank is a
+                                // per-cell window, no join after
+      "x100_margin_mine",       // 16-row broadcast trained-centroid
+                                // assignment; the candidate join is equi
+                                // on cell, margins are keyed windows
+      "x101_fused_trained",     // 64-row broadcast trained-centroid
+                                // assignment (x81's regime) feeding x75's
+                                // fusion; band/cell/closure joins all equi
+      "x102_sem_decontaminate", // suite-sized benchmark broadcast with
+                                // map-side exact cosines — x37's scale
+                                // shape, deliberately index-free
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
@@ -436,6 +452,15 @@ class PlanAuditSpec extends SparkTestBase {
     // suite-sized lookup
     val p = plan("x87_contamination_frac")
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("x102: benchmark embeddings broadcast — the corpus is never shuffled for the semantic contamination join") {
+    // x37's discipline in the embedding space: the suite-sized side
+    // rides a BroadcastNestedLoopJoin (deliberately index-free); the
+    // only keyed exchange is the flagged-id rollup AFTER the filter
+    val p = plan("x102_sem_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 

@@ -698,4 +698,40 @@ class StreamingSpec extends SparkTestBase {
         "streamed id sequences diverge from the batch x68 encode")
     } finally q.stop()
   }
+
+  test("streaming semantic decontamination: stateless literal-suite gate equals the batch x102 report") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val benchDf = e.filter(col("vec_id") % 10 === 0)
+    val train = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = graft.ops.VectorOps
+      .semDecontaminate(train, benchDf, threshold = 0.35)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2).toPlainString)))
+      .toMap
+    assert(batch.nonEmpty, "fixture must plant at least one semantic hit")
+    val bench = benchDf.collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.EventStreams.semDecontaminateStream(
+        input.toDF().toDF("vec_id", "embedding"), bench, threshold = 0.35)
+      .writeStream.format("memory").queryName("semdecon_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = train.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+      val got = spark.table("semdecon_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2).toPlainString)))
+        .toMap
+      assert(got == batch,
+        s"stream gate diverged from batch x102 on ${
+          got.count { case (k, v) => batch.get(k) != Some(v) } +
+            (batch.keySet -- got.keySet).size} vecs")
+    } finally q.stop()
+  }
 }
