@@ -2302,6 +2302,26 @@ object ExtensionQueries {
       e.filter(col("vec_id") % 10 === 0), threshold = 0.35)
   }
 
+  /** Learned-mixture token allocation ([[graft.ops.CorpusOps
+    * .mixturePlanWeighted]]) — x98's DoReMi weights feeding x85's
+    * budget arithmetic: the full learn-the-law → spend-the-budget loop
+    * as ONE declarative query (the x91 materializer consumes its
+    * alloc_tokens unchanged). Plan side counts tokens over ALL
+    * documents (one extra scan beyond x98's train/eval passes — a
+    * different grain, not a redundant one); weight law and allocation
+    * are both hash-checked via the shared x98 CTE chain. */
+  private val x103_doremi_mixture: QFn = (s, d) => {
+    val all = docsR(s, d)
+    val w = graft.ops.CorpusOps.doremiWeights(
+      all.filter(col("doc_id") % 5 =!= 0),
+      all.filter(col("doc_id") % 5 === 0),
+      eta = new java.math.BigDecimal(X98Eta), steps = X98Steps,
+      smooth = new java.math.BigDecimal(X98Smooth))
+      .select(col("lang"), col("weight"))
+    graft.ops.CorpusOps.mixturePlanWeighted(all, w,
+      budgetFrac = new java.math.BigDecimal("0.5"))
+  }
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, QFn] = Map(
@@ -2408,6 +2428,7 @@ object ExtensionQueries {
     "x100_margin_mine" -> x100_margin_mine,
     "x101_fused_trained" -> x101_fused_trained,
     "x102_sem_decontaminate" -> x102_sem_decontaminate,
+    "x103_doremi_mixture" -> x103_doremi_mixture,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3171,13 +3192,13 @@ object ExtensionQueries {
   // X98Eta/X98Smooth — one constant set, both engines). Every step is
   // exact DECIMAL(18,6) multiply-then-round; the final smoothing is the
   // one IEEE double expression, rounded once.
-  private lazy val x98Oracle: String = {
+  private lazy val x98Ctes: String = {
     val steps = (1 to X98Steps).map { i =>
       s"""s$i AS (SELECT lang, n_tokens, loss, excess, m, n_dom,
          |        CAST(round(w * m, 6) AS DECIMAL(18,6)) AS w
          |        FROM s${i - 1})""".stripMargin
     }.mkString(",\n")
-    s"""WITH w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
+    s"""w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
        |             FROM documents WHERE doc_id % 5 <> 0),
        |cnts AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
        |c AS (SELECT sum(cnt) AS n_total, count(*) AS vocab FROM cnts),
@@ -3203,13 +3224,43 @@ object ExtensionQueries {
        |         n_dom, CAST(1 AS DECIMAL(18,6)) AS w
        |         FROM dl CROSS JOIN b),
        |$steps,
-       |t AS (SELECT sum(w) AS w_tot FROM s$X98Steps)
-       |SELECT lang, n_tokens, loss, excess,
-       |       round((1 - $X98Smooth)::DOUBLE *
-       |               round(w::DOUBLE / w_tot::DOUBLE, 6) +
-       |             ($X98Smooth)::DOUBLE / n_dom::DOUBLE, 6) AS weight
-       |  FROM s$X98Steps CROSS JOIN t""".stripMargin
+       |t AS (SELECT sum(w) AS w_tot FROM s$X98Steps)""".stripMargin
   }
+
+  /** The final weight expression over the x98 CTE chain — shared by the
+    * x98 report and x103's plan so the two cannot drift on the law. */
+  private lazy val x98WeightSql: String =
+    s"""round((1 - $X98Smooth)::DOUBLE *
+       |               round(w::DOUBLE / w_tot::DOUBLE, 6) +
+       |             ($X98Smooth)::DOUBLE / n_dom::DOUBLE, 6)""".stripMargin
+
+  private lazy val x98Oracle: String =
+    s"""WITH $x98Ctes
+       |SELECT lang, n_tokens, loss, excess,
+       |       $x98WeightSql AS weight
+       |  FROM s$X98Steps CROSS JOIN t""".stripMargin
+
+  // x103: the x98 weight law feeding the x85 allocation arithmetic —
+  // the learned-mixture twin of the sqrt plan. The token-count grain
+  // is over ALL documents (plan side), the weights over the 4/5-1/5
+  // split (model side).
+  private lazy val x103Oracle: String =
+    s"""WITH $x98Ctes,
+       |wts AS (SELECT lang, $x98WeightSql AS weight
+       |          FROM s$X98Steps CROSS JOIN t),
+       |tc AS (SELECT lang, len(string_split($NT,' '))::BIGINT AS n
+       |         FROM documents),
+       |g AS (SELECT lang, sum(n)::BIGINT AS n_tokens FROM tc GROUP BY 1),
+       |tt AS (SELECT sum(n_tokens)::BIGINT AS tok_tot FROM g),
+       |p AS (SELECT g.lang, g.n_tokens, wts.weight,
+       |        CAST(floor(CAST(floor(0.5 * tok_tot) AS DOUBLE) * weight)
+       |             AS BIGINT) AS alloc_tokens
+       |        FROM g JOIN wts USING (lang) CROSS JOIN tt)
+       |SELECT lang, n_tokens, weight, alloc_tokens,
+       |       round(alloc_tokens::DOUBLE / n_tokens::DOUBLE, 4) AS epochs,
+       |       CASE WHEN round(alloc_tokens::DOUBLE / n_tokens::DOUBLE, 4)
+       |                 > 1.0 THEN 1 ELSE 0 END::BIGINT AS oversampled
+       |  FROM p""".stripMargin
 
   // x99: the shared unrolled-Lloyd's cells, scored with the
   // integer-quantized centroid cosine (x71's scored CTE), ranked
@@ -3474,7 +3525,8 @@ object ExtensionQueries {
       "x99_prototypical" -> x99Oracle,
       "x100_margin_mine" -> x100Oracle,
       "x101_fused_trained" -> x101Oracle,
-      "x102_sem_decontaminate" -> x102Oracle)
+      "x102_sem_decontaminate" -> x102Oracle,
+      "x103_doremi_mixture" -> x103Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -178,6 +178,9 @@ object ScaleCheck {
         // sub-linearity (vocab unchanged under replication), never
         // acquire a doc-grain term
         "x98_doremi",
+        // learned-mixture allocation: x98's passes + one token-count
+        // scan into a groups-sized agg — must track x98 plus a scan
+        "x103_doremi_mixture",
         // dedup applied through the MVCC write path: x41's decision
         // (measured via x36) + tombstone snapshot (one per-rid window)
         // — the applied form must track the decision, not add a

@@ -764,6 +764,40 @@ object CorpusOps {
         .groupBy(col(groupCol)).agg(sum(col("n")).as("n_tokens")),
       budgetFrac, groupCol)
 
+  /** Mixture plan under a GIVEN weight law — [[mixturePlan]] with the
+    * sqrt-mass heuristic replaced by an externally-learned per-group
+    * weight column ([[doremiWeights]] is the intended producer; any
+    * (group, weight) frame with weights summing to ~1 works). This is
+    * the step that turns a LEARNED mixture into a token budget:
+    * alloc_d = ⌊⌊budget·tok_tot⌋·w_d⌋, then the same epochs /
+    * oversampling report as [[mixturePlan]]. The weight multiply is one
+    * IEEE double product of exact operands floored once — deterministic
+    * across engines (the x98 smoothing-step discipline).
+    *
+    * 100 TB shape: identical to [[mixturePlan]] — one map-side
+    * token-count scan to a groups-sized aggregate; the weight table is
+    * groups-sized and broadcast; the total rides a 1-row broadcast. */
+  def mixturePlanWeighted(docs: DataFrame, weights: DataFrame,
+      budgetFrac: java.math.BigDecimal, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val grouped = docs
+      .select(col(groupCol), TF.tokenCount(col(textCol)).as("n"))
+      .groupBy(col(groupCol)).agg(sum(col("n")).as("n_tokens"))
+    val tot = broadcast(grouped.agg(sum(col("n_tokens")).as("tok_tot")))
+    grouped
+      .join(broadcast(weights.select(col(groupCol),
+        col("weight").cast("double").as("weight"))), Seq(groupCol))
+      .crossJoin(tot)
+      .withColumn("alloc_tokens",
+        floor(floor(lit(budgetFrac) * col("tok_tot")).cast("double") *
+          col("weight")).cast("long"))
+      .withColumn("epochs", round(col("alloc_tokens").cast("double") /
+        col("n_tokens").cast("double"), 4))
+      .select(col(groupCol), col("n_tokens"), col("weight"),
+        col("alloc_tokens"), col("epochs"),
+        when(col("epochs") > 1.0d, 1L).otherwise(0L).as("oversampled"))
+  }
+
   /** The allocation arithmetic of [[mixturePlan]] over an already-
     * aggregated (group, n_tokens) frame — shared with
     * [[mixtureMaterialize]] so plan and materialization cannot drift

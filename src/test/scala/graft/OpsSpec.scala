@@ -1428,4 +1428,23 @@ class OpsSpec extends SparkTestBase {
       2L -> ((2L, "1.000000")),
       3L -> ((1L, "0.800000"))), out)
   }
+
+  test("CorpusOps.mixturePlanWeighted: a learned law inverts the sqrt plan's allocation") {
+    // same fixture as the mixturePlan spec (a: 4 tokens, b: 36) but the
+    // GIVEN law upweights a: w_a=0.75, w_b=0.25, budget 100% of 40 →
+    // a gets floor(40·0.75)=30 (7.5 epochs), b floor(40·0.25)=10 (0.2778)
+    // — the sqrt plan gave a only 10; a learned law can invert mass order
+    val df = (Seq((1L, "t1 t2 t3 t4", "a")) ++ (0 until 3).map(i =>
+      (10L + i, (1 to 12).map(j => s"w$j").mkString(" "), "b")))
+      .toDF("doc_id", "text", "lang")
+    val w = Seq(("a", 0.75), ("b", 0.25)).toDF("lang", "weight")
+    val out = graft.ops.CorpusOps
+      .mixturePlanWeighted(df, w, budgetFrac = new java.math.BigDecimal("1.0"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5)))).toMap
+    assert(out == Map(
+      "a" -> ((4L, 0.75, 30L, 7.5, 1L)),
+      "b" -> ((36L, 0.25, 10L, 0.2778, 0L))), out)
+  }
 }

@@ -417,6 +417,9 @@ class PlanAuditSpec extends SparkTestBase {
       "x102_sem_decontaminate", // suite-sized benchmark broadcast with
                                 // map-side exact cosines — x37's scale
                                 // shape, deliberately index-free
+      "x103_doremi_mixture",    // x98's scalar broadcasts + the plan
+                                // side's 1-row tok_tot; the weight and
+                                // group joins are equi on lang
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
