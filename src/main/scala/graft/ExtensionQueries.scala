@@ -2322,6 +2322,17 @@ object ExtensionQueries {
       budgetFrac = new java.math.BigDecimal("0.5"))
   }
 
+  /** Kneser–Ney bigram LM scoring ([[graft.ops.CorpusOps
+    * .knBigramScoreFromWords]]) — x59's smoothing generation upgrade:
+    * fixed-discount interpolation with continuation-count backoff, the
+    * family the real CCNet filter runs (KenLM). D = 0.75 is
+    * binary-exact, every probability a fixed correctly-rounded IEEE
+    * sequence over integer counts — the whole score table
+    * hash-checks. */
+  private val x104_kn_bigram: QFn = (s, d) =>
+    graft.ops.CorpusOps.knBigramScoreFromWords(
+      graft.ops.CorpusOps.tokenized(docsR(s, d)))
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, QFn] = Map(
@@ -2429,6 +2440,7 @@ object ExtensionQueries {
     "x101_fused_trained" -> x101_fused_trained,
     "x102_sem_decontaminate" -> x102_sem_decontaminate,
     "x103_doremi_mixture" -> x103_doremi_mixture,
+    "x104_kn_bigram" -> x104_kn_bigram,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2618,6 +2630,38 @@ object ExtensionQueries {
        |  SELECT doc_id AS drop_id, cluster_id AS canonical_id,
        |         count(*) OVER (PARTITION BY cluster_id) AS n_members
        |    FROM lab) WHERE drop_id <> canonical_id""".stripMargin
+
+  // x104: x59's bigram-count CTEs plus the KN statistics (left mass cl,
+  // continuation fan-ins n1f/n1p, bigram-type total nb); the probability
+  // is the IDENTICAL parenthesized double sequence the Spark column
+  // computes (D = 0.75 is binary-exact).
+  private lazy val x104Oracle: String =
+    s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+       |bg AS (SELECT doc_id,
+       |         unnest([ws[i]||' '||ws[i+1] for i in range(1, len(ws))]) AS bg
+       |         FROM w),
+       |tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+       |cb AS (SELECT bg, sum(tf) AS cb,
+       |         split_part(bg, ' ', 1) AS w1,
+       |         split_part(bg, ' ', 2) AS w2
+       |         FROM tf GROUP BY bg),
+       |l AS (SELECT w1, sum(cb) AS cl, count(*) AS n1f FROM cb GROUP BY 1),
+       |c2 AS (SELECT w2, count(*) AS n1p FROM cb GROUP BY 1),
+       |nbt AS (SELECT count(*) AS nb FROM cb),
+       |lp AS (SELECT t.doc_id, t.tf,
+       |       CAST(round(ln(
+       |         greatest(k.cb::DOUBLE - 0.75, 0) / l.cl::DOUBLE +
+       |         (0.75 * l.n1f::DOUBLE / l.cl::DOUBLE) *
+       |         (c2.n1p::DOUBLE / nbt.nb::DOUBLE)), 6)
+       |            AS DECIMAL(18,6)) AS lpb
+       |         FROM tf t JOIN cb k USING (bg)
+       |         JOIN l ON k.w1 = l.w1
+       |         JOIN c2 ON k.w2 = c2.w2
+       |         CROSS JOIN nbt)
+       |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+       |       round((sum(tf * lpb))::DOUBLE / (sum(tf))::DOUBLE, 4)
+       |         AS avg_logp_kn
+       |  FROM lp GROUP BY doc_id""".stripMargin
 
   // x102: plain cross join against the %10 held-out slice — the oracle
   // needs no Lloyd's chain because the query deliberately has no index
@@ -3526,7 +3570,8 @@ object ExtensionQueries {
       "x100_margin_mine" -> x100Oracle,
       "x101_fused_trained" -> x101Oracle,
       "x102_sem_decontaminate" -> x102Oracle,
-      "x103_doremi_mixture" -> x103Oracle)
+      "x103_doremi_mixture" -> x103Oracle,
+      "x104_kn_bigram" -> x104Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

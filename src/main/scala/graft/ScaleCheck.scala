@@ -181,6 +181,10 @@ object ScaleCheck {
         // learned-mixture allocation: x98's passes + one token-count
         // scan into a groups-sized agg — must track x98 plus a scan
         "x103_doremi_mixture",
+        // KN bigram: x59's one-pass bigram-grain shape with three
+        // extra bigram-vocab-sized derived tables — must track x59's
+        // near-flatness (vocab unchanged under replication)
+        "x104_kn_bigram",
         // dedup applied through the MVCC write path: x41's decision
         // (measured via x36) + tombstone snapshot (one per-rid window)
         // — the applied form must track the decision, not add a

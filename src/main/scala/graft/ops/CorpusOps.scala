@@ -463,6 +463,70 @@ object CorpusOps {
           sum(col("tf")).cast("double"), 4).as("avg_logp2"))
   }
 
+  /** Kneser–Ney smoothed bigram LM scoring (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999 §2.7) — the smoothing
+    * family the REAL CCNet filter uses (KenLM is interpolated modified
+    * KN): [[bigramLmScoreFromWords]]'s add-one smoothing systematically
+    * over-penalizes common-word transitions; KN discounts every seen
+    * bigram by a fixed D and backs off to the CONTINUATION probability
+    * (how many distinct contexts a word follows) instead of raw
+    * frequency:
+    *
+    *   P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·)
+    *            + (D·N1+(w1·)/c(w1·)) · N1+(·w2)/N_bigrams
+    *
+    * with D = 0.75 (binary-EXACT, so the discount arithmetic has no
+    * representation error). Scored corpus-self like [[bigramLmScore]]
+    * (every scored bigram has c ≥ 1 — the unseen-context branch never
+    * binds). Every probability is a fixed sequence of correctly-rounded
+    * IEEE double ops on integer counts, ln is quantized to
+    * DECIMAL(18,6) at the leaf, the doc score is an exact decimal sum
+    * — the full table hash-checks (the x51/x59 discipline one
+    * smoothing generation up). Output: (doc_id, n_bigrams, avg_logp_kn);
+    * docs with <2 words have no bigrams and are absent.
+    *
+    * 100 TB shape: identical to [[bigramLmScoreFromWords]] — ONE
+    * bigram tf pass (persisted; the cb/cl/N1+ tables all derive from
+    * it at bigram-vocab grain, never rescanning the corpus), word-key
+    * equi joins with map-side partial aggs absorbing stopword-pair
+    * skew, the single N_bigrams scalar on a 1-row broadcast. */
+  def knBigramScoreFromWords(words: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    val bigramArr = zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val tf2 = words.select(col("doc_id"), explode(bigramArr).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = tf2.groupBy(col("bg")).agg(sum(col("tf")).as("cb"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = cb.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cl"), count(lit(1)).as("n1f"))
+    val cont = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val nb = cb.agg(count(lit(1)).as("nb"))
+    tf2.join(cb.select(col("bg"), col("cb"), col("w1"), col("w2")),
+        Seq("bg"))
+      .join(left, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .withColumn("lpb",
+        round(log(
+          greatest(col("cb").cast("double") - discount, lit(0.0d)) /
+            col("cl").cast("double") +
+          (lit(discount) * col("n1f").cast("double") /
+            col("cl").cast("double")) *
+          (col("n1p").cast("double") / col("nb").cast("double"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        round(sum(col("tf") * col("lpb")).cast("double") /
+          sum(col("tf")).cast("double"), 4).as("avg_logp_kn"))
+  }
+
   /** Composed unigram + bigram LM scoring with ONE tokenize pass — the
     * form a production quality-filtering stack runs (CCNet scores
     * every document once per model order; tokenization dominates the

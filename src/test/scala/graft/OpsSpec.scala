@@ -1447,4 +1447,26 @@ class OpsSpec extends SparkTestBase {
       "a" -> ((4L, 0.75, 30L, 7.5, 1L)),
       "b" -> ((36L, 0.25, 10L, 0.2778, 0L))), out)
   }
+
+  test("CorpusOps.knBigramScoreFromWords: hand-derived Kneser-Ney probabilities (D=0.75 exact fractions)") {
+    // corpus bigrams: "a b", "a c", "d b" — all c=1
+    // cl: a·=2, d·=1; n1f: a→2, d→1; n1p: ·b→2, ·c→1; nb=3
+    // P(b|a) = 0.25/2 + (0.75·2/2)·(2/3) = 0.625 → ln → -0.470004
+    // P(c|a) = 0.125 + 0.75·(1/3)       = 0.375 → ln → -0.980829
+    // P(b|d) = 0.25/1 + 0.75·(2/3)      = 0.75  → ln → -0.287682
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "d b"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps
+      .knBigramScoreFromWords(graft.ops.CorpusOps.tokenized(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out == Map(
+      1L -> ((1L, -0.47)),
+      2L -> ((1L, -0.9808)),
+      3L -> ((1L, -0.2877))), out)
+    // KN's point vs add-one: the common-continuation word (b follows
+    // two distinct contexts) scores HIGHER after an unseen-ish context
+    // d than the rare continuation c after the frequent context a
+    assert(out(3L)._2 > out(2L)._2)
+  }
 }

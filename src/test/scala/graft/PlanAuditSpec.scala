@@ -420,6 +420,9 @@ class PlanAuditSpec extends SparkTestBase {
       "x103_doremi_mixture",    // x98's scalar broadcasts + the plan
                                 // side's 1-row tok_tot; the weight and
                                 // group joins are equi on lang
+      "x104_kn_bigram",         // 1-row bigram-type-total scalar
+                                // broadcast (x59's vocab-scalar class);
+                                // all count joins are word-key equi
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
