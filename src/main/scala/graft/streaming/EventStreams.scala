@@ -763,6 +763,58 @@ object EventStreams {
       .toDF("doc_id", "n_bpe", "token_ids")
   }
 
+  /** Streaming DSIR gate — [[graft.ops.CorpusOps.dsirWeights]] at
+    * ingest time: each incoming document's mean per-token log
+    * importance ratio under two FROZEN unigram models (target trained
+    * on the curated set, source on the historical pool — the
+    * train-once contract of [[lmScoreStream]], one model up). Both
+    * smoothing-constant pairs resolve once at stream setup; the two
+    * word-key joins run stream-static against the vocab-sized count
+    * tables; one watermarked windowed agg rolls tokens back to doc
+    * grain. Per-word logs and the final round/−0.0 normalization are
+    * the batch op's exactly — the exploded per-token sum equals the
+    * batch (doc, word)-grain Σ tf·(lpwₜ−lpwₛ) because decimal sums are
+    * order-insensitive, so a doc's (n_tokens, log_ratio) is
+    * DIGIT-identical to its batch x83 row (StreamingSpec pins it).
+    * Route on log_ratio downstream: the ingest-time half of DSIR
+    * selection (the batch top-k/Gumbel selectors x84/x89 need the full
+    * pool; an ingest gate thresholds instead).
+    * Output: (window, doc_id, n_tokens, log_ratio).
+    *
+    * Scale: state is (window, doc_id)-keyed and watermark-bounded; the
+    * model tables join as static sides; AQE skew handling does not
+    * apply in streams, but the stopword skew lands on the vocab-sized
+    * build side, not on state. */
+  def dsirScoreStream(docs: DataFrame, targetCounts: DataFrame,
+      sourceCounts: DataFrame, windowDur: String = "10 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val TF = graft.functions.TextFunctions
+    def denomOf(c: DataFrame, what: String): Double = {
+      val r = c.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v")).head
+      require(!r.isNullAt(0), s"dsirScoreStream: empty $what counts")
+      (r.getLong(0) + r.getLong(1)).toDouble
+    }
+    val dT = denomOf(targetCounts, "target")
+    val dS = denomOf(sourceCounts, "source")
+    def lpw(cnt: Column, denom: Double) =
+      round(log((coalesce(cnt, lit(0L)) + 1).cast("double") / lit(denom)),
+        6).cast("decimal(18,6)")
+    docs
+      .withColumn("event_time", eventTime(docs))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("doc_id"), col("event_time"),
+        explode(TF.words(col("text"))).as("word"))
+      .join(targetCounts.select(col("word"), col("cnt").as("cnt_t")),
+        Seq("word"), "left")
+      .join(sourceCounts.select(col("word"), col("cnt").as("cnt_s")),
+        Seq("word"), "left")
+      .withColumn("d", lpw(col("cnt_t"), dT) - lpw(col("cnt_s"), dS))
+      .groupBy(window(col("event_time"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (round(sum(col("d")).cast("double") /
+          count(lit(1)).cast("double"), 4) + lit(0.0)).as("log_ratio"))
+  }
+
   /** Streaming semantic decontamination — [[graft.ops.VectorOps
     * .semDecontaminate]]'s gate at ingest time: every incoming
     * embedding row is scored against a FIXED benchmark suite (frozen on

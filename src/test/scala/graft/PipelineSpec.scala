@@ -239,6 +239,30 @@ class PipelineSpec extends SparkTestBase {
         "(a second corpus pass is back)")
   }
 
+  test("knBigramScoreFromWords scan-amplification audit: KN scoring reads the corpus once") {
+    val sc = spark.sparkContext
+    val docs = Catalog(spark, sf).table("documents")
+    def fileBytes(): Long = {
+      val s = org.apache.hadoop.fs.FileSystem
+        .getGlobalStorageStatistics.get("file")
+      if (s == null) 0L else s.getLong("bytesRead")
+    }
+    def bytesOf(act: => Unit): Long = {
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val before = fileBytes(); act; fileBytes() - before
+    }
+    val single = bytesOf(
+      docs.select(length(col("text")).as("n")).agg(sum(col("n"))).collect())
+    // KN derives cb/cl/continuation/nb ALL from the persisted bigram tf
+    // grain — four derived tables, still one corpus read
+    val kn = bytesOf(CorpusOps
+      .knBigramScoreFromWords(CorpusOps.tokenized(docs)).collect())
+    assert(single > 0, "yardstick scan measured zero file bytes")
+    assert(kn < single * 3 / 2,
+      s"KN scoring read ${kn}B from disk vs one corpus scan ${single}B " +
+        "— a KN statistics table is rescanning the corpus")
+  }
+
   test("encodeDocs scan-amplification audit: BPE encode reads the corpus once") {
     // encodeDocs has THREE consumers of the (doc, pos, word) grain —
     // the alphabet collect, the distinct-word encode branch, and the

@@ -699,6 +699,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming DSIR gate: frozen two-model scores equal the batch x83 weight table") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    val inTarget = col("source").isin("src0", "src1")
+    val pool = all.filter(!inTarget)
+    val tCounts = graft.ops.CorpusOps.unigramCounts(all.filter(inTarget))
+    val sCounts = graft.ops.CorpusOps.unigramCounts(pool)
+    val batch = graft.ops.CorpusOps.dsirWeights(pool, tCounts, sCounts)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val rows = pool.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), 1000000000L))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.EventStreams.dsirScoreStream(
+        input.toDF().toDF("doc_id", "text", "ts"), tCounts, sCounts)
+      .writeStream.format("memory").queryName("dsir_stream_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("dsir_stream_test").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == batch,
+        s"stream gate diverged from batch x83 on ${
+          got.count { case (k, v) => batch.get(k) != Some(v) } +
+            (batch.keySet -- got.keySet).size} docs")
+    } finally q.stop()
+  }
+
   test("streaming semantic decontamination: stateless literal-suite gate equals the batch x102 report") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
