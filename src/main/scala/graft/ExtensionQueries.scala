@@ -2322,6 +2322,16 @@ object ExtensionQueries {
       budgetFrac = new java.math.BigDecimal("0.5"))
   }
 
+  /** Top-2 PCA via orthogonal iteration ([[graft.ops.VectorOps
+    * .pcaPower2]]) — x95 extended to the second component: per-round
+    * Gram–Schmidt against the quantized v₁ (the robust Hotelling
+    * deflation), everything on the same exact-decimal rails. Component
+    * 1 is x95's output verbatim (ExtensionsSpec pins equality); the
+    * whole two-component table hash-checks against the unrolled
+    * double-chain CTE oracle. Still ONE distributed gram pass. */
+  private val x105_pca_top2: QFn = (s, d) =>
+    graft.ops.VectorOps.pcaPower2(embsR(s, d), iters = X95Iters)
+
   /** Kneser–Ney bigram LM scoring ([[graft.ops.CorpusOps
     * .knBigramScoreFromWords]]) — x59's smoothing generation upgrade:
     * fixed-discount interpolation with continuation-count backoff, the
@@ -2441,6 +2451,7 @@ object ExtensionQueries {
     "x102_sem_decontaminate" -> x102_sem_decontaminate,
     "x103_doremi_mixture" -> x103_doremi_mixture,
     "x104_kn_bigram" -> x104_kn_bigram,
+    "x105_pca_top2" -> x105_pca_top2,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3181,6 +3192,49 @@ object ExtensionQueries {
        |         FROM x JOIN comp c ON x.i = c.dim GROUP BY 1)
        |SELECT vec_id, (p)::DOUBLE AS proj FROM pr""".stripMargin
 
+  // x105: x95's chain (component 1 verbatim) + the orthogonal-iteration
+  // rounds for component 2 — each round: M·u, the Gram–Schmidt scalar c
+  // (one double division, re-quantized at 1e-9), the projection
+  // subtract (exact decimals of equal scale), then x95's normalize.
+  // Generated from the same X95Iters constant.
+  private lazy val x105Oracle: String = {
+    // MATERIALIZED everywhere (the x62 lesson, one order worse here):
+    // v1m is referenced 3× PER ROUND — inlined, each reference would
+    // re-expand the whole component-1 chain, and each uw round would
+    // re-expand all previous rounds: exponential plan, thousands of
+    // parquet re-opens (observed: "Too many open files").
+    val rounds2 = (1 to X95Iters).map { k =>
+      s"""uw$k AS MATERIALIZED (SELECT g2.i, sum(g2.m * u.v) AS w
+         |  FROM g2 JOIN u${k - 1} u ON g2.j = u.j GROUP BY g2.i),
+         |uc$k AS MATERIALIZED (SELECT CAST(round(
+         |    (SELECT sum(w.w * v.v) FROM uw$k w
+         |       JOIN v1m v ON w.i = v.j)::DOUBLE /
+         |    (SELECT n2 FROM n2)::DOUBLE, 9) AS DECIMAL(20,9)) AS c),
+         |uo$k AS MATERIALIZED (SELECT w.i, w.w - uc$k.c * v.v AS o
+         |  FROM uw$k w JOIN v1m v ON w.i = v.j, uc$k),
+         |um$k AS MATERIALIZED (SELECT max(abs(o)) AS mx FROM uo$k),
+         |u$k AS MATERIALIZED (SELECT i AS j,
+         |  (round((o::DOUBLE) / (mx::DOUBLE), 6) + 0.0)::DECIMAL(8,6) AS v
+         |  FROM uo$k, um$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $x95Ctes,
+       |v1m AS MATERIALIZED (SELECT j, v FROM v$X95Iters),
+       |m1m AS MATERIALIZED (SELECT mx FROM m$X95Iters),
+       |g2 AS MATERIALIZED (SELECT i, j, m FROM g),
+       |n2 AS MATERIALIZED (SELECT sum(v * v) AS n2 FROM v1m),
+       |u0 AS MATERIALIZED (SELECT DISTINCT j,
+       |              (CASE WHEN j = 2 THEN 1 ELSE 0 END)::DECIMAL(8,6) AS v
+       |         FROM (SELECT i AS j FROM g2)),
+       |$rounds2
+       |SELECT 1::BIGINT AS component, v.j AS dim, (v.v)::DOUBLE AS loading,
+       |       round(m1m.mx::DOUBLE, 4) AS lambda
+       |  FROM v1m v, m1m
+       |UNION ALL
+       |SELECT 2::BIGINT, u.j, (u.v)::DOUBLE,
+       |       round(um$X95Iters.mx::DOUBLE, 4)
+       |  FROM u$X95Iters u, um$X95Iters""".stripMargin
+  }
+
   // x97: the three signal oracles composed verbatim (x02 quality, x90
   // gopher keep, x93 novelty), each cast onto its exact 1e-4 grid;
   // sufficient statistics as exact decimal sums with the same
@@ -3571,7 +3625,8 @@ object ExtensionQueries {
       "x101_fused_trained" -> x101Oracle,
       "x102_sem_decontaminate" -> x102Oracle,
       "x103_doremi_mixture" -> x103Oracle,
-      "x104_kn_bigram" -> x104Oracle)
+      "x104_kn_bigram" -> x104Oracle,
+      "x105_pca_top2" -> x105Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -316,6 +316,10 @@ object ScaleCheck {
         // the corpus, nothing else does — must track x95 plus one
         // map-side pass
         "x96_pca_project",
+        // x105: top-2 PCA — the SAME single gram pass as x95; the
+        // second component is pure driver d²-math, so the factor must
+        // equal x95's
+        "x105_pca_top2",
         // x99: prototypicality — trained assignment (broadcast
         // centroids) + ONE per-cell rank window; growth beyond the
         // assignment's own factor would mean the window acquired a

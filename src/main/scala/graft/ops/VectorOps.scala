@@ -414,6 +414,80 @@ object VectorOps {
       .toDF("dim", "loading", "lambda")
   }
 
+  /** Top-TWO principal components — [[pcaPower]] extended by
+    * ORTHOGONAL ITERATION (Hotelling deflation in its numerically
+    * robust per-round form): component 1 replays pcaPower's rounds
+    * VERBATIM (same v₀ = e₁, same quantization points — x105's
+    * component-1 rows equal x95's output digit for digit, spec-pinned);
+    * component 2 starts at e₂ and each round Gram–Schmidt-projects the
+    * matrix-vector product against v₁ before normalizing
+    * (w ← Mv; w ← w − c·v₁ with c = round((w·v₁)/(v₁·v₁), 9); then the
+    * ∞-norm normalize). Re-orthogonalizing EVERY round — rather than
+    * deflating M once — prevents the quantized-v₁ residual from being
+    * re-amplified by the dominant eigenvalue across rounds. All dot
+    * products are exact decimal sums; c and the normalizer are the only
+    * IEEE divisions, each re-quantized HALF_UP — the whole two-component
+    * table is hash-checked against the unrolled-CTE oracle.
+    *
+    * 100 TB shape: identical to [[pcaPower]] — ONE distributed gram
+    * pass; both iterations are d²-bounded driver constant-folds.
+    * Output: (component ∈ {1,2}, dim, loading, lambda). */
+  def pcaPower2(e: DataFrame, iters: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = gramMatrix(e, idCol, vecCol).collect()
+    val dims = rows.map(_.getLong(0)).distinct.sorted
+    val d = dims.length
+    require(d >= 2, s"need >= 2 dims for a second component, got $d")
+    val idx = dims.zipWithIndex.toMap
+    val M = Array.fill(d, d)(JBD.ZERO.setScale(9))
+    rows.foreach { r =>
+      M(idx(r.getLong(0)))(idx(r.getLong(1))) = r.getDecimal(2)
+    }
+    def mv(v: Array[JBD]): Array[JBD] = Array.tabulate(d) { i =>
+      (0 until d).foldLeft(JBD.ZERO) { (a, j) =>
+        a.add(M(i)(j).multiply(v(j)))
+      }
+    }
+    def normalize(w: Array[JBD]): (Array[JBD], JBD) = {
+      val mx = w.map(_.abs).reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
+      (w.map { wi =>
+        val q = JBD.valueOf(wi.doubleValue / mx.doubleValue)
+          .setScale(6, RoundingMode.HALF_UP).doubleValue + 0.0
+        JBD.valueOf(q).setScale(6)
+      }, mx)
+    }
+    var v1: Array[JBD] = Array.tabulate(d)(i =>
+      (if (i == 0) JBD.ONE else JBD.ZERO).setScale(6))
+    var mx1 = JBD.ZERO
+    for (_ <- 1 to iters) {
+      val (nv, nm) = normalize(mv(v1)); v1 = nv; mx1 = nm
+    }
+    val n2 = v1.foldLeft(JBD.ZERO)((a, x) => a.add(x.multiply(x)))
+    var v2: Array[JBD] = Array.tabulate(d)(i =>
+      (if (i == 1) JBD.ONE else JBD.ZERO).setScale(6))
+    var mx2 = JBD.ZERO
+    for (_ <- 1 to iters) {
+      val w = mv(v2)
+      val dot = (0 until d).foldLeft(JBD.ZERO)((a, i) =>
+        a.add(w(i).multiply(v1(i))))
+      val c = JBD.valueOf(dot.doubleValue / n2.doubleValue)
+        .setScale(9, RoundingMode.HALF_UP)
+      val o = Array.tabulate(d)(i => w(i).subtract(c.multiply(v1(i))))
+      val (nv, nm) = normalize(o); v2 = nv; mx2 = nm
+    }
+    def lam(mx: JBD): Double = JBD.valueOf(mx.doubleValue)
+      .setScale(4, RoundingMode.HALF_UP).doubleValue
+    val sp = e.sparkSession
+    import sp.implicits._
+    (dims.zipWithIndex.map { case (dim, i) =>
+       (1L, dim, v1(i).doubleValue, lam(mx1)) } ++
+     dims.zipWithIndex.map { case (dim, i) =>
+       (2L, dim, v2(i).doubleValue, lam(mx2)) })
+      .toSeq.toDF("component", "dim", "loading", "lambda")
+  }
+
   /** Projection of every vector onto a trained component — the acting
     * twin of [[pcaPower]] (whitening / 1-d feature extraction /
     * curriculum keys): proj(x) = Σⱼ vⱼ·xⱼ with each term quantized to

@@ -188,6 +188,33 @@ class ExtensionsSpec extends SparkTestBase {
       s"missing embedding drops: ${embDrops -- fusedDrops}")
   }
 
+  test("x105 component 1 equals x95 digit for digit (the orthogonal iteration must not perturb the dominant component)") {
+    val top2 = SparkEntry.queries("x105_pca_top2")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("component") === 1L)
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val one = SparkEntry.queries("x95_pca_power")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(top2 == one, s"diverged dims: ${
+      top2.count { case (k, v) => one.get(k) != Some(v) }}")
+  }
+
+  test("x105 components are near-orthogonal after quantization (|v1·v2| small relative to norms)") {
+    val rows = SparkEntry.queries("x105_pca_top2")(spark, sf).collect()
+    val v1 = rows.filter(_.getLong(0) == 1L)
+      .map(r => r.getLong(1) -> r.getDouble(2)).sortBy(_._1).map(_._2)
+    val v2 = rows.filter(_.getLong(0) == 2L)
+      .map(r => r.getLong(1) -> r.getDouble(2)).sortBy(_._1).map(_._2)
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    val n1 = math.sqrt(v1.map(x => x * x).sum)
+    val n2 = math.sqrt(v2.map(x => x * x).sum)
+    // per-round Gram-Schmidt bounds the residual by quantization noise,
+    // not by (lambda1/lambda2)^iters — the point of re-orthogonalizing
+    assert(math.abs(dot) / (n1 * n2) < 0.01,
+      s"cos(v1,v2) = ${dot / (n1 * n2)} — deflation leaked")
+  }
+
   test("x101 trained-fused drop set ⊇ x41 text drops ∪ x81 trained embedding drops (same min-label argument at the k=64 operating point)") {
     val fusedDrops = SparkEntry.queries("x101_fused_trained")(spark, sf)
       .collect().map(_.getLong(0)).toSet
