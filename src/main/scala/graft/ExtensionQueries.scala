@@ -2332,6 +2332,44 @@ object ExtensionQueries {
   private val x105_pca_top2: QFn = (s, d) =>
     graft.ops.VectorOps.pcaPower2(embsR(s, d), iters = X95Iters)
 
+  /** Curriculum ordering — the loader artifact x96's doc promises: the
+    * 1-d PCA projection as a difficulty proxy, quartile-cut into
+    * curriculum STAGES, each stage hash-sharded and deterministically
+    * ordered for the data loader (epochShuffle's recipe per stage).
+    * The quartile cuts are ONE 1-row broadcast (the q27 exact
+    * percentile recipe on the integer-quantized key) and bucket
+    * assignment is a map-side comparison — deliberately NOT a
+    * corpus-wide ntile: a global rank is a global sort, the cut
+    * compare is one broadcast scan (the x57 audit's discipline taken
+    * to the unpartitioned case). Ordering windows are keyed by
+    * (stage, shard) — bounded partitions at any corpus size. Output:
+    * (vec_id, stage 1-4, shard, pos). */
+  private val x106_curriculum: QFn = (s, d) => {
+    val e = embsR(s, d)
+    val proj = graft.ops.VectorOps.pcaProject(e,
+      graft.ops.VectorOps.pcaPower(e, iters = X95Iters))
+    val pk = proj.select(col("vec_id"),
+      round(col("proj") * 1000000).cast("long").as("pk"))
+    val cuts = broadcast(pk.agg(percentile(col("pk"),
+      array(lit(0.25), lit(0.5), lit(0.75))).as("cs")))
+    val h = TF.hash60(col("vec_id").cast("string"), "curr|")
+    val staged = pk.crossJoin(cuts)
+      .select(col("vec_id"), col("pk"),
+        (lit(1L) +
+          when(col("pk").cast("double") > element_at(col("cs"), 1), 1L)
+            .otherwise(0L) +
+          when(col("pk").cast("double") > element_at(col("cs"), 2), 1L)
+            .otherwise(0L) +
+          when(col("pk").cast("double") > element_at(col("cs"), 3), 1L)
+            .otherwise(0L)).as("stage"),
+        h.as("h"))
+      .withColumn("shard", col("h") % 8)
+    val w = Window.partitionBy("stage", "shard")
+      .orderBy(col("h"), col("vec_id"))
+    staged.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("stage"), col("shard"), col("pos"))
+  }
+
   /** Kneser–Ney bigram LM scoring ([[graft.ops.CorpusOps
     * .knBigramScoreFromWords]]) — x59's smoothing generation upgrade:
     * fixed-discount interpolation with continuation-count backoff, the
@@ -2452,6 +2490,7 @@ object ExtensionQueries {
     "x103_doremi_mixture" -> x103_doremi_mixture,
     "x104_kn_bigram" -> x104_kn_bigram,
     "x105_pca_top2" -> x105_pca_top2,
+    "x106_curriculum" -> x106_curriculum,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3235,6 +3274,32 @@ object ExtensionQueries {
        |  FROM u$X95Iters u, um$X95Iters""".stripMargin
   }
 
+  // x106: x96's projection chain (materialized — pr is read twice) →
+  // integer-quantized key → q27's quantile_cont cuts → stage by
+  // broadcast compare → epochShuffle's (h, id) order per (stage, shard).
+  private lazy val x106Oracle: String =
+    s"""WITH $x95Ctes,
+       |comp AS MATERIALIZED (SELECT j AS dim, v FROM v$X95Iters),
+       |pr AS MATERIALIZED (SELECT x.vec_id,
+       |              sum(round((c.v::DOUBLE) * x.xi, 9)::DECIMAL(28,9)) AS p
+       |         FROM x JOIN comp c ON x.i = c.dim GROUP BY 1),
+       |pk AS MATERIALIZED (SELECT vec_id,
+       |        CAST(round((p)::DOUBLE * 1000000) AS BIGINT) AS pk FROM pr),
+       |c AS (SELECT quantile_cont(pk, 0.25) AS c1,
+       |             quantile_cont(pk, 0.5) AS c2,
+       |             quantile_cont(pk, 0.75) AS c3 FROM pk),
+       |st AS (SELECT vec_id, pk,
+       |        (1 + (CASE WHEN pk::DOUBLE > c1 THEN 1 ELSE 0 END)
+       |           + (CASE WHEN pk::DOUBLE > c2 THEN 1 ELSE 0 END)
+       |           + (CASE WHEN pk::DOUBLE > c3 THEN 1 ELSE 0 END))::BIGINT
+       |          AS stage,
+       |        ${H60("'curr|'||vec_id::VARCHAR")} AS h
+       |         FROM pk, c)
+       |SELECT vec_id, stage, (h % 8)::BIGINT AS shard,
+       |       row_number() OVER (PARTITION BY stage, h % 8
+       |                          ORDER BY h, vec_id)::BIGINT AS pos
+       |  FROM st""".stripMargin
+
   // x97: the three signal oracles composed verbatim (x02 quality, x90
   // gopher keep, x93 novelty), each cast onto its exact 1e-4 grid;
   // sufficient statistics as exact decimal sums with the same
@@ -3626,7 +3691,8 @@ object ExtensionQueries {
       "x102_sem_decontaminate" -> x102Oracle,
       "x103_doremi_mixture" -> x103Oracle,
       "x104_kn_bigram" -> x104Oracle,
-      "x105_pca_top2" -> x105Oracle)
+      "x105_pca_top2" -> x105Oracle,
+      "x106_curriculum" -> x106Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -320,6 +320,10 @@ object ScaleCheck {
         // second component is pure driver d²-math, so the factor must
         // equal x95's
         "x105_pca_top2",
+        // x106: curriculum ordering — x96's projection passes + one
+        // percentile agg (broadcast cuts) + (stage, shard)-keyed rank
+        // windows; must track x96, never acquire a global sort
+        "x106_curriculum",
         // x99: prototypicality — trained assignment (broadcast
         // centroids) + ONE per-cell rank window; growth beyond the
         // assignment's own factor would mean the window acquired a

@@ -215,6 +215,27 @@ class ExtensionsSpec extends SparkTestBase {
       s"cos(v1,v2) = ${dot / (n1 * n2)} — deflation leaked")
   }
 
+  test("x106 curriculum: stages partition the corpus, every (stage, shard) position sequence is contiguous from 1") {
+    val rows = SparkEntry.queries("x106_curriculum")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == n, s"${rows.length} != $n — a vector was dropped")
+    assert(rows.map(_._2).toSet == Set(1L, 2L, 3L, 4L),
+      "quartile cuts must yield all four stages")
+    // quartile cuts: no stage may hoard the corpus (ties can skew
+    // boundaries slightly; half the corpus in one stage means the cut
+    // compare is broken)
+    val byStage = rows.groupBy(_._2).view.mapValues(_.length)
+    assert(byStage.values.forall(c => c > n / 8 && c < n / 2), byStage.toMap)
+    // loader contract: positions within each (stage, shard) are exactly
+    // 1..count — no gaps, no duplicates
+    rows.groupBy(r => (r._2, r._3)).foreach { case (k, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq,
+        s"non-contiguous positions in $k")
+    }
+  }
+
   test("x101 trained-fused drop set ⊇ x41 text drops ∪ x81 trained embedding drops (same min-label argument at the k=64 operating point)") {
     val fusedDrops = SparkEntry.queries("x101_fused_trained")(spark, sf)
       .collect().map(_.getLong(0)).toSet

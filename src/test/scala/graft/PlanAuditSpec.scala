@@ -423,6 +423,10 @@ class PlanAuditSpec extends SparkTestBase {
       "x104_kn_bigram",         // 1-row bigram-type-total scalar
                                 // broadcast (x59's vocab-scalar class);
                                 // all count joins are word-key equi
+      "x106_curriculum",        // 1-row quartile-cuts broadcast (the
+                                // deliberate alternative to a
+                                // corpus-wide ntile sort); projection
+                                // join is equi on dim
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
