@@ -2370,6 +2370,15 @@ object ExtensionQueries {
       .select(col("vec_id"), col("stage"), col("shard"), col("pos"))
   }
 
+  /** Per-source distribution drift ([[graft.ops.CorpusOps
+    * .sourceDrift]]) — KL of each source's unigram distribution from
+    * the smoothed corpus mixture: the slice-level freshness/shift
+    * metric a corpus dashboard alerts on (x83 scores DOCS against a
+    * target; x107 scores SOURCES against the mixture). One tokenize
+    * pass, exact-decimal term sums, hash-checked. */
+  private val x107_source_drift: QFn = (s, d) =>
+    graft.ops.CorpusOps.sourceDrift(docsR(s, d))
+
   /** Kneser–Ney bigram LM scoring ([[graft.ops.CorpusOps
     * .knBigramScoreFromWords]]) — x59's smoothing generation upgrade:
     * fixed-discount interpolation with continuation-count backoff, the
@@ -2491,6 +2500,7 @@ object ExtensionQueries {
     "x104_kn_bigram" -> x104_kn_bigram,
     "x105_pca_top2" -> x105_pca_top2,
     "x106_curriculum" -> x106_curriculum,
+    "x107_source_drift" -> x107_source_drift,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2712,6 +2722,33 @@ object ExtensionQueries {
        |       round((sum(tf * lpb))::DOUBLE / (sum(tf))::DOUBLE, 4)
        |         AS avg_logp_kn
        |  FROM lp GROUP BY doc_id""".stripMargin
+
+  // x107: (source, word) counts → corpus counts derived → quantized
+  // single-division logs → DECIMAL(24,12) terms summed exactly per
+  // source; the identical op sequence the Spark column computes.
+  private lazy val x107Oracle: String =
+    s"""WITH sc AS (
+       |  SELECT source, word, count(*) AS cnt_s
+       |    FROM (SELECT source, unnest(string_split($NT,' ')) AS word
+       |            FROM documents)
+       |   GROUP BY 1, 2),
+       |cc AS (SELECT word, sum(cnt_s) AS cnt_c FROM sc GROUP BY 1),
+       |ns AS (SELECT source, sum(cnt_s) AS n_s FROM sc GROUP BY 1),
+       |nc AS (SELECT sum(cnt_c) AS n_c, count(*) AS vocab FROM cc),
+       |t AS (SELECT s.source, s.cnt_s,
+       |        CAST(round(
+       |          (s.cnt_s::DOUBLE / ns.n_s::DOUBLE) *
+       |          (CAST(round(ln(s.cnt_s::DOUBLE / ns.n_s::DOUBLE), 6)
+       |                AS DECIMAL(18,6)) -
+       |           CAST(round(ln((k.cnt_c + 1)::DOUBLE /
+       |                         (nc.n_c + nc.vocab)::DOUBLE), 6)
+       |                AS DECIMAL(18,6)))::DOUBLE, 12)
+       |          AS DECIMAL(24,12)) AS term
+       |        FROM sc s JOIN cc k USING (word)
+       |        JOIN ns USING (source) CROSS JOIN nc)
+       |SELECT source, sum(cnt_s)::BIGINT AS n_tokens,
+       |       round((sum(term))::DOUBLE, 6) + 0.0 AS kl
+       |  FROM t GROUP BY source""".stripMargin
 
   // x102: plain cross join against the %10 held-out slice — the oracle
   // needs no Lloyd's chain because the query deliberately has no index
@@ -3692,7 +3729,8 @@ object ExtensionQueries {
       "x103_doremi_mixture" -> x103Oracle,
       "x104_kn_bigram" -> x104Oracle,
       "x105_pca_top2" -> x105Oracle,
-      "x106_curriculum" -> x106Oracle)
+      "x106_curriculum" -> x106Oracle,
+      "x107_source_drift" -> x107Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

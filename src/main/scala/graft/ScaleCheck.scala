@@ -185,6 +185,10 @@ object ScaleCheck {
         // extra bigram-vocab-sized derived tables — must track x59's
         // near-flatness (vocab unchanged under replication)
         "x104_kn_bigram",
+        // source drift: one tokenize pass to the (source, word) grain;
+        // the corpus table DERIVES from it — must be near-flat (vocab
+        // and source set unchanged under replication)
+        "x107_source_drift",
         // dedup applied through the MVCC write path: x41's decision
         // (measured via x36) + tombstone snapshot (one per-rid window)
         // — the applied form must track the decision, not add a

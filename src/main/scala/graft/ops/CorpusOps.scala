@@ -1150,6 +1150,55 @@ object CorpusOps {
           .as("novel_frac"))
   }
 
+  /** Per-source distribution DRIFT — the corpus-monitoring twin of the
+    * per-doc DSIR ratio ([[dsirWeights]]): for every source, the KL
+    * divergence of its unigram distribution from the (add-one-smoothed)
+    * corpus-wide distribution, KL(p_s ‖ q̃) = Σ_w p_s(w)·(ln p_s(w) −
+    * ln q̃(w)). High KL = the slice least like the mixture — the number
+    * a freshness/ingest dashboard alerts on, and the corpus-level
+    * complement of x83's doc-level selection signal. Determinism: each
+    * log is one correctly-rounded double division quantized to
+    * DECIMAL(18,6) (the x51 leaf recipe), each term one double product
+    * quantized to DECIMAL(24,12), the per-source sum exact decimal —
+    * order-insensitive, hash-checkable; the final round carries the
+    * −0.0 guard (KL against the SMOOTHED reference can dip fractionally
+    * negative). Output: (group, n_tokens, kl).
+    *
+    * 100 TB shape: ONE tokenize pass to the (source, word) grain; the
+    * corpus count table DERIVES from it (no second scan); per-source
+    * totals are groups-sized broadcasts, the corpus scalars a 1-row
+    * broadcast; the word-key join is vocab-sized with map-side partial
+    * aggs absorbing stopword skew. */
+  def sourceDrift(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val sc = docs
+      .select(col(groupCol), explode(TF.words(col(textCol))).as("word"))
+      .groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).as("cnt_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cc = sc.groupBy(col("word")).agg(sum(col("cnt_s")).as("cnt_c"))
+    val ns = sc.groupBy(col(groupCol)).agg(sum(col("cnt_s")).as("n_s"))
+    val nc = broadcast(cc.agg(sum(col("cnt_c")).as("n_c"),
+      count(lit(1)).as("vocab")))
+    sc.join(cc, Seq("word"))
+      .join(broadcast(ns), Seq(groupCol))
+      .crossJoin(nc)
+      .withColumn("lp",
+        round(log(col("cnt_s").cast("double") / col("n_s").cast("double")),
+          6).cast("decimal(18,6)"))
+      .withColumn("lq",
+        round(log((col("cnt_c") + 1).cast("double") /
+          (col("n_c") + col("vocab")).cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("term",
+        round((col("cnt_s").cast("double") / col("n_s").cast("double")) *
+          (col("lp") - col("lq")).cast("double"), 12)
+          .cast("decimal(24,12)"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("cnt_s")).cast("long").as("n_tokens"),
+        (round(sum(col("term")).cast("double"), 6) + lit(0.0)).as("kl"))
+  }
+
   /** DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing
     * Data Mixtures Speeds Up Language Model Pretraining", NeurIPS 2023,
     * arXiv 2305.10429) in its static data-engine form. The paper

@@ -1469,4 +1469,24 @@ class OpsSpec extends SparkTestBase {
     // d than the rare continuation c after the frequent context a
     assert(out(3L)._2 > out(2L)._2)
   }
+
+  test("CorpusOps.sourceDrift: hand-derived KL against the smoothed mixture; skewed source drifts more") {
+    // corpus: A = "a a b", B = "c c" → counts a:2 b:1 c:2, N=5, V=3
+    // lq: a → ln(3/8) = -0.980829, b → ln(2/8) = -1.386294, c → -0.980829
+    // A (N_s=3): p(a)=2/3 lp=-0.405465, p(b)=1/3 lp=-1.098612
+    //   terms: (2/3)·0.575364 = 0.383576, (1/3)·0.287682 = 0.095894
+    //   → kl 0.47947
+    // B (N_s=2): p(c)=1 lp=0 → term 0.980829 → kl 0.980829
+    val docs = Seq((1L, "a a b", "A"), (2L, "c c", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.CorpusOps.sourceDrift(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out == Map(
+      "A" -> ((3L, 0.47947)),
+      "B" -> ((2L, 0.980829))), out)
+    // the single-word source is farther from the mixture — the alert
+    // ordering a drift dashboard relies on
+    assert(out("B")._2 > out("A")._2)
+  }
 }

@@ -427,6 +427,9 @@ class PlanAuditSpec extends SparkTestBase {
                                 // deliberate alternative to a
                                 // corpus-wide ntile sort); projection
                                 // join is equi on dim
+      "x107_source_drift",      // 1-row corpus-scalars (N, vocab)
+                                // broadcast (x51's class); word and
+                                // source joins are equi
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
