@@ -209,6 +209,64 @@ class PipelineSpec extends SparkTestBase {
     assert(mat.collect().map(r => (r.getLong(0), r.getLong(3))).toSet == again)
   }
 
+  test("curation pipeline v5: rule gate -> KN fluency floor -> DoReMi learned weights -> budget allocation composes deterministically") {
+    val docs = Catalog(spark, sf).table("documents")
+
+    // 1. rule tier (x90) — cheapest signal first
+    val kept = CorpusOps.gopherRules(docs).filter(col("keep") === 1L)
+    val pool0 = docs.join(kept.select("doc_id"), Seq("doc_id"))
+    val n0 = pool0.count()
+    assert(n0 > 0, "rule gate emptied the corpus")
+
+    // 2. KN fluency floor (x104): drop the worst-quartile bigram
+    //    perplexity — the smoothing family the production filter uses
+    val kn = CorpusOps.knBigramScoreFromWords(CorpusOps.tokenized(pool0))
+    val cut = kn.agg(percentile(col("avg_logp_kn"), lit(0.25))).head.getDouble(0)
+    val fluent = pool0.join(
+      kn.filter(col("avg_logp_kn") >= cut).select("doc_id"), Seq("doc_id"))
+    val n1 = fluent.count()
+    assert(n1 > 0 && n1 < n0, s"KN floor must discriminate: $n1 of $n0")
+
+    // 3. DoReMi weights (x98) learned ON THE GATED SLICE: the per-lang
+    //    mixture law from held-out excess loss
+    val w = CorpusOps.doremiWeights(
+      fluent.filter(col("doc_id") % 5 =!= 0),
+      fluent.filter(col("doc_id") % 5 === 0),
+      eta = new java.math.BigDecimal("0.5"), steps = 4,
+      smooth = new java.math.BigDecimal("0.2"))
+    val wmap = w.collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(wmap.values.sum - 1.0) < 1e-4,
+      s"weights must sum to ~1: $wmap")
+
+    // 4. the learned law spends the budget (x103): allocation follows
+    //    the weights, total stays within the budget
+    val budget = new java.math.BigDecimal("0.5")
+    val plan = CorpusOps.mixturePlanWeighted(fluent,
+      w.select(col("lang"), col("weight")), budget)
+    val rows = plan.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(rows.keySet == wmap.keySet, "a language vanished in allocation")
+    val tokTot = rows.values.map(_._1).sum
+    val allocTot = rows.values.map(_._3).sum
+    assert(allocTot <= budget.doubleValue * tokTot,
+      s"allocated $allocTot over budget ${budget.doubleValue * tokTot}")
+    // floor() per group undershoots by < 1 token per group
+    assert(allocTot > budget.doubleValue * tokTot - 1 - rows.size,
+      s"allocation lost more than rounding: $allocTot")
+    rows.foreach { case (lang, (_, wgt, alloc)) =>
+      assert(math.abs(alloc - math.floor(
+        math.floor(budget.doubleValue * tokTot) * wgt)) < 1e-6,
+        s"$lang allocation does not follow its learned weight")
+    }
+
+    // the whole chain is a pure function of the corpus
+    val again = CorpusOps.mixturePlanWeighted(fluent.repartition(7),
+      w.select(col("lang"), col("weight")), budget)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(rows.map { case (l, v) => (l, v._3) }.toSet == again,
+      "partitioning moved the allocation")
+  }
+
   test("lmScores scan-amplification audit: composed unigram+bigram scoring reads the corpus once") {
     val sc = spark.sparkContext
     val docs = Catalog(spark, sf).table("documents")
