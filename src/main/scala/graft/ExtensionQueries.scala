@@ -2370,6 +2370,24 @@ object ExtensionQueries {
       .select(col("vec_id"), col("stage"), col("shard"), col("pos"))
   }
 
+  /** Per-language Zipf slope — the corpus-statistics sanity gauge:
+    * natural language word frequencies follow rank^(−α) with α ≈ 1
+    * (Zipf 1949); templated, synthetic, or heavily-duplicated text
+    * bends the log-log line, so the fitted slope (and how far it sits
+    * from −1) is a cheap corpus-health indicator next to the content
+    * gates (x02/x90). Per language: words ranked by (count DESC, word)
+    * — a LANG-keyed window over the vocab grain, never corpus-wide —
+    * then the OLS slope of round(ln cnt,6) on round(ln rank,6) via
+    * exact-decimal sufficient statistics (the x97 recipe: every sum an
+    * exact decimal, only the final ratio through doubles, −0.0
+    * guarded). Output: (lang, n_types, n_tokens, slope).
+    *
+    * 100 TB shape: one tokenize pass to the (lang, word) count grain;
+    * the rank window partitions by lang over vocab-sized input; the
+    * statistics collapse into a langs-sized aggregate. */
+  private val x108_zipf_slope: QFn = (s, d) =>
+    graft.ops.CorpusOps.zipfSlope(docsR(s, d))
+
   /** Per-source distribution drift ([[graft.ops.CorpusOps
     * .sourceDrift]]) — KL of each source's unigram distribution from
     * the smoothed corpus mixture: the slice-level freshness/shift
@@ -2501,6 +2519,7 @@ object ExtensionQueries {
     "x105_pca_top2" -> x105_pca_top2,
     "x106_curriculum" -> x106_curriculum,
     "x107_source_drift" -> x107_source_drift,
+    "x108_zipf_slope" -> x108_zipf_slope,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2749,6 +2768,33 @@ object ExtensionQueries {
        |SELECT source, sum(cnt_s)::BIGINT AS n_tokens,
        |       round((sum(term))::DOUBLE, 6) + 0.0 AS kl
        |  FROM t GROUP BY source""".stripMargin
+
+  // x108: (lang, word) counts → lang-keyed rank → quantized logs →
+  // exact-decimal OLS sufficient statistics (x97's recipe), one ratio.
+  private lazy val x108Oracle: String =
+    s"""WITH wc AS (
+       |  SELECT lang, word, count(*) AS cnt
+       |    FROM (SELECT lang, unnest(string_split($NT,' ')) AS word
+       |            FROM documents)
+       |   GROUP BY 1, 2),
+       |r AS (SELECT lang, cnt,
+       |        CAST(round(ln(row_number() OVER (PARTITION BY lang
+       |              ORDER BY cnt DESC, word)::DOUBLE), 6)
+       |             AS DECIMAL(18,6)) AS x,
+       |        CAST(round(ln(cnt::DOUBLE), 6) AS DECIMAL(18,6)) AS y
+       |        FROM wc),
+       |a AS (SELECT lang, count(*)::BIGINT AS n_types,
+       |             count(*)::DECIMAL(10,0) AS n10,
+       |             sum(cnt)::BIGINT AS n_tokens,
+       |             CAST(sum(x) AS DECIMAL(24,6)) AS sx,
+       |             CAST(sum(y) AS DECIMAL(24,6)) AS sy,
+       |             CAST(sum(x*x) AS DECIMAL(30,12)) AS sxx,
+       |             CAST(sum(x*y) AS DECIMAL(30,12)) AS sxy
+       |        FROM r GROUP BY lang)
+       |SELECT lang, n_types, n_tokens,
+       |       round((n10*sxy - sx*sy)::DOUBLE /
+       |             (n10*sxx - sx*sx)::DOUBLE, 4) + 0.0 AS slope
+       |  FROM a""".stripMargin
 
   // x102: plain cross join against the %10 held-out slice — the oracle
   // needs no Lloyd's chain because the query deliberately has no index
@@ -3730,7 +3776,8 @@ object ExtensionQueries {
       "x104_kn_bigram" -> x104Oracle,
       "x105_pca_top2" -> x105Oracle,
       "x106_curriculum" -> x106Oracle,
-      "x107_source_drift" -> x107Oracle)
+      "x107_source_drift" -> x107Oracle,
+      "x108_zipf_slope" -> x108Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

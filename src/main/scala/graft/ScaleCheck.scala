@@ -189,6 +189,9 @@ object ScaleCheck {
         // the corpus table DERIVES from it — must be near-flat (vocab
         // and source set unchanged under replication)
         "x107_source_drift",
+        // zipf slope: same (group, word)-grain pass + a lang-keyed
+        // vocab-sized rank window — near-flat for the same reason
+        "x108_zipf_slope",
         // dedup applied through the MVCC write path: x41's decision
         // (measured via x36) + tombstone snapshot (one per-rid window)
         // — the applied form must track the decision, not add a

@@ -1199,6 +1199,46 @@ object CorpusOps {
         (round(sum(col("term")).cast("double"), 6) + lit(0.0)).as("kl"))
   }
 
+  /** Per-group Zipf slope — the corpus-statistics sanity gauge: natural
+    * language follows freq ∝ rank^(−α), α ≈ 1 (Zipf); templated,
+    * synthetic, or heavily-duplicated text bends the log-log line, so
+    * the fitted OLS slope is a cheap health indicator next to content
+    * gates. Ranks are (count DESC, word) per group — a GROUP-keyed
+    * window over the vocab grain — and the slope comes from
+    * exact-decimal sufficient statistics (quantized logs, exact sums,
+    * one double ratio, −0.0 guarded). Output: (group, n_types,
+    * n_tokens, slope).
+    *
+    * 100 TB shape: one tokenize pass to the (group, word) count grain;
+    * the rank window partitions by group over vocab-sized input; the
+    * statistics collapse into a groups-sized aggregate. */
+  def zipfSlope(docs: DataFrame, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col("cnt").desc, col("word"))
+    docs
+      .select(col(groupCol), explode(TF.words(col(textCol))).as("word"))
+      .groupBy(col(groupCol), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .select(col(groupCol), col("cnt"),
+        round(log(col("rnk").cast("double")), 6)
+          .cast("decimal(18,6)").as("x"),
+        round(log(col("cnt").cast("double")), 6)
+          .cast("decimal(18,6)").as("y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_types"),
+        sum(col("cnt")).cast("long").as("n_tokens"),
+        sum(col("x")).cast("decimal(24,6)").as("sx"),
+        sum(col("y")).cast("decimal(24,6)").as("sy"),
+        sum(col("x") * col("x")).cast("decimal(30,12)").as("sxx"),
+        sum(col("x") * col("y")).cast("decimal(30,12)").as("sxy"))
+      .select(col(groupCol), col("n_types"), col("n_tokens"),
+        (round((col("n_types").cast("decimal(10,0)") * col("sxy") -
+            col("sx") * col("sy")).cast("double") /
+          (col("n_types").cast("decimal(10,0)") * col("sxx") -
+            col("sx") * col("sx")).cast("double"), 4) + lit(0.0))
+          .as("slope"))
+  }
+
   /** DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing
     * Data Mixtures Speeds Up Language Model Pretraining", NeurIPS 2023,
     * arXiv 2305.10429) in its static data-engine form. The paper

@@ -1489,4 +1489,17 @@ class OpsSpec extends SparkTestBase {
     // ordering a drift dashboard relies on
     assert(out("B")._2 > out("A")._2)
   }
+
+  test("CorpusOps.zipfSlope: hand-derived OLS slope on a planted rank/frequency triple") {
+    // counts a:4 b:2 c:1 → ranks 1,2,3
+    // x = (0, 0.693147, 1.098612), y = (1.386294, 0.693147, 0)
+    // sx=1.791759 sy=2.079441 sxx=1.687401090153 sxy=0.480452763609
+    // slope = (3·sxy − sx·sy)/(3·sxx − sx²)
+    //       = −2.284498835892 / 1.851802956378 → −1.2337
+    val docs = Seq((1L, "a a a a b b c", "z")).toDF("doc_id", "text", "lang")
+    val out = graft.ops.CorpusOps.zipfSlope(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map("z" -> ((3L, 7L, -1.2337))), out)
+  }
 }
