@@ -2388,6 +2388,48 @@ object ExtensionQueries {
   private val x108_zipf_slope: QFn = (s, d) =>
     graft.ops.CorpusOps.zipfSlope(docsR(s, d))
 
+  /** Trained-KN apply ([[graft.ops.CorpusOps.knBigramApply]]) — the
+    * x74 shape at the production smoothing family: the KN bigram model
+    * trains once on the 4/5 slice (the count table IS the model) and
+    * scores the held-out 1/5, unseen events backing off to the
+    * add-one-smoothed continuation distribution. Train-once /
+    * apply-forever, hash-checked; [[graft.streaming.EventStreams
+    * .knScoreStream]] is the digit-identical ingest twin. */
+  private val x109_kn_apply: QFn = (s, d) => {
+    val all = docsR(s, d)
+    graft.ops.CorpusOps.knBigramApply(
+      all.filter(col("doc_id") % 5 === 0),
+      graft.ops.CorpusOps.bigramCounts(all.filter(col("doc_id") % 5 =!= 0)))
+  }
+
+  /** Gopher repetition signals ([[graft.ops.CorpusOps
+    * .repetitionSignals]], Rae et al. 2021 A1.2) — the within-doc
+    * repetition tier of the rule stack: character fraction of the top
+    * 2-gram / top 3-gram and of all duplicated 5-grams, with the
+    * paper's keep thresholds (0.20 / 0.18 / 0.15) compared on the
+    * rounded grid. Complements x90 (content rules) and x58
+    * (cross-grain span stats): this is the cheap map-reduce signal
+    * every major pretraining corpus gates on before any trained
+    * model. Plan: one scan, one doc-keyed exploded count, one
+    * doc-grain rollup — no broadcast, nothing corpus-wide. */
+  private val x110_repetition: QFn = (s, d) =>
+    graft.ops.CorpusOps.repetitionSignals(docsR(s, d))
+
+  /** CCNet perplexity buckets ([[graft.ops.CorpusOps.pplBuckets]]) —
+    * x109's frozen-KN scores over the WHOLE corpus, cut per language
+    * into head/middle/tail by exact quantized quartiles (broadcast
+    * cut table, map-side assignment — no corpus-wide rank). The split
+    * every LM-filtered pretraining corpus ships; head feeds training,
+    * tail feeds the quality-classifier negatives. Inherits x109's
+    * 1-row type-total broadcast (allowlisted); the scoring passes and
+    * model joins are x109's exactly. */
+  private val x111_ppl_buckets: QFn = (s, d) => {
+    val all = docsR(s, d)
+    val scored = graft.ops.CorpusOps.knBigramApply(all,
+      graft.ops.CorpusOps.bigramCounts(all.filter(col("doc_id") % 5 =!= 0)))
+    graft.ops.CorpusOps.pplBuckets(scored, all)
+  }
+
   /** Per-source distribution drift ([[graft.ops.CorpusOps
     * .sourceDrift]]) — KL of each source's unigram distribution from
     * the smoothed corpus mixture: the slice-level freshness/shift
@@ -2520,6 +2562,9 @@ object ExtensionQueries {
     "x106_curriculum" -> x106_curriculum,
     "x107_source_drift" -> x107_source_drift,
     "x108_zipf_slope" -> x108_zipf_slope,
+    "x109_kn_apply" -> x109_kn_apply,
+    "x110_repetition" -> x110_repetition,
+    "x111_ppl_buckets" -> x111_ppl_buckets,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2795,6 +2840,127 @@ object ExtensionQueries {
        |       round((n10*sxy - sx*sy)::DOUBLE /
        |             (n10*sxx - sx*sx)::DOUBLE, 4) + 0.0 AS slope
        |  FROM a""".stripMargin
+
+  // x109/x111 shared chain: the x104 statistics derived from the TRAIN
+  // slice's bigram table, applied to `applyWhere`'s doc slice with
+  // left joins; seen contexts take the KN formula (coalesce(cb,0)
+  // zeroes the unseen-bigram first term), unseen contexts the add-one
+  // continuation distribution alone — the identical parenthesized
+  // double sequence the Spark column computes. Yields CTEs ending in
+  // `kn` = (doc_id, n_bigrams, avg_logp_kn).
+  private def knApplyCtes(applyWhere: String): String =
+    s"""cbx AS MATERIALIZED (
+       |  SELECT bg, count(*) AS cb,
+       |         split_part(bg, ' ', 1) AS w1,
+       |         split_part(bg, ' ', 2) AS w2
+       |    FROM (SELECT unnest([ws[i]||' '||ws[i+1]
+       |                         for i in range(1, len(ws))]) AS bg
+       |            FROM (SELECT string_split($NT,' ') AS ws
+       |                    FROM documents WHERE doc_id % 5 <> 0))
+       |   GROUP BY bg),
+       |l AS (SELECT w1, sum(cb) AS cl, count(*) AS n1f FROM cbx GROUP BY 1),
+       |c2 AS (SELECT w2, count(*) AS n1p FROM cbx GROUP BY 1),
+       |scal AS (SELECT count(*) AS nb, count(DISTINCT w2) AS vc FROM cbx),
+       |tf AS (SELECT doc_id, bg, count(*) AS tf,
+       |         split_part(bg, ' ', 1) AS w1,
+       |         split_part(bg, ' ', 2) AS w2
+       |         FROM (SELECT doc_id,
+       |                 unnest([ws[i]||' '||ws[i+1]
+       |                         for i in range(1, len(ws))]) AS bg
+       |                 FROM (SELECT doc_id, string_split($NT,' ') AS ws
+       |                         FROM documents $applyWhere))
+       |        GROUP BY 1, 2),
+       |lp AS (SELECT t.doc_id, t.tf,
+       |       CAST(round(ln(CASE WHEN l.cl IS NOT NULL THEN
+       |         greatest(coalesce(k.cb, 0)::DOUBLE - 0.75, 0) /
+       |           l.cl::DOUBLE +
+       |         (0.75 * l.n1f::DOUBLE / l.cl::DOUBLE) *
+       |         ((coalesce(c2.n1p, 0) + 1)::DOUBLE /
+       |          (scal.nb + scal.vc)::DOUBLE)
+       |         ELSE (coalesce(c2.n1p, 0) + 1)::DOUBLE /
+       |              (scal.nb + scal.vc)::DOUBLE END), 6)
+       |            AS DECIMAL(18,6)) AS lpb
+       |         FROM tf t
+       |         LEFT JOIN cbx k USING (bg)
+       |         LEFT JOIN l ON t.w1 = l.w1
+       |         LEFT JOIN c2 ON t.w2 = c2.w2
+       |         CROSS JOIN scal),
+       |kn AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+       |       round((sum(tf * lpb))::DOUBLE / (sum(tf))::DOUBLE, 4)
+       |         AS avg_logp_kn
+       |  FROM lp GROUP BY doc_id)""".stripMargin
+
+  private lazy val x109Oracle: String =
+    s"""WITH ${knApplyCtes("WHERE doc_id % 5 = 0")}
+       |SELECT doc_id, n_bigrams, avg_logp_kn FROM kn""".stripMargin
+
+  // x111: the KN chain applied to the WHOLE corpus, then per-lang
+  // quartile cuts on the 1e-4-quantized score key (quantile_cont ≡
+  // Spark exact percentile — the q27/x106 recipe) and the CCNet-style
+  // head/middle/tail split with the same strict-> compares.
+  private lazy val x111Oracle: String =
+    s"""WITH ${knApplyCtes("")},
+       |sc AS (SELECT k.doc_id, d.lang, k.avg_logp_kn,
+       |              CAST(round(k.avg_logp_kn * 10000) AS BIGINT) AS pk
+       |         FROM kn k JOIN documents d USING (doc_id)),
+       |cu AS (SELECT lang, quantile_cont(pk, 0.25) AS c1,
+       |              quantile_cont(pk, 0.75) AS c3
+       |         FROM sc GROUP BY lang)
+       |SELECT s.doc_id, s.lang, s.avg_logp_kn,
+       |       CASE WHEN s.pk::DOUBLE > cu.c3 THEN 'head'
+       |            WHEN s.pk::DOUBLE > cu.c1 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |  FROM sc s JOIN cu USING (lang)""".stripMargin
+
+  // x110: the three gram levels unioned at (doc, n, gram) grain; the
+  // top gram per level picked by the same (cnt DESC, gram DESC)
+  // tie-break Spark's max(struct(cnt, gram)) applies; char fractions
+  // exclude separator spaces on both sides of the ratio; dup-5
+  // coverage capped at 1 before rounding.
+  private lazy val x110Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $NT AS nt, string_split($NT,' ') AS ws
+       |             FROM documents),
+       |b AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+       |             length(replace(nt,' ',''))::BIGINT AS tot FROM t),
+       |g AS (
+       |  SELECT doc_id, 2 AS n,
+       |         unnest([ws[i]||' '||ws[i+1]
+       |                 for i in range(1, len(ws))]) AS gram FROM t
+       |  UNION ALL
+       |  SELECT doc_id, 3,
+       |         unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+       |                 for i in range(1, len(ws)-1)]) FROM t
+       |  UNION ALL
+       |  SELECT doc_id, 5,
+       |         unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||
+       |                 ws[i+3]||' '||ws[i+4]
+       |                 for i in range(1, len(ws)-3)]) FROM t),
+       |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1,2,3),
+       |t2 AS (SELECT doc_id, cnt*(length(gram)-1) AS chars FROM c WHERE n=2
+       |        QUALIFY row_number() OVER (PARTITION BY doc_id
+       |                                   ORDER BY cnt DESC, gram DESC)=1),
+       |t3 AS (SELECT doc_id, cnt*(length(gram)-2) AS chars FROM c WHERE n=3
+       |        QUALIFY row_number() OVER (PARTITION BY doc_id
+       |                                   ORDER BY cnt DESC, gram DESC)=1),
+       |d5 AS (SELECT doc_id, sum(cnt*(length(gram)-4)) AS chars
+       |         FROM c WHERE n=5 AND cnt>=2 GROUP BY 1),
+       |f AS (SELECT b.doc_id, b.n_words,
+       |        CASE WHEN b.tot > 0 THEN round(least(
+       |          coalesce(t2.chars,0)::DOUBLE / b.tot::DOUBLE, 1.0), 4)
+       |          ELSE 0.0 END AS top2_frac,
+       |        CASE WHEN b.tot > 0 THEN round(least(
+       |          coalesce(t3.chars,0)::DOUBLE / b.tot::DOUBLE, 1.0), 4)
+       |          ELSE 0.0 END AS top3_frac,
+       |        CASE WHEN b.tot > 0 THEN round(least(
+       |          coalesce(d5.chars,0)::DOUBLE / b.tot::DOUBLE, 1.0), 4)
+       |          ELSE 0.0 END AS dup5_frac
+       |        FROM b LEFT JOIN t2 USING (doc_id)
+       |               LEFT JOIN t3 USING (doc_id)
+       |               LEFT JOIN d5 USING (doc_id))
+       |SELECT doc_id, n_words, top2_frac, top3_frac, dup5_frac,
+       |       CASE WHEN top2_frac <= 0.20 AND top3_frac <= 0.18
+       |             AND dup5_frac <= 0.15 THEN 1 ELSE 0 END::BIGINT AS keep
+       |  FROM f""".stripMargin
 
   // x102: plain cross join against the %10 held-out slice — the oracle
   // needs no Lloyd's chain because the query deliberately has no index
@@ -3777,7 +3943,10 @@ object ExtensionQueries {
       "x105_pca_top2" -> x105Oracle,
       "x106_curriculum" -> x106Oracle,
       "x107_source_drift" -> x107Oracle,
-      "x108_zipf_slope" -> x108Oracle)
+      "x108_zipf_slope" -> x108Oracle,
+      "x109_kn_apply" -> x109Oracle,
+      "x110_repetition" -> x110Oracle,
+      "x111_ppl_buckets" -> x111Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

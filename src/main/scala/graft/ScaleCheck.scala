@@ -192,6 +192,15 @@ object ScaleCheck {
         // zipf slope: same (group, word)-grain pass + a lang-keyed
         // vocab-sized rank window — near-flat for the same reason
         "x108_zipf_slope",
+        // KN apply: train pass + apply pass, both bigram-vocab joins
+        // with broadcast type totals — must track x104/x74
+        "x109_kn_apply",
+        // repetition signals: one doc-keyed exploded gram count +
+        // doc rollup — must scale with the x01/x90 map-side family
+        "x110_repetition",
+        // ppl buckets: x109's scoring passes + a langs-sized cut
+        // broadcast — must track x109, the cut step is noise
+        "x111_ppl_buckets",
         // dedup applied through the MVCC write path: x41's decision
         // (measured via x36) + tombstone snapshot (one per-rid window)
         // — the applied form must track the decision, not add a

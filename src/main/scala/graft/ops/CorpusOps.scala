@@ -527,6 +527,121 @@ object CorpusOps {
           sum(col("tf")).cast("double"), 4).as("avg_logp_kn"))
   }
 
+  /** Bigram count table of a corpus — the persistable KN/bigram MODEL
+    * artifact ([[knBigramApply]]'s input; train once on the reference
+    * corpus, apply forever — the x74 contract one smoothing family
+    * up). Output: (bg "w1 w2", cb). */
+  def bigramCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ws = TF.words(col(textCol))
+    docs.select(explode(zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+  }
+
+  /** A TRAINED Kneser–Ney bigram model applied to new documents — the
+    * CCNet production shape for [[knBigramScoreFromWords]] (which
+    * scores a corpus under its own distribution): the model is just
+    * the bigram count table ([[bigramCounts]] of the reference
+    * corpus); every KN statistic — left mass c(w1·), continuation
+    * fan-ins N1+(w1·)/N1+(·w2), the type totals — derives from it at
+    * bigram-vocab grain, so one persisted table IS the model. Unseen
+    * events back off: a seen context w1 scores
+    * max(c−D,0)/c(w1·) + (D·N1+(w1·)/c(w1·))·P̃c(w2); an UNSEEN w1
+    * scores the continuation distribution alone, with P̃c add-one
+    * smoothed over continuation types — P̃c(w2) = (N1+(·w2)+1)/(N_bg+V_c)
+    * — so every probability is strictly positive and defined (the
+    * documented divergence from textbook KN, which leaves the unseen-
+    * context case to the recursion's unigram level; the add-one floor
+    * plays that role here, the x74 OOV rule one family up). D = 0.75
+    * binary-exact; every probability a fixed correctly-rounded IEEE
+    * sequence; ln quantized at the leaf; exact decimal doc sums —
+    * hash-checkable, and digit-identical to the streaming twin
+    * ([[graft.streaming.EventStreams.knScoreStream]]).
+    * Output: (doc_id, n_bigrams, avg_logp_kn).
+    *
+    * 100 TB shape: ONE candidate-corpus scan to the (doc, bigram) tf
+    * grain; the model joins are equi on bigram/word keys against
+    * bigram-vocab-sized tables; the two type totals ride a 1-row
+    * broadcast; the doc rollup partial-aggregates map-side. */
+  def knBigramApply(docs: DataFrame, counts: DataFrame,
+      discount: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cbx = counts
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = cbx.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cl"), count(lit(1)).as("n1f"))
+    val cont = cbx.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val scal = cbx.agg(count(lit(1)).as("nb"),
+      countDistinct(col("w2")).as("vc"))
+    val ws = TF.words(col(textCol))
+    val pc = (coalesce(col("n1p"), lit(0L)) + 1).cast("double") /
+      (col("nb") + col("vc")).cast("double")
+    val pSeen =
+      greatest(coalesce(col("cb"), lit(0L)).cast("double") - discount,
+        lit(0.0d)) / col("cl").cast("double") +
+      (lit(discount) * col("n1f").cast("double") /
+        col("cl").cast("double")) * pc
+    docs
+      .select(col(idCol).as("doc_id"), explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(cbx.select(col("bg"), col("cb")), Seq("bg"), "left")
+      .join(left, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("lpb",
+        round(log(when(col("cl").isNotNull,
+          pSeen).otherwise(pc)), 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        round(sum(col("tf") * col("lpb")).cast("double") /
+          sum(col("tf")).cast("double"), 4).as("avg_logp_kn"))
+  }
+
+  /** CCNet perplexity bucketing (Wenzek et al. LREC 2020 §4.2) — the
+    * corpus split every LM-filtered dataset ships: score each document
+    * under a FROZEN reference LM, then cut each language into
+    * head / middle / tail by score quantile (head = best-scoring =
+    * lowest perplexity). `scores` is any (doc_id, scoreCol) frame —
+    * [[knBigramApply]] under a reference-corpus model in production,
+    * [[lmScores]] for the cheap unigram variant. Cuts are per-lang
+    * EXACT percentiles of the 1e-4-quantized score key (the q27/x106
+    * recipe: quantization bounds the percentile buffer by the grid,
+    * not the corpus — the score is already on a 1e-4 grid, so ~1e5
+    * distinct keys regardless of corpus size), quartile fractions
+    * (binary-exact interpolation weights; the paper's thirds would put
+    * a non-terminating fraction in the interpolation). Output:
+    * (doc_id, lang, <scoreCol>, bucket).
+    *
+    * 100 TB shape: the cut table is langs-sized and BROADCAST; bucket
+    * assignment is a map-side compare — no corpus-wide rank/ntile
+    * (a global rank is a global sort, the x106 discipline). */
+  def pplBuckets(scores: DataFrame, docs: DataFrame,
+      scoreCol: String = "avg_logp_kn", idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    val sc = scores.select(col("doc_id"), col(scoreCol))
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        Seq("doc_id"))
+      .withColumn("pk", round(col(scoreCol) * 10000).cast("long"))
+    val cuts = sc.groupBy(col("lang"))
+      .agg(percentile(col("pk"), array(lit(0.25), lit(0.75))).as("cs"))
+    sc.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col(scoreCol),
+        when(col("pk").cast("double") > element_at(col("cs"), 2), "head")
+          .when(col("pk").cast("double") > element_at(col("cs"), 1),
+            "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Composed unigram + bigram LM scoring with ONE tokenize pass — the
     * form a production quality-filtering stack runs (CCNet scores
     * every document once per model order; tokenization dominates the
@@ -1028,6 +1143,69 @@ object CorpusOps {
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
           col("symbol_ratio") < 0.1 && col("alpha_frac") >= 0.8 &&
           col("n_stop") >= 2).cast("long"))
+  }
+
+  /** Gopher REPETITION signals (Rae et al. 2021 A1.2) — the
+    * within-doc half of the rule stack [[gopherRules]] (A1.1 content
+    * rules) deliberately leaves out: templated or looping text shows
+    * up as a few n-grams soaking up most of the document's characters.
+    * Per doc, on the word grain (the fixture corpus has no
+    * line/paragraph structure, so the paper's line-based variants
+    * collapse to their n-gram forms): the character fraction of the
+    * single most frequent 2-gram and 3-gram (tie-broken (count DESC,
+    * gram DESC) — mirrored verbatim in the oracle) and the character
+    * fraction covered by ALL duplicated 5-grams (overlapping
+    * occurrences double-count, so the sum is capped at 1 — the
+    * paper's caveat). Character counts exclude separator spaces on
+    * both numerator and denominator. Keep thresholds are the paper's:
+    * top-2 ≤ 0.20, top-3 ≤ 0.18, dup-5 ≤ 0.15, compared on the
+    * rounded grid so the decision is exactly reproducible from the
+    * emitted fractions. Docs too short for a gram level score 0 for
+    * it. Output: (doc_id, n_words, top2_frac, top3_frac, dup5_frac,
+    * keep).
+    *
+    * 100 TB shape: ONE corpus scan → one exploded (doc, n, gram)
+    * grain with map-side partial counts → doc-grain rollup; every
+    * shuffle is keyed by doc_id, nothing corpus-wide, no broadcast. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val nt = TF.normText(col(textCol))
+    val ws = TF.words(col(textCol))
+    def grams(n: Int): Column =
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(ws, i, lit(n))).as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      length(regexp_replace(nt, " ", "")).cast("long").as("tot"))
+    val cnts = docs
+      .select(col(idCol).as("doc_id"),
+        explode(concat(grams(2), grams(3), grams(5))).as("g"))
+      .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    // charlen(gram) = length minus the n-1 separator spaces
+    val charlen = length(col("gram")) - (col("n") - 1)
+    val sig = cnts.groupBy(col("doc_id")).agg(
+      max(when(col("n") === 2, struct(col("cnt"), col("gram")))).as("t2"),
+      max(when(col("n") === 3, struct(col("cnt"), col("gram")))).as("t3"),
+      sum(when(col("n") === 5 && col("cnt") >= 2,
+        col("cnt") * charlen).otherwise(lit(0L))).as("dup5c"))
+    def frac(chars: Column): Column =
+      when(col("tot") > 0, round(least(
+        chars.cast("double") / col("tot").cast("double"), lit(1.0)), 4))
+        .otherwise(lit(0.0))
+    base.join(sig, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        frac(coalesce(col("t2.cnt") *
+          (length(col("t2.gram")) - 1), lit(0L))).as("top2_frac"),
+        frac(coalesce(col("t3.cnt") *
+          (length(col("t3.gram")) - 2), lit(0L))).as("top3_frac"),
+        frac(coalesce(col("dup5c"), lit(0L))).as("dup5_frac"))
+      .withColumn("keep",
+        (col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+          col("dup5_frac") <= 0.15).cast("long"))
   }
 
   /** Boilerplate EXCISION by global block frequency — the CCNet /

@@ -815,6 +815,62 @@ object EventStreams {
           count(lit(1)).cast("double"), 4) + lit(0.0)).as("log_ratio"))
   }
 
+  /** Streaming Kneser–Ney scoring — [[graft.ops.CorpusOps
+    * .knBigramApply]] at ingest time under the same frozen model (the
+    * bigram count table): all KN statistics derive from it once at
+    * stream setup; the three model joins run stream-static against
+    * bigram-vocab-sized tables, the two type totals resolve to
+    * literals, and one watermarked windowed agg rolls bigrams back to
+    * doc grain. The per-bigram log-probability expression — including
+    * the unseen-context continuation backoff — is the batch op's
+    * exactly, and the exploded per-occurrence sum equals the batch
+    * (doc, bigram)-grain Σ tf·lpb (decimal sums are order-insensitive),
+    * so a doc's (n_bigrams, avg_logp_kn) is DIGIT-identical to its
+    * batch x109 row (StreamingSpec pins it). Docs with <2 words emit
+    * no bigrams and drop from the output (the established OOV rule).
+    * Output: (window, doc_id, n_bigrams, avg_logp_kn). */
+  def knScoreStream(docs: DataFrame, counts: DataFrame,
+      discount: Double = 0.75, windowDur: String = "10 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val TF = graft.functions.TextFunctions
+    val cbx = counts
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val left = cbx.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cl"), count(lit(1)).as("n1f"))
+    val cont = cbx.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val scal = cbx.agg(count(lit(1)).as("nb"),
+      countDistinct(col("w2")).as("vc")).head
+    require(scal.getLong(0) > 0, "knScoreStream: empty bigram model")
+    val denom = (scal.getLong(0) + scal.getLong(1)).toDouble
+    val pc = (coalesce(col("n1p"), lit(0L)) + 1).cast("double") / lit(denom)
+    val pSeen =
+      greatest(coalesce(col("cb"), lit(0L)).cast("double") - discount,
+        lit(0.0d)) / col("cl").cast("double") +
+      (lit(discount) * col("n1f").cast("double") /
+        col("cl").cast("double")) * pc
+    val ws = TF.words(col("text"))
+    docs
+      .withColumn("event_time", eventTime(docs))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("doc_id"), col("event_time"), explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(cbx.select(col("bg"), col("cb")), Seq("bg"), "left")
+      .join(left, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .withColumn("lpb",
+        round(log(when(col("cl").isNotNull, pSeen).otherwise(pc)), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(window(col("event_time"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lpb")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("avg_logp_kn"))
+  }
+
   /** Streaming semantic decontamination — [[graft.ops.VectorOps
     * .semDecontaminate]]'s gate at ingest time: every incoming
     * embedding row is scored against a FIXED benchmark suite (frozen on

@@ -1502,4 +1502,54 @@ class OpsSpec extends SparkTestBase {
         ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out == Map("z" -> ((3L, 7L, -1.2337))), out)
   }
+
+  test("CorpusOps.repetitionSignals: hand-derived fractions, tie-break, cap, and short-doc zero") {
+    // "x y x y x y z": tot=7; top 2-gram "x y"x3 -> 6/7 = 0.8571;
+    // 3-grams "x y x"x2 tie "y x y"x2 -> gram DESC picks "y x y",
+    // 6/7 = 0.8571; all 5-grams unique -> dup5 0. keep 0.
+    // "a"x10: tot=10; top2 "a a"x9 = 18/10 -> capped 1.0; dup-5
+    // 6*5=30/10 -> capped 1.0. keep 0.
+    // "q": no grams at all -> all 0.0, keep 1.
+    val docs = Seq((1L, "x y x y x y z"),
+      (2L, "a a a a a a a a a a"), (3L, "q")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.repetitionSignals(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5)))).toMap
+    assert(out == Map(
+      1L -> ((7L, 0.8571, 0.8571, 0.0, 0L)),
+      2L -> ((10L, 1.0, 1.0, 1.0, 0L)),
+      3L -> ((1L, 0.0, 0.0, 0.0, 1L))), out)
+  }
+
+  test("CorpusOps.pplBuckets: hand-derived quartile cuts, per-lang isolation, single-doc lang") {
+    // en pks: [-40000,-30000,-20000,-10000] -> c1 = -32500 (idx 0.75),
+    // c3 = -17500 (idx 2.25). Buckets: -4 tail, -3/-2 middle, -1 head.
+    // fr has one doc: c1 = c3 = pk -> strict > fails -> tail.
+    val scores = Seq((1L, -4.0), (2L, -3.0), (3L, -2.0), (4L, -1.0),
+      (5L, -2.5)).toDF("doc_id", "avg_logp_kn")
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
+      (5L, "fr")).toDF("doc_id", "lang")
+    val out = graft.ops.CorpusOps.pplBuckets(scores, docs)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "tail", 2L -> "middle", 3L -> "middle",
+      4L -> "head", 5L -> "tail"), out)
+  }
+
+  test("CorpusOps.knBigramApply: all three backoff branches hand-derived on a planted model") {
+    // model: "a b a c" → cbx ab:1 ba:1 ac:1; cl: a→2 (n1f 2), b→1 (n1f 1)
+    // cont: a→1 b→1 c→1; nb=3 vc=3 → Pc(w) = (n1p+1)/6
+    // apply "a b z q b":
+    //  "a b" seen:       0.25/2 + 0.75·(2/6)       = 0.375    → -0.980829
+    //  "b z" ctx-only:   0 + (0.75·1/1)·(1/6)      = 0.125    → -2.079442
+    //  "z q" unseen ctx: Pc(q) = 1/6               = 0.166667 → -1.791759
+    //  "q b" unseen ctx: Pc(b) = 2/6               = 0.333333 → -1.098612
+    // avg = -5.950642/4 → -1.4877
+    val train = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val apply = Seq((10L, "a b z q b")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps
+      .knBigramApply(apply, graft.ops.CorpusOps.bigramCounts(train))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((10L, 4L, -1.4877)), out.toSeq)
+  }
 }

@@ -430,6 +430,12 @@ class PlanAuditSpec extends SparkTestBase {
       "x107_source_drift",      // 1-row corpus-scalars (N, vocab)
                                 // broadcast (x51's class); word and
                                 // source joins are equi
+      "x109_kn_apply",          // 1-row (nb, vc) type-total broadcast
+                                // (x104's class); model joins are
+                                // bigram/word-key equi
+      "x111_ppl_buckets",       // inherits x109's type-total broadcast;
+                                // the cut table itself joins equi on
+                                // lang
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check

@@ -731,6 +731,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming KN scoring: frozen bigram model equals the batch x109 apply") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val model = graft.ops.CorpusOps.bigramCounts(
+      all.filter(col("doc_id") % 5 =!= 0))
+    val applyTo = all.filter(col("doc_id") % 5 === 0)
+    val batch = graft.ops.CorpusOps.knBigramApply(applyTo, model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val rows = applyTo.collect()
+      .map(r => (r.getLong(0), r.getString(1), 1000000000L))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.EventStreams.knScoreStream(
+        input.toDF().toDF("doc_id", "text", "ts"), model)
+      .writeStream.format("memory").queryName("kn_stream_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("kn_stream_test").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == batch,
+        s"stream KN diverged from batch x109 on ${
+          got.count { case (k, v) => batch.get(k) != Some(v) } +
+            (batch.keySet -- got.keySet).size} docs")
+    } finally q.stop()
+  }
+
   test("streaming semantic decontamination: stateless literal-suite gate equals the batch x102 report") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
