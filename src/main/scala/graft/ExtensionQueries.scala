@@ -2430,6 +2430,69 @@ object ExtensionQueries {
     graft.ops.CorpusOps.pplBuckets(scored, all)
   }
 
+  /** Word-entropy quality proxy ([[graft.ops.CorpusOps
+    * .entropySignal]]) — the compression-ratio tier of the signal
+    * stack: per-doc Shannon entropy of the word distribution (bits)
+    * and its length-normalized form. Low = templated/repetitive (the
+    * gate x110 fires on), ceiling = shuffled-vocabulary noise; both
+    * tails feed the reject pile. One tokenize pass, doc-keyed rollup,
+    * exact-decimal Σ c·ln c — hash-checked. */
+  private val x112_entropy: QFn = (s, d) =>
+    graft.ops.CorpusOps.entropySignal(docsR(s, d))
+
+  /** Exact corpus heavy hitters ([[graft.ops.SketchOps.heavyHitters]])
+    * — the WIMBD-style token audit at bounded intermediate state:
+    * per-partition Misra–Gries summaries (O(k) task state) propose a
+    * provable superset of every word with count > N/(k+1); a
+    * broadcast-pruned exact recount and an INTEGER threshold
+    * (cnt·(k+1) > N — no float boundary) emit the true heavy hitters,
+    * so the output is partition-invariant even though each summary is
+    * not. On the fixture the k=64 gate admits the 30 common vocabulary
+    * words and excludes the rare 'dup' marker. The oracle recounts
+    * from scratch — the sketch path must agree exactly. */
+  private val x113_heavy_hitters: QFn = (s, d) =>
+    graft.ops.SketchOps.heavyHitters(
+      docsR(s, d).select(explode(TF.words(col("text"))).as("word")),
+      "word", k = 64)
+
+  /** Content-defined chunk dedup ([[graft.ops.TextDedup
+    * .cdcChunkDedup]]) — x35's insertion-robust sibling: boundaries
+    * picked by word-hash content (CDC / rolling-hash chunking at word
+    * grain), so an edit reshapes one chunk and every later chunk
+    * re-aligns and keeps deduplicating. Chunking is map-side array
+    * work; the only shuffle is the chunk-fp groupBy (x35's plan). */
+  private val x114_cdc_chunks: QFn = (s, d) =>
+    graft.ops.TextDedup.cdcChunkDedup(docsR(s, d))
+
+  /** Product-quantization codebooks + codes ([[graft.ops.VectorOps
+    * .pqTrain]]/[[graft.ops.VectorOps.pqEncode]], Jégou et al. TPAMI
+    * 2011) — the memory side of billion-scale ANN: 4 subspaces × 8
+    * entries trained for exactly 2 Lloyd rounds (the unrolled-oracle
+    * discipline), every vector stored as 4 codes + its integer
+    * quantization error. The whole (codes, errors) table is
+    * hash-checked against the from-scratch SQL replay. */
+  private val x115_pq_encode: QFn = (s, d) => {
+    val e = embs(s, d)
+    val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8,
+      iters = X48Iters)
+    graft.ops.VectorOps.pqEncode(e, cents, m = 4)
+  }
+
+  /** ADC top-k over PQ codes ([[graft.ops.VectorOps.pqAdcTopK]]) —
+    * the search half of x115: each query scores every vector through
+    * a broadcast lookup table of quantized partial distances and an
+    * exact integer sum — stored vectors are never touched at scan
+    * time. Top-3 per query (vec_id < 10), rank (adc_qd2 asc, n_id
+    * asc), hash-checked digit for digit. */
+  private val x116_pq_ann: QFn = (s, d) => {
+    val e = embs(s, d)
+    val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8,
+      iters = X48Iters)
+    val codes = graft.ops.VectorOps.pqEncode(e, cents, m = 4)
+    graft.ops.VectorOps.pqAdcTopK(e.filter(col("vec_id") < 10),
+      codes, cents, k = 3, m = 4)
+  }
+
   /** Per-source distribution drift ([[graft.ops.CorpusOps
     * .sourceDrift]]) — KL of each source's unigram distribution from
     * the smoothed corpus mixture: the slice-level freshness/shift
@@ -2565,6 +2628,11 @@ object ExtensionQueries {
     "x109_kn_apply" -> x109_kn_apply,
     "x110_repetition" -> x110_repetition,
     "x111_ppl_buckets" -> x111_ppl_buckets,
+    "x112_entropy" -> x112_entropy,
+    "x113_heavy_hitters" -> x113_heavy_hitters,
+    "x114_cdc_chunks" -> x114_cdc_chunks,
+    "x115_pq_encode" -> x115_pq_encode,
+    "x116_pq_ann" -> x116_pq_ann,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -2911,6 +2979,133 @@ object ExtensionQueries {
        |            WHEN s.pk::DOUBLE > cu.c1 THEN 'middle'
        |            ELSE 'tail' END AS bucket
        |  FROM sc s JOIN cu USING (lang)""".stripMargin
+
+  // x112: (doc, word) counts → exact-decimal Σ c·round(ln c,6); the
+  // final subtraction/ratios through doubles on both sides, ln2 the
+  // same IEEE constant, −0.0 normalized by + 0.0.
+  private lazy val x112Oracle: String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
+       |             FROM documents),
+       |c AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM w GROUP BY 1,2),
+       |a AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+       |             count(*)::BIGINT AS n_types,
+       |             sum(c * CAST(round(ln(c),6) AS DECIMAL(18,6))) AS clc
+       |        FROM c GROUP BY 1)
+       |SELECT doc_id, n_words, n_types,
+       |       round((CAST(round(ln(n_words),6) AS DOUBLE)
+       |              - CAST(clc AS DOUBLE)/CAST(n_words AS DOUBLE)) / ln(2), 4)
+       |         + 0.0 AS entropy,
+       |       CASE WHEN n_types > 1 THEN
+       |         round((CAST(round(ln(n_words),6) AS DOUBLE)
+       |                - CAST(clc AS DOUBLE)/CAST(n_words AS DOUBLE))
+       |               / CAST(round(ln(n_types),6) AS DOUBLE), 4) + 0.0
+       |       ELSE 0.0 END AS norm_entropy
+       |  FROM a""".stripMargin
+
+  // x113: the oracle is the from-scratch exact recount — the MG
+  // candidate pass must change nothing. Integer threshold on both sides.
+  private lazy val x113Oracle: String =
+    s"""WITH w AS (SELECT unnest(string_split($NT,' ')) AS word
+       |             FROM documents),
+       |n AS (SELECT count(*)::BIGINT AS n_total FROM w),
+       |c AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1)
+       |SELECT c.word, c.cnt,
+       |       round(c.cnt::DOUBLE / n.n_total::DOUBLE, 6) AS frac
+       |  FROM c CROSS JOIN n
+       | WHERE c.cnt * 65 > n.n_total""".stripMargin
+
+  // x115/x116: the PQ train/encode/search chain replayed from scratch —
+  // per-subspace Lloyd rounds unrolled (the lloydCtes discipline at
+  // (sub, vec) grain), quantized-integer distances, exact-integer ADC
+  // sums. Squared L2 with the same fold order as Spark's
+  // aggregate(zip_with(...)).
+  private def PQL2(a: String, b: String) =
+    s"""list_aggregate(list_transform(list_zip($a,$b),
+       |           x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+       |               *(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))),'sum')""".stripMargin
+  private lazy val pqCtes: String = {
+    val m = 4; val dsub = 16; val ksub = 8
+    def asg(cent: String, name: String) =
+      s"""$name AS (
+         |  SELECT vec_id, sub, sv, c_id, qd2,
+         |         row_number() OVER (PARTITION BY sub, vec_id
+         |             ORDER BY qd2 ASC, c_id ASC) AS rn
+         |    FROM (SELECT s.vec_id, s.sub, s.sv, c.c_id,
+         |                 CAST(round((${PQL2("s.sv", "c.c_e")}) * 1048576)
+         |                      AS BIGINT) AS qd2
+         |            FROM sv s JOIN $cent c ON s.sub = c.sub))""".stripMargin
+    def recenter(asgName: String, centName: String) =
+      s"""${centName}_q AS (
+         |  SELECT sub, c_id AS cell, generate_subscripts(sv, 1) - 1 AS dim,
+         |         CAST(round(CAST(unnest(sv) AS DOUBLE) * 1048576) AS BIGINT) AS q
+         |    FROM $asgName WHERE rn = 1),
+         |$centName AS (
+         |  SELECT sub, cell AS c_id, list(CAST(mval AS FLOAT) ORDER BY dim) AS c_e
+         |    FROM (SELECT sub, cell, dim,
+         |                 (sum(q)::DOUBLE / 1048576.0) / count(*) AS mval
+         |            FROM ${centName}_q GROUP BY sub, cell, dim)
+         |   GROUP BY sub, cell)""".stripMargin
+    val rounds = (1 to X48Iters).map { i =>
+      asg(s"pcent${i - 1}", s"pasg$i") + ",\n" + recenter(s"pasg$i", s"pcent$i")
+    }.mkString(",\n")
+    s"""sv AS (SELECT e.vec_id, s.sub,
+       |              e.embedding[s.sub*$dsub+1:(s.sub+1)*$dsub] AS sv
+       |         FROM embeddings e,
+       |              (SELECT unnest(range(0, $m)) AS sub) s),
+       |pcent0 AS (SELECT sub, vec_id AS c_id, sv AS c_e FROM sv
+       |            WHERE vec_id < $ksub),
+       |$rounds,
+       |${asg(s"pcent$X48Iters", "pasgf")},
+       |codes AS (SELECT vec_id, sub, c_id AS code, qd2
+       |            FROM pasgf WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val x115Oracle: String =
+    s"""WITH $pqCtes
+       |SELECT vec_id, sub::INT AS sub, code, qd2 FROM codes""".stripMargin
+
+  private lazy val x116Oracle: String =
+    s"""WITH $pqCtes,
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, c.sub, c.c_id,
+       |         CAST(round((${PQL2("q.sv", "c.c_e")}) * 1048576) AS BIGINT) AS pd2
+       |    FROM sv q JOIN pcent$X48Iters c ON q.sub = c.sub
+       |   WHERE q.vec_id < 10),
+       |adc AS (
+       |  SELECT l.q_id, co.vec_id AS n_id, sum(l.pd2)::BIGINT AS adc_qd2
+       |    FROM codes co JOIN lut l ON l.sub = co.sub AND l.c_id = co.code
+       |   WHERE co.vec_id <> l.q_id GROUP BY 1, 2)
+       |SELECT q_id, n_id, adc_qd2, rnk FROM (
+       |  SELECT q_id, n_id, adc_qd2,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY adc_qd2 ASC, n_id ASC) AS rnk
+       |    FROM adc) WHERE rnk <= 3""".stripMargin
+
+  // x114: boundary positions (word-hash mod 8, doc end appended only
+  // when not already a boundary), prev-boundary list via prepend-0 +
+  // drop-last — three equal-length unnests proceed in lockstep (the
+  // x48 recenter idiom) — then x35's keep-min rollup on the chunk fp.
+  private lazy val x114Oracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+       |b AS (SELECT doc_id, ws,
+       |        list_concat(
+       |          list_filter(range(1, len(ws)+1),
+       |                      i -> ${H60("'cdc|'||ws[i]")} % 8 = 0),
+       |          CASE WHEN ${H60("'cdc|'||ws[len(ws)]")} % 8 = 0 THEN []
+       |               ELSE [len(ws)] END) AS bnds FROM t),
+       |p AS (SELECT doc_id, ws,
+       |        unnest(bnds) AS e,
+       |        unnest(list_concat([0], bnds)[1:len(bnds)]) AS s,
+       |        generate_subscripts(bnds, 1) - 1 AS chunk_idx
+       |        FROM b),
+       |c AS (SELECT doc_id, chunk_idx,
+       |             md5(array_to_string(ws[s+1:e],' ')) AS chunk_fp FROM p)
+       |SELECT chunk_fp, keep_doc, keep_chunk, n_sites FROM (
+       |  SELECT chunk_fp, doc_id AS keep_doc, chunk_idx AS keep_chunk,
+       |         count(*) OVER (PARTITION BY chunk_fp) AS n_sites,
+       |         row_number() OVER (PARTITION BY chunk_fp
+       |                            ORDER BY doc_id, chunk_idx) AS rn
+       |    FROM c) WHERE rn = 1""".stripMargin
 
   // x110: the three gram levels unioned at (doc, n, gram) grain; the
   // top gram per level picked by the same (cnt DESC, gram DESC)
@@ -3946,7 +4141,12 @@ object ExtensionQueries {
       "x108_zipf_slope" -> x108Oracle,
       "x109_kn_apply" -> x109Oracle,
       "x110_repetition" -> x110Oracle,
-      "x111_ppl_buckets" -> x111Oracle)
+      "x111_ppl_buckets" -> x111Oracle,
+      "x112_entropy" -> x112Oracle,
+      "x113_heavy_hitters" -> x113Oracle,
+      "x114_cdc_chunks" -> x114Oracle,
+      "x115_pq_encode" -> x115Oracle,
+      "x116_pq_ann" -> x116Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

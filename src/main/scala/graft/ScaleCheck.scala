@@ -198,6 +198,23 @@ object ScaleCheck {
         // repetition signals: one doc-keyed exploded gram count +
         // doc rollup — must scale with the x01/x90 map-side family
         "x110_repetition",
+        // word entropy: one tokenize pass to (doc, word) counts + doc
+        // rollup — same map-side family as x110, no corpus-wide term
+        "x112_entropy",
+        // heavy hitters: MG candidate pass is map-only O(k) state; the
+        // recount shuffle is candidate-pruned — must be near-flat
+        // under replication (same vocab, same candidate set)
+        "x113_heavy_hitters",
+        // CDC chunks: map-side boundary scan + slice, one chunk-fp
+        // groupBy — must track x35's fixed-window chunker
+        "x114_cdc_chunks",
+        // PQ encode: m·ksub-sized broadcast codebook, (sub, vec)-keyed
+        // assignment windows — must track the x48 trained-kmeans family
+        "x115_pq_encode",
+        // ADC search: one codes scan against a broadcast LUT + exact
+        // integer sums at (query, vector) grain — linear in n, never
+        // touches stored vectors
+        "x116_pq_ann",
         // ppl buckets: x109's scoring passes + a langs-sized cut
         // broadcast — must track x109, the cut step is noise
         "x111_ppl_buckets",

@@ -1208,6 +1208,47 @@ object CorpusOps {
           col("dup5_frac") <= 0.15).cast("long"))
   }
 
+  /** Word-distribution ENTROPY quality proxy — the compression-ratio
+    * signal family (a doc that zips too well is templated/repetitive;
+    * one at the entropy ceiling for its length is shuffled-vocabulary
+    * noise — both are standard pretraining-corpus rejects, cf. the
+    * entropy/compressibility filters in Gopher A1 and CCNet's "head"
+    * heuristics). Shannon entropy of the WITHIN-doc word distribution:
+    * H = [ln n − (Σ_w c_w·ln c_w)/n] / ln 2 bits, plus the
+    * length-normalized form H / log2(n_types) ∈ [0,1] (1 = every type
+    * equally likely — maximum surprise for the doc's own vocabulary;
+    * → 0 = one type dominates). Output: (doc_id, n_words, n_types,
+    * entropy, norm_entropy), rounded to 4.
+    *
+    * 100 TB shape: one tokenize pass to the (doc, word) count grain
+    * (map-side partial agg), one doc-grain rollup — the x01/x110
+    * map-side family: no broadcast, no window, nothing corpus-wide.
+    *
+    * Determinism across engines: each ln is rounded to 6 decimals; the
+    * Σ c·ln c term is an exact DECIMAL(18,6) sum (order-independent);
+    * only the final subtraction/ratio runs through doubles (the x97
+    * recipe), with `+ 0.0` guarding the −0.0 repr. */
+  def entropySignal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cnt = tokenized(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("ws")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    // lnN/lnT quantized to the same 6-decimal grid as the per-word term
+    val lnQ6 = (x: Column) => round(log(x.cast("double")), 6)
+    val raw = lnQ6(col("n_words")) -
+      col("clc").cast("double") / col("n_words").cast("double")
+    cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_words"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(col("c") * lnQ6(col("c")).cast("decimal(18,6)")).as("clc"))
+      .select(col("doc_id"), col("n_words"), col("n_types"),
+        (round(raw / math.log(2.0), 4) + lit(0.0)).as("entropy"),
+        when(col("n_types") > 1,
+          round(raw / lnQ6(col("n_types")), 4) + lit(0.0))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+  }
+
   /** Boilerplate EXCISION by global block frequency — the CCNet /
     * RefinedWeb paragraph-dedup step (Wenzek et al. LREC 2020 §4.1:
     * hash every paragraph, drop paragraphs whose hash repeats across

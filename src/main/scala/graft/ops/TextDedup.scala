@@ -25,6 +25,54 @@ object TextDedup {
     docs.groupBy(md5(TF.normText(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Content-defined chunk dedup — the insertion-robust sibling of the
+    * fixed-window chunker (x35): chunk boundaries are picked by
+    * CONTENT (a word `w` closes a chunk iff hash60("cdc|"+w) mod
+    * `modulus` = 0 — expected chunk length `modulus` words; the doc
+    * end always closes the final chunk), so inserting or deleting a
+    * word reshapes only the ONE chunk it lands in, while every chunk
+    * after it re-aligns and keeps deduplicating — a fixed-stride
+    * chunker shifts every downstream window and loses them all. This
+    * is the rolling-hash/CDC idea backup and dedup storage systems run
+    * (gear/Rabin chunking), applied at word grain so both engines
+    * reproduce it exactly. Output mirrors x35:
+    * (chunk_fp, keep_doc, keep_chunk, n_sites) per distinct chunk,
+    * keep = lexicographic min (doc_id, chunk_idx).
+    *
+    * 100 TB shape: chunking is entirely MAP-SIDE array work inside
+    * whole-stage codegen (boundary scan + slice per doc — no window,
+    * no per-word explode/shuffle); the only shuffle is the final
+    * chunk-fingerprint groupBy (uniform md5 keys, map-side partial
+    * agg), identical to x35's. */
+  def cdcChunkDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", modulus: Int = 8): DataFrame = {
+    val isB = (w: Column) => TF.hash60(w, "cdc|") % modulus === 0
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+    // ascending boundary positions; append n only when the last word
+    // is not itself a boundary (keeps the list duplicate-free without
+    // an order-fragile distinct)
+    val bnds = concat(
+      filter(sequence(lit(1), col("n")),
+        i => isB(element_at(col("ws"), i))),
+      when(isB(element_at(col("ws"), -1)), array().cast("array<int>"))
+        .otherwise(array(col("n"))))
+    toks
+      .withColumn("bnds", bnds)
+      .select(col("doc_id"), explode(transform(col("bnds"), (b, j) =>
+        struct(j.cast("long").as("chunk_idx"),
+          concat_ws(" ", slice(col("ws"),
+            when(j === 0, lit(1)).otherwise(element_at(col("bnds"), j) + 1),
+            b - when(j === 0, lit(0)).otherwise(element_at(col("bnds"), j))))
+            .as("chunk_text")))).as("c"))
+      .groupBy(md5(col("c.chunk_text")).as("chunk_fp"))
+      .agg(min(struct(col("doc_id"), col("c.chunk_idx"))).as("keep"),
+        count(lit(1)).as("n_sites"))
+      .select(col("chunk_fp"), col("keep.doc_id").as("keep_doc"),
+        col("keep.chunk_idx").as("keep_chunk"), col("n_sites"))
+  }
+
   /** MinHash+LSH near-dup pairs: `numHashes` minhashes over
     * `shingleK`-word shingles, banded `bands` × (numHashes/bands);
     * candidates share a band key; verified with true shingle-set

@@ -330,6 +330,140 @@ object VectorOps {
     * For d beyond a few hundred, quantize/shard the vector first
     * (d² = 4096 at d=64; 10⁶ at d=1000 is still fine — the shuffle is
     * constant in n either way). */
+  // ---------------------------------------------------------------
+  // Product quantization (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011) — the memory side of
+  // billion-scale ANN: split each vector into `m` subvectors, train an
+  // independent `ksub`-centroid codebook per subspace, and store each
+  // vector as m small codes (m·log2(ksub) bits instead of d·32). ADC
+  // search then scores a query against CODES via a per-query lookup
+  // table — no full vectors ever touched at scan time. At 100 TB this
+  // is the difference between an embedding store that fits in cluster
+  // memory and one that doesn't; IVF (ivfCells) composes on top by
+  // restricting the ADC scan to probed cells.
+  //
+  // Determinism discipline (same as the kmeans family): centroid
+  // recentering uses the 1/2^20-quantized exact-integer mean
+  // (kmeansStepCentroids' recipe); assignment distances are
+  // 1/2^20-quantized squared L2 compared as INTEGERS with (qd2 asc,
+  // c_id asc) tie-break; ADC scores are exact integer SUMS of those
+  // quantized partials — so codes, codebooks, and search results are
+  // digit-identical across engines and partitionings, and all of it is
+  // hash-checkable against an unrolled SQL oracle.
+  // ---------------------------------------------------------------
+
+  /** Subvector view: one row per (vector, subspace), sv = the
+    * subspace's dim/m contiguous elements. Map-side explode; grain
+    * n·m. */
+  def pqSubvectors(e: DataFrame, m: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dsub = size(col(vecCol)) / m
+    e.select(col(idCol).as("vec_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)), mi =>
+          struct(mi.cast("int").as("sub"),
+            slice(col(vecCol), mi * dsub + 1, dsub).as("sv")))).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+  }
+
+  /** Nearest-codebook-entry assignment per (vector, subspace):
+    * (vec_id, sub, sv, code, qd2 — the 1/2^20-quantized squared L2 to
+    * the winning entry). `cents` is (sub, c_id, c_e); it is
+    * m·ksub-sized and broadcast, scoring is map-side, and the rank
+    * window is keyed by (sub, vec_id) — never corpus-wide. */
+  def pqAssign(svs: DataFrame, cents: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("sv"), col("c_e"), (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val byVec = Window.partitionBy("sub", "vec_id")
+      .orderBy(col("qd2").asc, col("c_id").asc)
+    svs.join(broadcast(cents), Seq("sub"))
+      .withColumn("qd2", round(d2 * 1048576).cast("long"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("sv"),
+        col("c_id").as("code"), col("qd2"))
+  }
+
+  /** Quantized-integer-mean recenter per (sub, code) —
+    * [[kmeansStepCentroids]]' exact recipe keyed by subspace. */
+  private def pqRecenter(asg: DataFrame): DataFrame =
+    asg.select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy(col("sub"), col("code"), col("dim"))
+      .agg((sum(round(col("x").cast("double") * 1048576).cast("long"))
+        .cast("double") / 1048576.0 / count(lit(1))).as("mval"))
+      .groupBy(col("sub"), col("code"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mval")))).as("dm"))
+      .select(col("sub"), col("code").as("c_id"),
+        transform(col("dm"), s => s.getField("mval").cast("float")).as("c_e"))
+
+  /** Train the m per-subspace codebooks: seed each with the first
+    * `ksub` vectors' subvectors (c_id = vec_id, the deterministic seed
+    * rule the kmeans family uses), then exactly `iters` Lloyd rounds —
+    * the unrolled-oracle form. Output: (sub, c_id, c_e). Each round's
+    * codebook is m·ksub rows, localCheckpointed to stop plan growth;
+    * the subvector frame is persisted once and scanned per round. */
+  def pqTrain(e: DataFrame, m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val svs = pqSubvectors(e, m, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cent = svs.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").as("c_id"), col("sv").as("c_e"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      cent = pqRecenter(
+        pqAssign(svs, cent).select(col("sub"), col("code"), col("sv")))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** Encode the corpus against a trained codebook: (vec_id, sub, code,
+    * qd2 — the per-subspace quantization error, an exact integer).
+    * This is the stored form: m codes per vector. */
+  def pqEncode(e: DataFrame, cents: DataFrame, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqAssign(pqSubvectors(e, m, idCol, vecCol), cents)
+      .select(col("vec_id"), col("sub"), col("code"), col("qd2"))
+
+  /** ADC top-k: score every encoded vector against each query WITHOUT
+    * touching stored vectors — per query, a lookup table of quantized
+    * partial distances to every codebook entry (queries·m·ksub rows,
+    * broadcast), then one equi join on (sub, code) and an exact
+    * integer SUM per (query, vector). Output: (q_id, n_id, adc_qd2,
+    * rnk ≤ k), rank by (adc_qd2 asc, n_id asc), self excluded.
+    *
+    * 100 TB shape: the codes table (the only corpus-sized input) is
+    * scanned once, joined map-side against the broadcast LUT, and
+    * aggregated at (query, vector) grain with map-side partial sums;
+    * the top-k is a keyed window (WindowGroupLimit prunes map-side).
+    * Composing with IVF (filter codes to probed cells first) drops the
+    * scanned fraction to nprobe/k_ivf. */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, cents: DataFrame,
+      k: Int, m: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("sv"), col("c_e"), (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val lut = pqSubvectors(queries, m, idCol, vecCol)
+      .withColumnRenamed("vec_id", "q_id")
+      .join(cents, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("c_id"),
+        round(d2 * 1048576).cast("long").as("pd2"))
+    val byQ = Window.partitionBy("q_id")
+      .orderBy(col("adc_qd2").asc, col("n_id").asc)
+    codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("c_id"))
+      .filter(codes("vec_id") =!= lut("q_id"))
+      .groupBy(lut("q_id"), codes("vec_id").as("n_id"))
+      .agg(sum(col("pd2")).as("adc_qd2"))
+      .withColumn("rnk", row_number().over(byQ).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   def gramMatrix(e: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     e.select(col(idCol), col(vecCol).as("__v"),

@@ -1522,6 +1522,85 @@ class OpsSpec extends SparkTestBase {
       3L -> ((1L, 0.0, 0.0, 0.0, 1L))), out)
   }
 
+  test("VectorOps PQ: codebook converges on grid fixture, codes exact, ADC finds exact copies, partition-invariant") {
+    import spark.implicits._
+    // 8 base vectors on the 1/1024 grid (so quantized means are EXACT),
+    // dim 8 → m=4 subspaces of 2 dims, all subvectors distinct across
+    // bases per subspace; vecs 8..23 are exact copies of base i%8.
+    def base(i: Int): Seq[Float] = (0 until 8).map(d => (i + d / 8.0).toFloat)
+    val rows = (0 until 24).map(i => (i.toLong, base(i % 8)))
+    for (parts <- Seq(1, 5)) {
+      val e = rows.toDF("vec_id", "embedding").repartition(parts)
+      val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8, iters = 2)
+      val codes = graft.ops.VectorOps.pqEncode(e, cents, m = 4).collect()
+      // every vector encodes to its base's seed cell with zero error
+      assert(codes.length == 24 * 4)
+      codes.foreach { r =>
+        assert(r.getLong(3) == 0L, s"qd2 != 0: $r")
+        assert(r.getLong(2) == r.getLong(0) % 8, s"code != base: $r")
+      }
+      // ADC from base-0's own point: the two exact copies come first
+      val top = graft.ops.VectorOps.pqAdcTopK(
+        e.filter($"vec_id" === 0L), codes = graft.ops.VectorOps
+          .pqEncode(e, cents, m = 4), cents = cents, k = 3, m = 4)
+        .collect().sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(top.take(2).toSeq == Seq((8L, 0L), (16L, 0L)),
+        s"parts=$parts: ${top.toSeq}")
+    }
+  }
+
+  test("TextDedup.cdcChunkDedup: insertion robustness — tail chunks re-align where fixed windows shift") {
+    // independent boundary check (pure-JVM md5, not the library's
+    // hash60 expression): w closes a chunk iff the first 15 hex chars
+    // of md5("cdc|"+w) mod 8 == 0
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(("cdc|" + s).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val cands = (0 until 200).map(i => s"w$i")
+    val bw = cands.find(w => h60(w) % 8 == 0).get      // boundary word
+    val nb = cands.filter(w => h60(w) % 8 != 0).take(5) // non-boundaries
+    val Seq(p1, p2, s1, s2, ins) = nb
+    // doc1: [p1 p2 bw][s1 s2];  doc2 = doc1 with `ins` prepended:
+    // [ins p1 p2 bw][s1 s2] — chunk 1 reshapes, chunk 2 re-aligns and
+    // dedups. doc3 ends ON a boundary: exactly one chunk, no empty tail.
+    val docs = Seq(
+      (1L, s"$p1 $p2 $bw $s1 $s2"),
+      (2L, s"$ins $p1 $p2 $bw $s1 $s2"),
+      (3L, s"$s1 $s2 $bw")).toDF("doc_id", "text")
+    val out = graft.ops.TextDedup.cdcChunkDedup(docs)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def fp(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Map(
+      fp(s"$p1 $p2 $bw") -> ((1L, 0L, 1L)),
+      fp(s"$s1 $s2") -> ((1L, 1L, 2L)),           // shared tail chunk
+      fp(s"$ins $p1 $p2 $bw") -> ((2L, 0L, 1L)),
+      fp(s"$s1 $s2 $bw") -> ((3L, 0L, 1L))), out)
+  }
+
+  test("CorpusOps.entropySignal: hand-derived bits, normalized form, degenerate one-type doc") {
+    // "a a b b": H = 1 bit exactly, norm = 1.0 (uniform over 2 types).
+    // "a a a b": raw = ln4 - (3·ln3)/4 quantized -> 0.8113 bits; norm
+    //            divides by the same quantized ln2 -> identical digits.
+    // "q": one type -> entropy 0, norm guarded to 0.
+    // "a b c d": uniform over 4 -> 2 bits, norm 1.0 (ceiling).
+    val docs = Seq((1L, "a a b b"), (2L, "a a a b"), (3L, "q"),
+      (4L, "a b c d")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.entropySignal(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out == Map(
+      1L -> ((4L, 2L, 1.0, 1.0)),
+      2L -> ((4L, 2L, 0.8113, 0.8113)),
+      3L -> ((1L, 1L, 0.0, 0.0)),
+      4L -> ((4L, 4L, 2.0, 1.0))), out)
+  }
+
   test("CorpusOps.pplBuckets: hand-derived quartile cuts, per-lang isolation, single-doc lang") {
     // en pks: [-40000,-30000,-20000,-10000] -> c1 = -32500 (idx 0.75),
     // c3 = -17500 (idx 2.25). Buckets: -4 tail, -3/-2 middle, -1 head.

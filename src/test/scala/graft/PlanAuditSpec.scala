@@ -436,6 +436,10 @@ class PlanAuditSpec extends SparkTestBase {
       "x111_ppl_buckets",       // inherits x109's type-total broadcast;
                                 // the cut table itself joins equi on
                                 // lang
+      "x113_heavy_hitters",     // 1-row total-count scalar broadcast for
+                                // the integer threshold (x85's class);
+                                // the candidate recount join is equi on
+                                // the value
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check

@@ -31,6 +31,44 @@ class SketchSpec extends SparkTestBase {
       s"exact=$exactMedian approx=$approx")
   }
 
+  test("SketchOps.mgSummary: bounded size, undercount bound, heavy-hitter superset") {
+    // k=2 over "a b c a b c a": every c arrival decrements the full
+    // summary away; the survivor is a with residual 1 — undercounted by
+    // 2 ≤ n/(k+1) = 7/3, and the only item above the n/(k+1) share (a,
+    // count 3) IS in the summary.
+    val out = graft.ops.SketchOps
+      .mgSummary(2)(Iterator("a", "b", "c", "a", "b", "c", "a")).toMap
+    assert(out == Map("a" -> 1L), out)
+    // random-ish longer stream: size ≤ k and every residual ≤ true count
+    val stream = (1 to 500).map(i => s"w${i % 13 % (1 + i % 7)}")
+    val truth = stream.groupBy(identity).map { case (w, g) => w -> g.size }
+    val mg = graft.ops.SketchOps.mgSummary(4)(stream.iterator).toMap
+    assert(mg.size <= 4)
+    mg.foreach { case (w, r) =>
+      assert(r <= truth(w), s"$w residual $r > true ${truth(w)}")
+      assert(truth(w) - r <= stream.size / 5,
+        s"$w undercount ${truth(w) - r} breaks the n/(k+1) bound")
+    }
+  }
+
+  test("SketchOps.heavyHitters: exact output, strict threshold, partition-invariant") {
+    import spark.implicits._
+    // a×30 b×10 c×5 + 15 singletons: N=60. k=5 → cnt·6 > 60 keeps only
+    // a (b sits exactly ON the boundary: 10·6 = 60, strict > excludes).
+    // k=11 → cnt·12 > 60 keeps a and b (c again exactly on it).
+    val words = Seq.fill(30)("a") ++ Seq.fill(10)("b") ++
+      Seq.fill(5)("c") ++ (1 to 15).map(i => s"s$i")
+    for (parts <- Seq(1, 7)) {
+      val df = words.toDF("w").repartition(parts)
+      val k5 = graft.ops.SketchOps.heavyHitters(df, "w", k = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(k5.toSeq == Seq(("a", 30L, 0.5)), s"parts=$parts: ${k5.toSeq}")
+      val k11 = graft.ops.SketchOps.heavyHitters(df, "w", k = 11)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(k11 == Map("a" -> 30L, "b" -> 10L), s"parts=$parts: $k11")
+    }
+  }
+
   test("sketches merge across groups (partial aggregation shape)") {
     // per-flag sketches vs global: the merged global count must be >= any
     // per-group count and <= the sum (set-union semantics, mergeable state)
