@@ -2493,6 +2493,44 @@ object ExtensionQueries {
       codes, cents, k = 3, m = 4)
   }
 
+  /** IVF+PQ composed ANN ([[graft.ops.VectorOps.ivfPqTopK]]) — the
+    * billion-scale layout both halves exist for: the trained cosine
+    * IVF (x48's coarse quantizer, 16 cells, nprobe=2 on the query
+    * side) restricts each query's scan to ~nprobe/k of the corpus,
+    * and within the probed cells distance runs over x115's PQ codes
+    * via the broadcast LUT + exact integer sums — stored vectors are
+    * touched by neither stage at query time. Both trainings AND the
+    * search are hash-checked against the full SQL replay. */
+  private val x118_ivfpq_ann: QFn = (s, d) => {
+    val e = embs(s, d)
+    val coarse = graft.ops.VectorOps.kmeansTrain(e, initK = 16,
+      iters = X48Iters)
+    val dbCells = graft.ops.VectorOps.ivfCells(e, coarse, nprobe = 1)
+    val qs = e.filter(col("vec_id") < 10)
+    val qCells = graft.ops.VectorOps.ivfCells(qs, coarse, nprobe = 2)
+    val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8,
+      iters = X48Iters)
+    val codes = graft.ops.VectorOps.pqEncode(e, cents, m = 4)
+    graft.ops.VectorOps.ivfPqTopK(qCells, dbCells, qs, codes, cents,
+      k = 3, m = 4)
+  }
+
+  /** Language-ID confusion matrix — the gauge for the x03 classifier
+    * itself: labeled lang × predicted lang with counts and
+    * within-label shares. The matrix every langid swap/retrain is
+    * judged on before it gates a corpus. One x03 scoring pass → a
+    * matrix-grain groupBy; the share window partitions over the
+    * langs²-sized matrix, never the corpus. */
+  private val x117_langid_confusion: QFn = (s, d) => {
+    val byLang = Window.partitionBy("lang")
+    docsR(s, d)
+      .select(col("lang"), TF.langId(col("text")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(byLang).cast("double"), 4))
+  }
+
   /** Per-source distribution drift ([[graft.ops.CorpusOps
     * .sourceDrift]]) — KL of each source's unigram distribution from
     * the smoothed corpus mixture: the slice-level freshness/shift
@@ -2633,6 +2671,8 @@ object ExtensionQueries {
     "x114_cdc_chunks" -> x114_cdc_chunks,
     "x115_pq_encode" -> x115_pq_encode,
     "x116_pq_ann" -> x116_pq_ann,
+    "x117_langid_confusion" -> x117_langid_confusion,
+    "x118_ivfpq_ann" -> x118_ivfpq_ann,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3080,6 +3120,50 @@ object ExtensionQueries {
        |         row_number() OVER (PARTITION BY q_id
        |                            ORDER BY adc_qd2 ASC, n_id ASC) AS rnk
        |    FROM adc) WHERE rnk <= 3""".stripMargin
+
+  // x118: the coarse-IVF chain (lloydCtes, nprobe=2) and the PQ chain
+  // (pqCtes) share one WITH — CTE names are disjoint by construction.
+  // Candidates from the cell equi-join, ADC from codes × LUT, exact
+  // integer sums throughout.
+  private lazy val x118Oracle: String =
+    s"""WITH ${lloydCtes(seedK = 16, nprobe = 2)},
+       |$pqCtes,
+       |qc AS (SELECT vec_id AS q_id, c_id AS cell FROM asgf
+       |        WHERE rn <= 2 AND vec_id < 10),
+       |dbc AS (SELECT vec_id AS n_id, c_id AS cell FROM asgf WHERE rn = 1),
+       |cand AS (SELECT DISTINCT q.q_id, d.n_id
+       |           FROM qc q JOIN dbc d
+       |             ON q.cell = d.cell AND q.q_id <> d.n_id),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, c.sub, c.c_id,
+       |         CAST(round((${PQL2("q.sv", "c.c_e")}) * 1048576) AS BIGINT) AS pd2
+       |    FROM sv q JOIN pcent$X48Iters c ON q.sub = c.sub
+       |   WHERE q.vec_id < 10),
+       |adc AS (
+       |  SELECT ca.q_id, ca.n_id, sum(l.pd2)::BIGINT AS adc_qd2
+       |    FROM cand ca
+       |    JOIN codes co ON co.vec_id = ca.n_id
+       |    JOIN lut l ON l.q_id = ca.q_id AND l.sub = co.sub
+       |                AND l.c_id = co.code
+       |   GROUP BY 1, 2)
+       |SELECT q_id, n_id, adc_qd2, rnk FROM (
+       |  SELECT q_id, n_id, adc_qd2,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY adc_qd2 ASC, n_id ASC) AS rnk
+       |    FROM adc) WHERE rnk <= 3""".stripMargin
+
+  // x117: x03's prediction CTE verbatim, rolled to the confusion grain;
+  // the share window is matrix-sized.
+  private lazy val x117Oracle: String =
+    s"""WITH p AS (
+       |${oracles("x03_langid")}
+       |),
+       |c AS (SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+       |        FROM p GROUP BY 1, 2)
+       |SELECT lang, pred_lang, n_docs,
+       |       round(n_docs::DOUBLE /
+       |             (sum(n_docs) OVER (PARTITION BY lang))::DOUBLE, 4) AS share
+       |  FROM c""".stripMargin
 
   // x114: boundary positions (word-hash mod 8, doc end appended only
   // when not already a boundary), prev-boundary list via prepend-0 +
@@ -4146,7 +4230,9 @@ object ExtensionQueries {
       "x113_heavy_hitters" -> x113Oracle,
       "x114_cdc_chunks" -> x114Oracle,
       "x115_pq_encode" -> x115Oracle,
-      "x116_pq_ann" -> x116Oracle)
+      "x116_pq_ann" -> x116Oracle,
+      "x117_langid_confusion" -> x117Oracle,
+      "x118_ivfpq_ann" -> x118Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

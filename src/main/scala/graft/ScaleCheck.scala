@@ -215,6 +215,13 @@ object ScaleCheck {
         // integer sums at (query, vector) grain — linear in n, never
         // touches stored vectors
         "x116_pq_ann",
+        // langid confusion: one x03 scoring pass + matrix-grain rollup
+        // — map-side family; the share window is matrix-sized
+        "x117_langid_confusion",
+        // IVF+PQ: x116's ADC restricted to probed cells — candidate
+        // volume (query × cell size), must beat the flat ADC scan's
+        // growth as the corpus replicates
+        "x118_ivfpq_ann",
         // ppl buckets: x109's scoring passes + a langs-sized cut
         // broadcast — must track x109, the cut step is noise
         "x111_ppl_buckets",

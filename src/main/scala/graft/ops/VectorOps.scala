@@ -464,6 +464,52 @@ object VectorOps {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF + PQ composed search — the standard billion-scale ANN layout
+    * (FAISS's IVFPQ): the coarse quantizer (cosine IVF, [[ivfCells]])
+    * restricts each query's scan to its `nprobe` probed cells
+    * (scanned fraction ≈ nprobe/k_coarse), and within them distance
+    * is evaluated over PQ CODES via the broadcast LUT + exact integer
+    * sums ([[pqAdcTopK]]'s scoring) — stored vectors are touched by
+    * NEITHER stage at query time. Inputs: `qCells` = the queries'
+    * multi-probe assignment (vec_id, cell — [[ivfCells]] nprobe ≥ 1),
+    * `dbCells` = the corpus' nprobe=1 assignment, `codes`/`cents`
+    * from [[pqEncode]]/[[pqTrain]]. Output: (q_id, n_id, adc_qd2,
+    * rnk ≤ k), self excluded, rank (adc_qd2 asc, n_id asc).
+    *
+    * 100 TB shape: the cell equi-join generates candidates at
+    * (query × cell-size) grain — never corpus × queries; codes join
+    * candidates equi on the vector id; the LUT join is broadcast equi
+    * on (q_id, sub, code); the final agg is exact integer map-side
+    * partial sums and the top-k a keyed window. */
+  def ivfPqTopK(qCells: DataFrame, dbCells: DataFrame, queries: DataFrame,
+      codes: DataFrame, cents: DataFrame, k: Int, m: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("sv"), col("c_e"), (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val lut = pqSubvectors(queries, m, idCol, vecCol)
+      .withColumnRenamed("vec_id", "q_id")
+      .join(cents, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("c_id"),
+        round(d2 * 1048576).cast("long").as("pd2"))
+    val cand = qCells.select(col("vec_id").as("q_id"), col("cell"))
+      .join(dbCells.select(col("vec_id").as("n_id"), col("cell")), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+    val byQ = Window.partitionBy("q_id")
+      .orderBy(col("adc_qd2").asc, col("n_id").asc)
+    cand
+      .join(codes.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+      .join(broadcast(lut.withColumnRenamed("c_id", "code")),
+        Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("pd2")).as("adc_qd2"))
+      .withColumn("rnk", row_number().over(byQ).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   def gramMatrix(e: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     e.select(col(idCol), col(vecCol).as("__v"),

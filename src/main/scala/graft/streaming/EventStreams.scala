@@ -718,6 +718,30 @@ object EventStreams {
         (col("n_bp_blocks") * block).as("n_cut"))
   }
 
+  /** Streaming heavy-hitter recount — the ingest twin of
+    * [[graft.ops.SketchOps.heavyHitters]]'s second pass: the candidate
+    * set is FROZEN batch-side (per-partition Misra–Gries over the
+    * historical corpus — the train-once/apply-forever split every
+    * frozen-model stream here uses), and the stream maintains EXACT
+    * running counts for exactly those values. State is one long per
+    * candidate — bounded by the candidate set (≤ k·partitions values),
+    * no watermark needed (counts have no event-time horizon). Update
+    * mode emits each candidate's current count per micro-batch;
+    * after any ingest split the state equals the batch recount over
+    * the union (counting is associative — StreamingSpec pins it
+    * against [[graft.ops.SketchOps.heavyHitters]]'s cnt column).
+    * Output: (word, cnt). */
+  def heavyCountStream(docs: DataFrame,
+      candidates: Seq[String]): DataFrame = {
+    require(candidates.nonEmpty, "heavyCountStream: empty candidate set")
+    val TF = graft.functions.TextFunctions
+    docs
+      .select(explode(TF.words(col("text"))).as("word"))
+      .filter(col("word").isin(candidates: _*))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming BPE encode — ingest-time tokenization under a FIXED,
     * pre-trained merge table and id vocabulary (the train-once /
     * tokenize-forever contract: [[graft.ops.BpeOps.train]] +

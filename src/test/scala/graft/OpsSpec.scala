@@ -1550,6 +1550,33 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("VectorOps.ivfPqTopK: degenerate one-cell IVF reduces to the flat ADC scan; disjoint cells prune") {
+    import spark.implicits._
+    def base(i: Int): Seq[Float] = (0 until 8).map(d => (i + d / 8.0).toFloat)
+    val rows = (0 until 24).map(i => (i.toLong, base(i % 8)))
+    val e = rows.toDF("vec_id", "embedding")
+    val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8, iters = 2)
+    val codes = graft.ops.VectorOps.pqEncode(e, cents, m = 4)
+    val qs = e.filter($"vec_id" === 0L)
+    val flat = graft.ops.VectorOps
+      .pqAdcTopK(qs, codes, cents, k = 3, m = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // every vector in ONE cell → IVF restricts nothing → flat result
+    val oneCell = rows.map { case (id, _) => (id, 0L) }.toDF("vec_id", "cell")
+    val composed = graft.ops.VectorOps
+      .ivfPqTopK(oneCell.filter($"vec_id" === 0L), oneCell, qs,
+        codes, cents, k = 3, m = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(composed == flat, s"one-cell IVF+PQ != flat ADC:\n$composed\n$flat")
+    // probe a cell holding only base-1 copies → only they can surface
+    val split = rows.map { case (id, _) => (id, id % 8) }.toDF("vec_id", "cell")
+    val probed = graft.ops.VectorOps
+      .ivfPqTopK(Seq((0L, 1L)).toDF("vec_id", "cell"), split, qs,
+        codes, cents, k = 3, m = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(probed == Set(1L, 9L, 17L), probed)
+  }
+
   test("TextDedup.cdcChunkDedup: insertion robustness — tail chunks re-align where fixed windows shift") {
     // independent boundary check (pure-JVM md5, not the library's
     // hash60 expression): w closes a chunk iff the first 15 hex chars

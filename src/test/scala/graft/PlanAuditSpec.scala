@@ -440,6 +440,10 @@ class PlanAuditSpec extends SparkTestBase {
                                 // the integer threshold (x85's class);
                                 // the candidate recount join is equi on
                                 // the value
+      "x118_ivfpq_ann",         // 16-row broadcast coarse-centroid
+                                // assignment (x48's shape, twice: db +
+                                // query probes); candidate/code/LUT
+                                // joins are all equi
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check

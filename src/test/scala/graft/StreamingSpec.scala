@@ -699,6 +699,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming heavy-hitter recount: frozen MG candidates, state equals the batch counts after any split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val words = docs.select(org.apache.spark.sql.functions
+      .explode(graft.functions.TextFunctions.words(col("text"))).as("word"))
+    val batch = graft.ops.SketchOps.heavyHitters(words, "word", k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty, "fixture has no heavy hitters at k=64")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.heavyCountStream(
+        input.toDF().toDF("doc_id", "text"), batch.keys.toSeq)
+      .writeStream.format("memory").queryName("hh_stream_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 3)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("hh_stream_test").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == batch, s"stream counts diverged from batch on ${
+        got.count { case (k, v) => batch.get(k) != Some(v) } +
+          (batch.keySet -- got.keySet).size} words")
+    } finally q.stop()
+  }
+
   test("streaming DSIR gate: frozen two-model scores equal the batch x83 weight table") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
