@@ -2515,6 +2515,23 @@ object ExtensionQueries {
       k = 3, m = 4)
   }
 
+  /** PQ-code banded dedup ([[graft.ops.VectorOps.pqBandPairs]]) —
+    * multi-index hashing over x115's stored codes: each (sub, code)
+    * is a band key, pairs agreeing in ≥ 2 of 4 subspaces are
+    * candidates, only those pay the exact verify (≥ 0.45, x81's
+    * operating threshold). The bands come free with the codes — no
+    * extra index, no Σ cell² term; on the fixture the 2-of-4 gate
+    * verifies 9 of the 14 exact-cosine pairs from ~9% of the pair
+    * space (1-of-4 reaches 12 at 43% — the band/recall dial).
+    * Hash-checked including the training. */
+  private val x119_pq_band_dedup: QFn = (s, d) => {
+    val e = embs(s, d)
+    val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8,
+      iters = X48Iters)
+    graft.ops.VectorOps.pqBandPairs(e, cents, m = 4, minShared = 2,
+      threshold = 0.45)
+  }
+
   /** Language-ID confusion matrix — the gauge for the x03 classifier
     * itself: labeled lang × predicted lang with counts and
     * within-label shares. The matrix every langid swap/retrain is
@@ -2673,6 +2690,7 @@ object ExtensionQueries {
     "x116_pq_ann" -> x116_pq_ann,
     "x117_langid_confusion" -> x117_langid_confusion,
     "x118_ivfpq_ann" -> x118_ivfpq_ann,
+    "x119_pq_band_dedup" -> x119_pq_band_dedup,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3151,6 +3169,23 @@ object ExtensionQueries {
        |         row_number() OVER (PARTITION BY q_id
        |                            ORDER BY adc_qd2 ASC, n_id ASC) AS rnk
        |    FROM adc) WHERE rnk <= 3""".stripMargin
+
+  // x119: band self-join on (sub, code), agreement count >= 2,
+  // hydration joins, exact-cosine verify — x07's duplicated-predicate
+  // idiom for the threshold.
+  private lazy val x119Oracle: String =
+    s"""WITH $pqCtes,
+       |cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |                count(*)::BIGINT AS n_shared
+       |           FROM codes a JOIN codes b
+       |             ON a.sub = b.sub AND a.code = b.code
+       |            AND a.vec_id < b.vec_id
+       |          GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT a_id, b_id, n_shared,
+       |       round(${COS("ea.embedding", "eb.embedding")}, 6) AS cos
+       |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
+       |              JOIN embeddings eb ON eb.vec_id = c.b_id
+       | WHERE round(${COS("ea.embedding", "eb.embedding")}, 6) >= 0.45""".stripMargin
 
   // x117: x03's prediction CTE verbatim, rolled to the confusion grain;
   // the share window is matrix-sized.
@@ -4232,7 +4267,8 @@ object ExtensionQueries {
       "x115_pq_encode" -> x115Oracle,
       "x116_pq_ann" -> x116Oracle,
       "x117_langid_confusion" -> x117Oracle,
-      "x118_ivfpq_ann" -> x118Oracle)
+      "x118_ivfpq_ann" -> x118Oracle,
+      "x119_pq_band_dedup" -> x119Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

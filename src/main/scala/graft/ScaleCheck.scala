@@ -208,20 +208,9 @@ object ScaleCheck {
         // CDC chunks: map-side boundary scan + slice, one chunk-fp
         // groupBy — must track x35's fixed-window chunker
         "x114_cdc_chunks",
-        // PQ encode: m·ksub-sized broadcast codebook, (sub, vec)-keyed
-        // assignment windows — must track the x48 trained-kmeans family
-        "x115_pq_encode",
-        // ADC search: one codes scan against a broadcast LUT + exact
-        // integer sums at (query, vector) grain — linear in n, never
-        // touches stored vectors
-        "x116_pq_ann",
         // langid confusion: one x03 scoring pass + matrix-grain rollup
         // — map-side family; the share window is matrix-sized
         "x117_langid_confusion",
-        // IVF+PQ: x116's ADC restricted to probed cells — candidate
-        // volume (query × cell size), must beat the flat ADC scan's
-        // growth as the corpus replicates
-        "x118_ivfpq_ann",
         // ppl buckets: x109's scoring passes + a langs-sized cut
         // broadcast — must track x109, the cut step is noise
         "x111_ppl_buckets",
@@ -340,6 +329,21 @@ object ScaleCheck {
         // far below x22's fixed-k-16 growth on the same corpus (the
         // oracle-checked face of the k ~ sqrt(n) rule)
         "x81_embed_dedup_trained",
+        // x115: PQ train+encode — m·ksub broadcast codebooks,
+        // (sub, vec)-keyed assignment windows; must track the x48
+        // trained-kmeans family (linear in the corpus)
+        "x115_pq_encode",
+        // x116: flat ADC — one codes scan against a broadcast LUT +
+        // exact integer sums at (query, vector) grain — linear in n
+        "x116_pq_ann",
+        // x118: IVF+PQ — x116's ADC restricted to probed cells;
+        // candidate volume (query × cell size) must grow BELOW the
+        // flat ADC scan's as the corpus replicates
+        "x118_ivfpq_ann",
+        // x119: PQ-code banding — replicas encode identically, so
+        // bands gain D-cliques: candidate volume tracks TRUE code
+        // agreements (D² per original pair), never corpus²
+        "x119_pq_band_dedup",
         // x94: hybrid RRF — BOTH corpora are D× here; the query set
         // stays 3 while both modality candidate sides grow, so
         // near-linear means the WindowGroupLimit prunes keep the

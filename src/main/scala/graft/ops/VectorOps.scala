@@ -464,6 +464,46 @@ object VectorOps {
       .filter(col("rnk") <= k)
   }
 
+  /** PQ-code banded dedup — multi-index hashing over the codes
+    * [[pqEncode]] already stores: each (subspace, code) pair is a
+    * band key (the MinHash-band idea transplanted to the embedding
+    * space); vector pairs sharing the code in ≥ `minShared` of the m
+    * subspaces become candidates, and only those pay the exact-cosine
+    * verify ≥ `threshold`. `minShared = m` is the strict
+    * identical-quantization block (precision tier, exact-copy grade);
+    * lowering it trades candidate volume for recall exactly like
+    * adding LSH bands. Complements [[ivfPairs]]' cell-grain
+    * candidates: the bands come FREE with the stored codes — no extra
+    * index, no Σ cell² term. Output: (a_id, b_id, n_shared, cos).
+    *
+    * 100 TB shape: one encode pass (broadcast codebooks); the band
+    * self-join is equi on (sub, code) over ONE aliased subtree
+    * (encode computed once), per-band block size n/ksub (production
+    * ksub = 256+ keeps blocks sharded; skewed/dead codebook regions
+    * get the standard AQE skew-split answer); the agreement count is
+    * a pair-grain agg and hydration is two id-key equi joins. */
+  def pqBandPairs(e: DataFrame, cents: DataFrame, m: Int,
+      minShared: Int, threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(minShared >= 1 && minShared <= m,
+      s"need 1 <= minShared <= m, got $minShared/$m")
+    val codes = pqEncode(e, cents, m, idCol, vecCol)
+    val cand = codes.as("a").join(codes.as("b").hint("shuffle_hash"),
+        col("a.sub") === col("b.sub") && col("a.code") === col("b.code") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val v = e.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    cand
+      .join(v.as("ea"), col("a_id") === col("ea.vec_id"))
+      .join(v.as("eb"), col("b_id") === col("eb.vec_id"))
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        round(VF.cosineFast(col("ea.embedding"), col("eb.embedding")), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** IVF + PQ composed search — the standard billion-scale ANN layout
     * (FAISS's IVFPQ): the coarse quantizer (cosine IVF, [[ivfCells]])
     * restricts each query's scan to its `nprobe` probed cells

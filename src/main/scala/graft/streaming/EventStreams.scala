@@ -742,6 +742,45 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming PQ encode — ingest-time vector compression under a
+    * FROZEN codebook ([[graft.ops.VectorOps.pqTrain]] runs once per
+    * index generation batch-side; the stream pays encode only).
+    * COMPLETELY STATELESS: each subspace's codebook rides in as a
+    * typed literal (m·ksub entries), the per-row argmin is an
+    * `array_min` over (qd2, code) structs — the exact integer-
+    * quantized distance and (qd2 asc, code asc) tie-break
+    * [[graft.ops.VectorOps.pqAssign]] uses, so stream codes are
+    * digit-identical to the batch encode (StreamingSpec pins it). No
+    * watermark, no state store. Output: (vec_id, sub, code, qd2). */
+  def pqEncodeStream(vecs: DataFrame, cents: Seq[(Int, Long, Seq[Float])],
+      m: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(cents.nonEmpty, "pqEncodeStream: empty codebook")
+    val bySub: Map[Int, Seq[(Long, Seq[Float])]] =
+      cents.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    require((0 until m).forall(bySub.contains),
+      s"pqEncodeStream: codebook missing subspaces (have ${bySub.keys})")
+    val dsub = size(col(vecCol)) / m
+    val subCols = (0 until m).map { mi =>
+      val sv = slice(col(vecCol), dsub * mi + 1, dsub)
+      val entries = typedLit(bySub(mi))
+      val best = array_min(transform(entries, c => struct(
+        round(aggregate(
+          zip_with(sv, c.getField("_2"), (x, y) =>
+            (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v) * 1048576)
+          .cast("long").as("qd2"),
+        c.getField("_1").as("code"))))
+      struct(lit(mi).as("sub"), best.getField("code").as("code"),
+        best.getField("qd2").as("qd2"))
+    }
+    vecs.select(col(idCol).as("vec_id"),
+        explode(array(subCols: _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"),
+        col("s.code").as("code"), col("s.qd2").as("qd2"))
+  }
+
   /** Streaming BPE encode — ingest-time tokenization under a FIXED,
     * pre-trained merge table and id vocabulary (the train-once /
     * tokenize-forever contract: [[graft.ops.BpeOps.train]] +

@@ -1577,6 +1577,32 @@ class OpsSpec extends SparkTestBase {
     assert(probed == Set(1L, 9L, 17L), probed)
   }
 
+  test("VectorOps.pqBandPairs: exact copies agree in all subspaces, distinct bases are banded out") {
+    import spark.implicits._
+    def base(i: Int): Seq[Float] = (0 until 8).map(d => (i + d / 8.0).toFloat)
+    val rows = (0 until 24).map(i => (i.toLong, base(i % 8)))
+    val e = rows.toDF("vec_id", "embedding")
+    val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8, iters = 2)
+    // strict gate (minShared = m): per base the 3 identical copies give
+    // exactly 3 pairs, n_shared = 4, cos 1.0; different bases
+    // (cosine-similar but code-distinct in every subspace) never pair
+    val pairs = graft.ops.VectorOps
+      .pqBandPairs(e, cents, m = 4, minShared = 4, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = (0 until 8).flatMap(i =>
+      Seq((i.toLong, i + 8L, 4L, 1.0), (i.toLong, i + 16L, 4L, 1.0),
+        (i + 8L, i + 16L, 4L, 1.0))).toSet
+    assert(pairs.toSet == expected, pairs.sorted.mkString("\n"))
+    // loosening the gate can only ADD pairs (band monotonicity) — here
+    // the code sets are disjoint across bases, so the set is unchanged
+    val loose = graft.ops.VectorOps
+      .pqBandPairs(e, cents, m = 4, minShared = 1, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(loose.toSet == expected, loose.sorted.mkString("\n"))
+  }
+
   test("TextDedup.cdcChunkDedup: insertion robustness — tail chunks re-align where fixed windows shift") {
     // independent boundary check (pure-JVM md5, not the library's
     // hash60 expression): w closes a chunk iff the first 15 hex chars

@@ -727,6 +727,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming PQ encode: frozen codebook, stateless codes equal the batch encode") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8, iters = 2)
+    val batch = graft.ops.VectorOps.pqEncode(e, cents, m = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val frozen = cents.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toSeq)).toSeq
+    val rows = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.EventStreams.pqEncodeStream(
+        input.toDF().toDF("vec_id", "embedding"), frozen, m = 4)
+      .writeStream.format("memory").queryName("pq_stream_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("pq_stream_test").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got == batch, s"stream codes diverged from batch on ${
+        got.count { case (k, v) => batch.get(k) != Some(v) } +
+          (batch.keySet -- got.keySet).size} (vec, sub) rows")
+    } finally q.stop()
+  }
+
   test("streaming DSIR gate: frozen two-model scores equal the batch x83 weight table") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
