@@ -2532,6 +2532,51 @@ object ExtensionQueries {
       threshold = 0.45)
   }
 
+  /** Residual PQ encode ([[graft.ops.VectorOps.pqResiduals]] → the
+    * x115 chain) — the FAISS-faithful IVFPQ form: codes quantize
+    * x − centroid(x), not x, so the codebook budget spends its
+    * resolution where the data is. Total quantization error measured
+    * at ~0.90× the raw chain's on this fixture (OpsSpec pins the
+    * strict inequality). Same output shape as x115; the whole
+    * coarse-train → residual → PQ-train → encode chain hash-checks. */
+  private val x120_pq_residual: QFn = (s, d) => {
+    val e = embs(s, d)
+    val coarse = graft.ops.VectorOps.kmeansTrain(e, initK = 16,
+      iters = X48Iters)
+    val resid = graft.ops.VectorOps.pqResiduals(e, coarse)
+    val cents = graft.ops.VectorOps.pqTrain(resid, m = 4, ksub = 8,
+      iters = X48Iters, vecCol = "resid")
+    graft.ops.VectorOps.pqEncode(resid, cents, m = 4, vecCol = "resid")
+  }
+
+  /** PQ recall audit — x28's in-engine evaluation applied to the ADC
+    * searcher: exact brute-force top-3 vs x116's code-based top-3,
+    * per-query hit count and recall@3. The eval loop every
+    * quantized-index deployment runs before swapping the index in. */
+  private val x121_pq_recall: QFn = (s, d) => {
+    val e = embs(s, d)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"))
+    val exact = q.crossJoin(e.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_e")))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8,
+      iters = X48Iters)
+    val codes = graft.ops.VectorOps.pqEncode(e, cents, m = 4)
+    val approx = graft.ops.VectorOps.pqAdcTopK(e.filter(col("vec_id") < 10),
+      codes, cents, k = 3, m = 4).select(col("q_id"), col("n_id"))
+    val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    q.select(col("q_id")).join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / 3.0, 4).as("recall_at_3"))
+  }
+
   /** Language-ID confusion matrix — the gauge for the x03 classifier
     * itself: labeled lang × predicted lang with counts and
     * within-label shares. The matrix every langid swap/retrain is
@@ -2691,6 +2736,8 @@ object ExtensionQueries {
     "x117_langid_confusion" -> x117_langid_confusion,
     "x118_ivfpq_ann" -> x118_ivfpq_ann,
     "x119_pq_band_dedup" -> x119_pq_band_dedup,
+    "x120_pq_residual" -> x120_pq_residual,
+    "x121_pq_recall" -> x121_pq_recall,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3081,7 +3128,11 @@ object ExtensionQueries {
     s"""list_aggregate(list_transform(list_zip($a,$b),
        |           x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
        |               *(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))),'sum')""".stripMargin
-  private lazy val pqCtes: String = {
+  /** The PQ train/encode CTE chain over any (vec_id, `vcol`) source
+    * CTE/table, names prefixed by `p` so two chains (raw + residual)
+    * can share one WITH. Final names: `${p}cent$X48Iters` (the trained
+    * codebooks) and `${p}codes`. */
+  private def pqCtesFrom(src: String, vcol: String, p: String): String = {
     val m = 4; val dsub = 16; val ksub = 8
     def asg(cent: String, name: String) =
       s"""$name AS (
@@ -3091,7 +3142,7 @@ object ExtensionQueries {
          |    FROM (SELECT s.vec_id, s.sub, s.sv, c.c_id,
          |                 CAST(round((${PQL2("s.sv", "c.c_e")}) * 1048576)
          |                      AS BIGINT) AS qd2
-         |            FROM sv s JOIN $cent c ON s.sub = c.sub))""".stripMargin
+         |            FROM ${p}sv s JOIN $cent c ON s.sub = c.sub))""".stripMargin
     def recenter(asgName: String, centName: String) =
       s"""${centName}_q AS (
          |  SELECT sub, c_id AS cell, generate_subscripts(sv, 1) - 1 AS dim,
@@ -3104,34 +3155,37 @@ object ExtensionQueries {
          |            FROM ${centName}_q GROUP BY sub, cell, dim)
          |   GROUP BY sub, cell)""".stripMargin
     val rounds = (1 to X48Iters).map { i =>
-      asg(s"pcent${i - 1}", s"pasg$i") + ",\n" + recenter(s"pasg$i", s"pcent$i")
+      asg(s"${p}cent${i - 1}", s"${p}asg$i") + ",\n" +
+        recenter(s"${p}asg$i", s"${p}cent$i")
     }.mkString(",\n")
-    s"""sv AS (SELECT e.vec_id, s.sub,
-       |              e.embedding[s.sub*$dsub+1:(s.sub+1)*$dsub] AS sv
-       |         FROM embeddings e,
+    s"""${p}sv AS (SELECT t.vec_id, s.sub,
+       |              t.$vcol[s.sub*$dsub+1:(s.sub+1)*$dsub] AS sv
+       |         FROM $src t,
        |              (SELECT unnest(range(0, $m)) AS sub) s),
-       |pcent0 AS (SELECT sub, vec_id AS c_id, sv AS c_e FROM sv
+       |${p}cent0 AS (SELECT sub, vec_id AS c_id, sv AS c_e FROM ${p}sv
        |            WHERE vec_id < $ksub),
        |$rounds,
-       |${asg(s"pcent$X48Iters", "pasgf")},
-       |codes AS (SELECT vec_id, sub, c_id AS code, qd2
-       |            FROM pasgf WHERE rn = 1)""".stripMargin
+       |${asg(s"${p}cent$X48Iters", s"${p}asgf")},
+       |${p}codes AS (SELECT vec_id, sub, c_id AS code, qd2
+       |            FROM ${p}asgf WHERE rn = 1)""".stripMargin
   }
+  private lazy val pqCtes: String =
+    pqCtesFrom("embeddings", "embedding", "p")
 
   private lazy val x115Oracle: String =
     s"""WITH $pqCtes
-       |SELECT vec_id, sub::INT AS sub, code, qd2 FROM codes""".stripMargin
+       |SELECT vec_id, sub::INT AS sub, code, qd2 FROM pcodes""".stripMargin
 
   private lazy val x116Oracle: String =
     s"""WITH $pqCtes,
        |lut AS (
        |  SELECT q.vec_id AS q_id, c.sub, c.c_id,
        |         CAST(round((${PQL2("q.sv", "c.c_e")}) * 1048576) AS BIGINT) AS pd2
-       |    FROM sv q JOIN pcent$X48Iters c ON q.sub = c.sub
+       |    FROM psv q JOIN pcent$X48Iters c ON q.sub = c.sub
        |   WHERE q.vec_id < 10),
        |adc AS (
        |  SELECT l.q_id, co.vec_id AS n_id, sum(l.pd2)::BIGINT AS adc_qd2
-       |    FROM codes co JOIN lut l ON l.sub = co.sub AND l.c_id = co.code
+       |    FROM pcodes co JOIN lut l ON l.sub = co.sub AND l.c_id = co.code
        |   WHERE co.vec_id <> l.q_id GROUP BY 1, 2)
        |SELECT q_id, n_id, adc_qd2, rnk FROM (
        |  SELECT q_id, n_id, adc_qd2,
@@ -3155,12 +3209,12 @@ object ExtensionQueries {
        |lut AS (
        |  SELECT q.vec_id AS q_id, c.sub, c.c_id,
        |         CAST(round((${PQL2("q.sv", "c.c_e")}) * 1048576) AS BIGINT) AS pd2
-       |    FROM sv q JOIN pcent$X48Iters c ON q.sub = c.sub
+       |    FROM psv q JOIN pcent$X48Iters c ON q.sub = c.sub
        |   WHERE q.vec_id < 10),
        |adc AS (
        |  SELECT ca.q_id, ca.n_id, sum(l.pd2)::BIGINT AS adc_qd2
        |    FROM cand ca
-       |    JOIN codes co ON co.vec_id = ca.n_id
+       |    JOIN pcodes co ON co.vec_id = ca.n_id
        |    JOIN lut l ON l.q_id = ca.q_id AND l.sub = co.sub
        |                AND l.c_id = co.code
        |   GROUP BY 1, 2)
@@ -3177,7 +3231,7 @@ object ExtensionQueries {
     s"""WITH $pqCtes,
        |cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |                count(*)::BIGINT AS n_shared
-       |           FROM codes a JOIN codes b
+       |           FROM pcodes a JOIN pcodes b
        |             ON a.sub = b.sub AND a.code = b.code
        |            AND a.vec_id < b.vec_id
        |          GROUP BY 1, 2 HAVING count(*) >= 2)
@@ -3186,6 +3240,54 @@ object ExtensionQueries {
        |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
        |              JOIN embeddings eb ON eb.vec_id = c.b_id
        | WHERE round(${COS("ea.embedding", "eb.embedding")}, 6) >= 0.45""".stripMargin
+
+  // x120: the coarse chain (lloydCellCtes) → residual vectors → the
+  // SAME PQ generator re-prefixed over the residual source.
+  private lazy val x120Oracle: String =
+    s"""WITH $lloydCellCtes,
+       |resid AS (
+       |  SELECT a.vec_id,
+       |         list_transform(list_zip(a.embedding, k.c_e),
+       |           x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)
+       |                     AS FLOAT)) AS r
+       |    FROM asgf a JOIN cent$X48Iters k ON a.c_id = k.c_id
+       |   WHERE a.rn = 1),
+       |${pqCtesFrom("resid", "r", "r")}
+       |SELECT vec_id, sub::INT AS sub, code, qd2 FROM rcodes""".stripMargin
+
+  // x121: x116's ADC top-3 vs the exact brute-force top-3 — per-query
+  // hit counts, zero-filled for queries the ADC misses entirely.
+  private lazy val x121Oracle: String =
+    s"""WITH $pqCtes,
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, c.sub, c.c_id,
+       |         CAST(round((${PQL2("q.sv", "c.c_e")}) * 1048576) AS BIGINT) AS pd2
+       |    FROM psv q JOIN pcent$X48Iters c ON q.sub = c.sub
+       |   WHERE q.vec_id < 10),
+       |adc AS (
+       |  SELECT l.q_id, co.vec_id AS n_id, sum(l.pd2)::BIGINT AS adc_qd2
+       |    FROM pcodes co JOIN lut l ON l.sub = co.sub AND l.c_id = co.code
+       |   WHERE co.vec_id <> l.q_id GROUP BY 1, 2),
+       |ap AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY adc_qd2 ASC, n_id ASC) AS rnk
+       |    FROM adc) WHERE rnk <= 3),
+       |ex AS (SELECT q_id, n_id FROM (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY round(${COS("q.embedding", "n.embedding")}, 6)
+       |                      DESC, n.vec_id ASC) AS rnk
+       |    FROM embeddings q JOIN embeddings n
+       |      ON q.vec_id < 10 AND q.vec_id <> n.vec_id) WHERE rnk <= 3),
+       |hits AS (SELECT e.q_id, count(*)::BIGINT AS n_hits
+       |           FROM ex e JOIN ap a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |          GROUP BY 1)
+       |SELECT q.vec_id AS q_id,
+       |       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |       round(coalesce(h.n_hits, 0) / 3.0, 4) AS recall_at_3
+       |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+       |  LEFT JOIN hits h ON h.q_id = q.vec_id""".stripMargin
 
   // x117: x03's prediction CTE verbatim, rolled to the confusion grain;
   // the share window is matrix-sized.
@@ -4268,7 +4370,9 @@ object ExtensionQueries {
       "x116_pq_ann" -> x116Oracle,
       "x117_langid_confusion" -> x117Oracle,
       "x118_ivfpq_ann" -> x118Oracle,
-      "x119_pq_band_dedup" -> x119Oracle)
+      "x119_pq_band_dedup" -> x119Oracle,
+      "x120_pq_residual" -> x120Oracle,
+      "x121_pq_recall" -> x121Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

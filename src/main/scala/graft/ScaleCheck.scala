@@ -344,6 +344,12 @@ object ScaleCheck {
         // bands gain D-cliques: candidate volume tracks TRUE code
         // agreements (D² per original pair), never corpus²
         "x119_pq_band_dedup",
+        // x120: residual PQ — x115's passes + the coarse assignment
+        // and one broadcast-centroid subtraction; must track x115
+        "x120_pq_residual",
+        // x121: recall audit — the deliberate exact cross join term
+        // (queries fixed at 10) + x116's linear ADC side
+        "x121_pq_recall",
         // x94: hybrid RRF — BOTH corpora are D× here; the query set
         // stays 3 while both modality candidate sides grow, so
         // near-linear means the WindowGroupLimit prunes keep the

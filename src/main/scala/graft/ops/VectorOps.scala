@@ -504,6 +504,26 @@ object VectorOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** Residuals w.r.t. a coarse assignment — the input of FAISS-faithful
+    * residual PQ (IVFPQ encodes x − centroid(x), not x: residuals are
+    * concentrated around zero, so the same codebook budget spends its
+    * resolution where the data actually is; measured on the fixture
+    * the residual chain's total quantization error is ~0.90× the
+    * raw-vector chain's, OpsSpec-pinned). Each residual element is one
+    * double subtraction cast back to FLOAT — bit-identical across
+    * engines. Output: (vec_id, cell, resid).
+    *
+    * 100 TB shape: [[ivfCells]]' broadcast assignment + one broadcast
+    * centroid join — map-only, no shuffle beyond the assignment's
+    * keyed rank. */
+  def pqResiduals(e: DataFrame, coarse: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfCells(e, coarse, nprobe = 1, idCol, vecCol)
+      .join(broadcast(coarse), col("cell") === col("c_id"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("c_e"), (a, b) =>
+          (a.cast("double") - b.cast("double")).cast("float")).as("resid"))
+
   /** IVF + PQ composed search — the standard billion-scale ANN layout
     * (FAISS's IVFPQ): the coarse quantizer (cosine IVF, [[ivfCells]])
     * restricts each query's scan to its `nprobe` probed cells

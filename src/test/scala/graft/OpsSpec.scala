@@ -1577,6 +1577,23 @@ class OpsSpec extends SparkTestBase {
     assert(probed == Set(1L, 9L, 17L), probed)
   }
 
+  test("VectorOps residual PQ: total quantization error strictly below the raw-vector chain's") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = graft.ops.VectorOps.kmeansTrain(e, initK = 16, iters = 2)
+    val resid = graft.ops.VectorOps.pqResiduals(e, coarse)
+    val rErr = graft.ops.VectorOps
+      .pqEncode(resid,
+        graft.ops.VectorOps.pqTrain(resid, m = 4, ksub = 8, iters = 2,
+          vecCol = "resid"), m = 4, vecCol = "resid")
+      .agg(sum(col("qd2"))).head.getLong(0)
+    val rawErr = graft.ops.VectorOps
+      .pqEncode(e,
+        graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8, iters = 2), m = 4)
+      .agg(sum(col("qd2"))).head.getLong(0)
+    // the point of residual encoding: same codebook budget, less error
+    assert(rErr < rawErr, s"residual $rErr !< raw $rawErr")
+  }
+
   test("VectorOps.pqBandPairs: exact copies agree in all subspaces, distinct bases are banded out") {
     import spark.implicits._
     def base(i: Int): Seq[Float] = (0 until 8).map(d => (i + d / 8.0).toFloat)

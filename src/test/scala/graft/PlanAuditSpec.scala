@@ -444,6 +444,12 @@ class PlanAuditSpec extends SparkTestBase {
                                 // assignment (x48's shape, twice: db +
                                 // query probes); candidate/code/LUT
                                 // joins are all equi
+      "x120_pq_residual",       // 16-row broadcast coarse assignment
+                                // (x48's shape) feeding the residuals;
+                                // PQ assignment joins are equi on sub
+      "x121_pq_recall",         // the exact-top-k baseline is the x28
+                                // deliberate 10-query × corpus cross
+                                // join; ADC side is all equi
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
