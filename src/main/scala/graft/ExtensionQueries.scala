@@ -2577,6 +2577,25 @@ object ExtensionQueries {
         round(coalesce(col("n_hits"), lit(0L)) / 3.0, 4).as("recall_at_3"))
   }
 
+  /** Residual IVF+PQ search ([[graft.ops.VectorOps
+    * .ivfPqResidualTopK]]) — the complete faithful IVFPQ query path:
+    * coarse probe (nprobe=2) + x120's residual codes + a
+    * per-(query, cell) residual LUT. x118 searches raw-vector codes;
+    * this searches the lower-error residual codes the production
+    * index actually stores. Whole chain hash-checked. */
+  private val x122_ivfpq_residual_ann: QFn = (s, d) => {
+    val e = embs(s, d)
+    val coarse = graft.ops.VectorOps.kmeansTrain(e, initK = 16,
+      iters = X48Iters)
+    val resid = graft.ops.VectorOps.pqResiduals(e, coarse)
+    val cents = graft.ops.VectorOps.pqTrain(resid, m = 4, ksub = 8,
+      iters = X48Iters, vecCol = "resid")
+    val codes = graft.ops.VectorOps.pqEncode(resid, cents, m = 4,
+      vecCol = "resid")
+    graft.ops.VectorOps.ivfPqResidualTopK(e.filter(col("vec_id") < 10),
+      coarse, nprobe = 2, resid, codes, cents, k = 3, m = 4)
+  }
+
   /** Language-ID confusion matrix — the gauge for the x03 classifier
     * itself: labeled lang × predicted lang with counts and
     * within-label shares. The matrix every langid swap/retrain is
@@ -2738,6 +2757,7 @@ object ExtensionQueries {
     "x119_pq_band_dedup" -> x119_pq_band_dedup,
     "x120_pq_residual" -> x120_pq_residual,
     "x121_pq_recall" -> x121_pq_recall,
+    "x122_ivfpq_residual_ann" -> x122_ivfpq_residual_ann,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3288,6 +3308,45 @@ object ExtensionQueries {
        |       round(coalesce(h.n_hits, 0) / 3.0, 4) AS recall_at_3
        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
        |  LEFT JOIN hits h ON h.q_id = q.vec_id""".stripMargin
+
+  // x122: lloydCtes at nprobe=2 (asgf serves db at rn=1 and queries at
+  // rn<=2), residual chain re-prefixed, per-(q, cell) residual LUT,
+  // cell-matched exact integer ADC sums.
+  private lazy val x122Oracle: String =
+    s"""WITH ${lloydCtes(seedK = 16, nprobe = 2)},
+       |resid AS (
+       |  SELECT a.vec_id, a.c_id AS cell,
+       |         list_transform(list_zip(a.embedding, k.c_e),
+       |           x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)
+       |                     AS FLOAT)) AS r
+       |    FROM asgf a JOIN cent$X48Iters k ON a.c_id = k.c_id
+       |   WHERE a.rn = 1),
+       |${pqCtesFrom("resid", "r", "r")},
+       |qres AS (
+       |  SELECT a.vec_id AS q_id, a.c_id AS cell,
+       |         list_transform(list_zip(a.embedding, k.c_e),
+       |           x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)
+       |                     AS FLOAT)) AS qr
+       |    FROM asgf a JOIN cent$X48Iters k ON a.c_id = k.c_id
+       |   WHERE a.rn <= 2 AND a.vec_id < 10),
+       |qsv AS (SELECT q_id, cell, s.sub, qr[s.sub*16+1:(s.sub+1)*16] AS sv
+       |          FROM qres, (SELECT unnest(range(0, 4)) AS sub) s),
+       |lut AS (
+       |  SELECT q.q_id, q.cell, q.sub, c.c_id AS code,
+       |         CAST(round((${PQL2("q.sv", "c.c_e")}) * 1048576) AS BIGINT) AS pd2
+       |    FROM qsv q JOIN rcent$X48Iters c ON q.sub = c.sub),
+       |dbc AS (SELECT co.vec_id, r.cell, co.sub, co.code
+       |          FROM rcodes co JOIN resid r USING (vec_id)),
+       |adc AS (
+       |  SELECT l.q_id, d.vec_id AS n_id, sum(l.pd2)::BIGINT AS adc_qd2
+       |    FROM dbc d JOIN lut l ON l.cell = d.cell AND l.sub = d.sub
+       |                          AND l.code = d.code
+       |   WHERE d.vec_id <> l.q_id GROUP BY 1, 2)
+       |SELECT q_id, n_id, adc_qd2, rnk FROM (
+       |  SELECT q_id, n_id, adc_qd2,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY adc_qd2 ASC, n_id ASC) AS rnk
+       |    FROM adc) WHERE rnk <= 3""".stripMargin
 
   // x117: x03's prediction CTE verbatim, rolled to the confusion grain;
   // the share window is matrix-sized.
@@ -4372,7 +4431,8 @@ object ExtensionQueries {
       "x118_ivfpq_ann" -> x118Oracle,
       "x119_pq_band_dedup" -> x119Oracle,
       "x120_pq_residual" -> x120Oracle,
-      "x121_pq_recall" -> x121Oracle)
+      "x121_pq_recall" -> x121Oracle,
+      "x122_ivfpq_residual_ann" -> x122Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -350,6 +350,9 @@ object ScaleCheck {
         // x121: recall audit — the deliberate exact cross join term
         // (queries fixed at 10) + x116's linear ADC side
         "x121_pq_recall",
+        // x122: residual IVFPQ — x120's passes + the probed-cell ADC;
+        // must track x118 (candidates grow with cell size)
+        "x122_ivfpq_residual_ann",
         // x94: hybrid RRF — BOTH corpora are D× here; the query set
         // stays 3 while both modality candidate sides grow, so
         // near-linear means the WindowGroupLimit prunes keep the

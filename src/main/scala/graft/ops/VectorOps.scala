@@ -570,6 +570,57 @@ object VectorOps {
       .filter(col("rnk") <= k)
   }
 
+  /** Residual IVF+PQ search — the COMPLETE faithful IVFPQ query path
+    * (coarse probe + residual codes + per-(query, cell) ADC): because
+    * x120's codes quantize residuals, a query's lookup table must be
+    * built against ITS residual in each probed cell — q − centroid(cell)
+    * — so the LUT is (queries · nprobe · m · ksub) rows, still
+    * broadcast-sized. Candidates are the probed cells' members, scored
+    * by exact integer sums of the cell-matched partials; a db vector
+    * lives in exactly one cell, so the (q, n) sum is well-defined.
+    * Output: (q_id, n_id, adc_qd2, rnk ≤ k).
+    *
+    * 100 TB shape: identical to [[ivfPqTopK]] — the codes scan joins
+    * the broadcast LUT equi on (cell, sub, code), nothing touches
+    * stored vectors; the residual twist only grows the LUT by the
+    * nprobe factor. */
+  def ivfPqResidualTopK(queries: DataFrame, coarse: DataFrame,
+      nprobe: Int, resid: DataFrame, codes: DataFrame, cents: DataFrame,
+      k: Int, m: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qr = ivfCells(queries, coarse, nprobe, idCol, vecCol)
+      .join(broadcast(coarse), col("cell") === col("c_id"))
+      .select(col("vec_id").as("q_id"), col("cell"),
+        zip_with(col("embedding"), col("c_e"), (a, b) =>
+          (a.cast("double") - b.cast("double")).cast("float")).as("qr"))
+    val dsub = size(col("qr")) / m
+    val qsv = qr.select(col("q_id"), col("cell"),
+        explode(transform(sequence(lit(0), lit(m - 1)), mi =>
+          struct(mi.cast("int").as("sub"),
+            slice(col("qr"), mi * dsub + 1, dsub).as("sv")))).as("s"))
+      .select(col("q_id"), col("cell"), col("s.sub").as("sub"),
+        col("s.sv").as("sv"))
+    val d2 = aggregate(
+      zip_with(col("sv"), col("c_e"), (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val lut = qsv.join(cents, Seq("sub"))
+      .select(col("q_id"), col("cell"), col("sub"),
+        col("c_id").as("code"),
+        round(d2 * 1048576).cast("long").as("pd2"))
+    val dbCodes = codes
+      .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val byQ = Window.partitionBy("q_id")
+      .orderBy(col("adc_qd2").asc, col("n_id").asc)
+    dbCodes.join(broadcast(lut), Seq("cell", "sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("pd2")).as("adc_qd2"))
+      .withColumn("rnk", row_number().over(byQ).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   def gramMatrix(e: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     e.select(col(idCol), col(vecCol).as("__v"),

@@ -1594,6 +1594,40 @@ class OpsSpec extends SparkTestBase {
     assert(rErr < rawErr, s"residual $rErr !< raw $rawErr")
   }
 
+  test("VectorOps.ivfPqResidualTopK: results only from probed cells, dense ranks, deterministic under repartition") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = graft.ops.VectorOps.kmeansTrain(e, initK = 16, iters = 2)
+    val resid = graft.ops.VectorOps.pqResiduals(e, coarse)
+    val cents = graft.ops.VectorOps.pqTrain(resid, m = 4, ksub = 8,
+      iters = 2, vecCol = "resid")
+    val codes = graft.ops.VectorOps.pqEncode(resid, cents, m = 4,
+      vecCol = "resid")
+    val qs = e.filter(col("vec_id") < 10)
+    def run(src: org.apache.spark.sql.DataFrame) = graft.ops.VectorOps
+      .ivfPqResidualTopK(qs, coarse, nprobe = 2, src, codes, cents,
+        k = 3, m = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._4))
+    val out = run(resid)
+    // candidate restriction: every neighbor's cell is one the query probed
+    val probed = graft.ops.VectorOps.ivfCells(qs, coarse, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val dbCell = resid.select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length),
+        s"q=$q ranks not dense: ${rows.toSeq}")
+      rows.foreach { case (_, n, _, _) =>
+        assert(probed(q).contains(dbCell(n)),
+          s"q=$q neighbor $n from unprobed cell ${dbCell(n)}")
+      }
+    }
+    // partition invariance of the whole chain
+    assert(run(resid.repartition(7)).toSeq == out.toSeq)
+  }
+
   test("VectorOps.pqBandPairs: exact copies agree in all subspaces, distinct bases are banded out") {
     import spark.implicits._
     def base(i: Int): Seq[Float] = (0 until 8).map(d => (i + d / 8.0).toFloat)

@@ -447,6 +447,9 @@ class PlanAuditSpec extends SparkTestBase {
       "x120_pq_residual",       // 16-row broadcast coarse assignment
                                 // (x48's shape) feeding the residuals;
                                 // PQ assignment joins are equi on sub
+      "x122_ivfpq_residual_ann", // the same coarse broadcasts (db +
+                                // query probes + residual LUT);
+                                // code/LUT joins equi on (cell,sub,code)
       "x121_pq_recall",         // the exact-top-k baseline is the x28
                                 // deliberate 10-query × corpus cross
                                 // join; ADC side is all equi
