@@ -2596,6 +2596,45 @@ object ExtensionQueries {
       coarse, nprobe = 2, resid, codes, cents, k = 3, m = 4)
   }
 
+  /** Corpus card v2 — x70's dataset report extended with this round's
+    * signal family, per language: doc/token mass, mean word entropy
+    * (x112's compression tier, exact-decimal mean), the Gopher
+    * repetition keep rate (x110's gate), and the heavy-hitter token
+    * fraction (share of the language's tokens that are corpus-level
+    * heavy hitters, x113's set — vocabulary-concentration at a
+    * glance). Report-grade composition: three independent signal
+    * passes (each individually ScaleCheck-measured: 1.67×/2.39×/1.33×
+    * at ×4) + one lang rollup; left joins zero-fill a language with no
+    * heavy-hitter tokens. */
+  private val x123_corpus_card_v2: QFn = (s, d) => {
+    val docs0 = docsR(s, d)
+    val ent = graft.ops.CorpusOps.entropySignal(docs0)
+    val rep = graft.ops.CorpusOps.repetitionSignals(docs0)
+    val words = docs0.select(col("doc_id"), col("lang"),
+      explode(TF.words(col("text"))).as("word"))
+    val hh = graft.ops.SketchOps
+      .heavyHitters(words.select(col("word")), "word", k = 64)
+      .select(col("word"))
+    val hhMass = words.join(broadcast(hh), Seq("word"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("hh_tokens"))
+    docs0.select(col("doc_id"), col("lang"))
+      .join(ent.select(col("doc_id"), col("n_words"), col("entropy")),
+        Seq("doc_id"))
+      .join(rep.select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        round(sum(col("entropy").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("mean_entropy"),
+        round(sum(col("keep")).cast("double") / count(lit(1)), 4)
+          .as("keep_rate"))
+      .join(hhMass, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("mean_entropy"), col("keep_rate"),
+        round(coalesce(col("hh_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 4).as("hh_token_frac"))
+  }
+
   /** Language-ID confusion matrix — the gauge for the x03 classifier
     * itself: labeled lang × predicted lang with counts and
     * within-label shares. The matrix every langid swap/retrain is
@@ -2758,6 +2797,7 @@ object ExtensionQueries {
     "x120_pq_residual" -> x120_pq_residual,
     "x121_pq_recall" -> x121_pq_recall,
     "x122_ivfpq_residual_ann" -> x122_ivfpq_residual_ann,
+    "x123_corpus_card_v2" -> x123_corpus_card_v2,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3347,6 +3387,35 @@ object ExtensionQueries {
        |         row_number() OVER (PARTITION BY q_id
        |                            ORDER BY adc_qd2 ASC, n_id ASC) AS rnk
        |    FROM adc) WHERE rnk <= 3""".stripMargin
+
+  // x123: the three constituent oracles as CTEs (the x82 wrapping
+  // idiom), one lang rollup, left-join zero-fill on the hh mass.
+  private lazy val x123Oracle: String =
+    s"""WITH e AS (
+       |$x112Oracle
+       |),
+       |r AS (
+       |$x110Oracle
+       |),
+       |hh AS (
+       |$x113Oracle
+       |),
+       |w AS (SELECT d.lang, unnest(string_split($NT,' ')) AS word
+       |        FROM documents d),
+       |hm AS (SELECT lang, count(*)::BIGINT AS hh_tokens
+       |         FROM w JOIN hh ON w.word = hh.word GROUP BY 1),
+       |agg AS (
+       |  SELECT d.lang, count(*)::BIGINT AS n_docs,
+       |         sum(e.n_words)::BIGINT AS n_tokens,
+       |         round(sum(CAST(e.entropy AS DECIMAL(18,4)))::DOUBLE
+       |               / count(*), 4) AS mean_entropy,
+       |         round(sum(r.keep)::DOUBLE / count(*), 4) AS keep_rate
+       |    FROM documents d JOIN e USING (doc_id) JOIN r USING (doc_id)
+       |   GROUP BY 1)
+       |SELECT a.lang, a.n_docs, a.n_tokens, a.mean_entropy, a.keep_rate,
+       |       round(coalesce(hm.hh_tokens, 0)::DOUBLE
+       |             / a.n_tokens::DOUBLE, 4) AS hh_token_frac
+       |  FROM agg a LEFT JOIN hm ON hm.lang = a.lang""".stripMargin
 
   // x117: x03's prediction CTE verbatim, rolled to the confusion grain;
   // the share window is matrix-sized.
@@ -4432,7 +4501,8 @@ object ExtensionQueries {
       "x119_pq_band_dedup" -> x119Oracle,
       "x120_pq_residual" -> x120Oracle,
       "x121_pq_recall" -> x121Oracle,
-      "x122_ivfpq_residual_ann" -> x122Oracle)
+      "x122_ivfpq_residual_ann" -> x122Oracle,
+      "x123_corpus_card_v2" -> x123Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

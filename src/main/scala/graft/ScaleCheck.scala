@@ -211,6 +211,9 @@ object ScaleCheck {
         // langid confusion: one x03 scoring pass + matrix-grain rollup
         // — map-side family; the share window is matrix-sized
         "x117_langid_confusion",
+        // corpus card v2: three measured signal passes + lang rollup —
+        // must track the sum of its constituents (x112+x110+x113)
+        "x123_corpus_card_v2",
         // ppl buckets: x109's scoring passes + a langs-sized cut
         // broadcast — must track x109, the cut step is noise
         "x111_ppl_buckets",

@@ -1686,6 +1686,28 @@ class OpsSpec extends SparkTestBase {
       fp(s"$s1 $s2 $bw") -> ((3L, 0L, 1L))), out)
   }
 
+  test("x123 corpus card v2: per-lang rows consistent with its constituent signals") {
+    val d = sf
+    val card = graft.ExtensionQueries.all("x123_corpus_card_v2")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val langCounts = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card.keySet == langCounts.keySet)
+    card.foreach { case (lang, (nDocs, nTokens, meanEnt, keepRate, hhFrac)) =>
+      assert(nDocs == langCounts(lang), s"$lang n_docs")
+      assert(nTokens >= nDocs, s"$lang tokens < docs")
+      assert(meanEnt > 0.0 && meanEnt < 10.0, s"$lang mean_entropy $meanEnt")
+      assert(keepRate >= 0.0 && keepRate <= 1.0, s"$lang keep_rate")
+      assert(hhFrac >= 0.0 && hhFrac <= 1.0, s"$lang hh_token_frac")
+    }
+    // the hh fraction is a real signal, not a constant: the corpus'
+    // common vocabulary dominates, so every language sits high
+    assert(card.values.forall(_._5 > 0.5), card)
+  }
+
   test("CorpusOps.entropySignal: hand-derived bits, normalized form, degenerate one-type doc") {
     // "a a b b": H = 1 bit exactly, norm = 1.0 (uniform over 2 types).
     // "a a a b": raw = ln4 - (3·ln3)/4 quantized -> 0.8113 bits; norm

@@ -440,6 +440,9 @@ class PlanAuditSpec extends SparkTestBase {
                                 // the integer threshold (x85's class);
                                 // the candidate recount join is equi on
                                 // the value
+      "x123_corpus_card_v2",    // inherits x113's 1-row total broadcast
+                                // (the hh constituent); every card join
+                                // is equi on doc_id/lang/word
       "x118_ivfpq_ann",         // 16-row broadcast coarse-centroid
                                 // assignment (x48's shape, twice: db +
                                 // query probes); candidate/code/LUT
