@@ -45,32 +45,47 @@ object TextDedup {
     * chunk-fingerprint groupBy (uniform md5 keys, map-side partial
     * agg), identical to x35's. */
   def cdcChunkDedup(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", modulus: Int = 8): DataFrame = {
+      textCol: String = "text", modulus: Int = 8): DataFrame =
+    cdcChunkFps(
+      docs.select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws")),
+      modulus)
+      .groupBy(col("chunk_fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keep"),
+        count(lit(1)).as("n_sites"))
+      .select(col("chunk_fp"), col("keep.doc_id").as("keep_doc"),
+        col("keep.chunk_idx").as("keep_chunk"), col("n_sites"))
+
+  /** The chunking half of [[cdcChunkDedup]] as a reusable frame
+    * transform: input is any frame with a `ws` word-array column;
+    * output keeps every OTHER input column and adds (chunk_idx,
+    * chunk_fp) — one row per content-defined chunk. Shared by the
+    * batch dedup and the streaming ingest gate so the two can never
+    * disagree on what a chunk is. Entirely map-side. */
+  private[graft] def cdcChunkFps(toks: DataFrame,
+      modulus: Int): DataFrame = {
     val isB = (w: Column) => TF.hash60(w, "cdc|") % modulus === 0
-    val toks = docs
-      .select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws"))
-      .withColumn("n", size(col("ws")))
+    val withN = toks.withColumn("__n", size(col("ws")))
     // ascending boundary positions; append n only when the last word
     // is not itself a boundary (keeps the list duplicate-free without
     // an order-fragile distinct)
     val bnds = concat(
-      filter(sequence(lit(1), col("n")),
+      filter(sequence(lit(1), col("__n")),
         i => isB(element_at(col("ws"), i))),
       when(isB(element_at(col("ws"), -1)), array().cast("array<int>"))
-        .otherwise(array(col("n"))))
-    toks
-      .withColumn("bnds", bnds)
-      .select(col("doc_id"), explode(transform(col("bnds"), (b, j) =>
+        .otherwise(array(col("__n"))))
+    withN
+      .withColumn("__bnds", bnds)
+      .withColumn("__c", explode(transform(col("__bnds"), (b, j) =>
         struct(j.cast("long").as("chunk_idx"),
           concat_ws(" ", slice(col("ws"),
-            when(j === 0, lit(1)).otherwise(element_at(col("bnds"), j) + 1),
-            b - when(j === 0, lit(0)).otherwise(element_at(col("bnds"), j))))
-            .as("chunk_text")))).as("c"))
-      .groupBy(md5(col("c.chunk_text")).as("chunk_fp"))
-      .agg(min(struct(col("doc_id"), col("c.chunk_idx"))).as("keep"),
-        count(lit(1)).as("n_sites"))
-      .select(col("chunk_fp"), col("keep.doc_id").as("keep_doc"),
-        col("keep.chunk_idx").as("keep_chunk"), col("n_sites"))
+            when(j === 0, lit(1))
+              .otherwise(element_at(col("__bnds"), j) + 1),
+            b - when(j === 0, lit(0))
+              .otherwise(element_at(col("__bnds"), j))))
+            .as("chunk_text")))))
+      .withColumn("chunk_idx", col("__c.chunk_idx"))
+      .withColumn("chunk_fp", md5(col("__c.chunk_text")))
+      .drop("ws", "__n", "__bnds", "__c")
   }
 
   /** MinHash+LSH near-dup pairs: `numHashes` minhashes over

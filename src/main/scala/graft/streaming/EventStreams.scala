@@ -742,6 +742,39 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming CDC chunk-dedup gate — [[graft.ops.TextDedup
+    * .cdcChunkDedup]]'s ingest twin at [[graft.ops.TextDedup
+    * .cdcChunkFps]]' shared grain (one chunk definition, so batch
+    * dedup and ingest gate can never disagree): incoming docs are
+    * chunked by the same content-defined boundary rule, chunk fps
+    * stream-static-join a FROZEN historical chunk-fp set, and a
+    * watermarked stateful agg rolls back up to doc grain. Output:
+    * (window, doc_id, n_chunks, n_known_chunks) — the "how much of
+    * this incoming doc already exists in the corpus" signal an ingest
+    * gate thresholds on (the CDC grain survives edits that shift every
+    * fixed window).
+    *
+    * Scale: chunking is map-side; the known set joins as a static side
+    * (never collected); state is (window, doc)-keyed and
+    * watermark-bounded. */
+  def cdcGateStream(docs: DataFrame, knownFps: DataFrame,
+      modulus: Int = 8, windowDur: String = "10 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val TF = graft.functions.TextFunctions
+    val toks = docs
+      .withColumn("event_time", eventTime(docs))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("doc_id"), col("event_time"),
+        TF.words(col("text")).as("ws"))
+    graft.ops.TextDedup.cdcChunkFps(toks, modulus)
+      .join(knownFps.select(col("chunk_fp"), lit(1L).as("__known"))
+        .distinct(), Seq("chunk_fp"), "left")
+      .groupBy(window(col("event_time"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__known").isNotNull, 1L).otherwise(0L))
+          .as("n_known_chunks"))
+  }
+
   /** Streaming PQ encode — ingest-time vector compression under a
     * FROZEN codebook ([[graft.ops.VectorOps.pqTrain]] runs once per
     * index generation batch-side; the stream pays encode only).

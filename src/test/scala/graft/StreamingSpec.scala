@@ -727,6 +727,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CDC chunk gate: shared chunk grain, per-doc known counts equal the batch join") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    implicit val sqlCtx = spark.sqlContext
+    val TF = graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 =!= 0)
+    val known = graft.ops.TextDedup.cdcChunkFps(
+        hist.select(col("doc_id"), TF.words(col("text")).as("ws")), 8)
+      .select(col("chunk_fp")).distinct()
+    val batch = graft.ops.TextDedup.cdcChunkFps(
+        incoming.select(col("doc_id"), TF.words(col("text")).as("ws")), 8)
+      .join(known.withColumn("__known", lit(1L)), Seq("chunk_fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__known").isNotNull, 1L).otherwise(0L))
+          .as("n_known"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(batch.values.exists(_._2 > 0), "fixture has no known chunks")
+    val rows = incoming.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), 1000000000L))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.EventStreams.cdcGateStream(
+        input.toDF().toDF("doc_id", "text", "ts"), known)
+      .writeStream.format("memory").queryName("cdc_gate_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("cdc_gate_test").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got == batch, s"stream gate diverged from batch on ${
+        got.count { case (k, v) => batch.get(k) != Some(v) } +
+          (batch.keySet -- got.keySet).size} docs")
+    } finally q.stop()
+  }
+
   test("streaming PQ encode: frozen codebook, stateless codes equal the batch encode") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
