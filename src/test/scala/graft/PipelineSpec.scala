@@ -267,6 +267,54 @@ class PipelineSpec extends SparkTestBase {
       "partitioning moved the allocation")
   }
 
+  test("curation pipeline v6: entropy band gate -> CDC ownership dedup -> temperature mix composes deterministically") {
+    val docs = Catalog(spark, sf).table("documents")
+    val n0 = docs.count()
+
+    // 1. entropy band (x112): reject BOTH tails — sub-p05 (templated/
+    //    repetitive) and the ceiling (norm_entropy = 1 exactly: every
+    //    type equally likely, shuffled-vocabulary noise has no
+    //    structure to keep)
+    val ent = CorpusOps.entropySignal(docs)
+    val lo = ent.agg(percentile(col("entropy"), lit(0.05))).head.getDouble(0)
+    val banded = docs.join(
+      ent.filter(col("entropy") >= lo && col("norm_entropy") < 1.0)
+        .select("doc_id"), Seq("doc_id"))
+    val n1 = banded.count()
+    assert(n1 > 0 && n1 < n0, s"entropy band must discriminate: $n1 of $n0")
+
+    // 2. CDC ownership dedup (x114's grain as a doc rule): a doc
+    //    survives iff it OWNS at least half its chunks (keep-min
+    //    within the gated pool) — exact duplicates own none of theirs
+    //    (the lower-id copy owns them all), so the planted dups drop
+    val chunks = graft.ops.TextDedup.cdcChunkFps(
+      banded.select(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("ws")), 8)
+    val keepMin = chunks.groupBy(col("chunk_fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+      .select(col("chunk_fp"), col("k.doc_id").as("keep_doc"))
+    val owned = chunks.join(keepMin, Seq("chunk_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_owned"))
+      .filter(col("n_owned") * 2 >= col("n_chunks"))
+    val deduped = banded.join(owned.select("doc_id"), Seq("doc_id"))
+    val n2 = deduped.count()
+    assert(n2 > 0 && n2 < n1,
+      s"CDC ownership must drop the planted dups: $n2 of $n1")
+
+    // 3. temperature mix (x54) over the curated pool — and the whole
+    //    chain is a pure function of its inputs: a second run is
+    //    row-identical
+    def mix() = CorpusOps.temperatureSample(deduped, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val first = mix()
+    assert(first.nonEmpty && first.size < n2,
+      s"mix must sample a strict subset: ${first.size} of $n2")
+    assert(mix() == first, "pipeline must be deterministic end to end")
+  }
+
   test("lmScores scan-amplification audit: composed unigram+bigram scoring reads the corpus once") {
     val sc = spark.sparkContext
     val docs = Catalog(spark, sf).table("documents")
