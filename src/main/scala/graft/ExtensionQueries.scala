@@ -2635,6 +2635,18 @@ object ExtensionQueries {
           col("n_tokens").cast("double"), 4).as("hh_token_frac"))
   }
 
+  /** Int8 SQ cosine top-k ([[graft.ops.VectorOps.sqTopK]]) — the
+    * middle memory tier between exact fp32 (x12) and PQ codes (x116):
+    * 4× compression with near-exact recall. Similarity is a ratio of
+    * EXACT integer sums (the per-vector scales cancel in cosine), so
+    * the whole result table hash-checks with no quantized-double
+    * machinery. Top-3 per query (vec_id < 10), linear int8 scan,
+    * query side broadcast. */
+  private val x124_sq_ann: QFn = (s, d) => {
+    val e = embs(s, d)
+    graft.ops.VectorOps.sqTopK(e.filter(col("vec_id") < 10), e, k = 3)
+  }
+
   /** Language-ID confusion matrix — the gauge for the x03 classifier
     * itself: labeled lang × predicted lang with counts and
     * within-label shares. The matrix every langid swap/retrain is
@@ -2798,6 +2810,7 @@ object ExtensionQueries {
     "x121_pq_recall" -> x121_pq_recall,
     "x122_ivfpq_residual_ann" -> x122_ivfpq_residual_ann,
     "x123_corpus_card_v2" -> x123_corpus_card_v2,
+    "x124_sq_ann" -> x124_sq_ann,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3416,6 +3429,38 @@ object ExtensionQueries {
        |       round(coalesce(hm.hh_tokens, 0)::DOUBLE
        |             / a.n_tokens::DOUBLE, 4) AS hh_token_frac
        |  FROM agg a LEFT JOIN hm ON hm.lang = a.lang""".stripMargin
+
+  // x124: per-vector max-abs int8 quantization replayed in SQL; the
+  // score is a ratio of exact integer sums (scales cancel in cosine).
+  private lazy val x124Oracle: String =
+    s"""WITH sq AS (
+       |  SELECT vec_id,
+       |         CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+       |              ELSE list_transform(embedding,
+       |                x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx)
+       |                          AS BIGINT)) END AS qv
+       |    FROM (SELECT vec_id, embedding,
+       |                 list_max(list_transform(embedding,
+       |                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+       |            FROM embeddings)),
+       |sn AS (SELECT vec_id, qv,
+       |              list_aggregate(list_transform(qv, x -> x*x), 'sum')
+       |                ::BIGINT AS qn
+       |         FROM sq),
+       |sc AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |         CASE WHEN q.qn = 0 OR n.qn = 0 THEN 0.0
+       |              ELSE round(
+       |                list_aggregate(list_transform(list_zip(q.qv, n.qv),
+       |                  x -> x[1]*x[2]), 'sum')::DOUBLE
+       |                / (sqrt(q.qn::DOUBLE) * sqrt(n.qn::DOUBLE)), 6)
+       |         END AS cos_sq
+       |    FROM sn q JOIN sn n ON q.vec_id < 10 AND q.vec_id <> n.vec_id)
+       |SELECT q_id, n_id, cos_sq, rnk FROM (
+       |  SELECT q_id, n_id, cos_sq,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos_sq DESC, n_id ASC) AS rnk
+       |    FROM sc) WHERE rnk <= 3""".stripMargin
 
   // x117: x03's prediction CTE verbatim, rolled to the confusion grain;
   // the share window is matrix-sized.
@@ -4502,7 +4547,8 @@ object ExtensionQueries {
       "x120_pq_residual" -> x120Oracle,
       "x121_pq_recall" -> x121Oracle,
       "x122_ivfpq_residual_ann" -> x122Oracle,
-      "x123_corpus_card_v2" -> x123Oracle)
+      "x123_corpus_card_v2" -> x123Oracle,
+      "x124_sq_ann" -> x124Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -356,6 +356,9 @@ object ScaleCheck {
         // x122: residual IVFPQ — x120's passes + the probed-cell ADC;
         // must track x118 (candidates grow with cell size)
         "x122_ivfpq_residual_ann",
+        // x124: int8 SQ scan — deliberately linear in n (the
+        // memory-bandwidth tier; IVF composes on top as for PQ)
+        "x124_sq_ann",
         // x94: hybrid RRF — BOTH corpora are D× here; the query set
         // stays 3 while both modality candidate sides grow, so
         // near-linear means the WindowGroupLimit prunes keep the

@@ -504,6 +504,59 @@ object VectorOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** Symmetric int8 scalar quantization — the middle memory tier of
+    * the embedding store (fp32 exact / int8 SQ at 4× compression / PQ
+    * codes at ~40×): per-vector max-abs scale (x29's exact
+    * definition), q_i = round(x_i · 127 / maxabs) ∈ [−127, 127].
+    * Cosine over quantized vectors needs NO scales at all — they
+    * cancel — so similarity is a ratio of EXACT integer sums
+    * (Σ qa·qb / √(Σ qa²)·√(Σ qb²)): deterministic across engines and
+    * partitionings with no quantized-double discipline needed at all.
+    * All-zero vectors quantize to zeros (the x29 guard) and score 0
+    * against everything. Output: (vec_id, qv — int array, qn — the
+    * exact Σ q², for reuse by the searcher). Pure map work. */
+  def sqQuantize(e: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val qv = when(mx === 0.0,
+      transform(col(vecCol), _ => lit(0L)))
+      .otherwise(transform(col(vecCol),
+        x => round(x.cast("double") * 127.0 / mx).cast("long")))
+    e.select(col(idCol).as("vec_id"), qv.as("qv"))
+      .withColumn("qn", aggregate(col("qv"),
+        lit(0L), (acc, v) => acc + v * v))
+  }
+
+  /** Brute-force int8 cosine top-k — the SQ tier's searcher: every
+    * (query, vector) score is an exact-integer-dot ratio (scales
+    * cancel, see [[sqQuantize]]), rounded to 6 for output; rank
+    * (cos_sq desc, n_id asc), self excluded. The scan is linear in n
+    * (the memory-bandwidth tier; IVF composes on top exactly as for
+    * PQ); the query side is broadcast. Output: (q_id, n_id, cos_sq,
+    * rnk ≤ k). */
+  def sqTopK(queries: DataFrame, db: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = sqQuantize(queries, idCol, vecCol)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("qn").as("q_qn"))
+    val n = sqQuantize(db, idCol, vecCol)
+      .select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+        col("qn").as("n_qn"))
+    val idot = aggregate(zip_with(col("q_qv"), col("n_qv"),
+      (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+    val byQ = Window.partitionBy("q_id")
+      .orderBy(col("cos_sq").desc, col("n_id").asc)
+    n.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        when(col("q_qn") === 0L || col("n_qn") === 0L, lit(0.0))
+          .otherwise(round(idot.cast("double") /
+            (sqrt(col("q_qn").cast("double")) *
+              sqrt(col("n_qn").cast("double"))), 6)).as("cos_sq"))
+      .withColumn("rnk", row_number().over(byQ).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Residuals w.r.t. a coarse assignment — the input of FAISS-faithful
     * residual PQ (IVFPQ encodes x − centroid(x), not x: residuals are
     * concentrated around zero, so the same codebook budget spends its

@@ -1628,6 +1628,41 @@ class OpsSpec extends SparkTestBase {
     assert(run(resid.repartition(7)).toSeq == out.toSeq)
   }
 
+  test("VectorOps SQ tier: int8 cosine within quantization error of exact; zero guard; values bounded") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val top = graft.ops.VectorOps
+      .sqTopK(e.filter(col("vec_id") < 10), e, k = 3).collect()
+    assert(top.length == 30)
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosExact(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    top.foreach { r =>
+      val ex = cosExact(vecs(r.getLong(0)), vecs(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - ex) < 0.02,
+        s"int8 cosine drifted: $r vs exact $ex")
+    }
+    // all-zero vector quantizes to zeros and scores 0 by the guard
+    val z = Seq((100L, Seq.fill(8)(0.0f)),
+      (101L, Seq.tabulate(8)(i => (i + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val zq = graft.ops.VectorOps
+      .sqTopK(z.filter($"vec_id" === 100L), z, k = 1).collect()
+    assert(zq.length == 1 && zq.head.getDouble(2) == 0.0, zq.toSeq)
+    // quantized values stay in the int8 envelope
+    val bound = graft.ops.VectorOps.sqQuantize(e)
+      .select(explode(col("qv")).as("q")).agg(max(abs(col("q"))))
+      .head.getLong(0)
+    assert(bound <= 127L, s"quantized value out of int8 range: $bound")
+  }
+
   test("VectorOps.pqBandPairs: exact copies agree in all subspaces, distinct bases are banded out") {
     import spark.implicits._
     def base(i: Int): Seq[Float] = (0 until 8).map(d => (i + d / 8.0).toFloat)

@@ -456,6 +456,9 @@ class PlanAuditSpec extends SparkTestBase {
       "x121_pq_recall",         // the exact-top-k baseline is the x28
                                 // deliberate 10-query × corpus cross
                                 // join; ADC side is all equi
+      "x124_sq_ann",            // the deliberate 10-query broadcast ×
+                                // corpus int8 scan (x12's brute-force
+                                // class at the SQ tier)
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
