@@ -69,6 +69,43 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("SketchOps property: MG bounds and exact heavy-hitter output on randomized skewed streams") {
+    import spark.implicits._
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(15)
+      // Zipf-ish skew: item i drawn with weight ~ 1/(i+1)
+      val vocab = 5 + rnd.nextInt(40)
+      val weights = Array.tabulate(vocab)(i => 1.0 / (i + 1))
+      val wSum = weights.sum
+      val n = 200 + rnd.nextInt(800)
+      val stream = Seq.fill(n) {
+        var u = rnd.nextDouble() * wSum; var i = 0
+        while (u > weights(i) && i < vocab - 1) { u -= weights(i); i += 1 }
+        s"w$i"
+      }
+      val truth = stream.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      // MG single-pass bounds
+      val mg = graft.ops.SketchOps.mgSummary(k)(stream.iterator).toMap
+      assert(mg.size <= k, s"seed=$seed size ${mg.size} > k=$k")
+      mg.foreach { case (w, r) =>
+        assert(r <= truth(w), s"seed=$seed $w overcounted")
+        assert(truth(w) - r <= n / (k + 1), s"seed=$seed $w undercount bound")
+      }
+      truth.foreach { case (w, c) =>
+        if (c > n / (k + 1))
+          assert(mg.contains(w), s"seed=$seed heavy $w missing from summary")
+      }
+      // distributed two-pass = brute force, at an arbitrary partitioning
+      val parts = 1 + rnd.nextInt(8)
+      val got = graft.ops.SketchOps
+        .heavyHitters(stream.toDF("w").repartition(parts), "w", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = truth.filter { case (_, c) => c * (k + 1) > n }
+      assert(got == want, s"seed=$seed k=$k parts=$parts: $got != $want")
+    }
+  }
+
   test("sketches merge across groups (partial aggregation shape)") {
     // per-flag sketches vs global: the merged global count must be >= any
     // per-group count and <= the sum (set-union semantics, mergeable state)
