@@ -799,6 +799,25 @@ object CorpusOps {
     // not sample alike). The keep decision stays per-ROW (same hash
     // threshold), so expected kept weight per group follows the same
     // (W_min/W_g)^(1-alpha) law the doc form applies to counts.
+    docs.join(broadcast(
+        temperatureRates(docs, groupCol, alpha, resolution, weightCol)),
+      groupCol)
+      .filter(TF.hash60(col(idCol).cast("string"), s"$salt|") % resolution
+        < col("thr"))
+      .select(col(idCol), col(groupCol), round(col("rate"), 6).as("rate"))
+  }
+
+  /** The trained half of [[temperatureSample]] as its own frame —
+    * (group, rate, thr): per-group keep rates from the
+    * (n_min/n_g)^(1-α) law with the integer threshold. Split out so
+    * the batch sampler and the streaming ingest gate
+    * ([[graft.streaming.EventStreams.mixGateStream]]) derive the keep
+    * decision from ONE definition and can never drift. GROUPS-sized
+    * (map-side partial agg + a 1-row n_min broadcast). */
+  def temperatureRates(docs: DataFrame, groupCol: String = "lang",
+      alpha: Double = 0.5, resolution: Long = 1000000L,
+      weightCol: Option[String] = None): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
     val counts = weightCol match {
       case Some(w) => docs.groupBy(col(groupCol))
         .agg(sum(col(w)).as("n_group"))
@@ -806,16 +825,12 @@ object CorpusOps {
         .agg(count(lit(1)).as("n_group"))
     }
     val nMin = counts.agg(min(col("n_group")).as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
+    counts.crossJoin(broadcast(nMin))
       .withColumn("rate",
         pow(col("n_min").cast("double") / col("n_group").cast("double"),
           lit(1.0 - alpha)))
       .select(col(groupCol), col("rate"),
         round(col("rate") * resolution).cast("long").as("thr"))
-    docs.join(broadcast(rates), groupCol)
-      .filter(TF.hash60(col(idCol).cast("string"), s"$salt|") % resolution
-        < col("thr"))
-      .select(col(idCol), col(groupCol), round(col("rate"), 6).as("rate"))
   }
 
   /** Weighted sampling WITHOUT replacement — exactly `k` rows per

@@ -775,6 +775,27 @@ object EventStreams {
           .as("n_known_chunks"))
   }
 
+  /** Streaming temperature-mixture gate — [[graft.ops.CorpusOps
+    * .temperatureSample]]'s ingest twin under FROZEN rates
+    * ([[graft.ops.CorpusOps.temperatureRates]] trains the (group,
+    * rate, thr) law batch-side on the historical corpus; one shared
+    * definition, so batch and stream can never drift): each incoming
+    * row joins its group's rate (stream-static equi join, never
+    * collected) and survives iff the SAME deterministic hash
+    * threshold passes. COMPLETELY STATELESS — membership is a pure
+    * function of (id, salt, frozen rates), so the stream admits
+    * exactly the rows the batch sampler would, in any ingest order
+    * (StreamingSpec pins it). Output: (id, group, rate). */
+  def mixGateStream(docs: DataFrame, rates: DataFrame,
+      groupCol: String = "lang", idCol: String = "doc_id",
+      salt: String = "mix", resolution: Long = 1000000L): DataFrame = {
+    val TF = graft.functions.TextFunctions
+    docs.join(rates, Seq(groupCol))
+      .filter(TF.hash60(col(idCol).cast("string"), s"$salt|") % resolution
+        < col("thr"))
+      .select(col(idCol), col(groupCol), round(col("rate"), 6).as("rate"))
+  }
+
   /** Streaming PQ encode — ingest-time vector compression under a
     * FROZEN codebook ([[graft.ops.VectorOps.pqTrain]] runs once per
     * index generation batch-side; the stream pays encode only).

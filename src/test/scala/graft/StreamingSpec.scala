@@ -766,6 +766,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming mixture gate: frozen rates, admitted set equals the batch temperature sample") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rates = graft.ops.CorpusOps.temperatureRates(docs, alpha = 0.5)
+    val batch = graft.ops.CorpusOps.temperatureSample(docs, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(batch.nonEmpty)
+    val rows = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.mixGateStream(
+        input.toDF().toDF("doc_id", "lang"), rates)
+      .writeStream.format("memory").queryName("mix_gate_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("mix_gate_test").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      assert(got == batch, s"stream gate diverged from batch on ${
+        got.count { case (k, v) => batch.get(k) != Some(v) } +
+          (batch.keySet -- got.keySet).size} docs")
+    } finally q.stop()
+  }
+
   test("streaming PQ encode: frozen codebook, stateless codes equal the batch encode") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
