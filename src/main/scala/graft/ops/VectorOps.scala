@@ -557,6 +557,48 @@ object VectorOps {
       .filter(col("rnk") <= k)
   }
 
+  /** Persist a PQ index: the trained codebooks and the corpus codes as
+    * two catalog tables (`<name>_cents`, m·ksub rows; `<name>_codes`,
+    * n·m rows — the ~40×-compressed form that replaces the fp32
+    * vectors at query time). Train-once / search-forever: a LATER
+    * session reads both tables back and [[searchPqIndex]] returns
+    * results digit-identical to the in-memory chain (OpsSpec pins the
+    * round trip). No bucketing — ADC scans the whole codes table by
+    * design; compose IVF cells on top for pruning ([[ivfPqTopK]]). */
+  def writePqIndex(cat: graft.catalog.Catalog, name: String,
+      e: DataFrame, m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"index name must be a plain SQL identifier, got '$name'")
+    val cents = pqTrain(e, m, ksub, iters, idCol, vecCol)
+    val codes = pqEncode(e, cents, m, idCol, vecCol)
+    cat.create(s"${name}_cents", cents.schema)
+    cat.append(s"${name}_cents", cents)
+    cat.create(s"${name}_codes", codes.schema)
+    cat.append(s"${name}_codes", codes)
+  }
+
+  /** Fold newly-arrived vectors into a persisted PQ index: encode
+    * against the FROZEN stored codebook (the same train-once contract
+    * as [[graft.streaming.EventStreams.pqEncodeStream]] — new codes
+    * are a pure function of the new vectors and the stored codebook)
+    * and append the code rows. Re-train + [[writePqIndex]] when drift
+    * makes the frozen codebooks a bad quantizer of the data. */
+  def appendToPqIndex(cat: graft.catalog.Catalog, name: String,
+      newVecs: DataFrame, m: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    cat.append(s"${name}_codes",
+      pqEncode(newVecs, cat.table(s"${name}_cents"), m, idCol, vecCol))
+
+  /** ADC top-k over a persisted PQ index — [[pqAdcTopK]] with both
+    * halves read back from the catalog; any session that can see the
+    * directory gets the identical searcher. */
+  def searchPqIndex(cat: graft.catalog.Catalog, name: String,
+      queries: DataFrame, k: Int, m: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqAdcTopK(queries, cat.table(s"${name}_codes"),
+      cat.table(s"${name}_cents"), k, m, idCol, vecCol)
+
   /** Residuals w.r.t. a coarse assignment — the input of FAISS-faithful
     * residual PQ (IVFPQ encodes x − centroid(x), not x: residuals are
     * concentrated around zero, so the same codebook budget spends its

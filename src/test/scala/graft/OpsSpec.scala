@@ -1628,6 +1628,39 @@ class OpsSpec extends SparkTestBase {
     assert(run(resid.repartition(7)).toSeq == out.toSeq)
   }
 
+  test("VectorOps PQ index lifecycle: persist, second-session search identity, frozen-codebook append") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val half1 = e.filter(col("vec_id") % 2 === 0)
+    val half2 = e.filter(col("vec_id") % 2 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_index").toString
+    graft.ops.VectorOps.writePqIndex(
+      graft.catalog.Catalog(spark, dir), "pqidx", half1)
+    // a FRESH catalog = a later session reading the same directory
+    val cat2 = graft.catalog.Catalog(spark, dir)
+    val qs = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val cents = graft.ops.VectorOps.pqTrain(half1, m = 4, ksub = 8, iters = 2)
+    val inMem = rows(graft.ops.VectorOps.pqAdcTopK(qs,
+      graft.ops.VectorOps.pqEncode(half1, cents, m = 4), cents, k = 3, m = 4))
+    assert(rows(graft.ops.VectorOps.searchPqIndex(cat2, "pqidx", qs, k = 3))
+      == inMem, "persisted search diverged from the in-memory chain")
+    // append under the frozen codebook: stored codes for the new half
+    // equal a direct encode against the stored codebook
+    graft.ops.VectorOps.appendToPqIndex(cat2, "pqidx", half2)
+    val stored = cat2.table("pqidx_codes")
+      .join(half2.select(col("vec_id")), Seq("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val direct = graft.ops.VectorOps
+      .pqEncode(half2, cat2.table("pqidx_cents"), m = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(stored == direct, "appended codes diverged from direct encode")
+  }
+
   test("VectorOps SQ tier: int8 cosine within quantization error of exact; zero guard; values bounded") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
