@@ -2608,10 +2608,15 @@ object ExtensionQueries {
     * heavy-hitter tokens. */
   private val x123_corpus_card_v2: QFn = (s, d) => {
     val docs0 = docsR(s, d)
-    val ent = graft.ops.CorpusOps.entropySignal(docs0)
-    val rep = graft.ops.CorpusOps.repetitionSignals(docs0)
+    // one persisted explode feeds entropy, the hh set, and the per-lang
+    // hh mass (the x61 one-pass discipline); repetition keeps its own
+    // gram-grain pass — 2 tokenize passes total, PipelineSpec-audited
     val words = docs0.select(col("doc_id"), col("lang"),
       explode(TF.words(col("text"))).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ent = graft.ops.CorpusOps.entropySignalFromWords(
+      words.select(col("doc_id"), col("word")))
+    val rep = graft.ops.CorpusOps.repetitionSignals(docs0)
     val hh = graft.ops.SketchOps
       .heavyHitters(words.select(col("word")), "word", k = 64)
       .select(col("word"))

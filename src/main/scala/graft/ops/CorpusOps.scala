@@ -1184,19 +1184,25 @@ object CorpusOps {
     * shuffle is keyed by doc_id, nothing corpus-wide, no broadcast. */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val nt = TF.normText(col(textCol))
-    val ws = TF.words(col(textCol))
+    // one tokenize pass persisted: the doc-stat projection and the
+    // gram explode both read it (without the cache the corpus text is
+    // scanned twice — the x61 one-pass discipline)
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TF.words(col(textCol)).as("ws"),
+        length(regexp_replace(TF.normText(col(textCol)), " ", ""))
+          .cast("long").as("tot"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ws = col("ws")
     def grams(n: Int): Column =
       when(size(ws) >= n,
         transform(sequence(lit(1), size(ws) - (n - 1)),
           i => struct(lit(n).as("n"),
             concat_ws(" ", slice(ws, i, lit(n))).as("gram"))))
         .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-    val base = docs.select(col(idCol).as("doc_id"),
-      size(ws).cast("long").as("n_words"),
-      length(regexp_replace(nt, " ", "")).cast("long").as("tot"))
-    val cnts = docs
-      .select(col(idCol).as("doc_id"),
+    val base = toks.select(col("doc_id"),
+      size(ws).cast("long").as("n_words"), col("tot"))
+    val cnts = toks
+      .select(col("doc_id"),
         explode(concat(grams(2), grams(3), grams(5))).as("g"))
       .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
       .agg(count(lit(1)).as("cnt"))
@@ -1244,9 +1250,17 @@ object CorpusOps {
     * only the final subtraction/ratio runs through doubles (the x97
     * recipe), with `+ 0.0` guarding the −0.0 repr. */
   def entropySignal(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val cnt = tokenized(docs, idCol, textCol)
-      .select(col("doc_id"), explode(col("ws")).as("word"))
+      textCol: String = "text"): DataFrame =
+    entropySignalFromWords(tokenized(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("ws")).as("word")))
+
+  /** [[entropySignal]] over a pre-exploded (doc_id, word) frame — the
+    * composition form that shares one tokenize pass with other
+    * word-grain consumers (the lmScoreFromWords discipline; x123's
+    * card feeds entropy, the heavy-hitter set, and the per-lang hh
+    * mass from ONE persisted explode). */
+  def entropySignalFromWords(words: DataFrame): DataFrame = {
+    val cnt = words
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("c"))
     // lnN/lnT quantized to the same 6-decimal grid as the per-word term

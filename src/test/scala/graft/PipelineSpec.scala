@@ -315,6 +315,36 @@ class PipelineSpec extends SparkTestBase {
     assert(mix() == first, "pipeline must be deterministic end to end")
   }
 
+  test("x123 scan-amplification audit: the card's word-grain consumers share one persisted explode") {
+    val sc = spark.sparkContext
+    val docs = Catalog(spark, sf).table("documents")
+    def fileBytes(): Long = {
+      val s = org.apache.hadoop.fs.FileSystem
+        .getGlobalStorageStatistics.get("file")
+      if (s == null) 0L else s.getLong("bytesRead")
+    }
+    def bytesOf(act: => Unit): Long = {
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val before = fileBytes(); act; fileBytes() - before
+    }
+    // yardstick = ONE pass through the same rebalanced reader the card
+    // uses (tableRebalanced's under-split guard adds a constant extra
+    // file read, so the raw-table scan would undercount the unit)
+    val single = bytesOf(
+      Catalog(spark, sf).tableRebalanced("documents")
+        .select(length(col("text")).as("n")).agg(sum(col("n"))).collect())
+    // entropy + hh set + hh mass ride the persisted explode; repetition
+    // is the one other full-text pass (itself one-pass since its toks
+    // persist) — the card must stay ≤ ~2 passes; without the shared
+    // caches it reads the corpus 4×
+    val card = bytesOf(
+      graft.ExtensionQueries.all("x123_corpus_card_v2")(spark, sf).collect())
+    assert(single > 0, "yardstick scan measured zero file bytes")
+    assert(card < single * 5 / 2,
+      s"corpus card read ${card}B from disk vs one rebalanced corpus " +
+        s"scan ${single}B — the shared word explode is not shared")
+  }
+
   test("lmScores scan-amplification audit: composed unigram+bigram scoring reads the corpus once") {
     val sc = spark.sparkContext
     val docs = Catalog(spark, sf).table("documents")
