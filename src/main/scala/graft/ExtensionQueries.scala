@@ -2652,6 +2652,48 @@ object ExtensionQueries {
     graft.ops.VectorOps.sqTopK(e.filter(col("vec_id") < 10), e, k = 3)
   }
 
+  /** Corpus saturation curve ([[graft.ops.CorpusOps.saturationCurve]])
+    * — the Heaps-law monitor: per deterministic ingestion wave, the
+    * fraction of its distinct shingles never seen before. Novelty
+    * collapsing toward 0 is the crawler-stuck early warning; x88
+    * measures the resulting dup pairs after the fact. One persisted
+    * shingle pass, shingle-grain aggs, waves-sized output. */
+  private val x125_saturation: QFn = (s, d) =>
+    graft.ops.CorpusOps.saturationCurve(docsR(s, d), waves = 5,
+      shingleK = ShingleK)
+
+  /** Matryoshka truncation recall (Kusupati et al., NeurIPS 2022) —
+    * does the HALF-dimension prefix of the embedding rank like the
+    * full vector? Exact top-3 under the 32-dim prefix cosine vs the
+    * full 64-dim exact top-3, per-query hits + recall@3. High recall
+    * licenses running ANN (and the whole IVF/PQ stack) on the prefix
+    * at half the memory — the audit a truncation decision reads
+    * first. Both sides are the deliberate 10-query × corpus
+    * brute-force cross join (x28's class). */
+  private val x126_matryoshka_recall: QFn = (s, d) => {
+    val e = embs(s, d)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    def top3(vec: Column => Column) = {
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), vec(col("embedding")).as("q_e"))
+      q.crossJoin(e.select(col("vec_id").as("n_id"),
+          vec(col("embedding")).as("n_e")))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"))
+    }
+    val full = top3(identity)
+    val half = top3(v => slice(v, 1, 32))
+    val hits = full.join(half, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    embs(s, d).filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / 3.0, 4).as("recall_at_3"))
+  }
+
   /** Language-ID confusion matrix — the gauge for the x03 classifier
     * itself: labeled lang × predicted lang with counts and
     * within-label shares. The matrix every langid swap/retrain is
@@ -2816,6 +2858,8 @@ object ExtensionQueries {
     "x122_ivfpq_residual_ann" -> x122_ivfpq_residual_ann,
     "x123_corpus_card_v2" -> x123_corpus_card_v2,
     "x124_sq_ann" -> x124_sq_ann,
+    "x125_saturation" -> x125_saturation,
+    "x126_matryoshka_recall" -> x126_matryoshka_recall,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3466,6 +3510,53 @@ object ExtensionQueries {
        |         row_number() OVER (PARTITION BY q_id
        |                            ORDER BY cos_sq DESC, n_id ASC) AS rnk
        |    FROM sc) WHERE rnk <= 3""".stripMargin
+
+  // x125: per-doc distinct shingle hashes (x07's set recipe) at wave
+  // grain; min-wave first-seen + per-wave exact distinct.
+  private lazy val x125Oracle: String =
+    s"""WITH w AS (SELECT doc_id % 5 AS batch,
+       |                 string_split($NT,' ') AS ws FROM documents),
+       |s AS (SELECT batch,
+       |             [array_to_string(ws[i:i+${ShingleK - 1}],' ')
+       |              for i in range(1, len(ws)-${ShingleK - 2})] AS sh
+       |        FROM w WHERE len(ws) >= $ShingleK),
+       |sh AS (SELECT batch,
+       |              unnest(list_distinct(list_transform(sh,
+       |                x -> ${H60("x")}))) AS fp FROM s),
+       |nb AS (SELECT batch, count(*)::BIGINT AS n_new FROM (
+       |         SELECT fp, min(batch) AS batch FROM sh GROUP BY fp)
+       |        GROUP BY 1),
+       |db AS (SELECT batch, count(DISTINCT fp)::BIGINT AS n_distinct
+       |         FROM sh GROUP BY 1)
+       |SELECT d.batch, d.n_distinct,
+       |       coalesce(nb.n_new, 0)::BIGINT AS n_new,
+       |       round(coalesce(nb.n_new, 0)::DOUBLE
+       |             / d.n_distinct::DOUBLE, 4) AS novelty
+       |  FROM db d LEFT JOIN nb ON nb.batch = d.batch""".stripMargin
+
+  // x126: the x28 recall recipe with the half-dim prefix as the
+  // approximate side — both rankings exact brute force.
+  private lazy val x126Oracle: String = {
+    def t3(expr: String, name: String) =
+      s"""$name AS (SELECT q_id, n_id FROM (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(${COS(s"q.$expr", s"n.$expr")}, 6)
+         |                      DESC, n.vec_id ASC) AS rnk
+         |    FROM embeddings q JOIN embeddings n
+         |      ON q.vec_id < 10 AND q.vec_id <> n.vec_id) WHERE rnk <= 3)""".stripMargin
+    s"""WITH ${t3("embedding", "fullt")},
+       |${t3("embedding[1:32]", "halft")},
+       |hits AS (SELECT f.q_id, count(*)::BIGINT AS n_hits
+       |           FROM fullt f JOIN halft h
+       |             ON h.q_id = f.q_id AND h.n_id = f.n_id
+       |          GROUP BY 1)
+       |SELECT q.vec_id AS q_id,
+       |       coalesce(hi.n_hits, 0)::BIGINT AS n_hits,
+       |       round(coalesce(hi.n_hits, 0) / 3.0, 4) AS recall_at_3
+       |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+       |  LEFT JOIN hits hi ON hi.q_id = q.vec_id""".stripMargin
+  }
 
   // x117: x03's prediction CTE verbatim, rolled to the confusion grain;
   // the share window is matrix-sized.
@@ -4553,7 +4644,9 @@ object ExtensionQueries {
       "x121_pq_recall" -> x121Oracle,
       "x122_ivfpq_residual_ann" -> x122Oracle,
       "x123_corpus_card_v2" -> x123Oracle,
-      "x124_sq_ann" -> x124Oracle)
+      "x124_sq_ann" -> x124Oracle,
+      "x125_saturation" -> x125Oracle,
+      "x126_matryoshka_recall" -> x126Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -214,6 +214,10 @@ object ScaleCheck {
         // corpus card v2: three measured signal passes + lang rollup —
         // must track the sum of its constituents (x112+x110+x113)
         "x123_corpus_card_v2",
+        // saturation curve: one persisted shingle pass + shingle-grain
+        // min/distinct aggs — must track the x07 map-side family (the
+        // dup-replicated corpus collapses novelty, not the plan)
+        "x125_saturation",
         // ppl buckets: x109's scoring passes + a langs-sized cut
         // broadcast — must track x109, the cut step is noise
         "x111_ppl_buckets",
@@ -359,6 +363,9 @@ object ScaleCheck {
         // x124: int8 SQ scan — deliberately linear in n (the
         // memory-bandwidth tier; IVF composes on top as for PQ)
         "x124_sq_ann",
+        // x126: two deliberate exact rankings (queries fixed at 10) —
+        // the audit pays the x28-class linear term twice
+        "x126_matryoshka_recall",
         // x94: hybrid RRF — BOTH corpora are D× here; the query set
         // stays 3 while both modality candidate sides grow, so
         // near-linear means the WindowGroupLimit prunes keep the

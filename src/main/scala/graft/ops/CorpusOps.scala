@@ -1278,6 +1278,41 @@ object CorpusOps {
           .otherwise(lit(0.0)).as("norm_entropy"))
   }
 
+  /** Corpus SATURATION curve — the Heaps-law diagnostic a growing
+    * corpus is monitored with: split ingestion into `waves`
+    * deterministic waves (doc_id mod `waves`), and per wave report how
+    * much of its distinct shingle mass is NEW (first seen in that
+    * wave). A healthy diverse corpus keeps novelty high wave after
+    * wave; a crawler stuck re-fetching the same sites shows novelty
+    * collapsing toward 0 — the early-warning twin of the dedup rate
+    * (x88 measures pairs after the fact; this measures the trend as
+    * data lands). Output: (batch, n_distinct — the wave's distinct
+    * shingles, n_new — those first seen here, novelty = n_new /
+    * n_distinct, 4 dp).
+    *
+    * 100 TB shape: one shingle pass persisted (map-side 8-byte
+    * fingerprints), a shingle-grain min-wave groupBy and a per-wave
+    * exact distinct — both uniform hash keys with map-side partials;
+    * output is waves-sized. */
+  def saturationCurve(docs: DataFrame, waves: Int = 5,
+      shingleK: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(waves >= 1, s"waves >= 1, got $waves")
+    val sh = docs.select((col(idCol) % waves).as("batch"),
+        explode(TF.shingleSetFast(TF.words(col(textCol)), shingleK))
+          .as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = sh.groupBy(col("fp")).agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_new"))
+    sh.groupBy(col("batch"))
+      .agg(countDistinct(col("fp")).as("n_distinct"))
+      .join(nb, Seq("batch"), "left")
+      .select(col("batch"), col("n_distinct"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(coalesce(col("n_new"), lit(0L)).cast("double") /
+          col("n_distinct").cast("double"), 4).as("novelty"))
+  }
+
   /** Boilerplate EXCISION by global block frequency — the CCNet /
     * RefinedWeb paragraph-dedup step (Wenzek et al. LREC 2020 §4.1:
     * hash every paragraph, drop paragraphs whose hash repeats across

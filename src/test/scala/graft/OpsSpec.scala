@@ -1776,6 +1776,26 @@ class OpsSpec extends SparkTestBase {
     assert(card.values.forall(_._5 > 0.5), card)
   }
 
+  test("CorpusOps.saturationCurve: hand-planted overlap, first-seen attribution, novelty collapse on pure dups") {
+    // wave 0 (doc 0): "a b c d" -> shingles {abc, bcd}; wave 1 (doc 1):
+    // "a b c e" -> {abc, bce}: abc first seen in wave 0, so wave 1 is
+    // half-novel. doc 2 (wave 0) repeats doc 0 exactly: no new types.
+    val docs = Seq((0L, "a b c d"), (1L, "a b c e"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.saturationCurve(docs, waves = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      0L -> ((2L, 2L, 1.0)),
+      1L -> ((2L, 1L, 0.5))), out)
+    // a wave of ONLY re-fetched content reads novelty 0 — the alarm
+    val stuck = Seq((0L, "a b c d"), (1L, "a b c d"))
+      .toDF("doc_id", "text")
+    val s2 = graft.ops.CorpusOps.saturationCurve(stuck, waves = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(s2 == Map(0L -> 1.0, 1L -> 0.0), s2)
+  }
+
   test("CorpusOps.entropySignal: hand-derived bits, normalized form, degenerate one-type doc") {
     // "a a b b": H = 1 bit exactly, norm = 1.0 (uniform over 2 types).
     // "a a a b": raw = ln4 - (3·ln3)/4 quantized -> 0.8113 bits; norm

@@ -459,6 +459,9 @@ class PlanAuditSpec extends SparkTestBase {
       "x124_sq_ann",            // the deliberate 10-query broadcast ×
                                 // corpus int8 scan (x12's brute-force
                                 // class at the SQ tier)
+      "x126_matryoshka_recall", // two deliberate 10-query × corpus
+                                // exact rankings (x28's audit class);
+                                // the hits join is equi
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
