@@ -1776,6 +1776,63 @@ class OpsSpec extends SparkTestBase {
     assert(card.values.forall(_._5 > 0.5), card)
   }
 
+  test("TextDedup.cdcChunkDedup property: random single-word edits — chunking matches an independent replay, tails re-align") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex("cdc|" + s).take(15), 16)
+    // independent pure-JVM replay of the chunking rule
+    def chunksOf(words: Seq[String]): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var cur = List.newBuilder[String]
+      var n = 0
+      for (w <- words) {
+        cur += w; n += 1
+        if (h60(w) % 8 == 0) { out += cur.result().mkString(" "); cur = List.newBuilder[String]; n = 0 }
+      }
+      if (n > 0) out += cur.result().mkString(" ")
+      out.result()
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 30).map(i => s"t$i")
+      val base = Seq.fill(40 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+      val pos = rnd.nextInt(base.size)
+      val edited = (base.take(pos) :+ vocab(rnd.nextInt(vocab.size))) ++ base.drop(pos)
+      val docs = Seq((1L, base.mkString(" ")), (2L, edited.mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = graft.ops.TextDedup.cdcChunkDedup(docs).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      // the engine's chunk multiset must equal the independent replay's
+      val want = (chunksOf(base) ++ chunksOf(edited))
+        .groupBy(identity).map { case (c, g) => md5hex(c) -> g.size.toLong }
+      assert(got == want, s"seed=$seed: engine chunking diverged from replay")
+      // CDC re-alignment: every chunk strictly after the edited one is
+      // shared between the two docs (n_sites = 2 for its fp)
+      val bc = chunksOf(base); val ec = chunksOf(edited)
+      val sharedTail = bc.reverse.zip(ec.reverse)
+        .takeWhile { case (a, b) => a == b }.size
+      // the edit reshapes exactly ONE chunk: everything after it
+      // re-aligns, so the shared tail spans all base chunks past the
+      // edit position (a fixed-stride chunker would share none)
+      val editChunkIdx = {
+        var seen = 0; var idx = 0
+        while (idx < bc.size && seen + bc(idx).split(" ").length <= pos) {
+          seen += bc(idx).split(" ").length; idx += 1
+        }
+        idx
+      }
+      assert(sharedTail >= bc.size - editChunkIdx - 1,
+        s"seed=$seed tail failed to re-align: shared $sharedTail of " +
+          s"${bc.size} chunks, edit in chunk $editChunkIdx")
+      bc.reverse.take(sharedTail).foreach { c =>
+        assert(got(md5hex(c)) >= 2L, s"seed=$seed tail chunk not shared: '$c'")
+      }
+    }
+  }
+
   test("CorpusOps.saturationCurve: hand-planted overlap, first-seen attribution, novelty collapse on pure dups") {
     // wave 0 (doc 0): "a b c d" -> shingles {abc, bcd}; wave 1 (doc 1):
     // "a b c e" -> {abc, bce}: abc first seen in wave 0, so wave 1 is
