@@ -2694,6 +2694,68 @@ object ExtensionQueries {
         round(coalesce(col("n_hits"), lit(0L)) / 3.0, 4).as("recall_at_3"))
   }
 
+  /** Bag-of-words dedup ([[graft.ops.TextDedup.bagDedup]]) — the
+    * permutation-invariant tier between x04 (byte-identical) and x07
+    * (set-based): word-order shuffles of the same multiset collapse,
+    * vocabulary-sharing docs with different counts do not. x04's
+    * groups are a strict subset by construction (spec-pinned). */
+  private val x127_bag_dedup: QFn = (s, d) =>
+    graft.ops.TextDedup.bagDedup(docs(s, d))
+
+  /** Dedup tier-agreement matrix — which tier catches what: the drop
+    * sets of exact (x04), bag-of-words (x127), MinHash-decision (x33)
+    * and SimHash-decision (x34) compared pairwise — (n_a, n_b,
+    * n_both) per unordered tier pair. The containment ladder every
+    * dedup stack documents (exact ⊆ bag; the near-dup tiers overlap
+    * but neither contains the other) becomes a measured table instead
+    * of a claim. Each tier's drop set is the documented machinery of
+    * its own query; the matrix adds one tagged union, a doc-keyed
+    * equi self-join, and tier-grain rollups. */
+  private val x128_dedup_tiers: QFn = (s, d) => {
+    import s.implicits._
+    val dd = docs(s, d)
+    def hashDrops(h: Column, tier: String) = {
+      val t = dd.select(col("doc_id"), h.as("h"))
+      t.join(t.groupBy(col("h")).agg(min(col("doc_id")).as("k")), Seq("h"))
+        .filter(col("doc_id") =!= col("k"))
+        .select(lit(tier).as("tier"), col("doc_id"))
+    }
+    val drops =
+      hashDrops(md5(TF.normText(col("text"))), "exact")
+        .unionByName(hashDrops(
+          md5(concat_ws(" ", sort_array(TF.words(col("text"))))), "bag"))
+        .unionByName(graft.ops.TextDedup.dedupDecision(
+          graft.ops.TextDedup.minhashLshPairs(docsR(s, d),
+            shingleK = ShingleK, numHashes = NumHashes, bands = 4,
+            threshold = 0.8))
+          .select(lit("minhash").as("tier"), col("drop_id").as("doc_id")))
+        .unionByName(graft.ops.TextDedup.dedupDecision(
+          graft.ops.TextDedup.simhashBandedPairs(docsR(s, d),
+            maxHamming = 6))
+          .select(lit("simhash").as("tier"), col("drop_id").as("doc_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = drops.groupBy(col("tier")).agg(count(lit(1)).as("n"))
+    val both = drops.as("a").join(drops.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.tier") < col("b.tier"))
+      .groupBy(col("a.tier").as("tier_a"), col("b.tier").as("tier_b"))
+      .agg(count(lit(1)).as("n_both"))
+    // every unordered tier pair gets a row even at zero overlap
+    val tiers = Seq("bag", "exact", "minhash", "simhash")
+    val pairs = (for (a <- tiers; b <- tiers if a < b) yield (a, b))
+      .toDF("tier_a", "tier_b")
+    pairs
+      .join(sizes.select(col("tier").as("tier_a"), col("n").as("n_a")),
+        Seq("tier_a"), "left")
+      .join(sizes.select(col("tier").as("tier_b"), col("n").as("n_b")),
+        Seq("tier_b"), "left")
+      .join(both, Seq("tier_a", "tier_b"), "left")
+      .select(col("tier_a"), col("tier_b"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"))
+  }
+
   /** Language-ID confusion matrix — the gauge for the x03 classifier
     * itself: labeled lang × predicted lang with counts and
     * within-label shares. The matrix every langid swap/retrain is
@@ -2860,6 +2922,8 @@ object ExtensionQueries {
     "x124_sq_ann" -> x124_sq_ann,
     "x125_saturation" -> x125_saturation,
     "x126_matryoshka_recall" -> x126_matryoshka_recall,
+    "x127_bag_dedup" -> x127_bag_dedup,
+    "x128_dedup_tiers" -> x128_dedup_tiers,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3556,6 +3620,53 @@ object ExtensionQueries {
        |       round(coalesce(hi.n_hits, 0) / 3.0, 4) AS recall_at_3
        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
        |  LEFT JOIN hits hi ON hi.q_id = q.vec_id""".stripMargin
+  }
+
+  // x127: x04's recipe with a sorted word multiset as the key.
+  private lazy val x127Oracle: String =
+    s"""SELECT md5(array_to_string(list_sort(string_split($NT,' ')),' '))
+       |         AS bag_hash,
+       |       min(doc_id) AS keep_id, count(*) AS n_copies
+       |  FROM documents
+       | GROUP BY md5(array_to_string(list_sort(string_split($NT,' ')),' '))""".stripMargin
+
+  // x128: the four drop sets (two hash-group windows + the x33/x34
+  // decision oracles nested whole), tagged union, doc-keyed self-join,
+  // zero-filled pair spine.
+  private lazy val x128Oracle: String = {
+    def hdrops(tier: String, key: String) =
+      s"""SELECT '$tier' AS tier, doc_id FROM (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY $key) AS k
+         |    FROM documents) WHERE doc_id <> k""".stripMargin
+    s"""WITH drops AS (
+       |${hdrops("exact", s"md5($NT)")}
+       |UNION ALL
+       |${hdrops("bag", s"md5(array_to_string(list_sort(string_split($NT,' ')),' '))")}
+       |UNION ALL
+       |SELECT 'minhash' AS tier, drop_id AS doc_id FROM (
+       |${x33Oracle}
+       |)
+       |UNION ALL
+       |SELECT 'simhash' AS tier, drop_id AS doc_id FROM (
+       |${x34Oracle}
+       |)),
+       |sizes AS (SELECT tier, count(*)::BIGINT AS n FROM drops GROUP BY 1),
+       |bo AS (SELECT a.tier AS ta, b.tier AS tb, count(*)::BIGINT AS n_both
+       |         FROM drops a JOIN drops b
+       |           ON a.doc_id = b.doc_id AND a.tier < b.tier
+       |        GROUP BY 1, 2),
+       |pairs AS (SELECT * FROM (VALUES
+       |  ('bag','exact'), ('bag','minhash'), ('bag','simhash'),
+       |  ('exact','minhash'), ('exact','simhash'),
+       |  ('minhash','simhash')) AS t(tier_a, tier_b))
+       |SELECT p.tier_a, p.tier_b,
+       |       coalesce(sa.n, 0)::BIGINT AS n_a,
+       |       coalesce(sb.n, 0)::BIGINT AS n_b,
+       |       coalesce(bo.n_both, 0)::BIGINT AS n_both
+       |  FROM pairs p
+       |  LEFT JOIN sizes sa ON sa.tier = p.tier_a
+       |  LEFT JOIN sizes sb ON sb.tier = p.tier_b
+       |  LEFT JOIN bo ON bo.ta = p.tier_a AND bo.tb = p.tier_b""".stripMargin
   }
 
   // x117: x03's prediction CTE verbatim, rolled to the confusion grain;
@@ -4646,7 +4757,9 @@ object ExtensionQueries {
       "x123_corpus_card_v2" -> x123Oracle,
       "x124_sq_ann" -> x124Oracle,
       "x125_saturation" -> x125Oracle,
-      "x126_matryoshka_recall" -> x126Oracle)
+      "x126_matryoshka_recall" -> x126Oracle,
+      "x127_bag_dedup" -> x127Oracle,
+      "x128_dedup_tiers" -> x128Oracle)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -218,6 +218,9 @@ object ScaleCheck {
         // min/distinct aggs — must track the x07 map-side family (the
         // dup-replicated corpus collapses novelty, not the plan)
         "x125_saturation",
+        // bag dedup: x04's one-groupBy plan with a per-row sort in the
+        // key — must track x04
+        "x127_bag_dedup",
         // ppl buckets: x109's scoring passes + a langs-sized cut
         // broadcast — must track x109, the cut step is noise
         "x111_ppl_buckets",

@@ -88,6 +88,22 @@ object TextDedup {
       .drop("ws", "__n", "__bnds", "__c")
   }
 
+  /** Bag-of-words dedup — the permutation-invariant tier between
+    * [[exact]] (byte-identical) and MinHash (set-based, count-blind):
+    * the fingerprint is the hash of the SORTED word multiset, so docs
+    * that are word-order shuffles of one another — templated spam and
+    * machine-scrambled boilerplate routinely are — collapse into one
+    * group while genuinely different docs sharing vocabulary (same
+    * set, different counts) do not. Exact-dup groups are a strict
+    * subset of bag groups by construction. Output mirrors [[exact]]:
+    * (bag_hash, keep_id = min id, n_copies). One map + one
+    * hash-groupBy — x04's plan with a sort_array in the key. */
+  def bagDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(concat_ws(" ",
+        sort_array(TF.words(col(textCol))))).as("bag_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** MinHash+LSH near-dup pairs: `numHashes` minhashes over
     * `shingleK`-word shingles, banded `bands` × (numHashes/bands);
     * candidates share a band key; verified with true shingle-set

@@ -1833,6 +1833,24 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("TextDedup.bagDedup: permutation-invariant, count-sensitive, exact groups a strict subset") {
+    import spark.implicits._
+    // 1+2: shuffles of one multiset -> one bag group (exact sees two);
+    // 3 vs 4: same SET, different counts -> separate bag groups;
+    // 5: byte-identical to 1 -> same group under BOTH tiers
+    val docs = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a a b"),
+      (4L, "a b b"), (5L, "a b c")).toDF("doc_id", "text")
+    val bag = graft.ops.TextDedup.bagDedup(docs)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(bag == Map(1L -> 3L, 3L -> 1L, 4L -> 1L), bag)
+    val exact = graft.ops.TextDedup.exact(docs)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(exact == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L), exact)
+    // every exact-dup pair is also a bag-dup pair (strict subset of
+    // groupings): total bag groups <= total exact groups
+    assert(bag.size < exact.size)
+  }
+
   test("CorpusOps.saturationCurve: hand-planted overlap, first-seen attribution, novelty collapse on pure dups") {
     // wave 0 (doc 0): "a b c d" -> shingles {abc, bcd}; wave 1 (doc 1):
     // "a b c e" -> {abc, bce}: abc first seen in wave 0, so wave 1 is
