@@ -2203,8 +2203,9 @@ object ExtensionQueries {
   /** DoReMi-style domain reweighting ([[graft.ops.CorpusOps
     * .doremiWeights]], Xie et al. arXiv 2305.10429): per-domain excess
     * held-out loss under the x74 reference LM drives an unrolled
-    * multiplicative-weights chain (4 steps, per-step DECIMAL rounding —
-    * the linearized (1+η·e) update, exp being non-portable IEEE), then
+    * multiplicative-weights chain (4 steps on the BIGINT micro-unit
+    * grid — the linearized (1+η·e) update, exp being non-portable
+    * IEEE; every step exact integer multiply/divide-half-up), then
     * uniform smoothing. The full weight table — loss, excess, and the
     * final mixture weight per domain — is hash-checked against a DuckDB
     * replay of the same chain. Closes the mixture-design loop: x85
@@ -2242,9 +2243,9 @@ object ExtensionQueries {
     * candidates of the trained assignment — cosine relative to both
     * sides' average top-4 neighborhood cosine, the score that suppresses
     * dense-hub false positives plain cosine (x11/x22) cannot. Margin
-    * arithmetic is one double division of exact decimal sums, rounded
-    * to 4 — pairs, cosines, AND margins hash-check against the shared
-    * unrolled-Lloyd's oracle. */
+    * arithmetic is integer divide-half-up over exact micro-unit sums
+    * (no IEEE division anywhere) — pairs, cosines, AND margins
+    * hash-check against the shared unrolled-Lloyd's oracle. */
   private val x100_margin_mine: QFn = (s, d) => {
     val e = embs(s, d)
     val cent = graft.ops.VectorOps.kmeansTrain(e, initK = 16,
@@ -2317,8 +2318,8 @@ object ExtensionQueries {
       all.filter(col("doc_id") % 5 === 0),
       eta = new java.math.BigDecimal(X98Eta), steps = X98Steps,
       smooth = new java.math.BigDecimal(X98Smooth))
-      .select(col("lang"), col("weight"))
-    graft.ops.CorpusOps.mixturePlanWeighted(all, w,
+      .select(col("lang"), col("weight_q"))
+    graft.ops.CorpusOps.mixturePlanWeightedMicro(all, w,
       budgetFrac = new java.math.BigDecimal("0.5"))
   }
 
@@ -3760,16 +3761,18 @@ object ExtensionQueries {
 
   // x102: plain cross join against the %10 held-out slice — the oracle
   // needs no Lloyd's chain because the query deliberately has no index
-  // (suite-sized broadcast, exact cosines).
+  // (suite-sized broadcast, exact cosines). Cosines on the BIGINT
+  // micro-unit grid (the x99 cq pattern) — max/threshold are integer
+  // ops, digit-portable across DuckDB builds.
   private lazy val x102Oracle: String =
     s"""WITH c AS (
        |  SELECT t.vec_id AS train_id,
-       |         CAST(round(${COS("t.embedding", "b.embedding")}, 6)
-       |              AS DECIMAL(18,6)) AS cos
+       |         CAST(round((${COS("t.embedding", "b.embedding")})
+       |              * 1000000) AS BIGINT) AS cq
        |    FROM embeddings t, embeddings b
        |   WHERE t.vec_id % 10 <> 0 AND b.vec_id % 10 = 0)
-       |SELECT train_id, count(*)::BIGINT AS n_hits, max(cos) AS max_cos
-       |  FROM c WHERE cos >= 0.35 GROUP BY train_id""".stripMargin
+       |SELECT train_id, count(*)::BIGINT AS n_hits, max(cq) AS max_cos_q
+       |  FROM c WHERE cq >= 350000 GROUP BY train_id""".stripMargin
 
   // x48/x71/x81 shared: the SAME two Lloyd's rounds the Spark trainer
   // runs, unrolled as a CTE chain ending in `cells` (vec_id, embedding,
@@ -4394,16 +4397,33 @@ object ExtensionQueries {
        |                  ((n10*svv - sv*sv)::DOUBLE)), 4) + 0.0 AS r
        |  FROM a""".stripMargin
 
+  /** DuckDB twin of [[graft.functions.ExactMath.divHalfUp]]:
+    * round-half-up(num/den) for non-negative num, positive den, as
+    * pure BIGINT arithmetic — `//` is DuckDB's integral division, the
+    * `div` IntegralDivide twin. The whole r13 determinism discipline
+    * rests on this pair being bit-identical by construction. */
+  private def DHU(num: String, den: String): String =
+    // CAST: DuckDB's sum() promotes to HUGEINT, which pandas reads as
+    // float64 — pin the output (and so the driver's hash repr) to the
+    // same int64 the Spark side emits
+    s"CAST((2*($num) + ($den)) // (2*($den)) AS BIGINT)"
+
+  private lazy val X98EtaQ: Long =
+    new java.math.BigDecimal(X98Eta).movePointRight(6).longValueExact
+  private lazy val X98SmoothQ: Long =
+    new java.math.BigDecimal(X98Smooth).movePointRight(6).longValueExact
+
   // x98: x74's train/eval LM shape aggregated straight onto the domain
   // grain, then the SAME X98Steps multiplicative-weights rounds the
   // Spark fold runs, unrolled as a CTE chain (generated from X98Steps/
-  // X98Eta/X98Smooth — one constant set, both engines). Every step is
-  // exact DECIMAL(18,6) multiply-then-round; the final smoothing is the
-  // one IEEE double expression, rounded once.
+  // X98EtaQ/X98SmoothQ — one constant set, both engines). The per-word
+  // log-prob is the chain's ONLY IEEE op, quantized once to BIGINT
+  // micro-units (the x99 grid); every later step is exact integer
+  // multiply / divide-half-up both engines replay digit for digit.
   private lazy val x98Ctes: String = {
     val steps = (1 to X98Steps).map { i =>
-      s"""s$i AS (SELECT lang, n_tokens, loss, excess, m, n_dom,
-         |        CAST(round(w * m, 6) AS DECIMAL(18,6)) AS w
+      s"""s$i AS (SELECT lang, n_tokens, loss_q, excess_q, m_q, n_dom,
+         |        ${DHU("w_q * m_q", "1000000")} AS w_q
          |        FROM s${i - 1})""".stripMargin
     }.mkString(",\n")
     s"""w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
@@ -4416,58 +4436,64 @@ object ExtensionQueries {
        |        GROUP BY 1, 2),
        |lp AS (SELECT d.lang, d.tf,
        |       CAST(round(ln((coalesce(k.cnt, 0) + 1)::DOUBLE /
-       |                     (c.n_total + c.vocab)::DOUBLE), 6)
-       |            AS DECIMAL(18,6)) AS lpw
+       |                     (c.n_total + c.vocab)::DOUBLE) * 1000000)
+       |            AS BIGINT) AS lpw_q
        |         FROM dt d LEFT JOIN cnts k USING (word) CROSS JOIN c),
        |dl AS (SELECT lang, sum(tf)::BIGINT AS n_tokens,
-       |       CAST(round(-(sum(tf * lpw)::DOUBLE / sum(tf)::DOUBLE), 6)
-       |            AS DECIMAL(18,6)) AS loss
+       |       ${DHU("-sum(tf * lpw_q)", "sum(tf)")} AS loss_q
        |         FROM lp GROUP BY lang),
-       |b AS (SELECT min(loss) AS loss_min, count(*)::BIGINT AS n_dom
+       |b AS (SELECT min(loss_q) AS loss_min_q, count(*)::BIGINT AS n_dom
        |        FROM dl),
-       |s0 AS (SELECT lang, n_tokens, loss,
-       |         CAST(loss - loss_min AS DECIMAL(18,6)) AS excess,
-       |         CAST(round(1 + $X98Eta * (loss - loss_min), 6)
-       |              AS DECIMAL(18,6)) AS m,
-       |         n_dom, CAST(1 AS DECIMAL(18,6)) AS w
+       |s0 AS (SELECT lang, n_tokens, loss_q,
+       |         loss_q - loss_min_q AS excess_q,
+       |         1000000 + ${DHU(s"$X98EtaQ * (loss_q - loss_min_q)",
+                                 "1000000")} AS m_q,
+       |         n_dom, CAST(1000000 AS BIGINT) AS w_q
        |         FROM dl CROSS JOIN b),
        |$steps,
-       |t AS (SELECT sum(w) AS w_tot FROM s$X98Steps)""".stripMargin
+       |t AS (SELECT sum(w_q) AS w_tot_q FROM s$X98Steps),
+       |fr AS (SELECT lang, n_tokens, loss_q, excess_q, n_dom,
+       |         ${DHU("w_q * 1000000", "w_tot_q")} AS frac_q
+       |         FROM s$X98Steps CROSS JOIN t)""".stripMargin
   }
 
   /** The final weight expression over the x98 CTE chain — shared by the
-    * x98 report and x103's plan so the two cannot drift on the law. */
+    * x98 report and x103's plan so the two cannot drift on the law.
+    * (1−s)·frac + s/n_dom on the common denominator 1e6·n_dom, rounded
+    * half-up back to micro-units — integer arithmetic end to end. */
   private lazy val x98WeightSql: String =
-    s"""round((1 - $X98Smooth)::DOUBLE *
-       |               round(w::DOUBLE / w_tot::DOUBLE, 6) +
-       |             ($X98Smooth)::DOUBLE / n_dom::DOUBLE, 6)""".stripMargin
+    // the smooth·1e12 addend is pre-multiplied in Scala: as an SQL
+    // literal product it would overflow DuckDB's INT32 literals
+    DHU(s"(${1000000L - X98SmoothQ} * frac_q) * n_dom + " +
+        s"${X98SmoothQ * 1000000L}", "1000000 * n_dom")
 
   private lazy val x98Oracle: String =
     s"""WITH $x98Ctes
-       |SELECT lang, n_tokens, loss, excess,
-       |       $x98WeightSql AS weight
-       |  FROM s$X98Steps CROSS JOIN t""".stripMargin
+       |SELECT lang, n_tokens, loss_q, excess_q,
+       |       $x98WeightSql AS weight_q
+       |  FROM fr""".stripMargin
 
-  // x103: the x98 weight law feeding the x85 allocation arithmetic —
-  // the learned-mixture twin of the sqrt plan. The token-count grain
-  // is over ALL documents (plan side), the weights over the 4/5-1/5
-  // split (model side).
+  // x103: the x98 weight law feeding the allocation arithmetic —
+  // the learned-mixture twin of the sqrt plan, now exact end to end:
+  // alloc = ⌊budget_tokens·w_q/1e6⌋ as integer floor-division, epochs
+  // on the 1e-4 half-up grid. The token-count grain is over ALL
+  // documents (plan side), the weights over the 4/5-1/5 split (model
+  // side).
   private lazy val x103Oracle: String =
     s"""WITH $x98Ctes,
-       |wts AS (SELECT lang, $x98WeightSql AS weight
-       |          FROM s$X98Steps CROSS JOIN t),
+       |wts AS (SELECT lang, $x98WeightSql AS weight_q FROM fr),
        |tc AS (SELECT lang, len(string_split($NT,' '))::BIGINT AS n
        |         FROM documents),
        |g AS (SELECT lang, sum(n)::BIGINT AS n_tokens FROM tc GROUP BY 1),
        |tt AS (SELECT sum(n_tokens)::BIGINT AS tok_tot FROM g),
-       |p AS (SELECT g.lang, g.n_tokens, wts.weight,
-       |        CAST(floor(CAST(floor(0.5 * tok_tot) AS DOUBLE) * weight)
-       |             AS BIGINT) AS alloc_tokens
+       |p AS (SELECT g.lang, g.n_tokens, wts.weight_q,
+       |        CAST((CAST(floor(0.5 * tok_tot) AS BIGINT) * weight_q)
+       |          // 1000000 AS BIGINT) AS alloc_tokens
        |        FROM g JOIN wts USING (lang) CROSS JOIN tt)
-       |SELECT lang, n_tokens, weight, alloc_tokens,
-       |       round(alloc_tokens::DOUBLE / n_tokens::DOUBLE, 4) AS epochs,
-       |       CASE WHEN round(alloc_tokens::DOUBLE / n_tokens::DOUBLE, 4)
-       |                 > 1.0 THEN 1 ELSE 0 END::BIGINT AS oversampled
+       |SELECT lang, n_tokens, weight_q, alloc_tokens,
+       |       ${DHU("alloc_tokens * 10000", "n_tokens")} AS epochs_q,
+       |       CASE WHEN ${DHU("alloc_tokens * 10000", "n_tokens")}
+       |                 > 10000 THEN 1 ELSE 0 END::BIGINT AS oversampled
        |  FROM p""".stripMargin
 
   // x99: the shared unrolled-Lloyd's cells, scored with the
@@ -4490,44 +4516,46 @@ object ExtensionQueries {
        |  FROM r""".stripMargin
 
   // x100: the same cells; candidates are even×odd in-cell pairs with
-  // the quantized cosine; neighborhood sums/counts as window aggregates
-  // over the rank columns; the margin is the identical one-division
-  // double expression; best-per-x with the identical tie-break.
+  // the micro-quantized cosine (cq — the chain's only IEEE op);
+  // neighborhood sums/counts as window aggregates over the rank
+  // columns; the margin is the identical integer divide-half-up;
+  // best-per-x with the identical tie-break. No DECIMAL, no double
+  // division — digit-portable across DuckDB builds.
   private lazy val x100Oracle: String =
     s"""WITH $lloydCellCtes,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS x_id, b.vec_id AS y_id,
-       |         CAST(round(${COS("a.embedding", "b.embedding")}, 6)
-       |              AS DECIMAL(18,6)) AS cos
+       |         CAST(round((${COS("a.embedding", "b.embedding")})
+       |              * 1000000) AS BIGINT) AS cq
        |    FROM cells a JOIN cells b ON a.cell = b.cell
        |   WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
-       |f AS (SELECT * FROM cand WHERE cos >= 0.1),
-       |r AS (SELECT x_id, y_id, cos,
+       |f AS (SELECT * FROM cand WHERE cq >= 100000),
+       |r AS (SELECT x_id, y_id, cq,
        |        row_number() OVER (PARTITION BY x_id
-       |                           ORDER BY cos DESC, y_id ASC) AS rx,
+       |                           ORDER BY cq DESC, y_id ASC) AS rx,
        |        row_number() OVER (PARTITION BY y_id
-       |                           ORDER BY cos DESC, x_id ASC) AS ry
+       |                           ORDER BY cq DESC, x_id ASC) AS ry
        |        FROM f),
-       |agg AS (SELECT x_id, y_id, cos,
-       |        sum(CASE WHEN rx <= 4 THEN cos END)
+       |agg AS (SELECT x_id, y_id, cq,
+       |        sum(CASE WHEN rx <= 4 THEN cq END)
        |          OVER (PARTITION BY x_id) AS sx,
        |        sum(CASE WHEN rx <= 4 THEN 1 ELSE 0 END)
        |          OVER (PARTITION BY x_id) AS kx,
-       |        sum(CASE WHEN ry <= 4 THEN cos END)
+       |        sum(CASE WHEN ry <= 4 THEN cq END)
        |          OVER (PARTITION BY y_id) AS sy,
        |        sum(CASE WHEN ry <= 4 THEN 1 ELSE 0 END)
        |          OVER (PARTITION BY y_id) AS ky
        |        FROM r),
-       |mg AS (SELECT x_id, y_id, cos,
-       |        round((2.0 * cos::DOUBLE * kx * ky) /
-       |              (sx::DOUBLE * ky + sy::DOUBLE * kx), 4) AS margin
+       |mg AS (SELECT x_id, y_id, cq,
+       |        ${DHU("2 * cq * kx * ky * 10000",
+                      "sx * ky + sy * kx")} AS margin_q
        |        FROM agg)
-       |SELECT x_id, y_id, cos, margin FROM (
-       |  SELECT x_id, y_id, cos, margin,
+       |SELECT x_id, y_id, cos_q, margin_q FROM (
+       |  SELECT x_id, y_id, cq AS cos_q, margin_q,
        |         row_number() OVER (PARTITION BY x_id
-       |                            ORDER BY margin DESC, cos DESC,
+       |                            ORDER BY margin_q DESC, cq DESC,
        |                                     y_id ASC) AS rnk
-       |    FROM mg WHERE margin >= 1.05) WHERE rnk = 1""".stripMargin
+       |    FROM mg WHERE margin_q >= 10500) WHERE rnk = 1""".stripMargin
 
   // x62: the SAME X62Merges training rounds the Spark side runs,
   // unrolled as a MATERIALIZED-CTE chain (inlining would re-expand the

@@ -992,6 +992,43 @@ object CorpusOps {
         when(col("epochs") > 1.0d, 1L).otherwise(0L).as("oversampled"))
   }
 
+  /** [[mixturePlanWeighted]] on the exact integer grid — the variant
+    * [[doremiWeights]]' BIGINT micro-unit law feeds (x103): the budget
+    * ⌊budget·tok_tot⌋ is exact decimal floor, the per-group allocation
+    * ⌊budget_tokens·w_q/1e6⌋ is pure integer floor-division, and the
+    * epoch factor is divHalfUp(alloc·1e4, n_tokens) — no IEEE op
+    * anywhere, so the report is digit-portable across engines/builds
+    * ([[graft.functions.ExactMath]]'s discipline). `weightsMicro` is a
+    * (group, weight_q) frame with weight_q summing to ~1e6. Output:
+    * (group, n_tokens, weight_q, alloc_tokens, epochs_q, oversampled)
+    * — epochs in 1e-4 units, oversampled = epochs_q > 1e4.
+    *
+    * 100 TB shape: identical to [[mixturePlanWeighted]] — one map-side
+    * token-count scan to a groups-sized aggregate; the weight table is
+    * groups-sized and broadcast; the total rides a 1-row broadcast. */
+  def mixturePlanWeightedMicro(docs: DataFrame, weightsMicro: DataFrame,
+      budgetFrac: java.math.BigDecimal, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val EM = graft.functions.ExactMath
+    val grouped = docs
+      .select(col(groupCol), TF.tokenCount(col(textCol)).as("n"))
+      .groupBy(col(groupCol)).agg(sum(col("n")).as("n_tokens"))
+    val tot = broadcast(grouped.agg(sum(col("n_tokens")).as("tok_tot")))
+    grouped
+      .join(broadcast(weightsMicro.select(col(groupCol),
+        col("weight_q").cast("long").as("weight_q"))), Seq(groupCol))
+      .crossJoin(tot)
+      .withColumn("alloc_tokens", call_function("div",
+        floor(lit(budgetFrac) * col("tok_tot")).cast("long") *
+          col("weight_q"), lit(1000000L)))
+      .withColumn("epochs_q",
+        EM.divHalfUp(col("alloc_tokens") * lit(10000L), col("n_tokens")))
+      .select(col(groupCol), col("n_tokens"), col("weight_q"),
+        col("alloc_tokens"), col("epochs_q"),
+        when(col("epochs_q") > 10000L, 1L).otherwise(0L)
+          .as("oversampled"))
+  }
+
   /** The allocation arithmetic of [[mixturePlan]] over an already-
     * aggregated (group, n_tokens) frame — shared with
     * [[mixtureMaterialize]] so plan and materialization cannot drift
@@ -1298,7 +1335,11 @@ object CorpusOps {
       shingleK: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(waves >= 1, s"waves >= 1, got $waves")
-    val sh = docs.select((col(idCol) % waves).as("batch"),
+    // pmod, not %: Spark's % keeps the dividend's sign, so negative ids
+    // would mint up to waves−1 extra negative batches; pmod keeps the
+    // wave count exactly `waves` for any integral id (matches the
+    // hash60-bucketing discipline of the sampler family)
+    val sh = docs.select(pmod(col(idCol), lit(waves)).as("batch"),
         explode(TF.shingleSetFast(TF.words(col(textCol)), shingleK))
           .as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1530,22 +1571,25 @@ object CorpusOps {
     * held-out unigram LM ([[lmScoreApply]]'s CCNet shape) and excess is
     * each domain's held-out per-token loss over the best-fit domain's,
     * so the model is static — but the MWU chain is still unrolled step
-    * by step with per-step DECIMAL(18,6) rounding
-    * (w ← round(w·(1+η·excess), 6), `steps` times) because the rounded
-    * chain IS the hash-checked contract: the DuckDB oracle replays the
-    * same `steps` multiplications digit for digit (the x48Iters
-    * discipline — one Scala constant generates both sides). The paper's
-    * exponential update exp(η·e) is deliberately linearized to
+    * by step on an exact integer grid (BIGINT micro-units,
+    * [[graft.functions.ExactMath]]): per-word log-probs are quantized
+    * ONCE (`lpw_q = round(ln(p)·1e6)` — the x99 pattern; the only IEEE
+    * op in the whole chain), then losses, excesses, the per-step
+    * update w_q ← divHalfUp(w_q·m_q, 1e6), the normalization, and the
+    * uniform smoothing are all integer multiply/divide-half-up that
+    * the DuckDB oracle replays digit for digit (the x48Iters
+    * discipline — one Scala constant set generates both sides; r12's
+    * DECIMAL-round form hash-flipped across DuckDB builds). The
+    * paper's exponential update exp(η·e) is deliberately linearized to
     * (1+η·e)ᵀ: exp is not correctly-rounded IEEE and drifts across
-    * engines (the x89 Gumbel-key lesson), while decimal multiplication
+    * engines (the x89 Gumbel-key lesson), while integer multiplication
     * is exact; for η·e ≲ 0.5 the two produce the same domain ORDERING,
-    * which is what the normalized mixture consumes. Final weights mix
-    * with uniform (w ← (1−s)·w_norm + s/D — the paper's smoothing
-    * step); that last step is plain IEEE double arithmetic on exact
-    * operands, rounded once to 6.
+    * which is what the normalized mixture consumes.
     *
-    * Output: (group, n_tokens, loss, excess, weight); weights sum to 1
-    * up to per-domain rounding.
+    * Output: (group, n_tokens, loss_q, excess_q, weight_q) — loss and
+    * excess in nat micro-units, weight in probability micro-units;
+    * weights sum to 1e6 up to per-domain half-up rounding. `eta` and
+    * `smooth` must sit on the 1e-6 grid (longValueExact guards).
     *
     * 100 TB shape: the train pass and the eval pass are x74's — one
     * tokenize each, word-key equi model join (AQE skew-split absorbs
@@ -1559,6 +1603,10 @@ object CorpusOps {
       eta: java.math.BigDecimal, steps: Int,
       smooth: java.math.BigDecimal, groupCol: String = "lang",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val EM = graft.functions.ExactMath
+    val M = 1000000L
+    val etaQ = eta.movePointRight(6).longValueExact
+    val smoothQ = smooth.movePointRight(6).longValueExact
     val counts = unigramCounts(ref, idCol, textCol)
     val consts = counts.agg(sum(col("cnt")).as("n_total"),
       count(lit(1)).as("vocab"))
@@ -1568,34 +1616,32 @@ object CorpusOps {
       .agg(count(lit(1)).as("tf"))
       .join(counts, Seq("word"), "left")
       .crossJoin(broadcast(consts))
-      .withColumn("lpw",
-        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
-          (col("n_total") + col("vocab")).cast("double")), 6)
-          .cast("decimal(18,6)"))
+      .withColumn("lpw_q",
+        EM.microQ(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("n_total") + col("vocab")).cast("double"))))
       .groupBy(col(groupCol))
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
-        round(-(sum(col("tf") * col("lpw")).cast("double") /
-          sum(col("tf")).cast("double")), 6)
-          .cast("decimal(18,6)").as("loss"))
-    val base = broadcast(domLoss.agg(min(col("loss")).as("loss_min"),
+        sum(col("tf") * col("lpw_q")).cast("long").as("s_q"))
+      .withColumn("loss_q", EM.divHalfUp(-col("s_q"), col("n_tokens")))
+      .drop("s_q")
+    val base = broadcast(domLoss.agg(min(col("loss_q")).as("loss_min_q"),
       count(lit(1)).as("n_dom")))
     val seeded = domLoss.crossJoin(base)
-      .withColumn("excess", (col("loss") - col("loss_min"))
-        .cast("decimal(18,6)"))
-      .withColumn("m", round(lit(java.math.BigDecimal.ONE) +
-        lit(eta) * col("excess"), 6).cast("decimal(18,6)"))
-      .withColumn("w", lit(java.math.BigDecimal.ONE).cast("decimal(18,6)"))
+      .withColumn("excess_q", col("loss_q") - col("loss_min_q"))
+      .withColumn("m_q",
+        lit(M) + EM.divHalfUp(lit(etaQ) * col("excess_q"), lit(M)))
+      .withColumn("w_q", lit(M))
     val stepped = (1 to steps).foldLeft(seeded) { (df, _) =>
-      df.withColumn("w", round(col("w") * col("m"), 6)
-        .cast("decimal(18,6)"))
+      df.withColumn("w_q", EM.divHalfUp(col("w_q") * col("m_q"), lit(M)))
     }
-    val tot = broadcast(stepped.agg(sum(col("w")).as("w_tot")))
+    val tot = broadcast(stepped.agg(sum(col("w_q")).as("w_tot_q")))
     stepped.crossJoin(tot)
-      .withColumn("weight", round(
-        (lit(java.math.BigDecimal.ONE.subtract(smooth)).cast("double") *
-          round(col("w").cast("double") / col("w_tot").cast("double"), 6)) +
-        lit(smooth).cast("double") / col("n_dom").cast("double"), 6))
-      .select(col(groupCol), col("n_tokens"), col("loss"), col("excess"),
-        col("weight"))
+      .withColumn("frac_q", EM.divHalfUp(col("w_q") * lit(M), col("w_tot_q")))
+      .withColumn("weight_q", EM.divHalfUp(
+        lit(M - smoothQ) * col("frac_q") * col("n_dom") +
+          lit(smoothQ) * lit(M),
+        lit(M) * col("n_dom")))
+      .select(col(groupCol), col("n_tokens"), col("loss_q"),
+        col("excess_q"), col("weight_q"))
   }
 }

@@ -352,12 +352,27 @@ object VectorOps {
   // hash-checkable against an unrolled SQL oracle.
   // ---------------------------------------------------------------
 
+  /** The PQ family's subspace width dim/m, with the divisibility
+    * contract enforced at runtime: a vector whose dimension is not a
+    * multiple of `m` raises instead of silently truncating the tail
+    * dimensions out of every code and ADC score (a fractional dsub
+    * used to be cast away by slice). The assert_true rides the row —
+    * it costs one pmod per vector and fails the job with the offending
+    * dimension in the message. */
+  private[graft] def pqDsub(vec: org.apache.spark.sql.Column,
+      m: Int): org.apache.spark.sql.Column = {
+    val chk = assert_true(pmod(size(vec), lit(m)) === 0,
+      concat(lit("PQ requires dim % m == 0; got dim="),
+        size(vec).cast("string"), lit(s", m=$m")))
+    (size(vec) / m).cast("int") + coalesce(chk.cast("int"), lit(0))
+  }
+
   /** Subvector view: one row per (vector, subspace), sv = the
-    * subspace's dim/m contiguous elements. Map-side explode; grain
-    * n·m. */
+    * subspace's dim/m contiguous elements (dim must be divisible by m
+    * — [[pqDsub]] raises otherwise). Map-side explode; grain n·m. */
   def pqSubvectors(e: DataFrame, m: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val dsub = size(col(vecCol)) / m
+    val dsub = pqDsub(col(vecCol), m)
     e.select(col(idCol).as("vec_id"),
         explode(transform(sequence(lit(0), lit(m - 1)), mi =>
           struct(mi.cast("int").as("sub"),
@@ -688,7 +703,7 @@ object VectorOps {
       .select(col("vec_id").as("q_id"), col("cell"),
         zip_with(col("embedding"), col("c_e"), (a, b) =>
           (a.cast("double") - b.cast("double")).cast("float")).as("qr"))
-    val dsub = size(col("qr")) / m
+    val dsub = pqDsub(col("qr"), m)
     val qsv = qr.select(col("q_id"), col("cell"),
         explode(transform(sequence(lit(0), lit(m - 1)), mi =>
           struct(mi.cast("int").as("sub"),
@@ -947,12 +962,16 @@ object VectorOps {
     * `xSide` splits the corpus (x where true, y where false), written
     * over the vec_id column.
     *
-    * Determinism: cos is the quantized round(·,6) DECIMAL; the top-k
-    * neighborhood sums are exact decimal sums of those; the margin is
-    * ONE double division of exactly-representable operands — margin =
-    * (2·cos·kx·ky) / (sx·ky + sy·kx), every product integer-scaled far
-    * under 2^53 — rounded to 4. `minCos > 0` also makes the
-    * denominator strictly positive. Output: (x_id, y_id, cos, margin).
+    * Determinism: cos is quantized ONCE to BIGINT micro-units (cq,
+    * the x99 grid via [[graft.functions.ExactMath.microQ]]); the
+    * top-k neighborhood sums are exact integer sums of those; the
+    * margin is pure integer arithmetic — margin_q (1e-4 grid,
+    * half-up) = divHalfUp(2·cq·kx·ky·10^4, sx·ky + sy·kx), every
+    * product far under 2^63. No IEEE division anywhere downstream of
+    * the one quantization, so every build of every engine replays the
+    * identical digits (r12's round(double,4) margin hash-flipped
+    * across DuckDB builds). `minCos > 0` also makes the denominator
+    * strictly positive. Output: (x_id, y_id, cos_q, margin_q).
     *
     * 100 TB shape: candidates are equi cell joins over ONE aliased
     * assignment subtree (broadcast centroids upstream, k ~ √n bounds
@@ -971,56 +990,63 @@ object VectorOps {
     * cheaper than building candidates (contrast [[ivfPairs]], whose
     * n²/k candidate economics only pay off when BOTH sides are
     * corpus-sized). Output per contaminated training vector:
-    * (train_id, n_hits, max_cos) — n_hits for severity triage,
-    * max_cos for threshold audits (x88's curve discipline). */
+    * (train_id, n_hits, max_cos_q) — n_hits for severity triage,
+    * max_cos_q for threshold audits (x88's curve discipline), in
+    * BIGINT cosine micro-units ([[graft.functions.ExactMath.microQ]]
+    * — the driver-portable x99 `cq` grid; r12's DECIMAL round() form
+    * hash-flipped across DuckDB builds). */
   def semDecontaminate(train: DataFrame, bench: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val thrQ = Math.round(threshold * 1e6)
     val b = broadcast(bench.select(col(idCol).as("bench_id"),
       col(vecCol).as("b_e")))
     train.select(col(idCol).as("train_id"), col(vecCol).as("t_e"))
       .crossJoin(b)
-      .withColumn("cos",
-        round(VF.cosineFast(col("t_e"), col("b_e")), 6)
-          .cast("decimal(18,6)"))
-      .filter(col("cos") >= threshold)
+      .withColumn("cq",
+        graft.functions.ExactMath.microQ(
+          VF.cosineFast(col("t_e"), col("b_e"))))
+      .filter(col("cq") >= thrQ)
       .groupBy(col("train_id"))
-      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cq")).as("max_cos_q"))
   }
 
   def marginMine(cells: DataFrame,
       xSide: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       k: Int, minCos: Double, minMargin: Double): DataFrame = {
+    val EM = graft.functions.ExactMath
+    val minCosQ = Math.round(minCos * 1e6)
+    val minMarginQ = Math.round(minMargin * 1e4)
     val cand = cells.as("a").join(cells.as("b").hint("shuffle_hash"),
         col("a.cell") === col("b.cell") &&
           xSide(col("a.vec_id")) && !xSide(col("b.vec_id")))
       .select(col("a.vec_id").as("x_id"), col("b.vec_id").as("y_id"),
-        round(VF.cosineFast(col("a.embedding"), col("b.embedding")), 6)
-          .cast("decimal(18,6)").as("cos"))
-      .filter(col("cos") >= minCos)
+        EM.microQ(VF.cosineFast(col("a.embedding"), col("b.embedding")))
+          .as("cq"))
+      .filter(col("cq") >= minCosQ)
       .distinct() // multi-probe assignments repeat a pair per shared cell
-    val wx = Window.partitionBy("x_id").orderBy(col("cos").desc,
+    val wx = Window.partitionBy("x_id").orderBy(col("cq").desc,
       col("y_id").asc)
-    val wy = Window.partitionBy("y_id").orderBy(col("cos").desc,
+    val wy = Window.partitionBy("y_id").orderBy(col("cq").desc,
       col("x_id").asc)
     val wxa = Window.partitionBy("x_id")
     val wya = Window.partitionBy("y_id")
-    val best = Window.partitionBy("x_id").orderBy(col("margin").desc,
-      col("cos").desc, col("y_id").asc)
+    val best = Window.partitionBy("x_id").orderBy(col("margin_q").desc,
+      col("cq").desc, col("y_id").asc)
     cand
       .withColumn("rx", row_number().over(wx))
       .withColumn("ry", row_number().over(wy))
-      .withColumn("sx", sum(when(col("rx") <= k, col("cos"))).over(wxa))
+      .withColumn("sx", sum(when(col("rx") <= k, col("cq"))).over(wxa))
       .withColumn("kx", sum(when(col("rx") <= k, 1L).otherwise(0L)).over(wxa))
-      .withColumn("sy", sum(when(col("ry") <= k, col("cos"))).over(wya))
+      .withColumn("sy", sum(when(col("ry") <= k, col("cq"))).over(wya))
       .withColumn("ky", sum(when(col("ry") <= k, 1L).otherwise(0L)).over(wya))
-      .withColumn("margin", round(
-        (lit(2.0d) * col("cos").cast("double") * col("kx") * col("ky")) /
-          (col("sx").cast("double") * col("ky") +
-            col("sy").cast("double") * col("kx")), 4))
-      .filter(col("margin") >= minMargin)
+      .withColumn("margin_q", EM.divHalfUp(
+        lit(2L) * col("cq") * col("kx") * col("ky") * lit(10000L),
+        col("sx") * col("ky") + col("sy") * col("kx")))
+      .filter(col("margin_q") >= minMarginQ)
       .withColumn("rnk", row_number().over(best))
       .filter(col("rnk") === 1)
-      .select(col("x_id"), col("y_id"), col("cos"), col("margin"))
+      .select(col("x_id"), col("y_id"), col("cq").as("cos_q"),
+        col("margin_q"))
   }
 }

@@ -725,19 +725,30 @@ object EventStreams {
     * frozen-model stream here uses), and the stream maintains EXACT
     * running counts for exactly those values. State is one long per
     * candidate — bounded by the candidate set (≤ k·partitions values),
-    * no watermark needed (counts have no event-time horizon). Update
-    * mode emits each candidate's current count per micro-batch;
-    * after any ingest split the state equals the batch recount over
-    * the union (counting is associative — StreamingSpec pins it
-    * against [[graft.ops.SketchOps.heavyHitters]]'s cnt column).
+    * no watermark needed (counts have no event-time horizon). Run in
+    * Complete (or Update) mode: each micro-batch emits the candidates'
+    * current running counts (StreamingSpec drives Complete); after any
+    * ingest split the state equals the batch recount over the union
+    * (counting is associative — StreamingSpec pins it against
+    * [[graft.ops.SketchOps.heavyHitters]]'s cnt column).
+    *
+    * The candidate membership test is a broadcast LEFT SEMI join
+    * against a local relation, not `isin`: at production partition
+    * counts the candidate set is tens of thousands of values, and an
+    * In-expression that large embeds every literal in the plan —
+    * slow analysis and codegen-size failures — while the semi join
+    * stays one broadcast hash probe regardless of set size.
     * Output: (word, cnt). */
   def heavyCountStream(docs: DataFrame,
       candidates: Seq[String]): DataFrame = {
     require(candidates.nonEmpty, "heavyCountStream: empty candidate set")
     val TF = graft.functions.TextFunctions
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val candDf = broadcast(candidates.toDF("word"))
     docs
       .select(explode(TF.words(col("text"))).as("word"))
-      .filter(col("word").isin(candidates: _*))
+      .join(candDf, Seq("word"), "left_semi")
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -814,7 +825,9 @@ object EventStreams {
       cents.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
     require((0 until m).forall(bySub.contains),
       s"pqEncodeStream: codebook missing subspaces (have ${bySub.keys})")
-    val dsub = size(col(vecCol)) / m
+    // divisibility-guarded subspace width (raises on dim % m != 0
+    // instead of silently truncating tail dims — the batch contract)
+    val dsub = graft.ops.VectorOps.pqDsub(col(vecCol), m)
     val subCols = (0 until m).map { mi =>
       val sv = slice(col(vecCol), dsub * mi + 1, dsub)
       val entries = typedLit(bySub(mi))
@@ -996,26 +1009,29 @@ object EventStreams {
     * plan as a literal array (suite-sized, like the broadcast merge
     * rules), each row's hit count and max cosine come from Catalyst
     * higher-order functions over it — no watermark, no state store,
-    * every micro-batch a pure map. The cosines are the same
-    * round(·,6)-quantized decimals as the batch op, so a row's
-    * (n_hits, max_cos) is DIGIT-identical to the batch gate's
+    * every micro-batch a pure map. The cosines are the same BIGINT
+    * micro-unit quantization as the batch op
+    * ([[graft.functions.ExactMath.microQ]], the x99 grid), so a row's
+    * (n_hits, max_cos_q) is DIGIT-identical to the batch gate's
     * (StreamingSpec pins the parity). Rows with no hit pass silently
     * (emit nothing), flagged rows surface for quarantine.
     *
     * Scale: the literal suite is fine to a few thousand vectors (the
     * size of real benchmark suites); for corpus-sized "benchmarks" use
     * the batch op's broadcast-join form on a stream-static join
-    * instead. Output: (vec_id, n_hits, max_cos). */
+    * instead. Output: (vec_id, n_hits, max_cos_q). */
   def semDecontaminateStream(vecs: DataFrame, bench: Seq[Seq[Float]],
       threshold: Double): DataFrame = {
     val VF = graft.functions.VectorFunctions
+    val thrQ = Math.round(threshold * 1e6)
     val coss = transform(typedLit(bench), b =>
-      round(VF.cosineFast(col("embedding"), b), 6).cast("decimal(18,6)"))
+      graft.functions.ExactMath.microQ(
+        VF.cosineFast(col("embedding"), b)))
     vecs
       .select(col("vec_id").cast("long"),
-        filter(coss, c => c >= threshold).as("__h"))
+        filter(coss, c => c >= thrQ).as("__h"))
       .filter(size(col("__h")) > 0)
       .select(col("vec_id"), size(col("__h")).cast("long").as("n_hits"),
-        array_max(col("__h")).as("max_cos"))
+        array_max(col("__h")).as("max_cos_q"))
   }
 }

@@ -1346,14 +1346,15 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("CorpusOps.doremiWeights: hand-derived MWU chain on a planted easy/hard domain pair") {
+    // all values in BIGINT micro-units (the ExactMath grid)
     // ref model: "a a b" → cnts a:2 b:1, N=3, V=2
-    // domain hi: "a a" → lpw(a)=round(ln(3/5),6)=-0.510826 → loss 0.510826
-    // domain lo: "c c" → lpw(c)=round(ln(1/5),6)=-1.609438 → loss 1.609438
-    // excess: hi 0, lo 1.098612; m: hi 1.000000, lo round(1.549306,6)
-    // 4 rounded squarings: lo w = 1.549306 → 2.400349 → 3.718875
-    //   → 5.761675; w_tot 6.761675
-    // w_norm: hi 0.147892, lo 0.852108
-    // weight = 0.8·w_norm + 0.2/2: hi 0.218314, lo 0.781686 (sums to 1)
+    // domain hi: "a a" → lpw_q(a)=round(ln(3/5)·1e6)=-510826 → loss 510826
+    // domain lo: "c c" → lpw_q(c)=round(ln(1/5)·1e6)=-1609438 → loss 1609438
+    // excess: hi 0, lo 1098612; m_q: hi 1000000, lo 1549306
+    // 4 half-up squarings: lo w_q = 1549306 → 2400349 → 3718875
+    //   → 5761675; w_tot 6761675
+    // frac_q: hi 147892, lo 852108
+    // weight = 0.8·frac + 0.2/2: hi 218314, lo 781686 (sums to 1e6)
     val ref = Seq((1L, "a a b")).toDF("doc_id", "text")
     val eval = Seq((10L, "a a", "hi"), (11L, "c c", "lo"))
       .toDF("doc_id", "text", "lang")
@@ -1361,11 +1362,10 @@ class OpsSpec extends SparkTestBase {
         eta = new java.math.BigDecimal("0.5"), steps = 4,
         smooth = new java.math.BigDecimal("0.2"))
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getDecimal(2).toPlainString,
-          r.getDecimal(3).toPlainString, r.getDouble(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(out == Map(
-      "hi" -> ((2L, "0.510826", "0.000000", 0.218314)),
-      "lo" -> ((2L, "1.609438", "1.098612", 0.781686))), out)
+      "hi" -> ((2L, 510826L, 0L, 218314L)),
+      "lo" -> ((2L, 1609438L, 1098612L, 781686L))), out)
     // the harder-to-fit domain is upweighted — DoReMi's whole point
     assert(out("lo")._4 > out("hi")._4)
   }
@@ -1394,6 +1394,7 @@ class OpsSpec extends SparkTestBase {
     // {1.0, 0.6}: sx=sy=1.6, kx=ky=2
     // margin(2,1) = (2·1.0·2·2)/(1.6·2 + 1.6·2) = 8/6.4 = 1.25 — kept
     // margin(2,3) = 4.8/6.4 = 0.75 — below minMargin
+    // (outputs in micro/1e-4 units: cos_q 1000000, margin_q 12500)
     val cells = Seq(
       (1L, Seq(1.0f, 0.0f), 7L), (3L, Seq(0.6f, 0.8f), 7L),
       (5L, Seq(-1.0f, 0.0f), 7L),
@@ -1402,10 +1403,10 @@ class OpsSpec extends SparkTestBase {
     val out = graft.ops.VectorOps.marginMine(cells,
         xSide = _ % 2 === 0, k = 2, minCos = 0.1, minMargin = 1.05)
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getDecimal(2).toPlainString, r.getDouble(3))).toSet
+        r.getLong(2), r.getLong(3))).toSet
     assert(out == Set(
-      (2L, 1L, "1.000000", 1.25),
-      (4L, 3L, "1.000000", 1.25)), out)
+      (2L, 1L, 1000000L, 12500L),
+      (4L, 3L, 1000000L, 12500L)), out)
   }
 
   test("VectorOps.semDecontaminate: hit counts and max cosine against a planted benchmark; clean vector absent") {
@@ -1422,11 +1423,11 @@ class OpsSpec extends SparkTestBase {
     val out = graft.ops.VectorOps
       .semDecontaminate(train, bench, threshold = 0.5)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getDecimal(2).toPlainString))).toMap
+        ((r.getLong(1), r.getLong(2)))).toMap
     assert(out == Map(
-      1L -> ((2L, "1.000000")),
-      2L -> ((2L, "1.000000")),
-      3L -> ((1L, "0.800000"))), out)
+      1L -> ((2L, 1000000L)),
+      2L -> ((2L, 1000000L)),
+      3L -> ((1L, 800000L))), out)
   }
 
   test("CorpusOps.mixturePlanWeighted: a learned law inverts the sqrt plan's allocation") {

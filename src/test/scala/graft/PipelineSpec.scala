@@ -234,34 +234,35 @@ class PipelineSpec extends SparkTestBase {
       fluent.filter(col("doc_id") % 5 === 0),
       eta = new java.math.BigDecimal("0.5"), steps = 4,
       smooth = new java.math.BigDecimal("0.2"))
-    val wmap = w.collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
-    assert(math.abs(wmap.values.sum - 1.0) < 1e-4,
-      s"weights must sum to ~1: $wmap")
+    val wmap = w.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // micro-unit weights sum to 1e6 up to per-domain half-up rounding
+    assert(math.abs(wmap.values.sum - 1000000L) <= wmap.size,
+      s"weights must sum to ~1e6: $wmap")
 
     // 4. the learned law spends the budget (x103): allocation follows
     //    the weights, total stays within the budget
     val budget = new java.math.BigDecimal("0.5")
-    val plan = CorpusOps.mixturePlanWeighted(fluent,
-      w.select(col("lang"), col("weight")), budget)
+    val plan = CorpusOps.mixturePlanWeightedMicro(fluent,
+      w.select(col("lang"), col("weight_q")), budget)
     val rows = plan.collect().map(r => r.getString(0) ->
-      ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(rows.keySet == wmap.keySet, "a language vanished in allocation")
     val tokTot = rows.values.map(_._1).sum
     val allocTot = rows.values.map(_._3).sum
-    assert(allocTot <= budget.doubleValue * tokTot,
+    assert(allocTot <= budget.doubleValue * tokTot * (1 + 1e-6 * rows.size),
       s"allocated $allocTot over budget ${budget.doubleValue * tokTot}")
     // floor() per group undershoots by < 1 token per group
     assert(allocTot > budget.doubleValue * tokTot - 1 - rows.size,
       s"allocation lost more than rounding: $allocTot")
-    rows.foreach { case (lang, (_, wgt, alloc)) =>
-      assert(math.abs(alloc - math.floor(
-        math.floor(budget.doubleValue * tokTot) * wgt)) < 1e-6,
+    val budgetTokens = math.floor(budget.doubleValue * tokTot).toLong
+    rows.foreach { case (lang, (_, wq, alloc)) =>
+      assert(alloc == budgetTokens * wq / 1000000L,
         s"$lang allocation does not follow its learned weight")
     }
 
     // the whole chain is a pure function of the corpus
-    val again = CorpusOps.mixturePlanWeighted(fluent.repartition(7),
-      w.select(col("lang"), col("weight")), budget)
+    val again = CorpusOps.mixturePlanWeightedMicro(fluent.repartition(7),
+      w.select(col("lang"), col("weight_q")), budget)
       .collect().map(r => (r.getString(0), r.getLong(3))).toSet
     assert(rows.map { case (l, v) => (l, v._3) }.toSet == again,
       "partitioning moved the allocation")

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{BRound, Cast, Expression, Round}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+
+/** Determinism audit for the round-12 failure class: a value produced
+  * by `round(<raw IEEE double expr>, n)` and cast to DECIMAL sits one
+  * ulp from flipping on a different DuckDB/libm build — the driver's
+  * oracle environment resolved three such boundaries differently than
+  * the local DuckDB and CORRECTNESS_r12 came back 171/174 with
+  * rows+schema green and hash red (x98_doremi, x100_margin_mine,
+  * x102_sem_decontaminate). The portable discipline is
+  * [[graft.functions.ExactMath]]: quantize each double ONCE to BIGINT
+  * micro-units (a single nearest-integer rounding both engines compute
+  * identically), keep everything downstream in exact integer ops.
+  *
+  * This spec makes the fragile pattern impossible to reintroduce
+  * silently: it walks the ANALYZED plan of every registered query and
+  * flags any Cast(Round|BRound(double/float child, scale), DecimalType)
+  * — the exact shape all three r12 reds shared. Queries that still
+  * carry the pattern must be allowlisted HERE with a justification;
+  * the allowlist is the audited debt register, and additions to it are
+  * a review event, not a default.
+  */
+class RoundingAuditSpec extends SparkTestBase {
+
+  /** Queries that retain a round(double)→DECIMAL in their plan, each
+    * with why it is tolerated: every entry below has been DRIVER-green
+    * (rows+schema+hash) in the shipped CORRECTNESS artifacts for at
+    * least two rounds — their fixture values sit far from rounding
+    * boundaries at the sf0.01 gate (BENCH_NOTES catalogs the sf0.1
+    * ".xx5" near-misses on the same families). Shrinking this list by
+    * migrating families to ExactMath micro-units is tracked debt;
+    * GROWING it needs the same scrutiny the r12 postmortem applied.
+    */
+  private val allowlisted: Map[String, String] = Map(
+    // --- ClassifierOps.logq / LM-score provenance: round(log,6)
+    //     DECIMAL per-token log-probs (driver-green since r10) ---
+    "x51_lm_score" -> "logq: round(log,6) decimal per-token lp",
+    "x59_bigram_lm" -> "bigram conditional decimal logs",
+    "x61_lm_scores" -> "logq over the persisted model",
+    "x72_nb_classifier" -> "NB posterior decimal logs",
+    "x74_lm_apply" -> "logq shape: decimal per-doc avg lp",
+    "x76_curate_trained" -> "composes x74's decimal scorer",
+    "x86_nb_calibration" -> "NB decimal posteriors binned",
+    "x104_kn_bigram" -> "KN continuation/backoff decimal logs",
+    "x109_kn_apply" -> "applies x104's decimal model",
+    "x111_ppl_buckets" -> "buckets x74's decimal scores",
+    "x94_hybrid_rrf" -> "BM25 decimal idf·norm terms",
+    "x97_signal_corr" -> "correlates decimal quality signals",
+    // --- mixtureAlloc: round(sqrt,6) — IEEE sqrt is correctly-rounded
+    //     by spec (unlike exp/pow/log), both engines round the same
+    //     double ---
+    "x85_mixture_plan" -> "round(sqrt,6): sqrt correctly-rounded",
+    "x91_mixture_materialize" -> "consumes x85's sqrt weights",
+    // --- DSIR importance-weight family: decimal log-ratios ---
+    "x83_dsir_weights" -> "decimal log importance ratios",
+    "x84_dsir_select" -> "selects on x83's decimal weights",
+    "x89_dsir_resample" -> "Gumbel keys over x83's decimals",
+    // --- corpus diagnostics: decimal entropies/slopes/fractions ---
+    "x70_corpus_card" -> "decimal signal summary columns",
+    "x123_corpus_card_v2" -> "v2 card reuses decimal signals",
+    "x107_source_drift" -> "decimal JS-divergence terms",
+    "x108_zipf_slope" -> "decimal log-log regression operands",
+    "x112_entropy" -> "decimal(18,4) char-entropy",
+    // --- PCA projection grain ---
+    "x96_pca_project" -> "decimal projection of exact loadings",
+    "x106_curriculum" -> "stages cut on x96's projection")
+
+  private def fragile(e: Expression): Boolean = e match {
+    case c: Cast if c.dataType.isInstanceOf[DecimalType] =>
+      c.child match {
+        case r: Round =>
+          r.child.dataType == DoubleType || r.child.dataType == FloatType
+        case r: BRound =>
+          r.child.dataType == DoubleType || r.child.dataType == FloatType
+        case _ => false
+      }
+    case _ => false
+  }
+
+  test("no unaudited round(double, n) -> DECIMAL anywhere in any registered query plan") {
+    val flagged = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
+      var hit = false
+      plan.foreach(node =>
+        node.expressions.foreach(_.foreach(e => if (fragile(e)) hit = true)))
+      hit
+    }
+    val unaudited = flagged.filterNot(allowlisted.contains)
+    val stale = allowlisted.keySet -- flagged
+    assert(unaudited.isEmpty,
+      s"queries with a NEW round(double,n)->DECIMAL (the r12 hash-red " +
+        s"class) — quantize to BIGINT micro-units via ExactMath " +
+        s"instead, or allowlist with a justification: $unaudited")
+    assert(stale.isEmpty,
+      s"allowlist entries whose pattern is gone — delete them: $stale")
+  }
+
+  test("the three r12 hash-red queries emit no DECIMAL and no raw-double columns at all") {
+    for (name <- Seq("x98_doremi", "x100_margin_mine",
+        "x102_sem_decontaminate", "x103_doremi_mixture")) {
+      val schema = SparkEntry.queries(name)(spark, sf).schema
+      val bad = schema.fields.filter(f =>
+        f.dataType.isInstanceOf[DecimalType] || f.dataType == DoubleType ||
+          f.dataType == FloatType)
+      assert(bad.isEmpty,
+        s"$name must stay on the exact BIGINT grid, found: ${bad.toSeq}")
+    }
+  }
+}

@@ -897,7 +897,7 @@ class StreamingSpec extends SparkTestBase {
     val batch = graft.ops.VectorOps
       .semDecontaminate(train, benchDf, threshold = 0.35)
       .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2).toPlainString)))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
     assert(batch.nonEmpty, "fixture must plant at least one semantic hit")
     val bench = benchDf.collect()
@@ -914,7 +914,7 @@ class StreamingSpec extends SparkTestBase {
       input.addData(h1: _*); q.processAllAvailable()
       input.addData(h2: _*); q.processAllAvailable()
       val got = spark.table("semdecon_stream").collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2).toPlainString)))
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
         .toMap
       assert(got == batch,
         s"stream gate diverged from batch x102 on ${
