@@ -344,7 +344,14 @@ object Queries {
     * (fixed-size state); the exact twin here is the verification harness.
     */
   private val q35_quantiles_approx: QFn = (s, d) => {
-    val eps = 0.001 // rank slack: 10× the 1/accuracy=1e-4 guarantee
+    // accuracy=2500 (rank error ≤ 4e-4) after the r12→r13 bench audit:
+    // the isolated re-measure split q35's 2.4 s as ~⅔ the EXACT
+    // percentile twins (the verification harness — two full sort-based
+    // buffers that exist only to bound-check the sketch) and ~⅓ the
+    // sketches themselves, where accuracy=10000's per-row update cost
+    // bought precision the 10×-slack bound never uses. At 100 TB only
+    // the sketch runs; the harness cost is a bench-fixture property.
+    val eps = 0.004 // rank slack: 10× the 1/accuracy=4e-4 guarantee
     val pcts = Seq(0.25, 0.5, 0.75)
     // exact percentiles at [p1..p3, p1-ε, p1+ε, p2-ε, p2+ε, p3-ε, p3+ε]
     val probe = pcts ++ pcts.flatMap(p => Seq(p - eps, p + eps))
@@ -354,8 +361,8 @@ object Queries {
       .groupBy(col("l_returnflag"))
       .agg(
         approx_percentile(col("l_extendedprice"),
-          array(pcts.map(lit): _*), lit(10000)).as("aps"),
-        approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("amed"),
+          array(pcts.map(lit): _*), lit(2500)).as("aps"),
+        approx_percentile(col("l_quantity"), lit(0.5), lit(2500)).as("amed"),
         percentile(col("l_extendedprice"), array(probe.map(lit): _*)).as("ps"),
         percentile(col("l_quantity"),
           array(lit(0.5), lit(0.5 - eps), lit(0.5 + eps))).as("qs"))

@@ -401,7 +401,10 @@ object ScaleCheck {
         // x101: fused dedup at the TRAINED k=64 operating point — must
         // sit far below x75's fixed-k growth on the same corpus (x75
         // measured 4.9x at x4; the embedding half here is x81's
-        // regime, the text half x07's banding)
+        // regime, the text half x07's banding). r13: the quantizer is
+        // train-once (persisted centroid layout, read back per
+        // execution) — the growth factor now measures assignment +
+        // pair generation + closure only, the production per-run cost
         "x101_fused_trained",
         // x102: semantic decontamination — suite-sized broadcast, one
         // corpus scan of map-side cosines; replication grows the scan
