@@ -1538,8 +1538,10 @@ object ExtensionQueries {
     * the stand-in for reading media bytes from a blob store), run the
     * mapPartitions decode ([[graft.multimodal.MediaPipeline.extractMeta]]
     * — per-partition init, narrow, the shape a real codec plugs into),
-    * and emit byte-derived metadata. The decode itself is the documented
-    * deterministic fake (no codecs in this container); everything the
+    * and emit byte-derived metadata. The md5 payloads carry no image
+    * magic, so this query pins decodeMeta's FALLBACK branch (the
+    * documented deterministic fake — x129 pins the REAL `javax.imageio`
+    * branch on planted PNGs); everything the
     * oracle checks — payload bytes, length, byte-indexed dimension
     * derivation — is computed from the BINARY column on both sides
     * (DuckDB: unhex→BLOB, octet_length, hex-pair extraction).
@@ -1554,6 +1556,35 @@ object ExtensionQueries {
         col("media_meta.width").cast("long").as("width"),
         col("media_meta.height").cast("long").as("height"),
         col("media_meta.nFrames").cast("long").as("n_frames"))
+
+  /** REAL image decode round-trip ([[graft.multimodal.MediaPipeline
+    * .decodeMeta]] — `javax.imageio`, JDK-bundled): per document a
+    * genuine PNG is synthesized at doc_id-derived dimensions
+    * (16 + id%32 × 16 + (id/32)%32, deterministic pixels), planted as
+    * the binary payload, and decoded back through the same
+    * mapPartitions plumbing x44 uses. The oracle recomputes the
+    * dimensions arithmetically — the row hash-matches IFF the codec
+    * actually parsed the PNG it was handed (the deterministic fake
+    * would emit 256+… dims and mismatch every row), so this query is
+    * the proof x44's `???`-class stub got a real image path. x44 stays
+    * as the FALLBACK-path check: its md5 payloads carry no image
+    * magic, so both branches of [[graft.multimodal.MediaPipeline
+    * .decodeMeta]] are driver-verified. Encode+decode are per-row
+    * map-side work (no shuffle until the oracle-ordered output). */
+  private val x129_imageio_decode: QFn = (s, d) => {
+    import s.implicits._
+    val withPng = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, graft.multimodal.MediaPipeline.encodePng(
+          16 + (id % 32).toInt, 16 + ((id / 32) % 32).toInt, seed = id))
+      }).toDF("doc_id", "media")
+    graft.multimodal.MediaPipeline.extractMeta(withPng, "media")
+      .select(col("doc_id"),
+        col("media_meta.format").as("format"),
+        col("media_meta.width").cast("long").as("width"),
+        col("media_meta.height").cast("long").as("height"),
+        col("media_meta.nFrames").cast("long").as("n_frames"))
+  }
 
   // ----------------------------------------------------------------- events
 
@@ -2954,6 +2985,7 @@ object ExtensionQueries {
     "x126_matryoshka_recall" -> x126_matryoshka_recall,
     "x127_bag_dedup" -> x127_bag_dedup,
     "x128_dedup_tiers" -> x128_dedup_tiers,
+    "x129_imageio_decode" -> x129_imageio_decode,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -4816,7 +4848,15 @@ object ExtensionQueries {
       "x125_saturation" -> x125Oracle,
       "x126_matryoshka_recall" -> x126Oracle,
       "x127_bag_dedup" -> x127Oracle,
-      "x128_dedup_tiers" -> x128Oracle)
+      "x128_dedup_tiers" -> x128Oracle,
+      // x129: dimensions recomputed arithmetically — only a REAL PNG
+      // decode on the Spark side can hash-match
+      "x129_imageio_decode" ->
+        """SELECT doc_id, 'png' AS format,
+          |       (16 + doc_id % 32)::BIGINT AS width,
+          |       (16 + (doc_id // 32) % 32)::BIGINT AS height,
+          |       1::BIGINT AS n_frames
+          |  FROM documents""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "x01_tokens" ->

@@ -7,9 +7,11 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video ride as opaque `binary`
   * columns with typed metadata, processed in per-partition batches.
   *
-  * The container has no media codecs, so [[decodeStub]] is a
-  * DETERMINISTIC FAKE (clearly marked) standing in for e.g. a JPEG
-  * decoder — what is real and tested here is the Spark-side shape:
+  * Decode is REAL for PNG/JPEG payloads ([[decodeMeta]] —
+  * `javax.imageio` ships with the JDK, no external codec needed); for
+  * every other payload [[decodeStub]] is a DETERMINISTIC FAKE (clearly
+  * marked) standing in for e.g. a video demuxer. Also real and tested
+  * here is the Spark-side shape:
   *  - schema: payload `BinaryType` + `media_meta` struct column;
   *  - execution: `mapPartitions` so a real decoder amortizes per-batch
   *    init (codec contexts, model weights) across the partition —
@@ -23,7 +25,7 @@ import org.apache.spark.sql.types._
   * columns should be pruned before wide shuffles (select meta, join,
   * re-attach by key).
   */
-object MediaPipeline {
+object MediaPipeline extends Serializable {
 
   case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
 
@@ -38,9 +40,11 @@ object MediaPipeline {
   def withPayload(df: DataFrame, contentCol: String): DataFrame =
     df.withColumn("media", unhex(md5(col(contentCol))))
 
-  /** ??? REAL DECODER GOES HERE ??? — deterministic fake: derives
-    * "dimensions" from the payload bytes. A production build links an
-    * actual codec and keeps this exact signature. */
+  /** Deterministic fake for NON-image payloads (audio/video — no
+    * demuxer in this container): derives "dimensions" from the payload
+    * bytes. A production build links an actual codec and keeps this
+    * exact signature. Image payloads never reach this path —
+    * [[decodeMeta]] routes PNG/JPEG through the real decoder. */
   def decodeStub(bytes: Array[Byte]): MediaMeta = {
     def u(i: Int): Int = bytes(i % bytes.length) & 0xff
     MediaMeta(
@@ -48,6 +52,56 @@ object MediaPipeline {
       width = 256 + (u(1) << 2),
       height = 256 + (u(2) << 2),
       nFrames = 1 + u(3) % 30)
+  }
+
+  private def looksLikePng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte &&
+      b(2) == 'N'.toByte && b(3) == 'G'.toByte
+
+  private def looksLikeJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  /** Metadata decode with a REAL image path: payloads carrying a
+    * PNG/JPEG magic prefix are decoded by `javax.imageio` (JDK-bundled
+    * — actual pixel-accurate width/height, not a derivation); anything
+    * else, and any magic-prefixed payload the codec rejects (a
+    * truncated or accidental prefix), falls back to the deterministic
+    * [[decodeStub]] so the output is total and reproducible. nFrames=1
+    * for still images. */
+  def decodeMeta(bytes: Array[Byte]): MediaMeta =
+    if (bytes != null && (looksLikePng(bytes) || looksLikeJpeg(bytes))) {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) decodeStub(bytes)
+        else MediaMeta(
+          format = if (looksLikePng(bytes)) "png" else "jpeg",
+          width = img.getWidth, height = img.getHeight, nFrames = 1)
+      } catch { case _: java.io.IOException => decodeStub(bytes) }
+    } else decodeStub(bytes)
+
+  /** Deterministic PNG bytes for fixtures: a `width`×`height` RGB image
+    * whose pixels are a pure function of (x, y, seed), encoded with the
+    * JDK's ImageIO PNG writer. Used to PLANT real image payloads in
+    * tests/queries so [[decodeMeta]]'s real path is exercised — the
+    * decoded dimensions must round-trip exactly (the oracle recomputes
+    * them arithmetically; only a REAL decode can match). */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (((x * 31 + y * 17).toLong + seed) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Decode metadata for every row, per-partition batches. Output =
@@ -61,7 +115,7 @@ object MediaPipeline {
       // per-partition init happens HERE exactly once (codec context,
       // model weights, …) — the point of the mapPartitions batch shape
       it.map { r =>
-        val m = decodeStub(r.getAs[Array[Byte]](idx))
+        val m = decodeMeta(r.getAs[Array[Byte]](idx))
         Row.fromSeq(r.toSeq :+ Row(m.format, m.width, m.height, m.nFrames))
       }
     }(org.apache.spark.sql.Encoders.row(schema))

@@ -91,4 +91,50 @@ class MediaPipelineSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out == Map(1L -> 0, 2L -> 2), out.toString)
   }
+
+  test("decodeMeta REAL path: PNG and JPEG payloads decode to exact pixel dimensions") {
+    // PNG: synthesize → decode round-trips the true dimensions
+    val png = MediaPipeline.encodePng(37, 21, seed = 7L)
+    val mPng = MediaPipeline.decodeMeta(png)
+    assert(mPng == MediaPipeline.MediaMeta("png", 37, 21, 1), mPng)
+    // JPEG via the JDK's own encoder (lossy pixels, exact dimensions)
+    val img = new java.awt.image.BufferedImage(19, 43,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val mJpg = MediaPipeline.decodeMeta(bos.toByteArray)
+    assert(mJpg == MediaPipeline.MediaMeta("jpeg", 19, 43, 1), mJpg)
+  }
+
+  test("decodeMeta FALLBACK path: non-image and corrupt-magic payloads equal the deterministic stub") {
+    // md5-derived payloads (the x44 fixture class) carry no image magic
+    val md5ish = Array.tabulate[Byte](16)(i => (i * 37 + 5).toByte)
+    assert(MediaPipeline.decodeMeta(md5ish) == MediaPipeline.decodeStub(md5ish))
+    // a payload WITH the PNG magic but garbage after it: ImageIO
+    // rejects it and the decode must fall back, not throw
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3, 4)
+    assert(MediaPipeline.decodeMeta(corrupt) == MediaPipeline.decodeStub(corrupt))
+    // truncated JPEG magic alone must not throw either
+    val jpgStub = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0)
+    assert(MediaPipeline.decodeMeta(jpgStub) == MediaPipeline.decodeStub(jpgStub))
+  }
+
+  test("extractMeta routes planted PNGs through the real decoder distributed, fallback rows unchanged") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, MediaPipeline.encodePng(20, 30, 1L)),
+      (2L, MediaPipeline.encodePng(31, 17, 2L)),
+      (3L, Array.tabulate[Byte](16)(i => (i * 11 + 3).toByte))) // fake path
+    val out = MediaPipeline.extractMeta(
+        rows.toDF("doc_id", "media").repartition(2))
+      .select(col("doc_id"), col("media_meta.format"),
+        col("media_meta.width"), col("media_meta.height"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("png", 20, 30)), out)
+    assert(out(2L) == (("png", 31, 17)), out)
+    val stub = MediaPipeline.decodeStub(rows(2)._2)
+    assert(out(3L) == ((stub.format, stub.width, stub.height)), out)
+  }
 }
