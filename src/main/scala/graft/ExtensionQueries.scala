@@ -2817,6 +2817,21 @@ object ExtensionQueries {
         coalesce(col("n_both"), lit(0L)).as("n_both"))
   }
 
+  /** One-call curation pipeline v6 ([[graft.ops.CorpusOps.curateV6]])
+    * — the composed production entry point the x128 tier matrix
+    * motivated: entropy band (x112's signal, integer-quantized,
+    * x106's broadcast percentile cut) → uniform-noise ceiling (exact
+    * max=min count test) → CDC ownership dedup (x114's chunk grain,
+    * own-at-least-half rule) → α=0.5 temperature mix (x54's integer
+    * hash threshold). EVERY doc comes back with the reason that
+    * removed it (or 'kept'), so a curation run is auditable as a
+    * filter instead of a replay; the whole table — all four gate
+    * decisions end-to-end — hash-checks against one composed oracle,
+    * and PipelineSpec pins the op's kept set against the gates run
+    * individually. */
+  private val x130_curate_v6: QFn = (s, d) =>
+    graft.ops.CorpusOps.curateV6(docs(s, d))
+
   /** Language-ID confusion matrix — the gauge for the x03 classifier
     * itself: labeled lang × predicted lang with counts and
     * within-label shares. The matrix every langid swap/retrain is
@@ -2986,6 +3001,7 @@ object ExtensionQueries {
     "x127_bag_dedup" -> x127_bag_dedup,
     "x128_dedup_tiers" -> x128_dedup_tiers,
     "x129_imageio_decode" -> x129_imageio_decode,
+    "x130_curate_v6" -> x130_curate_v6,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3769,6 +3785,72 @@ object ExtensionQueries {
        |         row_number() OVER (PARTITION BY chunk_fp
        |                            ORDER BY doc_id, chunk_idx) AS rn
        |    FROM c) WHERE rn = 1""".stripMargin
+
+  // x130: curateV6's four gates composed. Entropy/uniform from the
+  // x112 CTE shapes (quantized to a 1e-4 BIGINT grid); the 5th-pctile
+  // cut via quantile_cont on the integer key (x106's recipe); CDC
+  // ownership = x114's boundary CTEs restricted to the gated pool with
+  // min-doc keep; the mix threshold is x54's integer round(pow·1e6).
+  private lazy val x130Oracle: String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
+       |             FROM documents),
+       |c AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM w GROUP BY 1,2),
+       |e AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+       |             sum(c * CAST(round(ln(c),6) AS DECIMAL(18,6))) AS clc,
+       |             (max(c) = min(c)) AS uni0
+       |        FROM c GROUP BY 1),
+       |eq AS (SELECT doc_id, uni0,
+       |         CAST(round(((CAST(round(ln(n_words),6) AS DOUBLE)
+       |               - CAST(clc AS DOUBLE)/CAST(n_words AS DOUBLE)) / ln(2))
+       |               * 10000) AS BIGINT) AS ent_q
+       |        FROM e),
+       |cu AS (SELECT quantile_cont(ent_q, 0.05) AS cut FROM eq),
+       |g AS (SELECT d.doc_id, d.lang,
+       |        coalesce(eq.ent_q < cu.cut, FALSE) AS low,
+       |        (NOT coalesce(eq.ent_q < cu.cut, FALSE))
+       |          AND coalesce(eq.uni0, FALSE) AS uni
+       |        FROM documents d LEFT JOIN eq USING (doc_id) CROSS JOIN cu),
+       |t AS (SELECT d.doc_id, string_split($NT,' ') AS ws
+       |        FROM documents d JOIN g USING (doc_id)
+       |       WHERE NOT g.low AND NOT g.uni),
+       |b AS (SELECT doc_id, ws,
+       |        list_concat(
+       |          list_filter(range(1, len(ws)+1),
+       |                      i -> ${H60("'cdc|'||ws[i]")} % 8 = 0),
+       |          CASE WHEN ${H60("'cdc|'||ws[len(ws)]")} % 8 = 0 THEN []
+       |               ELSE [len(ws)] END) AS bnds FROM t),
+       |p AS (SELECT doc_id, ws,
+       |        unnest(bnds) AS e2,
+       |        unnest(list_concat([0], bnds)[1:len(bnds)]) AS s2
+       |        FROM b),
+       |ch AS (SELECT doc_id,
+       |         md5(array_to_string(ws[s2+1:e2],' ')) AS chunk_fp FROM p),
+       |km AS (SELECT chunk_fp, min(doc_id) AS keep_doc FROM ch GROUP BY 1),
+       |own AS (SELECT ch.doc_id, count(*)::BIGINT AS n_chunks,
+       |          sum(CASE WHEN km.keep_doc = ch.doc_id
+       |                   THEN 1 ELSE 0 END)::BIGINT AS n_owned
+       |          FROM ch JOIN km USING (chunk_fp) GROUP BY 1),
+       |g2 AS (SELECT g.doc_id, g.lang, g.low, g.uni,
+       |         (NOT g.low AND NOT g.uni AND
+       |          coalesce(own.n_owned*2 < own.n_chunks, FALSE)) AS dup
+       |         FROM g LEFT JOIN own USING (doc_id)),
+       |mc AS (SELECT lang, count(*)::BIGINT AS n_group FROM g2
+       |        WHERE NOT low AND NOT uni AND NOT dup GROUP BY 1),
+       |mm AS (SELECT min(n_group) AS n_min FROM mc),
+       |r AS (SELECT lang,
+       |        round(pow(n_min::DOUBLE / n_group::DOUBLE, 0.5)
+       |              * 1000000)::BIGINT AS thr FROM mc, mm)
+       |SELECT g2.doc_id, g2.lang,
+       |       CASE WHEN low THEN 'low_entropy'
+       |            WHEN uni THEN 'uniform'
+       |            WHEN dup THEN 'dup_chunks'
+       |            WHEN ${H60("'mix|'||g2.doc_id::VARCHAR")} % 1000000
+       |                 >= r.thr THEN 'mix_out'
+       |            ELSE 'kept' END AS reason,
+       |       CASE WHEN NOT low AND NOT uni AND NOT dup AND
+       |                 ${H60("'mix|'||g2.doc_id::VARCHAR")} % 1000000 < r.thr
+       |            THEN 1 ELSE 0 END::BIGINT AS kept
+       |  FROM g2 LEFT JOIN r USING (lang)""".stripMargin
 
   // x110: the three gram levels unioned at (doc, n, gram) grain; the
   // top gram per level picked by the same (cnt DESC, gram DESC)
@@ -4849,6 +4931,11 @@ object ExtensionQueries {
       "x126_matryoshka_recall" -> x126Oracle,
       "x127_bag_dedup" -> x127Oracle,
       "x128_dedup_tiers" -> x128Oracle,
+      // x130: the four v6 gates replayed end-to-end — x112's entropy
+      // arithmetic on the 1e-4 integer grid, the x106 percentile cut,
+      // the exact uniform test, x114's CDC boundary CTEs over the
+      // gated pool with min-doc ownership, and x54's pow/threshold mix
+      "x130_curate_v6" -> x130Oracle,
       // x129: dimensions recomputed arithmetically — only a REAL PNG
       // decode on the Spark side can hash-match
       "x129_imageio_decode" ->

@@ -1644,4 +1644,103 @@ object CorpusOps {
       .select(col(groupCol), col("n_tokens"), col("loss_q"),
         col("excess_q"), col("weight_q"))
   }
+
+  /** One-call curation pipeline v6 — entropy band → CDC ownership
+    * dedup → temperature mix as a single operator, returning EVERY
+    * input doc with the decision that removed it (or kept it). The
+    * composition is the one the dedup tier-agreement matrix (x128)
+    * motivated and PipelineSpec drives gate by gate; this is the
+    * production entry point, with reasons so a curation run is
+    * auditable ("why did doc X disappear?" is a filter, not a replay).
+    *
+    * Gates, in reason precedence order (first failure names the doc):
+    *  1. `low_entropy` — within-doc word entropy (integer-quantized to
+    *     the 1e-4 grid, the [[graft.functions.ExactMath.microQ]]
+    *     discipline) below the corpus `pLow`-percentile cut; the cut is
+    *     ONE exact-percentile scalar on a broadcast (x106's recipe —
+    *     deliberately not a corpus-wide ntile).
+    *  2. `uniform` — every word type equally frequent (max count =
+    *     min count): shuffled-vocabulary noise at its own entropy
+    *     ceiling. Exact integer test — no norm_entropy rounding.
+    *  3. `dup_chunks` — within the gated pool, the doc OWNS (is
+    *     keep-min for) fewer than half its content-defined chunks
+    *     ([[graft.ops.TextDedup.cdcChunkFps]]' grain): exact copies
+    *     own none of theirs, heavy quoters own few.
+    *  4. `mix_out` — the survivor pool is α-temperature-sampled per
+    *     group ([[temperatureRates]] — integer hash threshold, the x54
+    *     contract); rows over the threshold leave.
+    *  5. `kept`.
+    * Output: (idCol, groupCol, reason, kept 0/1).
+    *
+    * 100 TB shape: entropy is the x112 map-side rollup; the cut and
+    * the mix rates ride broadcasts; CDC ownership is one hash-keyed
+    * groupBy at chunk grain; the doc-grain gate frame is persisted so
+    * the reason assembly replays no text pass. */
+  def curateV6(docs: DataFrame, pLow: Int = 5, cdcModulus: Int = 8,
+      alpha: Double = 0.5, salt: String = "mix",
+      idCol: String = "doc_id", groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require(pLow >= 0 && pLow <= 100, s"pLow in [0,100], got $pLow")
+    val res = 1000000L
+    val cnt = docs
+      .select(col(idCol).as("doc_id"), explode(TF.words(col(textCol)))
+        .as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val lnQ6 = (x: Column) => round(log(x.cast("double")), 6)
+    // ent_q: the x112 arithmetic quantized ONCE to a 1e-4 integer grid
+    // (round(H,4)·1e4 ≡ round(H·1e4) — same grid, integer-exact after)
+    val ent = cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_words"),
+        sum(col("c") * lnQ6(col("c")).cast("decimal(18,6)")).as("clc"),
+        (max(col("c")) === min(col("c"))).as("uni0"))
+      .select(col("doc_id"), col("uni0"),
+        round(((lnQ6(col("n_words")) -
+          col("clc").cast("double") / col("n_words").cast("double")) /
+          math.log(2.0)) * 10000d).cast("long").as("ent_q"))
+    val cut = broadcast(ent.agg(
+      percentile(col("ent_q"), lit(pLow / 100.0)).as("cut")))
+    val gates = docs.select(col(idCol).as("doc_id"),
+        col(groupCol).as("grp"))
+      .join(ent, Seq("doc_id"), "left")
+      .crossJoin(cut)
+      // coalesce: a zero-word doc has no entropy row — it fails no
+      // entropy gate (and owns no chunks), flowing through to the mix
+      .withColumn("low", coalesce(col("ent_q") < col("cut"), lit(false)))
+      .withColumn("uni", !col("low") && coalesce(col("uni0"), lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val poolIds = gates.filter(!col("low") && !col("uni"))
+      .select(col("doc_id"))
+    val chunks = graft.ops.TextDedup.cdcChunkFps(
+      docs.select(col(idCol).as("doc_id"),
+          TF.words(col(textCol)).as("ws"))
+        .join(poolIds, Seq("doc_id")), cdcModulus)
+    val keepMin = chunks.groupBy(col("chunk_fp"))
+      .agg(min(col("doc_id")).as("keep_doc"))
+    val own = chunks.join(keepMin, Seq("chunk_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_owned"))
+    val g2 = gates.join(own, Seq("doc_id"), "left")
+      .withColumn("dup", !col("low") && !col("uni") &&
+        coalesce(col("n_owned") * 2 < col("n_chunks"), lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rates = temperatureRates(
+      g2.filter(!col("low") && !col("uni") && !col("dup"))
+        .select(col("doc_id"), col("grp").as(groupCol)),
+      groupCol, alpha, res)
+    val inMix = TF.hash60(col("doc_id").cast("string"), s"$salt|") % res <
+      col("thr")
+    g2.join(broadcast(rates.select(col(groupCol).as("grp"), col("thr"))),
+        Seq("grp"), "left")
+      .select(col("doc_id").as(idCol), col("grp").as(groupCol),
+        when(col("low"), lit("low_entropy"))
+          .when(col("uni"), lit("uniform"))
+          .when(col("dup"), lit("dup_chunks"))
+          .when(!inMix, lit("mix_out"))
+          .otherwise(lit("kept")).as("reason"),
+        when(!col("low") && !col("uni") && !col("dup") && inMix, 1L)
+          .otherwise(0L).as("kept"))
+  }
 }

@@ -316,6 +316,55 @@ class PipelineSpec extends SparkTestBase {
     assert(mix() == first, "pipeline must be deterministic end to end")
   }
 
+  test("curateV6 one-call op: reasons partition the corpus; kept set equals the gates run independently") {
+    val docs = Catalog(spark, sf).table("documents")
+    val n0 = docs.count()
+    val out = CorpusOps.curateV6(docs)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // total function: every doc decided exactly once, kept <=> 'kept'
+    assert(rows.length == n0 && rows.map(_._1).distinct.length == n0)
+    assert(rows.forall { case (_, _, rs, k) => (rs == "kept") == (k == 1L) })
+    val byReason = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byReason.getOrElse("kept", 0) > 0, byReason.toString)
+    assert(byReason.size >= 3, s"fixture must exercise several gates: $byReason")
+
+    // independent replay of the op's advertised contracts, stage by
+    // stage through the PUBLIC component ops
+    val ent = docs
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("nw"),
+        sum(col("c") * round(log(col("c").cast("double")), 6)
+          .cast("decimal(18,6)")).as("clc"),
+        (max(col("c")) === min(col("c"))).as("uni"))
+      .select(col("doc_id"), col("uni"),
+        round(((round(log(col("nw").cast("double")), 6) -
+          col("clc").cast("double") / col("nw").cast("double")) /
+          math.log(2.0)) * 10000d).cast("long").as("ent_q"))
+    val cutV = ent.agg(percentile(col("ent_q"), lit(0.05))).head.getDouble(0)
+    val pool = ent.filter(col("ent_q") >= cutV && !col("uni"))
+      .select("doc_id")
+    val chunks = TextDedup.cdcChunkFps(
+      docs.select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .join(pool, Seq("doc_id")), 8)
+    val owned = chunks
+      .join(chunks.groupBy("chunk_fp").agg(min(col("doc_id")).as("kd")),
+        Seq("chunk_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nc"),
+        sum(when(col("kd") === col("doc_id"), 1L).otherwise(0L)).as("no"))
+      .filter(col("no") * 2 >= col("nc")).select("doc_id")
+    val keptInd = CorpusOps.temperatureSample(
+        docs.join(owned, Seq("doc_id")), alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptOp = rows.filter(_._4 == 1L).map(_._1).toSet
+    assert(keptOp == keptInd,
+      s"op kept ${keptOp.size} != gates kept ${keptInd.size}; " +
+        s"diff=${(keptOp -- keptInd) ++ (keptInd -- keptOp)}")
+  }
+
   test("x123 scan-amplification audit: the card's word-grain consumers share one persisted explode") {
     val sc = spark.sparkContext
     val docs = Catalog(spark, sf).table("documents")

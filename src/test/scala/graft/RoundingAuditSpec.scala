@@ -63,6 +63,7 @@ class RoundingAuditSpec extends SparkTestBase {
     "x107_source_drift" -> "decimal JS-divergence terms",
     "x108_zipf_slope" -> "decimal log-log regression operands",
     "x112_entropy" -> "decimal(18,4) char-entropy",
+    "x130_curate_v6" -> "x112's entropy decimals inside the band gate",
     // --- PCA projection grain ---
     "x96_pca_project" -> "decimal projection of exact loadings",
     "x106_curriculum" -> "stages cut on x96's projection")
