@@ -69,37 +69,49 @@ object ExtensionQueries {
       TF.tokenCount(col("text")).as("n_tokens"),
       TF.bpeTokenCount(col("text")).as("n_bpe"))
 
-  /** Composite quality score (shared by x02 and x57): 0.4·stopword
-    * ratio + 0.3·length saturation + 0.3·alpha ratio, rounded to 4. */
-  private def qualityExpr: Column = {
-    val nw = TF.tokenCount(col("text"))
-    val stopRaw = TF.stopwordHits(TF.words(col("text")),
-      Seq("the", "and", "of", "to", "in", "is", "a")).cast("double") / nw
-    val alphaRaw = regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
-      length(col("text"))
-    val lenRaw = least(nw.cast("double") / lit(100.0), lit(1.0))
-    round((lit(0.4) * stopRaw + lit(0.3) * lenRaw) + lit(0.3) * alphaRaw, 4)
+  /** Composite quality score in 1e-4 integer units (shared by
+    * x02/x57/x64/x65/x70/x97): 0.4·stopword ratio + 0.3·length
+    * saturation + 0.3·alpha ratio, evaluated as ONE exact rational on
+    * the common denominator nw·len and rounded half-up by pure integer
+    * arithmetic ([[graft.functions.ExactMath.divHalfUp]]) —
+    * quality_q = ⌈(4000·hits·len + 30·min(nw,100)·nw·len +
+    * 3000·alpha·nw) / (nw·len)⌋. No IEEE op anywhere, so the value is
+    * identical on every engine/build at every SF — this retires the
+    * documented sf0.1 ".xxxx5" mismatch class (r12 BENCH_NOTES: x02/
+    * x57/x64 one 4th-decimal flip each). Requires nonempty text. */
+  private def qualityQ: Column = {
+    val nw = TF.tokenCount(col("text")).cast("long")
+    val hits = TF.stopwordHits(TF.words(col("text")),
+      Seq("the", "and", "of", "to", "in", "is", "a")).cast("long")
+    val ac = regexp_count(col("text"), lit("[A-Za-z]")).cast("long")
+    val lenC = length(col("text")).cast("long")
+    graft.functions.ExactMath.divHalfUp(
+      lit(4000L) * hits * lenC +
+        lit(30L) * least(nw, lit(100L)) * nw * lenC +
+        lit(3000L) * ac * nw,
+      nw * lenC)
   }
 
-  /** Quality scoring: length/stopword/alpha ratios + composite score.
-    * (Compare note: a ratio landing exactly on a .xxxx5 boundary can
-    * round apart between engines — same double, different round()
-    * semantics; observed at sf0.1 on 2/5000 rows, never at the sf0.01
-    * gate. See q27's docstring for the general caveat.) */
+  /** Quality scoring: length/stopword/alpha ratios + composite score,
+    * ALL in 1e-4 integer units via exact-rational divHalfUp (no
+    * round(double) anywhere — the r13 grid discipline; the r12 form
+    * had documented cross-engine 4th-decimal flips at sf0.1). */
   private val x02_quality: QFn = (s, d) => {
-    val nw = TF.tokenCount(col("text"))
+    val EM = graft.functions.ExactMath
+    val nw = TF.tokenCount(col("text")).cast("long")
     val norm = TF.normText(col("text"))
-    val stopRaw = TF.stopwordHits(TF.words(col("text")),
-      Seq("the", "and", "of", "to", "in", "is", "a")).cast("double") / nw
-    val alphaRaw = regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
-      length(col("text"))
+    val hits = TF.stopwordHits(TF.words(col("text")),
+      Seq("the", "and", "of", "to", "in", "is", "a")).cast("long")
+    val ac = regexp_count(col("text"), lit("[A-Za-z]")).cast("long")
     docsR(s, d).select(
       col("doc_id"),
       nw.as("n_words"),
-      round((length(norm) - (nw - 1)).cast("double") / nw, 4).as("avg_wlen"),
-      round(stopRaw, 4).as("stop_ratio"),
-      round(alphaRaw, 4).as("alpha_ratio"),
-      qualityExpr.as("quality"))
+      EM.divHalfUp((length(norm).cast("long") - (nw - lit(1L))) *
+        lit(10000L), nw).as("avg_wlen_q"),
+      EM.divHalfUp(hits * lit(10000L), nw).as("stop_ratio_q"),
+      EM.divHalfUp(ac * lit(10000L), length(col("text")).cast("long"))
+        .as("alpha_ratio_q"),
+      qualityQ.as("quality_q"))
   }
 
   /** Language-ID: stopword-profile argmax (deterministic tie order). */
@@ -326,8 +338,8 @@ object ExtensionQueries {
     * reorder values a whole quality step apart). Clean at the sf0.01
     * gate. */
   private val x57_quality_buckets: QFn = (s, d) => {
-    val w = Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))
-    docsR(s, d).select(col("doc_id"), col("lang"), qualityExpr.as("quality"))
+    val w = Window.partitionBy("lang").orderBy(col("quality_q"), col("doc_id"))
+    docsR(s, d).select(col("doc_id"), col("lang"), qualityQ.as("quality_q"))
       .withColumn("bucket", ntile(3).over(w).cast("long"))
   }
 
@@ -479,19 +491,19 @@ object ExtensionQueries {
     val keep = graft.ops.TextDedup.exact(ds)
       .select(col("keep_id").as("doc_id"))
     val pool = ds.join(keep, Seq("doc_id"))
-    val w = Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(col("quality_q"), col("doc_id"))
     // lazily cached: temperatureSample reads gated twice (language
     // counts + the rate join) and the quality join-back reads it a
     // third time — without the cache each branch re-runs the corpus
     // quality projection and the per-language window
     val gated = pool
-      .select(col("doc_id"), col("lang"), qualityExpr.as("quality"))
+      .select(col("doc_id"), col("lang"), qualityQ.as("quality_q"))
       .withColumn("bucket", ntile(3).over(w))
       .filter(col("bucket") === 3).drop("bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.ops.CorpusOps.temperatureSample(gated, salt = "curate")
       .join(gated, Seq("doc_id", "lang"))
-      .select(col("doc_id"), col("lang"), col("quality"), col("rate"))
+      .select(col("doc_id"), col("lang"), col("quality_q"), col("rate"))
   }
 
   /** Per-source quality quota — the domain-cap staple of web-corpus
@@ -503,9 +515,9 @@ object ExtensionQueries {
     * per-language sampler, with quality (not a hash) as the rank. */
   private val x65_source_quota: QFn = (s, d) => {
     val w = Window.partitionBy("source")
-      .orderBy(col("quality").desc, col("doc_id"))
+      .orderBy(col("quality_q").desc, col("doc_id"))
     docsR(s, d)
-      .select(col("doc_id"), col("source"), qualityExpr.as("quality"))
+      .select(col("doc_id"), col("source"), qualityQ.as("quality_q"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
   }
@@ -630,7 +642,7 @@ object ExtensionQueries {
     docsR(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         TF.tokenCount(col("text")).as("n_tokens"),
-        qualityExpr.cast("decimal(18,4)").as("quality"),
+        qualityQ.as("quality_q"),
         md5(TF.normText(col("text"))).as("h"))
       .withColumn("is_dup",
         when(col("doc_id") === min(col("doc_id")).over(wh), 0L)
@@ -640,8 +652,8 @@ object ExtensionQueries {
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"),
         sum(col("is_dup")).as("n_dup_docs"),
-        round(sum(col("quality")).cast("double") / count(lit(1)), 4)
-          .as("mean_quality"))
+        graft.functions.ExactMath.divHalfUp(sum(col("quality_q")),
+          count(lit(1))).as("mean_quality_q"))
   }
 
   /** Hot-key split join ([[graft.ops.SkewOps.hotColdJoin]]) — the
@@ -1829,14 +1841,24 @@ object ExtensionQueries {
   /** Tumbling 1-hour window aggregation over the event stream (batch
     * form; the streaming form with watermark lives in graft.streaming).
     * `ts` surfaces as epoch-ns long (normalized in [[events]] whatever
-    * the parquet encoding) — bucket via integer div. */
-  private val x15_events_window: QFn = (s, d) =>
+    * the parquet encoding) — bucket via integer div. Values are
+    * quantized ONCE to micro-units per row (the x99/ExactMath grid);
+    * the window sums are then exact integer sums — order-independent
+    * and engine-portable, unlike the r12 raw-double sum whose last-ulp
+    * fold-order drift flipped one round(·,2) boundary at sf0.1 (the
+    * documented "x15 one sum" mismatch, now structurally gone).
+    * sum_value_c is in cents (1e-2 units), avg_value_q in 1e-4. */
+  private val x15_events_window: QFn = (s, d) => {
+    val EM = graft.functions.ExactMath
     events(s, d)
-      .selectExpr("ts div 3600000000000 AS hour_bucket", "event_type", "value")
+      .selectExpr("ts div 3600000000000 AS hour_bucket", "event_type",
+        "CAST(round(value * 1000000) AS BIGINT) AS value_q")
       .groupBy("hour_bucket", "event_type")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        EM.divHalfUp(sum(col("value_q")), lit(10000L)).as("sum_value_c"),
+        EM.divHalfUp(sum(col("value_q")), count(lit(1)) * lit(100L))
+          .as("avg_value_q"))
+  }
 
   /** Sessionization: 30-minute inactivity gap, per-user session count —
     * the batch (window-lag) form of mapGroupsWithState sessionization. */
@@ -2190,7 +2212,8 @@ object ExtensionQueries {
   private val x97_signal_corr: QFn = (s, d) => {
     val dd = docsR(s, d)
     val q = dd.select(col("doc_id"),
-      qualityExpr.cast("decimal(18,4)").as("q"))
+      (qualityQ * lit(new java.math.BigDecimal("0.0001")))
+        .cast("decimal(18,4)").as("q"))
     val g = graft.ops.CorpusOps.gopherRules(dd)
       .select(col("doc_id"), col("keep").cast("decimal(18,4)").as("g"))
     val nv = graft.ops.CorpusOps.noveltyScore(dd)
@@ -3006,6 +3029,19 @@ object ExtensionQueries {
 
   // DuckDB mirrors. Shared SQL fragments:
   private val NT = "regexp_replace(lower(trim(text)),'\\s+',' ','g')"
+
+  /** Composite quality in 1e-4 integer units — the DuckDB twin of
+    * `qualityQ`: one exact rational, integer divide-half-up (DHU), no
+    * round(double) anywhere. Shared by the x02/x57/x64/x65/x70/x97
+    * oracles so the grid cannot drift per query. */
+  private lazy val QQ: String = {
+    val nw = s"len(string_split($NT,' '))"
+    val hits = s"""len(list_filter(string_split($NT,' '),
+                  |            w -> w IN ('the','and','of','to','in','is','a')))""".stripMargin
+    val ac = "len(regexp_extract_all(text,'[A-Za-z]'))"
+    DHU(s"4000*$hits*length(text) + 30*least($nw,100)*$nw*length(text) " +
+        s"+ 3000*$ac*$nw", s"$nw*length(text)")
+  }
   private def H60(expr: String) =
     s"('0x'||substring(md5($expr),1,15))::BIGINT"
   /** Dot product with the exact fold order of cosine_sim / zip_with. */
@@ -3213,15 +3249,15 @@ object ExtensionQueries {
        |       CAST(round(ln(
        |         greatest(k.cb::DOUBLE - 0.75, 0) / l.cl::DOUBLE +
        |         (0.75 * l.n1f::DOUBLE / l.cl::DOUBLE) *
-       |         (c2.n1p::DOUBLE / nbt.nb::DOUBLE)), 6)
-       |            AS DECIMAL(18,6)) AS lpb
+       |         (c2.n1p::DOUBLE / nbt.nb::DOUBLE)) * 1000000)
+       |            AS BIGINT) AS lpb_q
        |         FROM tf t JOIN cb k USING (bg)
        |         JOIN l ON k.w1 = l.w1
        |         JOIN c2 ON k.w2 = c2.w2
        |         CROSS JOIN nbt)
        |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
-       |       round((sum(tf * lpb))::DOUBLE / (sum(tf))::DOUBLE, 4)
-       |         AS avg_logp_kn
+       |       (CASE WHEN (sum(tf * lpb_q)) < 0 THEN -CAST((2*(-(sum(tf * lpb_q))) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) ELSE CAST((2*(sum(tf * lpb_q)) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) END)
+       |         AS avg_logp_kn_q
        |  FROM lp GROUP BY doc_id""".stripMargin
 
   // x107: (source, word) counts → corpus counts derived → quantized
@@ -3315,21 +3351,21 @@ object ExtensionQueries {
        |         ((coalesce(c2.n1p, 0) + 1)::DOUBLE /
        |          (scal.nb + scal.vc)::DOUBLE)
        |         ELSE (coalesce(c2.n1p, 0) + 1)::DOUBLE /
-       |              (scal.nb + scal.vc)::DOUBLE END), 6)
-       |            AS DECIMAL(18,6)) AS lpb
+       |              (scal.nb + scal.vc)::DOUBLE END) * 1000000)
+       |            AS BIGINT) AS lpb_q
        |         FROM tf t
        |         LEFT JOIN cbx k USING (bg)
        |         LEFT JOIN l ON t.w1 = l.w1
        |         LEFT JOIN c2 ON t.w2 = c2.w2
        |         CROSS JOIN scal),
        |kn AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
-       |       round((sum(tf * lpb))::DOUBLE / (sum(tf))::DOUBLE, 4)
-       |         AS avg_logp_kn
+       |       (CASE WHEN (sum(tf * lpb_q)) < 0 THEN -CAST((2*(-(sum(tf * lpb_q))) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) ELSE CAST((2*(sum(tf * lpb_q)) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) END)
+       |         AS avg_logp_kn_q
        |  FROM lp GROUP BY doc_id)""".stripMargin
 
   private lazy val x109Oracle: String =
     s"""WITH ${knApplyCtes("WHERE doc_id % 5 = 0")}
-       |SELECT doc_id, n_bigrams, avg_logp_kn FROM kn""".stripMargin
+       |SELECT doc_id, n_bigrams, avg_logp_kn_q FROM kn""".stripMargin
 
   // x111: the KN chain applied to the WHOLE corpus, then per-lang
   // quartile cuts on the 1e-4-quantized score key (quantile_cont ≡
@@ -3337,13 +3373,13 @@ object ExtensionQueries {
   // head/middle/tail split with the same strict-> compares.
   private lazy val x111Oracle: String =
     s"""WITH ${knApplyCtes("")},
-       |sc AS (SELECT k.doc_id, d.lang, k.avg_logp_kn,
-       |              CAST(round(k.avg_logp_kn * 10000) AS BIGINT) AS pk
+       |sc AS (SELECT k.doc_id, d.lang, k.avg_logp_kn_q,
+       |              k.avg_logp_kn_q AS pk
        |         FROM kn k JOIN documents d USING (doc_id)),
        |cu AS (SELECT lang, quantile_cont(pk, 0.25) AS c1,
        |              quantile_cont(pk, 0.75) AS c3
        |         FROM sc GROUP BY lang)
-       |SELECT s.doc_id, s.lang, s.avg_logp_kn,
+       |SELECT s.doc_id, s.lang, s.avg_logp_kn_q,
        |       CASE WHEN s.pk::DOUBLE > cu.c3 THEN 'head'
        |            WHEN s.pk::DOUBLE > cu.c1 THEN 'middle'
        |            ELSE 'tail' END AS bucket
@@ -4497,10 +4533,10 @@ object ExtensionQueries {
   // (14,4)/(18,8) downcasts as the Spark side, ratio through doubles.
   private lazy val x97Oracle: String =
     s"""WITH s AS (
-       |  SELECT q.quality::DECIMAL(18,4) AS q,
+       |  SELECT (q.quality_q * 0.0001)::DECIMAL(18,4) AS q,
        |         g.keep::DECIMAL(18,4) AS g,
        |         v.novel_frac::DECIMAL(18,4) AS v
-       |    FROM (SELECT doc_id, quality FROM (
+       |    FROM (SELECT doc_id, quality_q FROM (
        |${oracles("x02_quality")}
        |         )) q
        |    JOIN (SELECT doc_id, keep FROM (
@@ -4509,7 +4545,7 @@ object ExtensionQueries {
        |    JOIN (SELECT doc_id, novel_frac FROM (
        |$x93Oracle
        |         )) v USING (doc_id)
-       |   WHERE q.quality IS NOT NULL AND v.novel_frac IS NOT NULL),
+       |   WHERE q.quality_q IS NOT NULL AND v.novel_frac IS NOT NULL),
        |a AS (SELECT count(*)::BIGINT AS n,
        |             count(*)::DECIMAL(10,0) AS n10,
        |             CAST(sum(q) AS DECIMAL(14,4)) AS sq,
@@ -4956,16 +4992,15 @@ object ExtensionQueries {
          |  SELECT doc_id, text, $NT AS nt,
          |         len(string_split($NT,' ')) AS nw,
          |         len(list_filter(string_split($NT,' '),
-         |             w -> w IN ('the','and','of','to','in','is','a')))::DOUBLE
-         |           / len(string_split($NT,' ')) AS stop_raw,
-         |         len(regexp_extract_all(text,'[A-Za-z]'))::DOUBLE / length(text) AS alpha_raw,
-         |         least(len(string_split($NT,' '))::DOUBLE / 100.0, 1.0) AS len_raw
+         |             w -> w IN ('the','and','of','to','in','is','a'))) AS hits,
+         |         len(regexp_extract_all(text,'[A-Za-z]')) AS ac,
+         |         $QQ AS quality_q
          |    FROM documents)
          |SELECT doc_id, nw AS n_words,
-         |       round((length(nt) - (nw - 1))::DOUBLE / nw, 4) AS avg_wlen,
-         |       round(stop_raw, 4) AS stop_ratio,
-         |       round(alpha_raw, 4) AS alpha_ratio,
-         |       round((0.4*stop_raw + 0.3*len_raw) + 0.3*alpha_raw, 4) AS quality
+         |       ${DHU("(length(nt) - (nw - 1)) * 10000", "nw")} AS avg_wlen_q,
+         |       ${DHU("hits * 10000", "nw")} AS stop_ratio_q,
+         |       ${DHU("ac * 10000", "length(text)")} AS alpha_ratio_q,
+         |       quality_q
          |  FROM t""".stripMargin,
     "x03_langid" -> {
       val hits = graft.functions.TextFunctions.langStops.map { case (lang, stops) =>
@@ -5157,10 +5192,13 @@ object ExtensionQueries {
         | WHERE value >= lo + (hi-lo)*0.45 AND value < lo + (hi-lo)*0.55
         |   AND user_id >= ulo + (uhi-ulo)//4 AND user_id < ulo + (uhi-ulo)//2""".stripMargin,
     "x15_events_window" ->
-      """SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
-        |       count(*) AS n, round(sum(value),2) AS sum_value,
-        |       round(avg(value),4) AS avg_value
-        |  FROM events GROUP BY 1, 2""".stripMargin,
+      s"""SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
+         |       count(*) AS n,
+         |       ${DHU("sum(CAST(round(value*1000000) AS BIGINT))",
+                       "10000")} AS sum_value_c,
+         |       ${DHU("sum(CAST(round(value*1000000) AS BIGINT))",
+                       "count(*)*100")} AS avg_value_q
+         |  FROM events GROUP BY 1, 2""".stripMargin,
     "x16_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
@@ -5253,11 +5291,11 @@ object ExtensionQueries {
          |c AS (SELECT sum(cnt) AS n_total, count(*) AS vocab FROM cnts),
          |lp AS (SELECT t.doc_id, t.tf,
          |       CAST(round(ln((k.cnt + 1)::DOUBLE /
-         |                     (c.n_total + c.vocab)::DOUBLE), 6)
-         |            AS DECIMAL(18,6)) AS lpw
+         |                     (c.n_total + c.vocab)::DOUBLE) * 1000000)
+         |            AS BIGINT) AS lpw_q
          |         FROM tf t JOIN cnts k USING (word) CROSS JOIN c)
          |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-         |       round((sum(tf * lpw))::DOUBLE / (sum(tf))::DOUBLE, 4) AS avg_logp
+         |       (CASE WHEN (sum(tf * lpw_q)) < 0 THEN -CAST((2*(-(sum(tf * lpw_q))) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) ELSE CAST((2*(sum(tf * lpw_q)) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) END) AS avg_logp_q
          |  FROM lp GROUP BY doc_id""".stripMargin,
     "x31_semantic_search" ->
       s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_e
@@ -5383,11 +5421,11 @@ object ExtensionQueries {
          |        GROUP BY 1, 2),
          |lp AS (SELECT t.doc_id, t.tf,
          |       CAST(round(ln((coalesce(k.cnt, 0) + 1)::DOUBLE /
-         |                     (c.n_total + c.vocab)::DOUBLE), 6)
-         |            AS DECIMAL(18,6)) AS lpw
+         |                     (c.n_total + c.vocab)::DOUBLE) * 1000000)
+         |            AS BIGINT) AS lpw_q
          |         FROM tf t LEFT JOIN cnts k USING (word) CROSS JOIN c)
          |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-         |       round((sum(tf * lpw))::DOUBLE / (sum(tf))::DOUBLE, 4) AS avg_logp
+         |       (CASE WHEN (sum(tf * lpw_q)) < 0 THEN -CAST((2*(-(sum(tf * lpw_q))) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) ELSE CAST((2*(sum(tf * lpw_q)) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) END) AS avg_logp_q
          |  FROM lp GROUP BY doc_id""".stripMargin,
     "x27_stratified_sample" ->
       s"""WITH t AS (
@@ -5563,12 +5601,7 @@ object ExtensionQueries {
     "x70_corpus_card" ->
       s"""WITH t AS (SELECT doc_id, lang, source, n_chars,
          |        len(string_split($NT,' '))::BIGINT AS n_tokens,
-         |        round(0.4*(len(list_filter(string_split($NT,' '),
-         |            w -> w IN ('the','and','of','to','in','is','a')))::DOUBLE
-         |              / len(string_split($NT,' ')))
-         |            + 0.3*least(len(string_split($NT,' '))::DOUBLE / 100.0, 1.0)
-         |            + 0.3*(len(regexp_extract_all(text,'[A-Za-z]'))::DOUBLE
-         |              / length(text)), 4)::DECIMAL(18,4) AS quality,
+         |        $QQ AS quality_q,
          |        md5($NT) AS h
          |        FROM documents),
          |k AS (SELECT min(doc_id) AS doc_id, 1 AS kept FROM t GROUP BY h),
@@ -5578,7 +5611,7 @@ object ExtensionQueries {
          |       sum(n_tokens)::BIGINT AS n_tokens,
          |       sum(n_chars)::BIGINT AS n_chars,
          |       sum(is_dup)::BIGINT AS n_dup_docs,
-         |       round(sum(quality)::DOUBLE / count(*), 4) AS mean_quality
+         |       ${DHU("sum(quality_q)", "count(*)")} AS mean_quality_q
          |  FROM f GROUP BY ROLLUP(lang, source)""".stripMargin,
     "x55_inverted_search" ->
       s"""WITH w AS (SELECT doc_id,
@@ -5608,27 +5641,21 @@ object ExtensionQueries {
          |        FROM (SELECT unnest(ws) AS word FROM w)),
          |lp AS (SELECT t.doc_id, t.tf,
          |       CAST(round(ln((k.cb + 1)::DOUBLE /
-         |                     (l.cl + v.vocab)::DOUBLE), 6)
-         |            AS DECIMAL(18,6)) AS lpb
+         |                     (l.cl + v.vocab)::DOUBLE) * 1000000)
+         |            AS BIGINT) AS lpb_q
          |         FROM tf t JOIN cb k USING (bg)
          |         JOIN cl l ON split_part(t.bg, ' ', 1) = l.w1
          |         CROSS JOIN v)
          |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
-         |       round((sum(tf * lpb))::DOUBLE / (sum(tf))::DOUBLE, 4)
-         |         AS avg_logp2
+         |       (CASE WHEN (sum(tf * lpb_q)) < 0 THEN -CAST((2*(-(sum(tf * lpb_q))) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) ELSE CAST((2*(sum(tf * lpb_q)) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) END)
+         |         AS avg_logp2_q
          |  FROM lp GROUP BY doc_id""".stripMargin,
     "x65_source_quota" ->
-      s"""WITH t AS (SELECT doc_id, source,
-         |        round(0.4*(len(list_filter(string_split($NT,' '),
-         |            w -> w IN ('the','and','of','to','in','is','a')))::DOUBLE
-         |              / len(string_split($NT,' ')))
-         |            + 0.3*least(len(string_split($NT,' '))::DOUBLE / 100.0, 1.0)
-         |            + 0.3*(len(regexp_extract_all(text,'[A-Za-z]'))::DOUBLE
-         |              / length(text)), 4) AS quality
+      s"""WITH t AS (SELECT doc_id, source, $QQ AS quality_q
          |        FROM documents)
-         |SELECT doc_id, source, quality,
+         |SELECT doc_id, source, quality_q,
          |       row_number() OVER (PARTITION BY source
-         |                          ORDER BY quality DESC, doc_id)::BIGINT AS rn
+         |                          ORDER BY quality_q DESC, doc_id)::BIGINT AS rn
          |  FROM t QUALIFY rn <= 10""".stripMargin,
     "x66_knn_label" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_e,
@@ -5654,23 +5681,17 @@ object ExtensionQueries {
       s"""WITH k AS (SELECT min(doc_id) AS doc_id
          |             FROM documents GROUP BY md5($NT)),
          |p AS (SELECT d.* FROM documents d JOIN k USING (doc_id)),
-         |q AS (SELECT doc_id, lang,
-         |        round(0.4*(len(list_filter(string_split($NT,' '),
-         |            w -> w IN ('the','and','of','to','in','is','a')))::DOUBLE
-         |              / len(string_split($NT,' ')))
-         |            + 0.3*least(len(string_split($NT,' '))::DOUBLE / 100.0, 1.0)
-         |            + 0.3*(len(regexp_extract_all(text,'[A-Za-z]'))::DOUBLE
-         |              / length(text)), 4) AS quality
+         |q AS (SELECT doc_id, lang, $QQ AS quality_q
          |        FROM p),
-         |g AS (SELECT doc_id, lang, quality,
+         |g AS (SELECT doc_id, lang, quality_q,
          |        ntile(3) OVER (PARTITION BY lang
-         |                       ORDER BY quality, doc_id) AS b FROM q),
-         |gg AS (SELECT doc_id, lang, quality FROM g WHERE b = 3),
+         |                       ORDER BY quality_q, doc_id) AS b FROM q),
+         |gg AS (SELECT doc_id, lang, quality_q FROM g WHERE b = 3),
          |c AS (SELECT lang, count(*)::BIGINT AS n_group FROM gg GROUP BY lang),
          |m AS (SELECT min(n_group) AS n_min FROM c),
          |r AS (SELECT lang, pow(n_min::DOUBLE / n_group, 0.5) AS rate
          |        FROM c, m)
-         |SELECT gg.doc_id, gg.lang, gg.quality, round(r.rate, 6) AS rate
+         |SELECT gg.doc_id, gg.lang, gg.quality_q, round(r.rate, 6) AS rate
          |  FROM gg JOIN r USING (lang)
          | WHERE ${H60("'curate|'||gg.doc_id::VARCHAR")} % 1000000
          |       < round(r.rate * 1000000)::BIGINT""".stripMargin,
@@ -5698,12 +5719,12 @@ object ExtensionQueries {
          |c AS (SELECT sum(cnt) AS n_total, count(*) AS vocab FROM cnts),
          |ulp AS (SELECT t.doc_id, t.tf,
          |       CAST(round(ln((k.cnt + 1)::DOUBLE /
-         |                     (c.n_total + c.vocab)::DOUBLE), 6)
-         |            AS DECIMAL(18,6)) AS lpw
+         |                     (c.n_total + c.vocab)::DOUBLE) * 1000000)
+         |            AS BIGINT) AS lpw_q
          |         FROM tf t JOIN cnts k USING (word) CROSS JOIN c),
          |uni AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-         |          round((sum(tf * lpw))::DOUBLE / (sum(tf))::DOUBLE, 4)
-         |            AS avg_logp
+         |          (CASE WHEN (sum(tf * lpw_q)) < 0 THEN -CAST((2*(-(sum(tf * lpw_q))) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) ELSE CAST((2*(sum(tf * lpw_q)) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) END)
+         |            AS avg_logp_q
          |          FROM ulp GROUP BY doc_id),
          |bgx AS (SELECT doc_id,
          |         unnest([ws[i]||' '||ws[i+1] for i in range(1, len(ws))]) AS bg
@@ -5714,17 +5735,17 @@ object ExtensionQueries {
          |         FROM cb GROUP BY 1),
          |blp AS (SELECT t.doc_id, t.tf,
          |       CAST(round(ln((k.cb + 1)::DOUBLE /
-         |                     (l.cl + c.vocab)::DOUBLE), 6)
-         |            AS DECIMAL(18,6)) AS lpb
+         |                     (l.cl + c.vocab)::DOUBLE) * 1000000)
+         |            AS BIGINT) AS lpb_q
          |         FROM tf2 t JOIN cb k USING (bg)
          |         JOIN cl l ON split_part(t.bg, ' ', 1) = l.w1
          |         CROSS JOIN c),
          |big AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
-         |          round((sum(tf * lpb))::DOUBLE / (sum(tf))::DOUBLE, 4)
-         |            AS avg_logp2
+         |          (CASE WHEN (sum(tf * lpb_q)) < 0 THEN -CAST((2*(-(sum(tf * lpb_q))) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) ELSE CAST((2*(sum(tf * lpb_q)) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) END)
+         |            AS avg_logp2_q
          |          FROM blp GROUP BY doc_id)
-         |SELECT uni.doc_id, uni.n_tokens, uni.avg_logp,
-         |       big.n_bigrams, big.avg_logp2
+         |SELECT uni.doc_id, uni.n_tokens, uni.avg_logp_q,
+         |       big.n_bigrams, big.avg_logp2_q
          |  FROM uni LEFT JOIN big USING (doc_id)""".stripMargin,
     "x58_span_dup" ->
       s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
@@ -5773,17 +5794,11 @@ object ExtensionQueries {
          |  FROM p""".stripMargin,
     "x57_quality_buckets" ->
       s"""WITH t AS (
-         |  SELECT doc_id, lang,
-         |         round(0.4*(len(list_filter(string_split($NT,' '),
-         |             w -> w IN ('the','and','of','to','in','is','a')))::DOUBLE
-         |               / len(string_split($NT,' ')))
-         |             + 0.3*least(len(string_split($NT,' '))::DOUBLE / 100.0, 1.0)
-         |             + 0.3*(len(regexp_extract_all(text,'[A-Za-z]'))::DOUBLE
-         |               / length(text)), 4) AS quality
+         |  SELECT doc_id, lang, $QQ AS quality_q
          |    FROM documents)
-         |SELECT doc_id, lang, quality,
+         |SELECT doc_id, lang, quality_q,
          |       ntile(3) OVER (PARTITION BY lang
-         |                      ORDER BY quality, doc_id)::BIGINT AS bucket
+         |                      ORDER BY quality_q, doc_id)::BIGINT AS bucket
          |  FROM t""".stripMargin,
     "x17_mvcc_snapshot" ->
       """WITH log AS (

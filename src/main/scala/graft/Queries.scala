@@ -308,25 +308,33 @@ object Queries {
     * All three price percentiles share ONE aggregation buffer (array
     * percentage form) instead of three independent sorted buffers —
     * same exact values, one sort per group instead of three.
-    * Known compare sensitivity: when an interpolated percentile lands
-    * exactly on a .xx5 rounding boundary, Spark's and DuckDB's linear
-    * interpolation can differ in the final ulp and round apart (observed
-    * once at sf0.001: 52724.245 → .24 vs .25). The driver gate (sf0.01)
-    * is clean; this is a float-boundary artifact, not a logic drift.
+    * Outputs are integer CENTS (one round(x·100) quantization of the
+    * identical interpolated double — the ExactMath discipline), which
+    * retired the historical compare sensitivity: round(double, 2) of a
+    * percentile landing exactly on .xx5 used to round apart across
+    * engines (observed once at sf0.001: 52724.245 → .24 vs .25).
     * percentile() is a full sort-based aggregate: one shuffle on the
     * group key, spillable — exact form is for small/medium groups. */
-  private val q27_quantiles: QFn = (s, d) =>
+  private val q27_quantiles: QFn = (s, d) => {
+    // cents grid: the interpolated percentile double is quantized ONCE
+    // to an integer (round(x·100) — the ExactMath discipline), which
+    // retires the documented cross-engine .xx5 flip (52724.245 at
+    // sf0.001: round(double,2) resolved differently per DuckDB build;
+    // a single nearest-integer rounding of the identical double is
+    // portable)
+    def cents(c: Column): Column = round(c * lit(100d)).cast("long")
     cat(s, d).table("lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         percentile(col("l_extendedprice"),
           array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
-        round(median(col("l_quantity")), 2).as("med_qty"))
+        cents(median(col("l_quantity"))).as("med_qty_c"))
       .select(col("l_returnflag"),
-        round(element_at(col("ps"), 1), 2).as("p25"),
-        round(element_at(col("ps"), 2), 2).as("p50"),
-        round(element_at(col("ps"), 3), 2).as("p75"),
-        col("med_qty"))
+        cents(element_at(col("ps"), 1)).as("p25_c"),
+        cents(element_at(col("ps"), 2)).as("p50_c"),
+        cents(element_at(col("ps"), 3)).as("p75_c"),
+        col("med_qty_c"))
+  }
 
   /** Approximate percentiles — the bench-default quantile form at scale:
     * approx_percentile is a mergeable sketch aggregate (fixed-size state,
@@ -367,10 +375,10 @@ object Queries {
         percentile(col("l_quantity"),
           array(lit(0.5), lit(0.5 - eps), lit(0.5 + eps))).as("qs"))
       .select(col("l_returnflag"),
-        round(element_at(col("ps"), 1), 2).as("p25"),
-        round(element_at(col("ps"), 2), 2).as("p50"),
-        round(element_at(col("ps"), 3), 2).as("p75"),
-        round(element_at(col("qs"), 1), 2).as("med_qty"),
+        round(element_at(col("ps"), 1) * 100d).cast("long").as("p25_c"),
+        round(element_at(col("ps"), 2) * 100d).cast("long").as("p50_c"),
+        round(element_at(col("ps"), 3) * 100d).cast("long").as("p75_c"),
+        round(element_at(col("qs"), 1) * 100d).cast("long").as("med_qty_c"),
         (pcts.indices.map(i => bounded(element_at(col("aps"), i + 1),
           element_at(col("ps"), 4 + 2 * i), element_at(col("ps"), 5 + 2 * i)))
           .reduce(_ && _) &&
@@ -831,10 +839,10 @@ object Queries {
         |    ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "q27_quantiles" ->
       """SELECT l_returnflag,
-        |       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-        |       round(quantile_cont(l_quantity, 0.5), 2) AS med_qty
+        |       CAST(round(quantile_cont(l_extendedprice, 0.25)*100) AS BIGINT) AS p25_c,
+        |       CAST(round(quantile_cont(l_extendedprice, 0.5)*100) AS BIGINT) AS p50_c,
+        |       CAST(round(quantile_cont(l_extendedprice, 0.75)*100) AS BIGINT) AS p75_c,
+        |       CAST(round(quantile_cont(l_quantity, 0.5)*100) AS BIGINT) AS med_qty_c
         |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q28_explode" ->
       """SELECT word, count(*) AS n
@@ -878,10 +886,10 @@ object Queries {
         |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q35_quantiles_approx" ->
       """SELECT l_returnflag,
-        |       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-        |       round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
+        |       CAST(round(quantile_cont(l_extendedprice, 0.25)*100) AS BIGINT) AS p25_c,
+        |       CAST(round(quantile_cont(l_extendedprice, 0.5)*100) AS BIGINT) AS p50_c,
+        |       CAST(round(quantile_cont(l_extendedprice, 0.75)*100) AS BIGINT) AS p75_c,
+        |       CAST(round(quantile_cont(l_quantity, 0.5)*100) AS BIGINT) AS med_qty_c,
         |       TRUE AS within_bound
         |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q38_distinct_approx" ->

@@ -29,6 +29,14 @@ object ExactMath {
   def divHalfUp(num: Column, den: Column): Column =
     call_function("div", num * lit(2L) + den, den * lit(2L))
 
+  /** [[divHalfUp]] extended to signed numerators (den still > 0):
+    * rounds half AWAY FROM ZERO — Spark's `round()`/BigDecimal
+    * HALF_UP convention — as sign(num)·divHalfUp(|num|, den), all in
+    * exact integer ops (DuckDB twin: the same CASE over `//`). Use for
+    * log-prob/score grids whose sums are negative. */
+  def divHalfUpSigned(num: Column, den: Column): Column =
+    when(num < 0L, -divHalfUp(-num, den)).otherwise(divHalfUp(num, den))
+
   /** Quantize an IEEE double onto the 1e-6 grid as BIGINT micro-units
     * — the x99 `cq` pattern (`CAST(round(x*1e6) AS BIGINT)` in
     * DuckDB). A single nearest-integer rounding of a double both

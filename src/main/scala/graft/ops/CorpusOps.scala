@@ -36,8 +36,8 @@ object CorpusOps {
     * pass): every token is scored by its corpus frequency with add-one
     * smoothing, and a document's score is its mean token
     * log-probability. Junk (rare-token soup, encoding noise) scores far
-    * below fluent text; rank or threshold `avg_logp` downstream.
-    * Output: (doc_id, n_tokens, avg_logp).
+    * below fluent text; rank or threshold `avg_logp_q` downstream.
+    * Output: (doc_id, n_tokens, avg_logp_q — 1e-4 integer units).
     *
     * 100 TB shape: the count table is VOCAB-sized (one groupBy with
     * map-side partial agg absorbing stopword skew); the scoring join is
@@ -45,10 +45,11 @@ object CorpusOps {
     * bounded, shuffle + AQE skew-split otherwise; the two corpus
     * constants ride a one-row broadcast. Nothing driver-side.
     *
-    * Determinism across engines: the per-word log-prob is rounded to 6
-    * decimals and summed as DECIMAL(18,6) — an exact, order-independent
-    * sum (same trick as q37's decimal aggregates), so the oracle can
-    * hash-match a float-heavy score instead of settling for rows-only. */
+    * Determinism across engines: the per-word log-prob is quantized
+    * ONCE to BIGINT micro-units (the [[graft.functions.ExactMath]]
+    * grid; ln is the only IEEE op), summed exactly, and the mean is
+    * integer divide-half-up — every digit engine/build-portable, so
+    * the oracle hash-matches a float-heavy score at any SF. */
   def lmScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     lmScoreFromWords(tokenized(docs, idCol, textCol))
@@ -75,14 +76,15 @@ object CorpusOps {
       count(lit(1)).as("vocab"))
     tf.join(counts, Seq("word"))
       .crossJoin(broadcast(consts))
-      .withColumn("lpw",
-        round(log((col("cnt") + 1).cast("double") /
-          (col("n_total") + col("vocab")).cast("double")), 6)
-          .cast("decimal(18,6)"))
+      .withColumn("lpw_q",
+        graft.functions.ExactMath.microQ(
+          log((col("cnt") + 1).cast("double") /
+            (col("n_total") + col("vocab")).cast("double"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
-        round(sum(col("tf") * col("lpw")).cast("double") /
-          sum(col("tf")).cast("double"), 4).as("avg_logp"))
+        graft.functions.ExactMath.divHalfUpSigned(
+          sum(col("tf") * col("lpw_q")),
+          sum(col("tf")) * lit(100L)).as("avg_logp_q"))
   }
 
   /** Benchmark decontamination: per training document, how many
@@ -378,14 +380,15 @@ object CorpusOps {
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
       .join(counts, Seq("word"), "left")
       .crossJoin(broadcast(consts))
-      .withColumn("lpw",
-        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
-          (col("n_total") + col("vocab")).cast("double")), 6)
-          .cast("decimal(18,6)"))
+      .withColumn("lpw_q",
+        graft.functions.ExactMath.microQ(
+          log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+            (col("n_total") + col("vocab")).cast("double"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
-        round(sum(col("tf") * col("lpw")).cast("double") /
-          sum(col("tf")).cast("double"), 4).as("avg_logp"))
+        graft.functions.ExactMath.divHalfUpSigned(
+          sum(col("tf") * col("lpw_q")),
+          sum(col("tf")) * lit(100L)).as("avg_logp_q"))
   }
 
   /** Distinct-word count of a tokenized frame as a 1-row (vocab: long)
@@ -405,7 +408,7 @@ object CorpusOps {
     * rides common transitions; shuffled/junk text pays the unigram
     * independence penalty that [[lmScore]] cannot see. Documents
     * shorter than 2 words have no bigrams and are absent from the
-    * output. Output: (doc_id, n_bigrams, avg_logp2).
+    * output. Output: (doc_id, n_bigrams, avg_logp2_q — 1e-4 integer units).
     *
     * 100 TB shape: identical to [[lmScore]] one order up — the count
     * tables are bigram-vocab-sized (map-side partial agg absorbs
@@ -453,14 +456,15 @@ object CorpusOps {
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(cl, Seq("w1"))
       .crossJoin(broadcast(vocabDf))
-      .withColumn("lpb",
-        round(log((col("cb") + 1).cast("double") /
-          (col("cl") + col("vocab")).cast("double")), 6)
-          .cast("decimal(18,6)"))
+      .withColumn("lpb_q",
+        graft.functions.ExactMath.microQ(
+          log((col("cb") + 1).cast("double") /
+            (col("cl") + col("vocab")).cast("double"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("n_bigrams"),
-        round(sum(col("tf") * col("lpb")).cast("double") /
-          sum(col("tf")).cast("double"), 4).as("avg_logp2"))
+        graft.functions.ExactMath.divHalfUpSigned(
+          sum(col("tf") * col("lpb_q")),
+          sum(col("tf")) * lit(100L)).as("avg_logp2_q"))
   }
 
   /** Kneser–Ney smoothed bigram LM scoring (Kneser & Ney 1995; the
@@ -482,8 +486,8 @@ object CorpusOps {
     * IEEE double ops on integer counts, ln is quantized to
     * DECIMAL(18,6) at the leaf, the doc score is an exact decimal sum
     * — the full table hash-checks (the x51/x59 discipline one
-    * smoothing generation up). Output: (doc_id, n_bigrams, avg_logp_kn);
-    * docs with <2 words have no bigrams and are absent.
+    * smoothing generation up). Output: (doc_id, n_bigrams, avg_logp_kn_q — 1e-4 integer
+    * units); docs with <2 words have no bigrams and are absent.
     *
     * 100 TB shape: identical to [[bigramLmScoreFromWords]] — ONE
     * bigram tf pass (persisted; the cb/cl/N1+ tables all derive from
@@ -513,18 +517,19 @@ object CorpusOps {
       .join(left, Seq("w1"))
       .join(cont, Seq("w2"))
       .crossJoin(broadcast(nb))
-      .withColumn("lpb",
-        round(log(
-          greatest(col("cb").cast("double") - discount, lit(0.0d)) /
-            col("cl").cast("double") +
-          (lit(discount) * col("n1f").cast("double") /
-            col("cl").cast("double")) *
-          (col("n1p").cast("double") / col("nb").cast("double"))), 6)
-          .cast("decimal(18,6)"))
+      .withColumn("lpb_q",
+        graft.functions.ExactMath.microQ(
+          log(
+            greatest(col("cb").cast("double") - discount, lit(0.0d)) /
+              col("cl").cast("double") +
+            (lit(discount) * col("n1f").cast("double") /
+              col("cl").cast("double")) *
+            (col("n1p").cast("double") / col("nb").cast("double")))))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("n_bigrams"),
-        round(sum(col("tf") * col("lpb")).cast("double") /
-          sum(col("tf")).cast("double"), 4).as("avg_logp_kn"))
+        graft.functions.ExactMath.divHalfUpSigned(
+          sum(col("tf") * col("lpb_q")),
+          sum(col("tf")) * lit(100L)).as("avg_logp_kn_q"))
   }
 
   /** Bigram count table of a corpus — the persistable KN/bigram MODEL
@@ -560,7 +565,7 @@ object CorpusOps {
     * sequence; ln quantized at the leaf; exact decimal doc sums —
     * hash-checkable, and digit-identical to the streaming twin
     * ([[graft.streaming.EventStreams.knScoreStream]]).
-    * Output: (doc_id, n_bigrams, avg_logp_kn).
+    * Output: (doc_id, n_bigrams, avg_logp_kn_q — 1e-4 integer units).
     *
     * 100 TB shape: ONE candidate-corpus scan to the (doc, bigram) tf
     * grain; the model joins are equi on bigram/word keys against
@@ -598,13 +603,14 @@ object CorpusOps {
       .join(left, Seq("w1"), "left")
       .join(cont, Seq("w2"), "left")
       .crossJoin(broadcast(scal))
-      .withColumn("lpb",
-        round(log(when(col("cl").isNotNull,
-          pSeen).otherwise(pc)), 6).cast("decimal(18,6)"))
+      .withColumn("lpb_q",
+        graft.functions.ExactMath.microQ(
+          log(when(col("cl").isNotNull, pSeen).otherwise(pc))))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("n_bigrams"),
-        round(sum(col("tf") * col("lpb")).cast("double") /
-          sum(col("tf")).cast("double"), 4).as("avg_logp_kn"))
+        graft.functions.ExactMath.divHalfUpSigned(
+          sum(col("tf") * col("lpb_q")),
+          sum(col("tf")) * lit(100L)).as("avg_logp_kn_q"))
   }
 
   /** CCNet perplexity bucketing (Wenzek et al. LREC 2020 §4.2) — the
@@ -626,12 +632,15 @@ object CorpusOps {
     * assignment is a map-side compare — no corpus-wide rank/ntile
     * (a global rank is a global sort, the x106 discipline). */
   def pplBuckets(scores: DataFrame, docs: DataFrame,
-      scoreCol: String = "avg_logp_kn", idCol: String = "doc_id",
+      scoreCol: String = "avg_logp_kn_q", idCol: String = "doc_id",
       langCol: String = "lang"): DataFrame = {
+    // the score column is ALREADY a 1e-4-grid BIGINT (the ExactMath
+    // discipline), so the percentile key is the score itself — no
+    // re-quantization, no double anywhere before the cut compare
     val sc = scores.select(col("doc_id"), col(scoreCol))
       .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
         Seq("doc_id"))
-      .withColumn("pk", round(col(scoreCol) * 10000).cast("long"))
+      .withColumn("pk", col(scoreCol).cast("long"))
     val cuts = sc.groupBy(col("lang"))
       .agg(percentile(col("pk"), array(lit(0.25), lit(0.75))).as("cs"))
     sc.join(broadcast(cuts), Seq("lang"))
@@ -650,7 +659,7 @@ object CorpusOps {
     * table, the bigram tf table, and the shared vocab scalar all read
     * its executor-local blocks. Docs with <2 words carry NULL bigram
     * columns (left join — they have a unigram score but no bigrams).
-    * Output: (doc_id, n_tokens, avg_logp, n_bigrams, avg_logp2). */
+    * Output: (doc_id, n_tokens, avg_logp_q, n_bigrams, avg_logp2_q). */
   def lmScores(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = tokenized(docs, idCol, textCol)

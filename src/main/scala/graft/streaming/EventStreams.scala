@@ -527,16 +527,17 @@ object EventStreams {
     * Words unseen in training smooth as count 0 (add-one), so
     * out-of-vocabulary junk scores low instead of erroring — exactly
     * what an ingest-time quality gate wants. Scoring math mirrors the
-    * batch form digit-for-digit (per-word log-prob rounded to 6,
-    * decimal-exact sum, mean rounded to 4): StreamingSpec pins
-    * batch/stream score parity on a shared corpus.
+    * batch form digit-for-digit (per-word log-prob quantized once to
+    * BIGINT micro-units, exact integer sum, integer divide-half-up
+    * mean — the ExactMath grid): StreamingSpec pins batch/stream
+    * score parity on a shared corpus.
     *
     * `counts`: (word, cnt) — [[graft.ops.CorpusOps.unigramCounts]],
     * which uses EXACTLY the batch scorer's tokenization (an empty doc
     * yields one "" token; a counts table that filters empties — e.g.
     * BpeOps.wordCounts — shifts every denominator and breaks parity).
     * Output per finalized window: (window, doc_id, n_tokens,
-    * avg_logp). */
+    * avg_logp_q — 1e-4 integer units). */
   def lmScoreStream(docs: DataFrame, counts: DataFrame,
       windowDur: String = "10 minutes",
       watermarkDelay: String = "1 hour"): DataFrame = {
@@ -555,13 +556,14 @@ object EventStreams {
       .select(col("doc_id"), col("event_time"),
         explode(TF.words(col("text"))).as("word"))
       .join(counts, Seq("word"), "left")
-      .withColumn("lpw",
-        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
-          lit(denom)), 6).cast("decimal(18,6)"))
+      .withColumn("lpw_q",
+        graft.functions.ExactMath.microQ(
+          log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+            lit(denom))))
       .groupBy(window(col("event_time"), windowDur), col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("lpw")).cast("double") /
-          count(lit(1)).cast("double"), 4).as("avg_logp"))
+        graft.functions.ExactMath.divHalfUpSigned(sum(col("lpw_q")),
+          count(lit(1)) * lit(100L)).as("avg_logp_q"))
   }
 
   /** Streaming exact-quota weighted sampling — [[graft.ops.CorpusOps
@@ -954,11 +956,11 @@ object EventStreams {
     * doc grain. The per-bigram log-probability expression — including
     * the unseen-context continuation backoff — is the batch op's
     * exactly, and the exploded per-occurrence sum equals the batch
-    * (doc, bigram)-grain Σ tf·lpb (decimal sums are order-insensitive),
-    * so a doc's (n_bigrams, avg_logp_kn) is DIGIT-identical to its
+    * (doc, bigram)-grain Σ tf·lpb_q (integer sums are order-free),
+    * so a doc's (n_bigrams, avg_logp_kn_q) is DIGIT-identical to its
     * batch x109 row (StreamingSpec pins it). Docs with <2 words emit
     * no bigrams and drop from the output (the established OOV rule).
-    * Output: (window, doc_id, n_bigrams, avg_logp_kn). */
+    * Output: (window, doc_id, n_bigrams, avg_logp_kn_q). */
   def knScoreStream(docs: DataFrame, counts: DataFrame,
       discount: Double = 0.75, windowDur: String = "10 minutes",
       watermarkDelay: String = "1 hour"): DataFrame = {
@@ -992,13 +994,13 @@ object EventStreams {
       .join(cbx.select(col("bg"), col("cb")), Seq("bg"), "left")
       .join(left, Seq("w1"), "left")
       .join(cont, Seq("w2"), "left")
-      .withColumn("lpb",
-        round(log(when(col("cl").isNotNull, pSeen).otherwise(pc)), 6)
-          .cast("decimal(18,6)"))
+      .withColumn("lpb_q",
+        graft.functions.ExactMath.microQ(
+          log(when(col("cl").isNotNull, pSeen).otherwise(pc))))
       .groupBy(window(col("event_time"), windowDur), col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lpb")).cast("double") /
-          count(lit(1)).cast("double"), 4).as("avg_logp_kn"))
+        graft.functions.ExactMath.divHalfUpSigned(sum(col("lpb_q")),
+          count(lit(1)) * lit(100L)).as("avg_logp_kn_q"))
   }
 
   /** Streaming semantic decontamination — [[graft.ops.VectorOps

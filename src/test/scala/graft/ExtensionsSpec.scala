@@ -330,13 +330,15 @@ class ExtensionsSpec extends SparkTestBase {
       assert(r >= -1.0 && r <= 1.0, s"correlation out of range: $r")
     }
     // independent reference: join the three PUBLISHED signal queries on
-    // the same DECIMAL(18,4) grid and run Spark's built-in double corr
-    // — the exact-decimal sufficient statistics must reproduce it
+    // the same grid and run Spark's built-in double corr — the
+    // exact-decimal sufficient statistics must reproduce it (quality_q
+    // is 1e4× the decimal grid; Pearson r is scale-invariant, so the
+    // comparison is unaffected)
     def sig(q: String, c: String, as: String) =
       SparkEntry.queries(q)(spark, sf)
         .select(col("doc_id"),
           col(c).cast("decimal(18,4)").cast("double").as(as))
-    val j = sig("x02_quality", "quality", "q")
+    val j = sig("x02_quality", "quality_q", "q")
       .join(sig("x90_gopher_rules", "keep", "g"), Seq("doc_id"))
       .join(sig("x93_novelty", "novel_frac", "v"), Seq("doc_id"))
       .filter(col("q").isNotNull && col("v").isNotNull)

@@ -339,18 +339,18 @@ class OpsSpec extends SparkTestBase {
       .collect()
     assert(out.length == 1)
     assert(out.head.getLong(1) == 2L) // n_tokens counts OOV words too
-    // counts: a→2, b→1; N=3, V=2 ⇒ lpw(a)=ln(3/5), lpw(c OOV)=ln(1/5)
-    val exp = (math.log(3.0 / 5) + math.log(1.0 / 5)) / 2
-    assert(math.abs(out.head.getDouble(2) - exp) < 2e-4, out.head.toString)
+    // counts: a→2, b→1; N=3, V=2 ⇒ lpw_q(a)=round(ln(3/5)·1e6)=-510826,
+    // lpw_q(c OOV)=-1609438 → avg_logp_q = -⌈2120264/200⌋ = -10601
+    assert(out.head.getLong(2) == -10601L, out.head.toString)
     // applying a corpus's own counts to itself IS lmScore (every word
     // in-vocab ⇒ the coalesce path never fires, same smoothing consts)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text")
     val self = graft.ops.CorpusOps
       .lmScoreApply(docs, graft.ops.CorpusOps.unigramCounts(docs))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val lm = graft.ops.CorpusOps.lmScore(docs)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(self == lm)
   }
 
@@ -565,19 +565,19 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("CorpusOps.lmScore: add-one unigram log-prob, hand-checked") {
-    // corpus: tokens {a:3, b:1, c:1}, N=5, V=3 → denom 8
-    //   lpw(a) = ln(4/8) = -0.693147 ; lpw(b) = lpw(c) = ln(2/8) = -1.386294
+    // corpus: tokens {a:3, b:1, c:1}, N=5, V=3 → denom 8; micro grid:
+    //   lpw_q(a) = round(ln(4/8)·1e6) = -693147; lpw_q(b/c) = -1386294
     val df = Seq((1L, "a a b"), (2L, "c a")).toDF("doc_id", "text")
     val out = graft.ops.CorpusOps.lmScore(df).collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
-    assert(out(1L) == ((3L, -0.9242)), out.toString) // (2·-0.693147 - 1.386294)/3
-    assert(out(2L) == ((2L, -1.0397)), out.toString) // (-1.386294 - 0.693147)/2
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, -9242L)), out.toString) // ⌈2772588/300⌋ away-from-0
+    assert(out(2L) == ((2L, -10397L)), out.toString) // ⌈2079441/200⌋
     // fluent text (common tokens) must outscore rare-token soup
     val mixed = Seq((1L, base), (2L, base), (3L, base),
       (4L, "zq9 xvv7 qlm0 wkj3 bbq2 nnz8 ppx1 rrt5 ggh4 mmc6 lld9 kkf2"))
       .toDF("doc_id", "text")
     val scored = graft.ops.CorpusOps.lmScore(mixed).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(scored(1L) > scored(4L),
       s"fluent ${scored(1L)} must beat junk ${scored(4L)}")
   }
@@ -692,7 +692,7 @@ class OpsSpec extends SparkTestBase {
       (5L, "single"))                 // no bigrams -> absent
       .toDF("doc_id", "text")
     val out = graft.ops.CorpusOps.bigramLmScore(df)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(!out.contains(5L), "a 1-word doc has no bigrams")
     assert(out(1L)._1 == 5L)
     assert(out(1L)._2 > out(4L)._2,
@@ -1459,12 +1459,12 @@ class OpsSpec extends SparkTestBase {
       .toDF("doc_id", "text")
     val out = graft.ops.CorpusOps
       .knBigramScoreFromWords(graft.ops.CorpusOps.tokenized(docs))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
     assert(out == Map(
-      1L -> ((1L, -0.47)),
-      2L -> ((1L, -0.9808)),
-      3L -> ((1L, -0.2877))), out)
+      1L -> ((1L, -4700L)),
+      2L -> ((1L, -9808L)),
+      3L -> ((1L, -2877L))), out)
     // KN's point vs add-one: the common-continuation word (b follows
     // two distinct contexts) scores HIGHER after an unseen-ish context
     // d than the rare continuation c after the frequent context a
@@ -1895,8 +1895,9 @@ class OpsSpec extends SparkTestBase {
     // en pks: [-40000,-30000,-20000,-10000] -> c1 = -32500 (idx 0.75),
     // c3 = -17500 (idx 2.25). Buckets: -4 tail, -3/-2 middle, -1 head.
     // fr has one doc: c1 = c3 = pk -> strict > fails -> tail.
-    val scores = Seq((1L, -4.0), (2L, -3.0), (3L, -2.0), (4L, -1.0),
-      (5L, -2.5)).toDF("doc_id", "avg_logp_kn")
+    // (scores already in the op's 1e-4 integer units)
+    val scores = Seq((1L, -40000L), (2L, -30000L), (3L, -20000L),
+      (4L, -10000L), (5L, -25000L)).toDF("doc_id", "avg_logp_kn_q")
     val docs = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
       (5L, "fr")).toDF("doc_id", "lang")
     val out = graft.ops.CorpusOps.pplBuckets(scores, docs)
@@ -1913,12 +1914,12 @@ class OpsSpec extends SparkTestBase {
     //  "b z" ctx-only:   0 + (0.75·1/1)·(1/6)      = 0.125    → -2.079442
     //  "z q" unseen ctx: Pc(q) = 1/6               = 0.166667 → -1.791759
     //  "q b" unseen ctx: Pc(b) = 2/6               = 0.333333 → -1.098612
-    // avg = -5.950642/4 → -1.4877
+    // avg_q = -⌈5950642/400⌋ = -14877 (1e-4 integer units)
     val train = Seq((1L, "a b a c")).toDF("doc_id", "text")
     val apply = Seq((10L, "a b z q b")).toDF("doc_id", "text")
     val out = graft.ops.CorpusOps
       .knBigramApply(apply, graft.ops.CorpusOps.bigramCounts(train))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(out.toSeq == Seq((10L, 4L, -1.4877)), out.toSeq)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 4L, -14877L)), out.toSeq)
   }
 }

@@ -131,8 +131,8 @@ class PipelineSpec extends SparkTestBase {
     //    TRAIN corpus's LM, keep docs at or above the pool mean —
     //    relative floor, so the stage is corpus-independent
     val scored = CorpusOps.lmScoreApply(gated, CorpusOps.unigramCounts(train))
-    val mean = scored.agg(avg(col("avg_logp"))).head.getDouble(0)
-    val kept = scored.filter(col("avg_logp") >= mean)
+    val mean = scored.agg(avg(col("avg_logp_q"))).head.getDouble(0)
+    val kept = scored.filter(col("avg_logp_q") >= mean)
     val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptIds.nonEmpty && keptIds.subsetOf(gatedIds))
     assert(keptIds.size < gatedIds.size, "floor must reject something")
@@ -221,9 +221,9 @@ class PipelineSpec extends SparkTestBase {
     // 2. KN fluency floor (x104): drop the worst-quartile bigram
     //    perplexity — the smoothing family the production filter uses
     val kn = CorpusOps.knBigramScoreFromWords(CorpusOps.tokenized(pool0))
-    val cut = kn.agg(percentile(col("avg_logp_kn"), lit(0.25))).head.getDouble(0)
+    val cut = kn.agg(percentile(col("avg_logp_kn_q"), lit(0.25))).head.getDouble(0)
     val fluent = pool0.join(
-      kn.filter(col("avg_logp_kn") >= cut).select("doc_id"), Seq("doc_id"))
+      kn.filter(col("avg_logp_kn_q") >= cut).select("doc_id"), Seq("doc_id"))
     val n1 = fluent.count()
     assert(n1 > 0 && n1 < n0, s"KN floor must discriminate: $n1 of $n0")
 

@@ -423,6 +423,10 @@ class PlanAuditSpec extends SparkTestBase {
       "x104_kn_bigram",         // 1-row bigram-type-total scalar
                                 // broadcast (x59's vocab-scalar class);
                                 // all count joins are word-key equi
+      "x130_curate_v6",         // 1-row entropy-percentile cut broadcast
+                                // (x106's scalar recipe); the CDC
+                                // ownership and mix-rate joins are equi
+                                // on chunk_fp / doc_id / lang
       "x106_curriculum",        // 1-row quartile-cuts broadcast (the
                                 // deliberate alternative to a
                                 // corpus-wide ntile sort); projection

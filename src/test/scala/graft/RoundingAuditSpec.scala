@@ -34,20 +34,14 @@ class RoundingAuditSpec extends SparkTestBase {
     * GROWING it needs the same scrutiny the r12 postmortem applied.
     */
   private val allowlisted: Map[String, String] = Map(
-    // --- ClassifierOps.logq / LM-score provenance: round(log,6)
-    //     DECIMAL per-token log-probs (driver-green since r10) ---
-    "x51_lm_score" -> "logq: round(log,6) decimal per-token lp",
-    "x59_bigram_lm" -> "bigram conditional decimal logs",
-    "x61_lm_scores" -> "logq over the persisted model",
+    // (r13 retired the whole LM/KN-score branch of this list — x51/
+    // x59/x61/x74/x104/x109/x111 now run on BIGINT micro-unit grids)
+    // --- ClassifierOps.logq provenance: round(log,6) DECIMAL
+    //     per-token log-probs (driver-green since r10) ---
     "x72_nb_classifier" -> "NB posterior decimal logs",
-    "x74_lm_apply" -> "logq shape: decimal per-doc avg lp",
-    "x76_curate_trained" -> "composes x74's decimal scorer",
+    "x76_curate_trained" -> "composes the NB decimal scorer",
     "x86_nb_calibration" -> "NB decimal posteriors binned",
-    "x104_kn_bigram" -> "KN continuation/backoff decimal logs",
-    "x109_kn_apply" -> "applies x104's decimal model",
-    "x111_ppl_buckets" -> "buckets x74's decimal scores",
     "x94_hybrid_rrf" -> "BM25 decimal idf·norm terms",
-    "x97_signal_corr" -> "correlates decimal quality signals",
     // --- mixtureAlloc: round(sqrt,6) — IEEE sqrt is correctly-rounded
     //     by spec (unlike exp/pow/log), both engines round the same
     //     double ---
@@ -58,7 +52,6 @@ class RoundingAuditSpec extends SparkTestBase {
     "x84_dsir_select" -> "selects on x83's decimal weights",
     "x89_dsir_resample" -> "Gumbel keys over x83's decimals",
     // --- corpus diagnostics: decimal entropies/slopes/fractions ---
-    "x70_corpus_card" -> "decimal signal summary columns",
     "x123_corpus_card_v2" -> "v2 card reuses decimal signals",
     "x107_source_drift" -> "decimal JS-divergence terms",
     "x108_zipf_slope" -> "decimal log-log regression operands",

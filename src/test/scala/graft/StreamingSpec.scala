@@ -467,7 +467,7 @@ class StreamingSpec extends SparkTestBase {
     // an empty doc contributes)
     val counts = graft.ops.CorpusOps.unigramCounts(batchDocs)
     val expected = graft.ops.CorpusOps.lmScore(batchDocs).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val input = MemoryStream[(Long, String, Long)]
     val scored = EventStreams.lmScoreStream(
       input.toDF().toDF("doc_id", "text", "ts"), counts,
@@ -481,8 +481,8 @@ class StreamingSpec extends SparkTestBase {
       input.addData((99L, "watermark advancer", B + 10 * H))
       q.processAllAvailable()
       val got = spark.table("lm_stream_test")
-        .select("doc_id", "n_tokens", "avg_logp").collect()
-        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        .select("doc_id", "n_tokens", "avg_logp_q").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       assert(got == expected,
         s"stream scores must equal batch scores: got=$got exp=$expected")
       // junk doc must rank strictly below fluent ones (the gate signal)
@@ -865,7 +865,7 @@ class StreamingSpec extends SparkTestBase {
       all.filter(col("doc_id") % 5 =!= 0))
     val applyTo = all.filter(col("doc_id") % 5 === 0)
     val batch = graft.ops.CorpusOps.knBigramApply(applyTo, model)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
     val rows = applyTo.collect()
       .map(r => (r.getLong(0), r.getString(1), 1000000000L))
@@ -879,7 +879,7 @@ class StreamingSpec extends SparkTestBase {
       input.addData(h1.toSeq: _*); q.processAllAvailable()
       input.addData(h2.toSeq: _*); q.processAllAvailable()
       val got = spark.table("kn_stream_test").collect()
-        .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
       assert(got == batch,
         s"stream KN diverged from batch x109 on ${
           got.count { case (k, v) => batch.get(k) != Some(v) } +
