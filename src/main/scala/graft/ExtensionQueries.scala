@@ -1928,7 +1928,7 @@ object ExtensionQueries {
     * table itself never globally sorts (PlanAuditSpec pins it). */
   private val x84_dsir_select: QFn = (s, d) =>
     x83_dsir_weights(s, d)
-      .orderBy(col("log_ratio").desc, col("doc_id").asc)
+      .orderBy(col("log_ratio_q").desc, col("doc_id").asc)
       .limit(64)
 
   /** Token-budget mixture PLAN ([[graft.ops.CorpusOps.mixturePlan]]) —
@@ -1969,8 +1969,8 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("lang") === col("pred_label"), 1L).otherwise(0L))
           .as("n_agree"))
-      .withColumn("acc", round(col("n_agree").cast("double") /
-        col("n_docs").cast("double"), 4))
+      .withColumn("acc_q", graft.functions.ExactMath.divHalfUp(
+        col("n_agree") * lit(10000L), col("n_docs")))
   }
 
   /** Contamination FRACTION ([[graft.ops.CorpusOps
@@ -2034,10 +2034,10 @@ object ExtensionQueries {
     * Gumbel(0,1) noise g = −ln(−ln(u)), u hash-derived per doc (x73's
     * reproducible-u recipe; exp is not correctly rounded IEEE, so
     * avoiding it is what keeps the key digit-identical across
-    * engines). Both addends are quantized doubles the oracle
-    * recomputes bit-for-bit, the sum is one IEEE op, ties break by
-    * doc_id — the draw is a pure function of (doc_id, salt, corpus)
-    * and fully hash-checked.
+    * engines). Both addends are integer-quantized (the ExactMath
+    * grid: gkey once at 1e-6, log_ratio_q rescaled to match), the rank
+    * key is ONE exact integer add, ties break by doc_id — the draw is
+    * a pure function of (doc_id, salt, corpus) and fully hash-checked.
     *
     * 100 TB shape: x83's weight pass plus a map-side key column and a
     * TakeOrderedAndProject — per-partition top-64 forwarded, no
@@ -2047,9 +2047,13 @@ object ExtensionQueries {
     val u = (TF.hash60(col("doc_id").cast("string"), "dsir|") % m + 1)
       .cast("double") / (m + 1).toDouble
     x83_dsir_weights(s, d)
-      .withColumn("gkey", round(-log(-log(u)), 6) + lit(0.0))
-      .withColumn("skey", col("log_ratio") + col("gkey"))
-      .orderBy(col("skey").desc, col("doc_id").asc)
+      // gkey on the 1e-6 grid (one quantization of the identical
+      // double), log_ratio_q rescaled 1e-4→1e-6: the rank key is then
+      // ONE exact integer add — no IEEE op, no −0.0 repr hazard
+      .withColumn("gkey_q", graft.functions.ExactMath.microQ(
+        -log(-log(u))))
+      .withColumn("skey_q", col("log_ratio_q") * lit(100L) + col("gkey_q"))
+      .orderBy(col("skey_q").desc, col("doc_id").asc)
       .limit(64)
   }
 
@@ -4055,9 +4059,10 @@ object ExtensionQueries {
        |    FROM pairs WHERE cos >= 0.35) WHERE rn = 1""".stripMargin
 
   // x72/x76 shared: the NB model — (label, word) Laplace counts,
-  // DECIMAL(18,6) quantized log-probs, exact-decimal score sums,
-  // (score desc, label asc) argmax — replayed end-to-end in SQL,
-  // ending in `pr` (doc_id, pred_label) over the held-out split.
+  // BIGINT micro-unit quantized log-probs (the ExactMath grid), exact
+  // INTEGER score sums, (score desc, label asc) argmax — replayed
+  // end-to-end in SQL, ending in `pr` (doc_id, pred_label) over the
+  // held-out split.
   private lazy val x72Ctes: String =
     s"""tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
        |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
@@ -4069,16 +4074,16 @@ object ExtensionQueries {
        |vs AS (SELECT count(DISTINCT w) AS v FROM trw),
        |nt AS (SELECT count(*) AS n FROM tr),
        |lab AS (SELECT p.label,
-       |               CAST(round(ln(p.ndocs::DOUBLE / nt.n), 6)
-       |                    AS DECIMAL(18,6)) AS prior_q,
-       |               CAST(round(ln(1.0 / (t.tot + vs.v)), 6)
-       |                    AS DECIMAL(18,6)) AS l0
+       |               CAST(round(ln(p.ndocs::DOUBLE / nt.n) * 1000000)
+       |                    AS BIGINT) AS prior_q,
+       |               CAST(round(ln(1.0 / (t.tot + vs.v)) * 1000000)
+       |                    AS BIGINT) AS l0
        |          FROM (SELECT lang AS label, count(*) AS ndocs
        |                  FROM tr GROUP BY 1) p
        |          JOIN tot t USING (label) CROSS JOIN vs CROSS JOIN nt),
        |lq AS (SELECT c.w, c.label,
-       |              CAST(round(ln((c.cnt + 1)::DOUBLE / (t.tot + vs.v)), 6)
-       |                   AS DECIMAL(18,6)) AS lq
+       |              CAST(round(ln((c.cnt + 1)::DOUBLE / (t.tot + vs.v))
+       |                         * 1000000) AS BIGINT) AS lq
        |         FROM trw c JOIN tot t USING (label) CROSS JOIN vs),
        |dw AS (SELECT doc_id, w, count(*) AS n
        |         FROM (SELECT doc_id, unnest(string_split($NT,' ')) AS w FROM te)
@@ -4142,42 +4147,42 @@ object ExtensionQueries {
        |        GROUP BY 1, 2),
        |lp AS (SELECT t.doc_id, t.tf,
        |        CAST(round(ln((coalesce(c1.cnt, 0) + 1)::DOUBLE /
-       |                      (kt.n_t + kt.v_t)::DOUBLE), 6)
-       |             AS DECIMAL(18,6)) AS lt,
+       |                      (kt.n_t + kt.v_t)::DOUBLE) * 1000000)
+       |             AS BIGINT) AS lt,
        |        CAST(round(ln((coalesce(c2.cnt, 0) + 1)::DOUBLE /
-       |                      (ks.n_s + ks.v_s)::DOUBLE), 6)
-       |             AS DECIMAL(18,6)) AS ls
+       |                      (ks.n_s + ks.v_s)::DOUBLE) * 1000000)
+       |             AS BIGINT) AS ls
        |         FROM tf t LEFT JOIN ct c1 USING (w)
        |                   LEFT JOIN cs c2 USING (w)
        |         CROSS JOIN kt CROSS JOIN ks),
        |wtab AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-       |        round((sum(tf * (lt - ls)))::DOUBLE / (sum(tf))::DOUBLE, 4)
-       |          + 0.0 AS log_ratio
+       |        (CASE WHEN (sum(tf * (lt - ls))) < 0 THEN -CAST((2*(-(sum(tf * (lt - ls)))) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) ELSE CAST((2*(sum(tf * (lt - ls))) + (sum(tf) * 100)) // (2*(sum(tf) * 100)) AS BIGINT) END)
+       |          AS log_ratio_q
        |         FROM lp GROUP BY doc_id)""".stripMargin
 
   private lazy val x83Oracle: String =
     s"""WITH $x83Ctes
-       |SELECT doc_id, n_tokens, log_ratio FROM wtab""".stripMargin
+       |SELECT doc_id, n_tokens, log_ratio_q FROM wtab""".stripMargin
 
   private lazy val x84Oracle: String =
     s"""WITH $x83Ctes
-       |SELECT doc_id, n_tokens, log_ratio FROM wtab
-       | ORDER BY log_ratio DESC, doc_id ASC LIMIT 64""".stripMargin
+       |SELECT doc_id, n_tokens, log_ratio_q FROM wtab
+       | ORDER BY log_ratio_q DESC, doc_id ASC LIMIT 64""".stripMargin
 
-  // x89: Gumbel-top-k over the weight table — gkey replays the Spark
-  // side's hash-derived u and double-ln digit-for-digit (x73's recipe,
-  // incl. the +0.0 IEEE −0.0 guard); skey is ONE double add of two
-  // quantized doubles, so the order (and the top-64 cut) is exact.
+  // x89: Gumbel-top-k over the weight table — gkey_q replays the
+  // Spark side's hash-derived u and double-ln digit-for-digit (x73's
+  // recipe) quantized ONCE to the 1e-6 grid; skey_q is one exact
+  // integer add, so the order (and the top-64 cut) is build-portable.
   private lazy val x89Oracle: String =
     s"""WITH $x83Ctes,
-       |g AS (SELECT doc_id, n_tokens, log_ratio,
-       |        round(-ln(-ln(((${H60("'dsir|'||doc_id::VARCHAR")}
-       |                        % 1048576) + 1)::DOUBLE / 1048577.0)), 6)
-       |          + 0.0 AS gkey
+       |g AS (SELECT doc_id, n_tokens, log_ratio_q,
+       |        CAST(round(-ln(-ln(((${H60("'dsir|'||doc_id::VARCHAR")}
+       |                        % 1048576) + 1)::DOUBLE / 1048577.0))
+       |             * 1000000) AS BIGINT) AS gkey_q
        |        FROM wtab)
-       |SELECT doc_id, n_tokens, log_ratio, gkey,
-       |       log_ratio + gkey AS skey
-       |  FROM g ORDER BY skey DESC, doc_id ASC LIMIT 64""".stripMargin
+       |SELECT doc_id, n_tokens, log_ratio_q, gkey_q,
+       |       log_ratio_q * 100 + gkey_q AS skey_q
+       |  FROM g ORDER BY skey_q DESC, doc_id ASC LIMIT 64""".stripMargin
 
   // x85/x91: one token-count scan → per-language mass; sqrt quantized
   // to DECIMAL(18,6) (IEEE sqrt is correctly rounded, so both engines
@@ -4247,8 +4252,8 @@ object ExtensionQueries {
        |SELECT pred_label, bucket, count(*)::BIGINT AS n_docs,
        |       sum(CASE WHEN lang = pred_label THEN 1 ELSE 0 END)::BIGINT
        |         AS n_agree,
-       |       round(sum(CASE WHEN lang = pred_label THEN 1 ELSE 0 END)::DOUBLE
-       |             / count(*)::DOUBLE, 4) AS acc
+       |       CAST((2*(sum(CASE WHEN lang = pred_label THEN 1 ELSE 0 END)
+       |                * 10000) + count(*)) // (2*count(*)) AS BIGINT) AS acc_q
        |  FROM b GROUP BY 1, 2""".stripMargin
 
   // x87: x37's shingle CTE (k=8, hashed distinct per-doc sets) with the

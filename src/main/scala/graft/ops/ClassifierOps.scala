@@ -15,12 +15,13 @@ import graft.functions.{TextFunctions => TF}
   * aggregable, and strong enough for the language/domain/quality
   * gating these pipelines do.
   *
-  * Determinism discipline: every log-probability is quantized to
-  * DECIMAL(18,6) at the leaf (round(ln(·),6) — the [[CorpusOps]] LM
-  * convention), so document scores are EXACT decimal sums and the
-  * argmax (score desc, label asc) is reproducible across engines,
-  * partitionings, and summation orders — the whole pipeline is
-  * hash-checkable against an independent SQL engine, not just
+  * Determinism discipline: every log-probability is quantized ONCE
+  * to BIGINT micro-units at the leaf (round(ln(·)·1e6) — the
+  * [[graft.functions.ExactMath]] grid; ln is the only IEEE op), so
+  * document scores are EXACT integer sums and the argmax (score desc,
+  * label asc) is reproducible across engines, builds, partitionings,
+  * and summation orders — the whole pipeline is hash-checkable
+  * against an independent SQL engine at any SF, not just
   * rows-comparable.
   *
   * 100 TB shape: training is two corpus-wide hash aggregations
@@ -73,7 +74,7 @@ object ClassifierOps {
   def nbModel(train: DataFrame, labelCol: String = "lang",
       textCol: String = "text"): (DataFrame, DataFrame) = {
     val lq6 = (x: org.apache.spark.sql.Column) =>
-      round(log(x), 6).cast("decimal(18,6)")
+      graft.functions.ExactMath.microQ(log(x))
 
     // model grain: (label, w) counts, per-label totals, vocab size.
     // LAZILY persisted ([[CorpusOps]]'s shared-view discipline): four
@@ -112,7 +113,7 @@ object ClassifierOps {
     (wl, lab)
   }
 
-  /** Argmax over [[nbScores]]: (doc_id, pred_label). Exact-decimal
+  /** Argmax over [[nbScores]]: (doc_id, pred_label). Exact-integer
     * scores make the (score desc, label asc) argmax deterministic;
     * min(struct(-score, label)) keeps it a hash aggregate — no window,
     * no per-doc sort. */

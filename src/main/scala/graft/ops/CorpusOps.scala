@@ -906,7 +906,7 @@ object CorpusOps {
     * [[lmScoreApply]]'s exact-decimal quantization (round(ln,6) →
     * DECIMAL(18,6)), so the doc-level sums are order-insensitive and
     * the whole weight table hash-checks against an independent engine.
-    * Output: (doc_id, n_tokens, log_ratio).
+    * Output: (doc_id, n_tokens, log_ratio_q — 1e-4 integer units).
     *
     * 100 TB shape: ONE pool scan to the (doc, word) tf grain; both
     * model joins are equi on the word key (vocab-sized tables — AQE
@@ -920,8 +920,9 @@ object CorpusOps {
     def consts(c: DataFrame, n: String, v: String) = broadcast(
       c.agg(sum(col("cnt")).as(n), count(lit(1)).as(v)))
     def lpw(cnt: Column, n: Column, v: Column) =
-      round(log((coalesce(cnt, lit(0L)) + 1).cast("double") /
-        (n + v).cast("double")), 6).cast("decimal(18,6)")
+      graft.functions.ExactMath.microQ(
+        log((coalesce(cnt, lit(0L)) + 1).cast("double") /
+          (n + v).cast("double")))
     tokenized(pool, idCol, textCol)
       .select(col("doc_id"), explode(col("ws")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
@@ -935,12 +936,12 @@ object CorpusOps {
       .withColumn("lpw_s", lpw(col("cnt_s"), col("nt_s"), col("v_s")))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
-        // + 0.0 normalizes IEEE −0.0: a doc whose true ratio is a tiny
-        // negative (< 5e-5) rounds to −0.0 in one engine and +0.0 in
-        // the other — same ordering, different repr hash (the x73
-        // rank-key class, observed here at sf0.1)
-        (round(sum(col("tf") * (col("lpw_t") - col("lpw_s"))).cast("double") /
-          sum(col("tf")).cast("double"), 4) + lit(0.0)).as("log_ratio"))
+        // exact integer mean on the 1e-4 grid — the old double round
+        // had an IEEE −0.0 repr hazard here (guarded by +0.0); the
+        // integer grid has no signed zero at all
+        graft.functions.ExactMath.divHalfUpSigned(
+          sum(col("tf") * (col("lpw_t") - col("lpw_s"))),
+          sum(col("tf")) * lit(100L)).as("log_ratio_q"))
   }
 
   /** Token-budget mixture PLAN — the static allocation table a training

@@ -646,7 +646,7 @@ object EventStreams {
     val (wl, lab) = graft.ops.ClassifierOps.nbModel(train, labelCol, textCol)
     // labels-sized constants to the driver at stream setup (static side)
     val labArr = lab.orderBy(col("label")).collect()
-      .map(r => (r.getString(0), r.getDecimal(1), r.getDecimal(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     require(labArr.nonEmpty, "nbScoreStream: empty training set (no labels)")
     val wordParts = docs
       .withColumn("event_time", eventTime(docs))
@@ -666,8 +666,7 @@ object EventStreams {
     // stateless post-agg argmax: max score, tie → smallest label (labArr
     // is label-sorted, so larger -i ⇔ earlier label)
     val structs = labArr.zipWithIndex.map { case ((_, prior, _), i) =>
-      struct((col(s"s_$i") + lit(prior)).cast("decimal(28,6)").as("score"),
-        lit(-i).as("ni"))
+      struct((col(s"s_$i") + lit(prior)).as("score"), lit(-i).as("ni"))
     }
     val best = if (structs.length == 1) structs.head else greatest(structs: _*)
     val withBest = agged.withColumn("b", best)
@@ -903,15 +902,15 @@ object EventStreams {
     * smoothing-constant pairs resolve once at stream setup; the two
     * word-key joins run stream-static against the vocab-sized count
     * tables; one watermarked windowed agg rolls tokens back to doc
-    * grain. Per-word logs and the final round/−0.0 normalization are
+    * grain. Per-word micro-quantized logs and the integer mean are
     * the batch op's exactly — the exploded per-token sum equals the
-    * batch (doc, word)-grain Σ tf·(lpwₜ−lpwₛ) because decimal sums are
-    * order-insensitive, so a doc's (n_tokens, log_ratio) is
+    * batch (doc, word)-grain Σ tf·(lpwₜ−lpwₛ) because integer sums are
+    * order-free, so a doc's (n_tokens, log_ratio_q) is
     * DIGIT-identical to its batch x83 row (StreamingSpec pins it).
     * Route on log_ratio downstream: the ingest-time half of DSIR
     * selection (the batch top-k/Gumbel selectors x84/x89 need the full
     * pool; an ingest gate thresholds instead).
-    * Output: (window, doc_id, n_tokens, log_ratio).
+    * Output: (window, doc_id, n_tokens, log_ratio_q).
     *
     * Scale: state is (window, doc_id)-keyed and watermark-bounded; the
     * model tables join as static sides; AQE skew handling does not
@@ -929,8 +928,8 @@ object EventStreams {
     val dT = denomOf(targetCounts, "target")
     val dS = denomOf(sourceCounts, "source")
     def lpw(cnt: Column, denom: Double) =
-      round(log((coalesce(cnt, lit(0L)) + 1).cast("double") / lit(denom)),
-        6).cast("decimal(18,6)")
+      graft.functions.ExactMath.microQ(
+        log((coalesce(cnt, lit(0L)) + 1).cast("double") / lit(denom)))
     docs
       .withColumn("event_time", eventTime(docs))
       .withWatermark("event_time", watermarkDelay)
@@ -943,8 +942,8 @@ object EventStreams {
       .withColumn("d", lpw(col("cnt_t"), dT) - lpw(col("cnt_s"), dS))
       .groupBy(window(col("event_time"), windowDur), col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        (round(sum(col("d")).cast("double") /
-          count(lit(1)).cast("double"), 4) + lit(0.0)).as("log_ratio"))
+        graft.functions.ExactMath.divHalfUpSigned(sum(col("d")),
+          count(lit(1)) * lit(100L)).as("log_ratio_q"))
   }
 
   /** Streaming Kneser–Ney scoring — [[graft.ops.CorpusOps

@@ -316,19 +316,19 @@ class OpsSpec extends SparkTestBase {
     assert(pred == Map(10L -> "s", 11L -> "h"), pred.toString)
   }
 
-  test("ClassifierOps.nbScores: scores are exact decimals, one row per (in-vocab doc, label)") {
+  test("ClassifierOps.nbScores: scores are exact integer micro-units, one row per (in-vocab doc, label)") {
     val train = Seq((1L, "a", "x x y"), (2L, "b", "y z z")).toDF("id", "l", "t")
     val test = Seq((9L, "x z")).toDF("id", "t")
     val rows = graft.ops.ClassifierOps
       .nbScores(train, test, labelCol = "l", idCol = "id", textCol = "t")
       .collect()
     assert(rows.length == 2) // one per label
-    assert(rows.forall(_.get(2).isInstanceOf[java.math.BigDecimal]),
+    assert(rows.forall(_.get(2).isInstanceOf[java.lang.Long]),
       rows.map(_.get(2).getClass).mkString(","))
-    // hand-check label "a": prior ln(1/2) + x: ln((2+1)/(3+3)) + z: ln((0+1)/(3+3))
-    val sa = rows.find(_.getString(1) == "a").get.getDecimal(2).doubleValue()
-    val exp = math.log(0.5) + math.log(3.0 / 6) + math.log(1.0 / 6)
-    assert(math.abs(sa - exp) < 1e-5, s"$sa vs $exp")
+    // hand-check label "a" on the micro grid: prior round(ln(1/2)·1e6)
+    // = -693147; x: ln(3/6) → -693147; z (unseen): ln(1/6) → -1791759
+    val sa = rows.find(_.getString(1) == "a").get.getLong(2)
+    assert(sa == -3178053L, sa.toString)
   }
 
   test("CorpusOps.lmScoreApply: OOV floor hand-checked; self-apply equals lmScore digit-for-digit") {
@@ -1251,13 +1251,13 @@ class OpsSpec extends SparkTestBase {
     val out = graft.ops.CorpusOps.dsirWeights(pool,
         graft.ops.CorpusOps.unigramCounts(target),
         graft.ops.CorpusOps.unigramCounts(pool))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
-    // doc 1 ("a a"): lpw_t(a)=round(ln(3/5),6)=-0.510826,
-    //   lpw_s(a)=round(ln(3/6),6)=-0.693147 → ratio = 0.182321 → 0.1823
-    // doc 2 ("c c"): lpw_t(c)=round(ln(1/5),6)=-1.609438,
-    //   lpw_s(c)=round(ln(3/6),6)=-0.693147 → ratio = -0.916291 → -0.9163
-    assert(out == Map(1L -> ((2L, 0.1823)), 2L -> ((2L, -0.9163))), out)
+    // micro grid: doc 1 ("a a"): lpw_t_q(a)=round(ln(3/5)·1e6)=-510826,
+    //   lpw_s_q(a)=-693147 → ratio_q = ⌈2·182321/200⌋ = 1823
+    // doc 2 ("c c"): lpw_t_q(c)=-1609438, lpw_s_q(c)=-693147
+    //   → ratio_q = -⌈2·916291/200⌋ = -9163
+    assert(out == Map(1L -> ((2L, 1823L)), 2L -> ((2L, -9163L))), out)
     // the target-looking doc ranks ABOVE the off-target one — the
     // property DSIR selection (x84/x89) depends on
     assert(out(1L)._2 > out(2L)._2)

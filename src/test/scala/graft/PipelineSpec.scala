@@ -174,9 +174,10 @@ class PipelineSpec extends SparkTestBase {
     val wts = CorpusOps.dsirWeights(pool,
       CorpusOps.unigramCounts(pool0.filter(inTarget)),
       CorpusOps.unigramCounts(pool))
-    val sel = wts.orderBy(col("log_ratio").desc, col("doc_id").asc).limit(64)
+    val sel = wts.orderBy(col("log_ratio_q").desc, col("doc_id").asc)
+      .limit(64)
     val selIds = sel.select("doc_id").collect().map(_.getLong(0)).toSet
-    val wmap = wts.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val wmap = wts.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(selIds.size == math.min(64L, pool.count()).toInt)
     assert(selIds.subsetOf(wmap.keySet), "no resurrected docs")
     // top-k actually selects by weight (ties at the boundary allowed)

@@ -34,23 +34,15 @@ class RoundingAuditSpec extends SparkTestBase {
     * GROWING it needs the same scrutiny the r12 postmortem applied.
     */
   private val allowlisted: Map[String, String] = Map(
-    // (r13 retired the whole LM/KN-score branch of this list — x51/
-    // x59/x61/x74/x104/x109/x111 now run on BIGINT micro-unit grids)
-    // --- ClassifierOps.logq provenance: round(log,6) DECIMAL
-    //     per-token log-probs (driver-green since r10) ---
-    "x72_nb_classifier" -> "NB posterior decimal logs",
-    "x76_curate_trained" -> "composes the NB decimal scorer",
-    "x86_nb_calibration" -> "NB decimal posteriors binned",
+    // (r13 retired the LM/KN-score and NB-classifier branches of this
+    // list — x51/x59/x61/x74/x104/x109/x111 and x72/x76/x86 now run on
+    // BIGINT micro-unit grids)
     "x94_hybrid_rrf" -> "BM25 decimal idf·norm terms",
     // --- mixtureAlloc: round(sqrt,6) — IEEE sqrt is correctly-rounded
     //     by spec (unlike exp/pow/log), both engines round the same
     //     double ---
     "x85_mixture_plan" -> "round(sqrt,6): sqrt correctly-rounded",
     "x91_mixture_materialize" -> "consumes x85's sqrt weights",
-    // --- DSIR importance-weight family: decimal log-ratios ---
-    "x83_dsir_weights" -> "decimal log importance ratios",
-    "x84_dsir_select" -> "selects on x83's decimal weights",
-    "x89_dsir_resample" -> "Gumbel keys over x83's decimals",
     // --- corpus diagnostics: decimal entropies/slopes/fractions ---
     "x123_corpus_card_v2" -> "v2 card reuses decimal signals",
     "x107_source_drift" -> "decimal JS-divergence terms",

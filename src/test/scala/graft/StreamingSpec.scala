@@ -633,7 +633,7 @@ class StreamingSpec extends SparkTestBase {
       .collect()
       .groupBy(_.getLong(0))
       .map { case (id, rs) =>
-        id -> rs.map(r => r.getString(1) -> r.getDecimal(2).doubleValue()).toMap
+        id -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap
       }
     val batchPred = graft.ops.ClassifierOps.nbPredict(train, testDf)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -652,12 +652,12 @@ class StreamingSpec extends SparkTestBase {
       val got = spark.table("nb_stream_test")
         .filter(col("doc_id") < 90)
         .select("doc_id", "pred_label", "score").collect()
-        .map(r => r.getLong(0) -> ((r.getString(1), r.getDecimal(2).doubleValue())))
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
         .toMap
       assert(got.keySet == Set(10L, 11L), s"OOV-only doc must drop: $got")
       for ((id, (pred, score)) <- got) {
         assert(pred == batchPred(id), s"doc $id: stream $pred vs batch ${batchPred(id)}")
-        assert(math.abs(score - batchScores(id)(pred)) < 1e-9,
+        assert(score == batchScores(id)(pred),
           s"doc $id: stream score $score vs batch ${batchScores(id)(pred)}")
       }
     } finally q.stop()
@@ -834,7 +834,7 @@ class StreamingSpec extends SparkTestBase {
     val tCounts = graft.ops.CorpusOps.unigramCounts(all.filter(inTarget))
     val sCounts = graft.ops.CorpusOps.unigramCounts(pool)
     val batch = graft.ops.CorpusOps.dsirWeights(pool, tCounts, sCounts)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
     val rows = pool.select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), 1000000000L))
@@ -848,7 +848,7 @@ class StreamingSpec extends SparkTestBase {
       input.addData(h1.toSeq: _*); q.processAllAvailable()
       input.addData(h2.toSeq: _*); q.processAllAvailable()
       val got = spark.table("dsir_stream_test").collect()
-        .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
       assert(got == batch,
         s"stream gate diverged from batch x83 on ${
           got.count { case (k, v) => batch.get(k) != Some(v) } +
