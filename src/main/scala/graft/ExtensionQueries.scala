@@ -2711,21 +2711,22 @@ object ExtensionQueries {
     val hhMass = words.join(broadcast(hh), Seq("word"))
       .groupBy(col("lang")).agg(count(lit(1)).as("hh_tokens"))
     docs0.select(col("doc_id"), col("lang"))
-      .join(ent.select(col("doc_id"), col("n_words"), col("entropy")),
+      .join(ent.select(col("doc_id"), col("n_words"), col("entropy_q")),
         Seq("doc_id"))
       .join(rep.select(col("doc_id"), col("keep")), Seq("doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_tokens"),
-        round(sum(col("entropy").cast("decimal(18,4)")).cast("double") /
-          count(lit(1)), 4).as("mean_entropy"),
-        round(sum(col("keep")).cast("double") / count(lit(1)), 4)
-          .as("keep_rate"))
+        graft.functions.ExactMath.divHalfUp(sum(col("entropy_q")),
+          count(lit(1))).as("mean_entropy_q"),
+        graft.functions.ExactMath.divHalfUp(
+          sum(col("keep")) * lit(10000L), count(lit(1))).as("keep_rate_q"))
       .join(hhMass, Seq("lang"), "left")
       .select(col("lang"), col("n_docs"), col("n_tokens"),
-        col("mean_entropy"), col("keep_rate"),
-        round(coalesce(col("hh_tokens"), lit(0L)).cast("double") /
-          col("n_tokens").cast("double"), 4).as("hh_token_frac"))
+        col("mean_entropy_q"), col("keep_rate_q"),
+        graft.functions.ExactMath.divHalfUp(
+          coalesce(col("hh_tokens"), lit(0L)) * lit(10000L),
+          col("n_tokens")).as("hh_frac_q"))
   }
 
   /** Int8 SQ cosine top-k ([[graft.ops.VectorOps.sqTopK]]) — the
@@ -3389,27 +3390,33 @@ object ExtensionQueries {
        |            ELSE 'tail' END AS bucket
        |  FROM sc s JOIN cu USING (lang)""".stripMargin
 
-  // x112: (doc, word) counts → exact-decimal Σ c·round(ln c,6); the
-  // final subtraction/ratios through doubles on both sides, ln2 the
-  // same IEEE constant, −0.0 normalized by + 0.0.
+  // x112: (doc, word) counts → exact-integer Σ c·round(ln c·1e6); the
+  // numerator lnw_q·nw − clc_q is exact, norm is a pure integer
+  // rational (DHU), entropy has exactly one IEEE division by
+  // nw·69.31471805599453 (ln2·100 pinned as a literal — no libm
+  // variance) before its single rounding onto the 1e-4 grid.
   private lazy val x112Oracle: String =
     s"""WITH w AS (SELECT doc_id, unnest(string_split($NT,' ')) AS word
        |             FROM documents),
        |c AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM w GROUP BY 1,2),
        |a AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
        |             count(*)::BIGINT AS n_types,
-       |             sum(c * CAST(round(ln(c),6) AS DECIMAL(18,6))) AS clc
-       |        FROM c GROUP BY 1)
+       |             sum(c * CAST(round(ln(c) * 1000000) AS BIGINT))::BIGINT
+       |               AS clc_q
+       |        FROM c GROUP BY 1),
+       |n AS (SELECT doc_id, n_words, n_types,
+       |             CAST(round(ln(n_words) * 1000000) AS BIGINT) * n_words
+       |               - clc_q AS num,
+       |             CAST(round(ln(n_types) * 1000000) AS BIGINT) AS lnt_q
+       |        FROM a)
        |SELECT doc_id, n_words, n_types,
-       |       round((CAST(round(ln(n_words),6) AS DOUBLE)
-       |              - CAST(clc AS DOUBLE)/CAST(n_words AS DOUBLE)) / ln(2), 4)
-       |         + 0.0 AS entropy,
+       |       CAST(round(num::DOUBLE /
+       |            (n_words::DOUBLE * 69.31471805599453)) AS BIGINT)
+       |         AS entropy_q,
        |       CASE WHEN n_types > 1 THEN
-       |         round((CAST(round(ln(n_words),6) AS DOUBLE)
-       |                - CAST(clc AS DOUBLE)/CAST(n_words AS DOUBLE))
-       |               / CAST(round(ln(n_types),6) AS DOUBLE), 4) + 0.0
-       |       ELSE 0.0 END AS norm_entropy
-       |  FROM a""".stripMargin
+       |         CAST((2*(num * 10000) + (n_words * lnt_q)) // (2*(n_words * lnt_q)) AS BIGINT)
+       |       ELSE 0::BIGINT END AS norm_entropy_q
+       |  FROM n""".stripMargin
 
   // x113: the oracle is the from-scratch exact recount — the MG
   // candidate pass must change nothing. Integer threshold on both sides.
@@ -3651,14 +3658,13 @@ object ExtensionQueries {
        |agg AS (
        |  SELECT d.lang, count(*)::BIGINT AS n_docs,
        |         sum(e.n_words)::BIGINT AS n_tokens,
-       |         round(sum(CAST(e.entropy AS DECIMAL(18,4)))::DOUBLE
-       |               / count(*), 4) AS mean_entropy,
-       |         round(sum(r.keep)::DOUBLE / count(*), 4) AS keep_rate
+       |         CAST((2*(sum(e.entropy_q)) + (count(*))) // (2*(count(*))) AS BIGINT) AS mean_entropy_q,
+       |         CAST((2*(sum(r.keep) * 10000) + (count(*))) // (2*(count(*))) AS BIGINT) AS keep_rate_q
        |    FROM documents d JOIN e USING (doc_id) JOIN r USING (doc_id)
        |   GROUP BY 1)
-       |SELECT a.lang, a.n_docs, a.n_tokens, a.mean_entropy, a.keep_rate,
-       |       round(coalesce(hm.hh_tokens, 0)::DOUBLE
-       |             / a.n_tokens::DOUBLE, 4) AS hh_token_frac
+       |SELECT a.lang, a.n_docs, a.n_tokens, a.mean_entropy_q, a.keep_rate_q,
+       |       CAST((2*(coalesce(hm.hh_tokens, 0) * 10000) + (a.n_tokens)) // (2*(a.n_tokens)) AS BIGINT)
+       |         AS hh_frac_q
        |  FROM agg a LEFT JOIN hm ON hm.lang = a.lang""".stripMargin
 
   // x124: per-vector max-abs int8 quantization replayed in SQL; the
@@ -3836,13 +3842,15 @@ object ExtensionQueries {
        |             FROM documents),
        |c AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM w GROUP BY 1,2),
        |e AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
-       |             sum(c * CAST(round(ln(c),6) AS DECIMAL(18,6))) AS clc,
+       |             sum(c * CAST(round(ln(c) * 1000000) AS BIGINT))::BIGINT
+       |               AS clc_q,
        |             (max(c) = min(c)) AS uni0
        |        FROM c GROUP BY 1),
        |eq AS (SELECT doc_id, uni0,
-       |         CAST(round(((CAST(round(ln(n_words),6) AS DOUBLE)
-       |               - CAST(clc AS DOUBLE)/CAST(n_words AS DOUBLE)) / ln(2))
-       |               * 10000) AS BIGINT) AS ent_q
+       |         CAST(round((CAST(round(ln(n_words) * 1000000) AS BIGINT)
+       |                     * n_words - clc_q)::DOUBLE /
+       |                    (n_words::DOUBLE * 69.31471805599453))
+       |              AS BIGINT) AS ent_q
        |        FROM e),
        |cu AS (SELECT quantile_cont(ent_q, 0.05) AS cut FROM eq),
        |g AS (SELECT d.doc_id, d.lang,

@@ -1286,16 +1286,16 @@ object CorpusOps {
     * length-normalized form H / log2(n_types) ∈ [0,1] (1 = every type
     * equally likely — maximum surprise for the doc's own vocabulary;
     * → 0 = one type dominates). Output: (doc_id, n_words, n_types,
-    * entropy, norm_entropy), rounded to 4.
+    * entropy_q, norm_entropy_q) in 1e-4 integer units.
     *
     * 100 TB shape: one tokenize pass to the (doc, word) count grain
     * (map-side partial agg), one doc-grain rollup — the x01/x110
     * map-side family: no broadcast, no window, nothing corpus-wide.
     *
-    * Determinism across engines: each ln is rounded to 6 decimals; the
-    * Σ c·ln c term is an exact DECIMAL(18,6) sum (order-independent);
-    * only the final subtraction/ratio runs through doubles (the x97
-    * recipe), with `+ 0.0` guarding the −0.0 repr. */
+    * Determinism across engines: each ln is micro-quantized once; the
+    * Σ c·ln c term is an exact integer sum (order-independent); the
+    * normalized form is a pure integer rational and the bits form has
+    * exactly one IEEE division before its single grid rounding. */
   def entropySignal(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     entropySignalFromWords(tokenized(docs, idCol, textCol)
@@ -1307,22 +1307,31 @@ object CorpusOps {
     * card feeds entropy, the heavy-hitter set, and the per-lang hh
     * mass from ONE persisted explode). */
   def entropySignalFromWords(words: DataFrame): DataFrame = {
+    val EM = graft.functions.ExactMath
     val cnt = words
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("c"))
-    // lnN/lnT quantized to the same 6-decimal grid as the per-word term
-    val lnQ6 = (x: Column) => round(log(x.cast("double")), 6)
-    val raw = lnQ6(col("n_words")) -
-      col("clc").cast("double") / col("n_words").cast("double")
+    // all logs quantized ONCE to BIGINT micro-units (the ExactMath
+    // grid); num = lnw_q·nw − Σ c·lnc_q is an exact integer in
+    // 1e-6·nat·token units, so norm_entropy is a pure integer rational
+    // and entropy needs exactly ONE IEEE division (by nw·ln2·100, with
+    // ln2·100 pinned as a literal so no libm variance) before its one
+    // nearest-integer rounding onto the 1e-4 grid
+    val lnw_q = EM.microQ(log(col("n_words").cast("double")))
+    val lnt_q = EM.microQ(log(col("n_types").cast("double")))
+    val num = lnw_q * col("n_words") - col("clc_q")
     cnt.groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_words"),
         count(lit(1)).cast("long").as("n_types"),
-        sum(col("c") * lnQ6(col("c")).cast("decimal(18,6)")).as("clc"))
+        sum(col("c") * EM.microQ(log(col("c").cast("double"))))
+          .cast("long").as("clc_q"))
       .select(col("doc_id"), col("n_words"), col("n_types"),
-        (round(raw / math.log(2.0), 4) + lit(0.0)).as("entropy"),
+        round(num.cast("double") /
+          (col("n_words").cast("double") * lit(69.31471805599453)))
+          .cast("long").as("entropy_q"),
         when(col("n_types") > 1,
-          round(raw / lnQ6(col("n_types")), 4) + lit(0.0))
-          .otherwise(lit(0.0)).as("norm_entropy"))
+          EM.divHalfUp(num * lit(10000L), col("n_words") * lnt_q))
+          .otherwise(lit(0L)).as("norm_entropy_q"))
   }
 
   /** Corpus SATURATION curve — the Heaps-law diagnostic a growing
@@ -1691,23 +1700,26 @@ object CorpusOps {
       idCol: String = "doc_id", groupCol: String = "lang",
       textCol: String = "text"): DataFrame = {
     require(pLow >= 0 && pLow <= 100, s"pLow in [0,100], got $pLow")
+    val EM = graft.functions.ExactMath
     val res = 1000000L
     val cnt = docs
       .select(col(idCol).as("doc_id"), explode(TF.words(col(textCol)))
         .as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("c"))
-    val lnQ6 = (x: Column) => round(log(x.cast("double")), 6)
-    // ent_q: the x112 arithmetic quantized ONCE to a 1e-4 integer grid
-    // (round(H,4)·1e4 ≡ round(H·1e4) — same grid, integer-exact after)
+    // ent_q: x112's integer-grid entropy ([[entropySignalFromWords]]'
+    // exact formula — micro-quantized logs, exact integer numerator,
+    // ONE IEEE division by nw·ln2·100 with the pinned literal)
     val ent = cnt.groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_words"),
-        sum(col("c") * lnQ6(col("c")).cast("decimal(18,6)")).as("clc"),
+        sum(col("c") * EM.microQ(log(col("c").cast("double"))))
+          .cast("long").as("clc_q"),
         (max(col("c")) === min(col("c"))).as("uni0"))
       .select(col("doc_id"), col("uni0"),
-        round(((lnQ6(col("n_words")) -
-          col("clc").cast("double") / col("n_words").cast("double")) /
-          math.log(2.0)) * 10000d).cast("long").as("ent_q"))
+        round((EM.microQ(log(col("n_words").cast("double"))) *
+          col("n_words") - col("clc_q")).cast("double") /
+          (col("n_words").cast("double") * lit(69.31471805599453)))
+          .cast("long").as("ent_q"))
     val cut = broadcast(ent.agg(
       percentile(col("ent_q"), lit(pLow / 100.0)).as("cut")))
     val gates = docs.select(col(idCol).as("doc_id"),

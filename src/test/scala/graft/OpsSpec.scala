@@ -1759,8 +1759,8 @@ class OpsSpec extends SparkTestBase {
     val d = sf
     val card = graft.ExtensionQueries.all("x123_corpus_card_v2")(spark, d)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
-          r.getDouble(5)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val langCounts = docs.groupBy(col("lang")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1768,9 +1768,9 @@ class OpsSpec extends SparkTestBase {
     card.foreach { case (lang, (nDocs, nTokens, meanEnt, keepRate, hhFrac)) =>
       assert(nDocs == langCounts(lang), s"$lang n_docs")
       assert(nTokens >= nDocs, s"$lang tokens < docs")
-      assert(meanEnt > 0.0 && meanEnt < 10.0, s"$lang mean_entropy $meanEnt")
-      assert(keepRate >= 0.0 && keepRate <= 1.0, s"$lang keep_rate")
-      assert(hhFrac >= 0.0 && hhFrac <= 1.0, s"$lang hh_token_frac")
+      assert(meanEnt > 0L && meanEnt < 100000L, s"$lang mean_entropy $meanEnt")
+      assert(keepRate >= 0L && keepRate <= 10000L, s"$lang keep_rate")
+      assert(hhFrac >= 0L && hhFrac <= 10000L, s"$lang hh_token_frac")
     }
     // the hh fraction is a real signal, not a constant: the corpus'
     // common vocabulary dominates, so every language sits high
@@ -1873,22 +1873,22 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("CorpusOps.entropySignal: hand-derived bits, normalized form, degenerate one-type doc") {
-    // "a a b b": H = 1 bit exactly, norm = 1.0 (uniform over 2 types).
-    // "a a a b": raw = ln4 - (3·ln3)/4 quantized -> 0.8113 bits; norm
-    //            divides by the same quantized ln2 -> identical digits.
+    // 1e-4 integer units: "a a b b": H = 1 bit -> 10000, norm 10000.
+    // "a a a b": num = 4·ln4_q - 3·ln3_q -> 0.8113 bits -> 8113; the
+    //            norm divides by the same micro grid -> same digits.
     // "q": one type -> entropy 0, norm guarded to 0.
-    // "a b c d": uniform over 4 -> 2 bits, norm 1.0 (ceiling).
+    // "a b c d": uniform over 4 -> 2 bits -> 20000, norm 10000.
     val docs = Seq((1L, "a a b b"), (2L, "a a a b"), (3L, "q"),
       (4L, "a b c d")).toDF("doc_id", "text")
     val out = graft.ops.CorpusOps.entropySignal(docs)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
     assert(out == Map(
-      1L -> ((4L, 2L, 1.0, 1.0)),
-      2L -> ((4L, 2L, 0.8113, 0.8113)),
-      3L -> ((1L, 1L, 0.0, 0.0)),
-      4L -> ((4L, 4L, 2.0, 1.0))), out)
+      1L -> ((4L, 2L, 10000L, 10000L)),
+      2L -> ((4L, 2L, 8113L, 8113L)),
+      3L -> ((1L, 1L, 0L, 0L)),
+      4L -> ((4L, 4L, 20000L, 10000L))), out)
   }
 
   test("CorpusOps.pplBuckets: hand-derived quartile cuts, per-lang isolation, single-doc lang") {

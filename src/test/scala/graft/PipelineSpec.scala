@@ -278,9 +278,9 @@ class PipelineSpec extends SparkTestBase {
     //    type equally likely, shuffled-vocabulary noise has no
     //    structure to keep)
     val ent = CorpusOps.entropySignal(docs)
-    val lo = ent.agg(percentile(col("entropy"), lit(0.05))).head.getDouble(0)
+    val lo = ent.agg(percentile(col("entropy_q"), lit(0.05))).head.getDouble(0)
     val banded = docs.join(
-      ent.filter(col("entropy") >= lo && col("norm_entropy") < 1.0)
+      ent.filter(col("entropy_q") >= lo && col("norm_entropy_q") < 10000L)
         .select("doc_id"), Seq("doc_id"))
     val n1 = banded.count()
     assert(n1 > 0 && n1 < n0, s"entropy band must discriminate: $n1 of $n0")
@@ -337,13 +337,14 @@ class PipelineSpec extends SparkTestBase {
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("nw"),
-        sum(col("c") * round(log(col("c").cast("double")), 6)
-          .cast("decimal(18,6)")).as("clc"),
+        sum(col("c") * round(log(col("c").cast("double")) * 1000000d)
+          .cast("long")).cast("long").as("clc_q"),
         (max(col("c")) === min(col("c"))).as("uni"))
       .select(col("doc_id"), col("uni"),
-        round(((round(log(col("nw").cast("double")), 6) -
-          col("clc").cast("double") / col("nw").cast("double")) /
-          math.log(2.0)) * 10000d).cast("long").as("ent_q"))
+        round((round(log(col("nw").cast("double")) * 1000000d)
+          .cast("long") * col("nw") - col("clc_q")).cast("double") /
+          (col("nw").cast("double") * lit(69.31471805599453)))
+          .cast("long").as("ent_q"))
     val cutV = ent.agg(percentile(col("ent_q"), lit(0.05))).head.getDouble(0)
     val pool = ent.filter(col("ent_q") >= cutV && !col("uni"))
       .select("doc_id")

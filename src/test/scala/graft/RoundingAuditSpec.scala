@@ -43,12 +43,9 @@ class RoundingAuditSpec extends SparkTestBase {
     //     double ---
     "x85_mixture_plan" -> "round(sqrt,6): sqrt correctly-rounded",
     "x91_mixture_materialize" -> "consumes x85's sqrt weights",
-    // --- corpus diagnostics: decimal entropies/slopes/fractions ---
-    "x123_corpus_card_v2" -> "v2 card reuses decimal signals",
+    // --- corpus diagnostics: decimal drift/zipf operands ---
     "x107_source_drift" -> "decimal JS-divergence terms",
     "x108_zipf_slope" -> "decimal log-log regression operands",
-    "x112_entropy" -> "decimal(18,4) char-entropy",
-    "x130_curate_v6" -> "x112's entropy decimals inside the band gate",
     // --- PCA projection grain ---
     "x96_pca_project" -> "decimal projection of exact loadings",
     "x106_curriculum" -> "stages cut on x96's projection")
