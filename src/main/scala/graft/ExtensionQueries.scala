@@ -2106,8 +2106,9 @@ object ExtensionQueries {
     * (doc_id < 3; the fixture's embeddings are row-aligned with
     * documents, standing in for the doc's embedding column), rank
     * candidates LEXICALLY (BM25 retrieval: sum over the query's terms
-    * of x42's per-term weight — each term quantized to DECIMAL(18,6)
-    * and summed exactly, so the ranking is engine-identical) and
+    * of x42's per-term weight — each term quantized once to BIGINT
+    * micro-units and summed exactly, so the ranking is
+    * engine-identical) and
     * SEMANTICALLY (cosine over the embedding, x12's exact form), take
     * each modality's top-20, and fuse: rrf = Σ 1/(60+rank), absent
     * modality contributing 0 — k=60 per the paper. Output: top-10 per
@@ -2143,7 +2144,7 @@ object ExtensionQueries {
       .join(dfreq, Seq("word"))
       .crossJoin(broadcast(corpus))
       .select(col("doc_id"), col("word"),
-        round(idf * norm, 6).cast("decimal(18,6)").as("t"))
+        graft.functions.ExactMath.microQ(idf * norm).as("t_q"))
     val qterms = tf.filter(col("doc_id") < 3)
       .select(col("doc_id").as("q_id"), col("word"))
     val wt = Window.partitionBy("q_id")
@@ -2151,7 +2152,7 @@ object ExtensionQueries {
     val tr = qterms.join(term, Seq("word"))
       .filter(col("q_id") =!= col("doc_id"))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(col("t")).as("score"))
+      .agg(sum(col("t_q")).as("score"))
       .withColumn("r_text", row_number().over(wt).cast("long"))
       .filter(col("r_text") <= 20)
       .select(col("q_id"), col("doc_id"), col("r_text"))
@@ -2164,20 +2165,30 @@ object ExtensionQueries {
         e.select(col("vec_id").as("doc_id"), col("embedding").as("n_e")))
       .filter(col("q_id") =!= col("doc_id"))
       .select(col("q_id"), col("doc_id"),
-        round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
+        graft.functions.ExactMath.microQ(
+          VF.cosineFast(col("q_e"), col("n_e"))).as("cos"))
       .withColumn("r_vec", row_number().over(wv).cast("long"))
       .filter(col("r_vec") <= 20)
       .select(col("q_id"), col("doc_id"), col("r_vec"))
     val wf = Window.partitionBy("q_id")
-      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .orderBy(col("rrf_q").desc, col("doc_id").asc)
+    val EMx = graft.functions.ExactMath
     tr.join(vr, Seq("q_id", "doc_id"), "full_outer")
-      .withColumn("rrf", round(
-        coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
+      // rrf = 1/(60+rt) + 1/(60+rv) is an exact rational of small
+      // integers — half-up onto the 1e-6 grid with no IEEE op at all
+      .withColumn("rrf_q",
+        when(col("r_text").isNotNull && col("r_vec").isNotNull,
+          EMx.divHalfUp(
+            lit(1000000L) * (lit(120L) + col("r_text") + col("r_vec")),
+            (lit(60L) + col("r_text")) * (lit(60L) + col("r_vec"))))
+          .when(col("r_text").isNotNull,
+            EMx.divHalfUp(lit(1000000L), lit(60L) + col("r_text")))
+          .otherwise(
+            EMx.divHalfUp(lit(1000000L), lit(60L) + col("r_vec"))))
       .withColumn("rk", row_number().over(wf))
       .filter(col("rk") <= 10)
       .select(col("q_id"), col("doc_id"), col("r_text"), col("r_vec"),
-        col("rrf"))
+        col("rrf_q"))
   }
 
   /** Iteration count for the x95 power method — one constant feeds the
@@ -2436,8 +2447,11 @@ object ExtensionQueries {
     val e = embsR(s, d)
     val proj = graft.ops.VectorOps.pcaProject(e,
       graft.ops.VectorOps.pcaPower(e, iters = X95Iters))
+    // proj_q is 1e-9 integer units; the 1e-6 percentile key is an
+    // exact signed half-up rescale — no double anywhere
     val pk = proj.select(col("vec_id"),
-      round(col("proj") * 1000000).cast("long").as("pk"))
+      graft.functions.ExactMath.divHalfUpSigned(col("proj_q"), lit(1000L))
+        .as("pk"))
     val cuts = broadcast(pk.agg(percentile(col("pk"),
       array(lit(0.25), lit(0.5), lit(0.75))).as("cs")))
     val h = TF.hash60(col("vec_id").cast("string"), "curr|")
@@ -3265,9 +3279,9 @@ object ExtensionQueries {
        |         AS avg_logp_kn_q
        |  FROM lp GROUP BY doc_id""".stripMargin
 
-  // x107: (source, word) counts → corpus counts derived → quantized
-  // single-division logs → DECIMAL(24,12) terms summed exactly per
-  // source; the identical op sequence the Spark column computes.
+  // x107: (source, word) counts → corpus counts derived → micro-unit
+  // logs quantized once → the KL is the EXACT rational
+  // Σ cnt_s·(lp_q−lq_q) / n_s, signed half-up back onto the 1e-6 grid.
   private lazy val x107Oracle: String =
     s"""WITH sc AS (
        |  SELECT source, word, count(*) AS cnt_s
@@ -3277,23 +3291,21 @@ object ExtensionQueries {
        |cc AS (SELECT word, sum(cnt_s) AS cnt_c FROM sc GROUP BY 1),
        |ns AS (SELECT source, sum(cnt_s) AS n_s FROM sc GROUP BY 1),
        |nc AS (SELECT sum(cnt_c) AS n_c, count(*) AS vocab FROM cc),
-       |t AS (SELECT s.source, s.cnt_s,
-       |        CAST(round(
-       |          (s.cnt_s::DOUBLE / ns.n_s::DOUBLE) *
-       |          (CAST(round(ln(s.cnt_s::DOUBLE / ns.n_s::DOUBLE), 6)
-       |                AS DECIMAL(18,6)) -
-       |           CAST(round(ln((k.cnt_c + 1)::DOUBLE /
-       |                         (nc.n_c + nc.vocab)::DOUBLE), 6)
-       |                AS DECIMAL(18,6)))::DOUBLE, 12)
-       |          AS DECIMAL(24,12)) AS term
+       |t AS (SELECT s.source, s.cnt_s, ns.n_s,
+       |        s.cnt_s * (CAST(round(ln(s.cnt_s::DOUBLE / ns.n_s::DOUBLE)
+       |                         * 1000000) AS BIGINT) -
+       |                   CAST(round(ln((k.cnt_c + 1)::DOUBLE /
+       |                              (nc.n_c + nc.vocab)::DOUBLE)
+       |                         * 1000000) AS BIGINT)) AS term_q
        |        FROM sc s JOIN cc k USING (word)
        |        JOIN ns USING (source) CROSS JOIN nc)
        |SELECT source, sum(cnt_s)::BIGINT AS n_tokens,
-       |       round((sum(term))::DOUBLE, 6) + 0.0 AS kl
+       |       (CASE WHEN (sum(term_q)) < 0 THEN -CAST((2*(-(sum(term_q))) + (max(n_s))) // (2*(max(n_s))) AS BIGINT) ELSE CAST((2*(sum(term_q)) + (max(n_s))) // (2*(max(n_s))) AS BIGINT) END) AS kl_q
        |  FROM t GROUP BY source""".stripMargin
 
-  // x108: (lang, word) counts → lang-keyed rank → quantized logs →
-  // exact-decimal OLS sufficient statistics (x97's recipe), one ratio.
+  // x108: (lang, word) counts → lang-keyed rank → micro-unit logs →
+  // exact-INTEGER OLS sufficient statistics; the slope is an integer
+  // rational (1e-6 grids cancel), signed half-up onto the 1e-4 grid.
   private lazy val x108Oracle: String =
     s"""WITH wc AS (
        |  SELECT lang, word, count(*) AS cnt
@@ -3302,21 +3314,17 @@ object ExtensionQueries {
        |   GROUP BY 1, 2),
        |r AS (SELECT lang, cnt,
        |        CAST(round(ln(row_number() OVER (PARTITION BY lang
-       |              ORDER BY cnt DESC, word)::DOUBLE), 6)
-       |             AS DECIMAL(18,6)) AS x,
-       |        CAST(round(ln(cnt::DOUBLE), 6) AS DECIMAL(18,6)) AS y
+       |              ORDER BY cnt DESC, word)::DOUBLE) * 1000000)
+       |             AS BIGINT) AS xq,
+       |        CAST(round(ln(cnt::DOUBLE) * 1000000) AS BIGINT) AS yq
        |        FROM wc),
        |a AS (SELECT lang, count(*)::BIGINT AS n_types,
-       |             count(*)::DECIMAL(10,0) AS n10,
        |             sum(cnt)::BIGINT AS n_tokens,
-       |             CAST(sum(x) AS DECIMAL(24,6)) AS sx,
-       |             CAST(sum(y) AS DECIMAL(24,6)) AS sy,
-       |             CAST(sum(x*x) AS DECIMAL(30,12)) AS sxx,
-       |             CAST(sum(x*y) AS DECIMAL(30,12)) AS sxy
+       |             sum(xq) AS sx, sum(yq) AS sy,
+       |             sum(xq*xq) AS sxx, sum(xq*yq) AS sxy
        |        FROM r GROUP BY lang)
        |SELECT lang, n_types, n_tokens,
-       |       round((n10*sxy - sx*sy)::DOUBLE /
-       |             (n10*sxx - sx*sx)::DOUBLE, 4) + 0.0 AS slope
+       |       (CASE WHEN ((n_types*sxy - sx*sy) * 10000) < 0 THEN -CAST((2*(-((n_types*sxy - sx*sy) * 10000)) + (n_types*sxx - sx*sx)) // (2*(n_types*sxx - sx*sx)) AS BIGINT) ELSE CAST((2*((n_types*sxy - sx*sy) * 10000) + (n_types*sxx - sx*sx)) // (2*(n_types*sxx - sx*sx)) AS BIGINT) END) AS slope_q
        |  FROM a""".stripMargin
 
   // x109/x111 shared chain: the x104 statistics derived from the TRAIN
@@ -4203,25 +4211,25 @@ object ExtensionQueries {
        |            FROM documents),
        |g AS (SELECT lang, sum(n)::BIGINT AS n_tokens FROM t GROUP BY 1),
        |g2 AS (SELECT lang, n_tokens,
-       |         CAST(round(sqrt(n_tokens::DOUBLE), 6) AS DECIMAL(18,6)) AS s
+       |         CAST(round(sqrt(n_tokens::DOUBLE) * 1000000) AS BIGINT)
+       |           AS s_q
        |         FROM g),
-       |tot AS (SELECT sum(s) AS s_tot, sum(n_tokens)::BIGINT AS tok_tot
+       |tot AS (SELECT sum(s_q) AS s_tot_q, sum(n_tokens)::BIGINT AS tok_tot
        |          FROM g2),
        |w AS (SELECT lang, n_tokens,
-       |        CAST(round(s::DOUBLE / s_tot::DOUBLE, 6) AS DECIMAL(18,6))
-       |          AS weight,
+       |        CAST((2*(s_q * 1000000) + (s_tot_q)) // (2*(s_tot_q)) AS BIGINT) AS weight_q,
        |        tok_tot FROM g2 CROSS JOIN tot),
-       |a AS (SELECT lang, n_tokens, weight,
-       |        CAST(floor(CAST(floor($budget * tok_tot) AS DECIMAL(18,0))
-       |                   * weight) AS BIGINT) AS alloc_tokens
+       |a AS (SELECT lang, n_tokens, weight_q,
+       |        CAST((CAST(floor($budget * tok_tot) AS BIGINT) * weight_q)
+       |          // 1000000 AS BIGINT) AS alloc_tokens
        |        FROM w)""".stripMargin
 
   private lazy val x85Oracle: String =
     s"""WITH ${x85Ctes("0.5")}
-       |SELECT lang, n_tokens, weight, alloc_tokens,
-       |       round(alloc_tokens::DOUBLE / n_tokens::DOUBLE, 4) AS epochs,
-       |       CASE WHEN round(alloc_tokens::DOUBLE / n_tokens::DOUBLE, 4)
-       |                 > 1.0 THEN 1 ELSE 0 END::BIGINT AS oversampled
+       |SELECT lang, n_tokens, weight_q, alloc_tokens,
+       |       CAST((2*(alloc_tokens * 10000) + (n_tokens)) // (2*(n_tokens)) AS BIGINT) AS epochs_q,
+       |       CASE WHEN CAST((2*(alloc_tokens * 10000) + (n_tokens)) // (2*(n_tokens)) AS BIGINT)
+       |                 > 10000 THEN 1 ELSE 0 END::BIGINT AS oversampled
        |  FROM a""".stripMargin
 
   // x91: the copy table replayed with ONE per-language window cumsum
@@ -4395,14 +4403,14 @@ object ExtensionQueries {
        |c AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
        |term AS (
        |  SELECT tf.doc_id, tf.word,
-       |         round(ln(1.0 + (c.n_docs - df.dfreq + 0.5) /
+       |         CAST(round(ln(1.0 + (c.n_docs - df.dfreq + 0.5) /
        |                        (df.dfreq + 0.5)) *
        |               (tf.tf * 2.2 /
-       |                (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))),
-       |               6)::DECIMAL(18,6) AS t
+       |                (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)))
+       |               * 1000000) AS BIGINT) AS t_q
        |    FROM tf JOIN dl USING (doc_id) JOIN df USING (word) CROSS JOIN c),
        |q AS (SELECT doc_id AS q_id, word FROM tf WHERE doc_id < 3),
-       |ts AS (SELECT q.q_id, term.doc_id, sum(t) AS score
+       |ts AS (SELECT q.q_id, term.doc_id, sum(t_q) AS score
        |         FROM q JOIN term USING (word)
        |        WHERE term.doc_id <> q.q_id GROUP BY 1, 2),
        |tr AS (SELECT q_id, doc_id,
@@ -4410,7 +4418,8 @@ object ExtensionQueries {
        |                  ORDER BY score DESC, doc_id ASC)::BIGINT AS r_text
        |         FROM ts QUALIFY r_text <= 20),
        |vs AS (SELECT a.vec_id AS q_id, b.vec_id AS doc_id,
-       |              round(${COS("a.embedding", "b.embedding")}, 6) AS cos
+       |              CAST(round((${COS("a.embedding", "b.embedding")})
+       |                   * 1000000) AS BIGINT) AS cos
        |         FROM embeddings a JOIN embeddings b
        |           ON a.vec_id < 3 AND a.vec_id <> b.vec_id),
        |vr AS (SELECT q_id, doc_id,
@@ -4420,14 +4429,18 @@ object ExtensionQueries {
        |f AS (SELECT coalesce(tr.q_id, vr.q_id) AS q_id,
        |             coalesce(tr.doc_id, vr.doc_id) AS doc_id,
        |             tr.r_text, vr.r_vec,
-       |             round(coalesce(1.0::DOUBLE / (60 + tr.r_text), 0) +
-       |                   coalesce(1.0::DOUBLE / (60 + vr.r_vec), 0), 6)
-       |               AS rrf
+       |             CASE
+       |               WHEN tr.r_text IS NOT NULL AND vr.r_vec IS NOT NULL
+       |               THEN CAST((2*(1000000 * (120 + tr.r_text + vr.r_vec)) + ((60 + tr.r_text) * (60 + vr.r_vec))) // (2*((60 + tr.r_text) * (60 + vr.r_vec))) AS BIGINT)
+       |               WHEN tr.r_text IS NOT NULL
+       |               THEN CAST((2*(1000000) + (60 + tr.r_text)) // (2*(60 + tr.r_text)) AS BIGINT)
+       |               ELSE CAST((2*(1000000) + (60 + vr.r_vec)) // (2*(60 + vr.r_vec)) AS BIGINT)
+       |             END AS rrf_q
        |        FROM tr FULL JOIN vr
        |          ON tr.q_id = vr.q_id AND tr.doc_id = vr.doc_id)
-       |SELECT q_id, doc_id, r_text, r_vec, rrf
+       |SELECT q_id, doc_id, r_text, r_vec, rrf_q
        |  FROM f QUALIFY row_number() OVER (PARTITION BY q_id
-       |         ORDER BY rrf DESC, doc_id ASC) <= 10""".stripMargin
+       |         ORDER BY rrf_q DESC, doc_id ASC) <= 10""".stripMargin
 
   // x95: the SAME X95Iters power-method rounds, unrolled. Gram products
   // quantized round(xi·xj, 9)::DECIMAL(28,9) and summed exactly; each
@@ -4467,9 +4480,10 @@ object ExtensionQueries {
     s"""WITH $x95Ctes,
        |comp AS (SELECT j AS dim, v FROM v$X95Iters),
        |pr AS (SELECT x.vec_id,
-       |              sum(round((c.v::DOUBLE) * x.xi, 9)::DECIMAL(28,9)) AS p
+       |              sum(CAST(round((c.v::DOUBLE) * x.xi * 1000000000)
+       |                       AS BIGINT))::BIGINT AS proj_q
        |         FROM x JOIN comp c ON x.i = c.dim GROUP BY 1)
-       |SELECT vec_id, (p)::DOUBLE AS proj FROM pr""".stripMargin
+       |SELECT vec_id, proj_q FROM pr""".stripMargin
 
   // x105: x95's chain (component 1 verbatim) + the orthogonal-iteration
   // rounds for component 2 — each round: M·u, the Gram–Schmidt scalar c
@@ -4521,10 +4535,14 @@ object ExtensionQueries {
     s"""WITH $x95Ctes,
        |comp AS MATERIALIZED (SELECT j AS dim, v FROM v$X95Iters),
        |pr AS MATERIALIZED (SELECT x.vec_id,
-       |              sum(round((c.v::DOUBLE) * x.xi, 9)::DECIMAL(28,9)) AS p
+       |              sum(CAST(round((c.v::DOUBLE) * x.xi * 1000000000)
+       |                       AS BIGINT))::BIGINT AS proj_q
        |         FROM x JOIN comp c ON x.i = c.dim GROUP BY 1),
        |pk AS MATERIALIZED (SELECT vec_id,
-       |        CAST(round((p)::DOUBLE * 1000000) AS BIGINT) AS pk FROM pr),
+       |        (CASE WHEN proj_q < 0
+       |              THEN -CAST((2*(-proj_q) + 1000) // 2000 AS BIGINT)
+       |              ELSE CAST((2*proj_q + 1000) // 2000 AS BIGINT)
+       |         END) AS pk FROM pr),
        |c AS (SELECT quantile_cont(pk, 0.25) AS c1,
        |             quantile_cont(pk, 0.5) AS c2,
        |             quantile_cont(pk, 0.75) AS c3 FROM pk),

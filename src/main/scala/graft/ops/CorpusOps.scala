@@ -1045,23 +1045,25 @@ object CorpusOps {
     * on the weight law. */
   private def mixtureAlloc(grouped: DataFrame,
       budgetFrac: java.math.BigDecimal, groupCol: String): DataFrame = {
+    val EM = graft.functions.ExactMath
+    // sqrt is correctly-rounded IEEE, so one micro-quantization of the
+    // identical double; everything after is exact integer arithmetic
     val toks = grouped
-      .withColumn("s",
-        round(sqrt(col("n_tokens").cast("double")), 6).cast("decimal(18,6)"))
-    val tot = broadcast(toks.agg(sum(col("s")).as("s_tot"),
+      .withColumn("s_q",
+        EM.microQ(sqrt(col("n_tokens").cast("double"))))
+    val tot = broadcast(toks.agg(sum(col("s_q")).as("s_tot_q"),
       sum(col("n_tokens")).as("tok_tot")))
     toks.crossJoin(tot)
-      .withColumn("weight",
-        round(col("s").cast("double") / col("s_tot").cast("double"), 6)
-          .cast("decimal(18,6)"))
-      .withColumn("alloc_tokens",
-        floor(floor(lit(budgetFrac) * col("tok_tot")) * col("weight"))
-          .cast("long"))
-      .withColumn("epochs", round(col("alloc_tokens").cast("double") /
-        col("n_tokens").cast("double"), 4))
-      .select(col(groupCol), col("n_tokens"), col("weight"),
-        col("alloc_tokens"), col("epochs"),
-        when(col("epochs") > 1.0d, 1L).otherwise(0L).as("oversampled"))
+      .withColumn("weight_q",
+        EM.divHalfUp(col("s_q") * lit(1000000L), col("s_tot_q")))
+      .withColumn("alloc_tokens", call_function("div",
+        floor(lit(budgetFrac) * col("tok_tot")).cast("long") *
+          col("weight_q"), lit(1000000L)))
+      .withColumn("epochs_q",
+        EM.divHalfUp(col("alloc_tokens") * lit(10000L), col("n_tokens")))
+      .select(col(groupCol), col("n_tokens"), col("weight_q"),
+        col("alloc_tokens"), col("epochs_q"),
+        when(col("epochs_q") > 10000L, 1L).otherwise(0L).as("oversampled"))
   }
 
   /** Mixture plan MATERIALIZED to the document grain — the step
@@ -1526,20 +1528,21 @@ object CorpusOps {
     sc.join(cc, Seq("word"))
       .join(broadcast(ns), Seq(groupCol))
       .crossJoin(nc)
-      .withColumn("lp",
-        round(log(col("cnt_s").cast("double") / col("n_s").cast("double")),
-          6).cast("decimal(18,6)"))
-      .withColumn("lq",
-        round(log((col("cnt_c") + 1).cast("double") /
-          (col("n_c") + col("vocab")).cast("double")), 6)
-          .cast("decimal(18,6)"))
-      .withColumn("term",
-        round((col("cnt_s").cast("double") / col("n_s").cast("double")) *
-          (col("lp") - col("lq")).cast("double"), 12)
-          .cast("decimal(24,12)"))
+      .withColumn("lp_q",
+        graft.functions.ExactMath.microQ(
+          log(col("cnt_s").cast("double") / col("n_s").cast("double"))))
+      .withColumn("lq_q",
+        graft.functions.ExactMath.microQ(
+          log((col("cnt_c") + 1).cast("double") /
+            (col("n_c") + col("vocab")).cast("double"))))
       .groupBy(col(groupCol))
       .agg(sum(col("cnt_s")).cast("long").as("n_tokens"),
-        (round(sum(col("term")).cast("double"), 6) + lit(0.0)).as("kl"))
+        // Σ p·(lp−lq) with p = cnt_s/n_s and n_s constant per group is
+        // the EXACT rational Σ cnt_s·(lp_q−lq_q) / n_s — integer
+        // numerator, signed half-up division back onto the 1e-6 grid
+        graft.functions.ExactMath.divHalfUpSigned(
+          sum(col("cnt_s") * (col("lp_q") - col("lq_q"))),
+          max(col("n_s"))).as("kl_q"))
   }
 
   /** Per-group Zipf slope — the corpus-statistics sanity gauge: natural
@@ -1563,23 +1566,27 @@ object CorpusOps {
       .groupBy(col(groupCol), col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("rnk", row_number().over(w))
       .select(col(groupCol), col("cnt"),
-        round(log(col("rnk").cast("double")), 6)
-          .cast("decimal(18,6)").as("x"),
-        round(log(col("cnt").cast("double")), 6)
-          .cast("decimal(18,6)").as("y"))
+        graft.functions.ExactMath.microQ(
+          log(col("rnk").cast("double"))).as("xq"),
+        graft.functions.ExactMath.microQ(
+          log(col("cnt").cast("double"))).as("yq"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("n_types"),
         sum(col("cnt")).cast("long").as("n_tokens"),
-        sum(col("x")).cast("decimal(24,6)").as("sx"),
-        sum(col("y")).cast("decimal(24,6)").as("sy"),
-        sum(col("x") * col("x")).cast("decimal(30,12)").as("sxx"),
-        sum(col("x") * col("y")).cast("decimal(30,12)").as("sxy"))
+        // sufficient statistics as EXACT integers (squared sums ride
+        // DECIMAL(38,0) — a web-scale vocab overflows a long sum)
+        sum(col("xq")).cast("decimal(38,0)").as("sx"),
+        sum(col("yq")).cast("decimal(38,0)").as("sy"),
+        sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("xq") * col("yq")).cast("decimal(38,0)")).as("sxy"))
       .select(col(groupCol), col("n_types"), col("n_tokens"),
-        (round((col("n_types").cast("decimal(10,0)") * col("sxy") -
-            col("sx") * col("sy")).cast("double") /
-          (col("n_types").cast("decimal(10,0)") * col("sxx") -
-            col("sx") * col("sx")).cast("double"), 4) + lit(0.0))
-          .as("slope"))
+        // slope = (n·sxy − sx·sy)/(n·sxx − sx²): both sides exact
+        // integers (1e-6 grids cancel), half-up onto the 1e-4 grid
+        graft.functions.ExactMath.divHalfUpSigned(
+          (col("n_types") * col("sxy") - col("sx") * col("sy")) *
+            lit(10000L),
+          col("n_types") * col("sxx") - col("sx") * col("sx"))
+          .as("slope_q"))
   }
 
   /** DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing

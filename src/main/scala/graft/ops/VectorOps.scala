@@ -911,10 +911,13 @@ object VectorOps {
         col("__xi"))
       .join(comp, Seq("dim"))
       .groupBy(col(idCol))
+      // per-term products quantized ONCE to 1e-9 integer units (one
+      // rounding of an identical double), then an exact integer sum —
+      // proj_q is engine/build-portable at every SF
       .agg(sum(
-        round(col("__v").cast("double") * col("__xi").cast("double"), 9)
-          .cast("decimal(28,9)")).as("__p"))
-      .select(col(idCol), col("__p").cast("double").as("proj"))
+        round(col("__v").cast("double") * col("__xi").cast("double") *
+          lit(1000000000d)).cast("long")).cast("long").as("proj_q"))
+      .select(col(idCol), col("proj_q"))
   }
 
   /** D4-style prototypicality decision (Tirumala et al., "D4: Improving

@@ -924,15 +924,16 @@ class OpsSpec extends SparkTestBase {
       .collect().sortBy(_.getLong(0))
     assert(out.toSeq == out2.toSeq, "pcaPower must be partitioning-invariant")
     // the acting twin: projection scores track the driver-side dot
-    // product with the same component (per-term 1e-9 quantization)
+    // product with the same component (per-term 1e-9 quantization —
+    // proj_q is in 1e-9 integer units)
     val comp = graft.ops.VectorOps.pcaPower(df, iters = 8)
     val proj = graft.ops.VectorOps.pcaProject(df, comp)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(proj.size == vecs.length)
     for ((vec, r) <- vecs.zipWithIndex) {
       val expect = (0 until d).map(i => load(i) * vec(i).toDouble).sum
-      assert(math.abs(proj(r.toLong) - expect) < 1e-6,
-        s"vec $r: ${proj(r.toLong)} vs $expect")
+      assert(math.abs(proj(r.toLong) / 1e9 - expect) < 1e-6,
+        s"vec $r: ${proj(r.toLong) / 1e9} vs $expect")
     }
   }
 
@@ -1273,11 +1274,12 @@ class OpsSpec extends SparkTestBase {
     val out = graft.ops.CorpusOps
       .mixturePlan(df, budgetFrac = new java.math.BigDecimal("1.0"))
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getDecimal(2).toPlainString, r.getLong(3),
-          r.getDouble(4), r.getLong(5)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    // weight_q in 1e-6 units, epochs_q in 1e-4 units
     assert(out == Map(
-      "a" -> ((4L, "0.250000", 10L, 2.5, 1L)),
-      "b" -> ((36L, "0.750000", 30L, 0.8333, 0L))), out)
+      "a" -> ((4L, 250000L, 10L, 25000L, 1L)),
+      "b" -> ((36L, 750000L, 30L, 8333L, 0L))), out)
   }
 
   test("CorpusOps.mixtureMaterialize: whole epochs + greedy remainder fill; partitioning-invariant") {
@@ -1481,11 +1483,12 @@ class OpsSpec extends SparkTestBase {
     val docs = Seq((1L, "a a b", "A"), (2L, "c c", "B"))
       .toDF("doc_id", "text", "source")
     val out = graft.ops.CorpusOps.sourceDrift(docs)
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
+    // kl_q in 1e-6 integer units (exact rational Σ cnt·(lp_q−lq_q)/n_s)
     assert(out == Map(
-      "A" -> ((3L, 0.47947)),
-      "B" -> ((2L, 0.980829))), out)
+      "A" -> ((3L, 479470L)),
+      "B" -> ((2L, 980829L))), out)
     // the single-word source is farther from the mixture — the alert
     // ordering a drift dashboard relies on
     assert(out("B")._2 > out("A")._2)
@@ -1500,8 +1503,9 @@ class OpsSpec extends SparkTestBase {
     val docs = Seq((1L, "a a a a b b c", "z")).toDF("doc_id", "text", "lang")
     val out = graft.ops.CorpusOps.zipfSlope(docs)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(out == Map("z" -> ((3L, 7L, -1.2337))), out)
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // slope_q in 1e-4 integer units (exact integer OLS rational)
+    assert(out == Map("z" -> ((3L, 7L, -12337L))), out)
   }
 
   test("CorpusOps.repetitionSignals: hand-derived fractions, tie-break, cap, and short-doc zero") {

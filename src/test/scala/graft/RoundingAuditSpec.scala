@@ -33,22 +33,12 @@ class RoundingAuditSpec extends SparkTestBase {
     * migrating families to ExactMath micro-units is tracked debt;
     * GROWING it needs the same scrutiny the r12 postmortem applied.
     */
-  private val allowlisted: Map[String, String] = Map(
-    // (r13 retired the LM/KN-score and NB-classifier branches of this
-    // list — x51/x59/x61/x74/x104/x109/x111 and x72/x76/x86 now run on
-    // BIGINT micro-unit grids)
-    "x94_hybrid_rrf" -> "BM25 decimal idf·norm terms",
-    // --- mixtureAlloc: round(sqrt,6) — IEEE sqrt is correctly-rounded
-    //     by spec (unlike exp/pow/log), both engines round the same
-    //     double ---
-    "x85_mixture_plan" -> "round(sqrt,6): sqrt correctly-rounded",
-    "x91_mixture_materialize" -> "consumes x85's sqrt weights",
-    // --- corpus diagnostics: decimal drift/zipf operands ---
-    "x107_source_drift" -> "decimal JS-divergence terms",
-    "x108_zipf_slope" -> "decimal log-log regression operands",
-    // --- PCA projection grain ---
-    "x96_pca_project" -> "decimal projection of exact loadings",
-    "x106_curriculum" -> "stages cut on x96's projection")
+  private val allowlisted: Map[String, String] = Map.empty
+  // EMPTY since round 13 retired every entry: the LM/KN scores, the NB
+  // classifier, DSIR, the quality/entropy/drift/zipf diagnostics, BM25
+  // terms, the sqrt mixtures, and the PCA projection all run on BIGINT
+  // integer grids (graft.functions.ExactMath). Any future entry must
+  // carry a justification the r12 postmortem would accept.
 
   private def fragile(e: Expression): Boolean = e match {
     case c: Cast if c.dataType.isInstanceOf[DecimalType] =>
