@@ -1002,6 +1002,89 @@ object EventStreams {
           count(lit(1)) * lit(100L)).as("avg_logp_kn_q"))
   }
 
+  /** Streaming one-call curation gate — [[graft.ops.CorpusOps
+    * .curateV6]]'s ingest twin under FROZEN batch-trained parameters
+    * (the train-once/gate-forever contract every frozen-model stream
+    * here follows): each incoming doc is tagged with the first gate
+    * that rejects it, or 'kept'.
+    *
+    *  - `entropyCutQ`: the frozen low-entropy bar (1e-4 integer units
+    *    — batch curateV6's percentile cut, computed once corpus-side).
+    *    The doc's entropy is computed STATELESSLY from its own token
+    *    array via higher-order functions (per-doc word counts from
+    *    array_distinct+filter — O(types·tokens) map work, no
+    *    word-grain stateful aggregation), with the IDENTICAL integer
+    *    arithmetic as [[graft.ops.CorpusOps.entropySignalFromWords]]:
+    *    micro-quantized logs, exact integer numerator, one IEEE
+    *    division by nw·69.31471805599453.
+    *  - 'uniform': every type equally frequent — exact, stateless.
+    *  - 'dup_known_chunks': the doc's content-defined chunks
+    *    ([[graft.ops.TextDedup.cdcChunkFps]], the one chunk
+    *    definition) against a FROZEN historical chunk-fp set — at
+    *    ingest a doc "owns" the chunks the corpus has NOT seen, so the
+    *    batch own-at-least-half rule becomes known·2 > chunks. The
+    *    static join is stateless; the rollup to doc grain is the ONE
+    *    watermarked stateful agg.
+    *  - 'mix_out': the frozen per-group hash thresholds
+    *    ([[graft.ops.CorpusOps.temperatureRates]] — mixGateStream's
+    *    contract); a group absent from the frozen rate table gates out
+    *    conservatively.
+    * Output: (window, doc_id, <groupCol>, n_chunks, n_known_chunks,
+    * reason).
+    *
+    * Scale: everything except the final (window, doc)-keyed agg is
+    * map-side; the known-chunk set joins as a static side; state is
+    * watermark-bounded. */
+  def curateGateStream(docs: DataFrame, entropyCutQ: Long,
+      knownFps: DataFrame, rates: DataFrame, cdcModulus: Int = 8,
+      groupCol: String = "lang", salt: String = "mix",
+      resolution: Long = 1000000L, windowDur: String = "10 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val TF = graft.functions.TextFunctions
+    val EM = graft.functions.ExactMath
+    val base = docs
+      .withColumn("event_time", eventTime(docs))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("doc_id"), col(groupCol).as("__grp"), col("event_time"),
+        TF.words(col("text")).as("ws"))
+    val counts = transform(array_distinct(col("ws")),
+      w => size(filter(col("ws"), x => x === w)).cast("long"))
+    val nW = size(col("ws")).cast("long")
+    val clcQ = aggregate(counts, lit(0L),
+      (acc, c) => acc + c * EM.microQ(log(c.cast("double"))))
+    val entQ = round((EM.microQ(log(nW.cast("double"))) * nW - clcQ)
+      .cast("double") / (nW.cast("double") * lit(69.31471805599453)))
+      .cast("long")
+    val inMix = TF.hash60(col("doc_id").cast("string"), s"$salt|") %
+      resolution < col("thr")
+    val flagged = base
+      .withColumn("__low", entQ < lit(entropyCutQ))
+      .withColumn("__uni", !col("__low") &&
+        array_min(counts) === array_max(counts))
+      .join(rates.select(col(groupCol).as("__grp"), col("thr")),
+        Seq("__grp"), "left")
+      .withColumn("__inmix", coalesce(inMix, lit(false)))
+      .drop("thr")
+    graft.ops.TextDedup.cdcChunkFps(flagged, cdcModulus)
+      .join(knownFps.select(col("chunk_fp"), lit(1L).as("__known"))
+        .distinct(), Seq("chunk_fp"), "left")
+      // the flag columns are constant per doc — carrying them as GROUP
+      // KEYS keeps the agg a plain hash agg with no first()/max() games
+      .groupBy(window(col("event_time"), windowDur), col("doc_id"),
+        col("__grp"), col("__low"), col("__uni"), col("__inmix"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__known").isNotNull, 1L).otherwise(0L))
+          .as("n_known_chunks"))
+      .select(col("window"), col("doc_id"), col("__grp").as(groupCol),
+        col("n_chunks"), col("n_known_chunks"),
+        when(col("__low"), lit("low_entropy"))
+          .when(col("__uni"), lit("uniform"))
+          .when(col("n_known_chunks") * 2 > col("n_chunks"),
+            lit("dup_known_chunks"))
+          .when(!col("__inmix"), lit("mix_out"))
+          .otherwise(lit("kept")).as("reason"))
+  }
+
   /** Streaming semantic decontamination — [[graft.ops.VectorOps
     * .semDecontaminate]]'s gate at ingest time: every incoming
     * embedding row is scored against a FIXED benchmark suite (frozen on

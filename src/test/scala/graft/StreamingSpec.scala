@@ -922,4 +922,73 @@ class StreamingSpec extends SparkTestBase {
             (batch.keySet -- got.keySet).size} vecs")
     } finally q.stop()
   }
+
+  test("streaming curation gate: frozen thresholds from the batch corpus, reasons equal an equivalent batch replay") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val TF = graft.functions.TextFunctions
+    val EM = graft.functions.ExactMath
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val hist = all.filter(col("doc_id") % 5 =!= 0)
+    val incoming = all.filter(col("doc_id") % 5 === 0)
+    // frozen batch-side parameters (train once, gate forever)
+    val cutQ = graft.ops.CorpusOps.entropySignal(hist)
+      .agg(percentile(col("entropy_q"), lit(0.05))).head.getDouble(0).toLong
+    val knownFps = graft.ops.TextDedup.cdcChunkFps(
+      hist.select(col("doc_id"), TF.words(col("text")).as("ws")), 8)
+      .select("chunk_fp")
+    val rates = graft.ops.CorpusOps.temperatureRates(hist)
+
+    // equivalent BATCH replay of the gate semantics over the incoming
+    // slice (same integer entropy, same chunk grain, same thresholds)
+    val ent = graft.ops.CorpusOps.entropySignal(incoming)
+      .select(col("doc_id"), col("entropy_q"))
+    val uni = incoming
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")) === min(col("c"))).as("uni0"))
+    val own = graft.ops.TextDedup.cdcChunkFps(
+        incoming.select(col("doc_id"), TF.words(col("text")).as("ws")), 8)
+      .join(knownFps.select(col("chunk_fp"), lit(1L).as("k")).distinct(),
+        Seq("chunk_fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nc"),
+        sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("nk"))
+    val expected = incoming.select(col("doc_id"), col("lang"))
+      .join(ent, Seq("doc_id")).join(uni, Seq("doc_id"))
+      .join(own, Seq("doc_id"))
+      .join(rates.select(col("lang"), col("thr")), Seq("lang"), "left")
+      .select(col("doc_id"),
+        when(col("entropy_q") < cutQ, "low_entropy")
+          .when(col("uni0"), "uniform")
+          .when(col("nk") * 2 > col("nc"), "dup_known_chunks")
+          .when(!coalesce(TF.hash60(col("doc_id").cast("string"), "mix|")
+            % 1000000L < col("thr"), lit(false)), "mix_out")
+          .otherwise("kept").as("reason"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(expected.values.toSet.size >= 3,
+      s"fixture must exercise several gates: ${expected.values.toSet}")
+
+    val rows = incoming.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), 1000000000L))
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = EventStreams.curateGateStream(
+        input.toDF().toDF("doc_id", "lang", "text", "ts"),
+        entropyCutQ = cutQ, knownFps = knownFps, rates = rates)
+      .writeStream.format("memory").queryName("curate_gate_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("curate_gate_stream").collect()
+        .map(r => r.getLong(1) -> r.getString(5)).toMap
+      assert(got == expected,
+        s"stream gate diverged from the batch replay on ${
+          got.count { case (k, v) => expected.get(k) != Some(v) } +
+            (expected.keySet -- got.keySet).size} docs")
+    } finally q.stop()
+  }
 }
