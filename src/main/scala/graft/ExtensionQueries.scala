@@ -1241,7 +1241,7 @@ object ExtensionQueries {
     * nothing corpus-sized reaches the driver. */
   private val x48_ann_trained: QFn = (s, d) => {
     val e = embs(s, d)
-    val cent = graft.ops.VectorOps.kmeansTrain(e, initK = 16, iters = X48Iters)
+    val cent = cachedCentroids(s, d, 16)
     graft.ops.VectorOps.inCellTopK(
       graft.ops.VectorOps.ivfCells(e, cent, nprobe = 1),
       k = 3, queryPred = col("q_id") < 10)
@@ -1260,7 +1260,7 @@ object ExtensionQueries {
     * groupBy; the extra cq column rides the existing exchanges. */
   private val x71_semdedup: QFn = (s, d) => {
     val e = embs(s, d)
-    val cent = graft.ops.VectorOps.kmeansTrain(e, initK = 16, iters = X48Iters)
+    val cent = cachedCentroids(s, d, 16)
     // τ = 0.35, not the pair queries' 0.45: the fixture's embeddings
     // are near-orthogonal, so within-CLUSTER pairs clearing 0.45 are
     // rare (6 rows at sf0.01) — 0.35 exercises the keep rule on 60
@@ -1313,7 +1313,7 @@ object ExtensionQueries {
     * not oracle-checked" gap. */
   private val x81_embed_dedup_trained: QFn = (s, d) => {
     val e = embs(s, d)
-    val cent = graft.ops.VectorOps.kmeansTrain(e, initK = 64, iters = X48Iters)
+    val cent = cachedCentroids(s, d, 64)
     graft.ops.VectorOps.ivfDedupDecision(
       graft.ops.VectorOps.ivfCells(e, cent, nprobe = 2), threshold = 0.45)
   }
@@ -1697,6 +1697,41 @@ object ExtensionQueries {
       cat.create("cent", cent.schema)
       cat.append("cent", cent)
     }
+
+  /** The shared train-once coarse quantizer (k, X48Iters) — every ANN/
+    * dedup query that used to run Lloyd's in-query reads this ONE
+    * persisted layout instead (the x101 recipe): training runs once per
+    * dataset generation, deterministic, so every consumer sees
+    * digit-identical centroids and all oracles keep replaying the same
+    * unrolled rounds. */
+  private def cachedCentroids(s: SparkSession, d: String,
+      initK: Int): DataFrame =
+    Catalog(s, trainedCentroidDir(s, d, initK, X48Iters)).table("cent")
+
+  /** Train-once PQ codebooks, same contract: `salt` names the operating
+    * point (raw vs coarse-residual subvectors); the builder runs once
+    * per dataset generation behind layoutDir's fingerprint +
+    * atomic-rename publish. */
+  private def pqCodebookDir(s: SparkSession, d: String, salt: String)(
+      train: => DataFrame): String =
+    layoutDir(s, d, "embeddings", s"pqcb|$salt|v1") { cat =>
+      val c = train
+      cat.create("cents", c.schema)
+      cat.append("cents", c)
+    }
+
+  private def cachedPqRaw(s: SparkSession, d: String): DataFrame =
+    Catalog(s, pqCodebookDir(s, d, "raw-m4k8")(
+      graft.ops.VectorOps.pqTrain(embs(s, d), m = 4, ksub = 8,
+        iters = X48Iters))).table("cents")
+
+  private def cachedPqResid(s: SparkSession, d: String): DataFrame =
+    Catalog(s, pqCodebookDir(s, d, "resid16-m4k8")(
+      graft.ops.VectorOps.pqTrain(
+        graft.ops.VectorOps.pqResiduals(embs(s, d),
+          cachedCentroids(s, d, 16)),
+        m = 4, ksub = 8, iters = X48Iters, vecCol = "resid")))
+      .table("cents")
 
   /** Z-ordered layout round-trip: ingest events clustered by the Morton
     * interleave of (user_id, value) ([[graft.catalog.Catalog
@@ -2317,8 +2352,7 @@ object ExtensionQueries {
     * unrolled-Lloyd's oracle CTEs. */
   private val x99_prototypical: QFn = (s, d) => {
     val e = embs(s, d)
-    val cent = graft.ops.VectorOps.kmeansTrain(e, initK = 16,
-      iters = X48Iters)
+    val cent = cachedCentroids(s, d, 16)
     graft.ops.VectorOps.prototypicality(
       graft.ops.VectorOps.ivfCellsScored(e, cent, nprobe = 1),
       dropNum = 1, dropDen = 10)
@@ -2335,8 +2369,7 @@ object ExtensionQueries {
     * hash-check against the shared unrolled-Lloyd's oracle. */
   private val x100_margin_mine: QFn = (s, d) => {
     val e = embs(s, d)
-    val cent = graft.ops.VectorOps.kmeansTrain(e, initK = 16,
-      iters = X48Iters)
+    val cent = cachedCentroids(s, d, 16)
     graft.ops.VectorOps.marginMine(
       graft.ops.VectorOps.ivfCells(e, cent, nprobe = 1),
       xSide = _ % 2 === 0, k = 4, minCos = 0.1, minMargin = 1.05)
@@ -2369,9 +2402,7 @@ object ExtensionQueries {
       shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.8)
       .select(col("a_id"), col("b_id"))
     val e = embs(s, d)
-    val cent = Catalog(s,
-      trainedCentroidDir(s, d, initK = 64, iters = X48Iters))
-      .table("cent")
+    val cent = cachedCentroids(s, d, 64)
     val embPairs = graft.ops.VectorOps
       .ivfPairs(graft.ops.VectorOps.ivfCells(e, cent, nprobe = 2),
         threshold = 0.45)
@@ -2575,8 +2606,7 @@ object ExtensionQueries {
     * hash-checked against the from-scratch SQL replay. */
   private val x115_pq_encode: QFn = (s, d) => {
     val e = embs(s, d)
-    val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8,
-      iters = X48Iters)
+    val cents = cachedPqRaw(s, d)
     graft.ops.VectorOps.pqEncode(e, cents, m = 4)
   }
 
@@ -2588,8 +2618,7 @@ object ExtensionQueries {
     * asc), hash-checked digit for digit. */
   private val x116_pq_ann: QFn = (s, d) => {
     val e = embs(s, d)
-    val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8,
-      iters = X48Iters)
+    val cents = cachedPqRaw(s, d)
     val codes = graft.ops.VectorOps.pqEncode(e, cents, m = 4)
     graft.ops.VectorOps.pqAdcTopK(e.filter(col("vec_id") < 10),
       codes, cents, k = 3, m = 4)
@@ -2605,13 +2634,11 @@ object ExtensionQueries {
     * search are hash-checked against the full SQL replay. */
   private val x118_ivfpq_ann: QFn = (s, d) => {
     val e = embs(s, d)
-    val coarse = graft.ops.VectorOps.kmeansTrain(e, initK = 16,
-      iters = X48Iters)
+    val coarse = cachedCentroids(s, d, 16)
     val dbCells = graft.ops.VectorOps.ivfCells(e, coarse, nprobe = 1)
     val qs = e.filter(col("vec_id") < 10)
     val qCells = graft.ops.VectorOps.ivfCells(qs, coarse, nprobe = 2)
-    val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8,
-      iters = X48Iters)
+    val cents = cachedPqRaw(s, d)
     val codes = graft.ops.VectorOps.pqEncode(e, cents, m = 4)
     graft.ops.VectorOps.ivfPqTopK(qCells, dbCells, qs, codes, cents,
       k = 3, m = 4)
@@ -2628,8 +2655,7 @@ object ExtensionQueries {
     * Hash-checked including the training. */
   private val x119_pq_band_dedup: QFn = (s, d) => {
     val e = embs(s, d)
-    val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8,
-      iters = X48Iters)
+    val cents = cachedPqRaw(s, d)
     graft.ops.VectorOps.pqBandPairs(e, cents, m = 4, minShared = 2,
       threshold = 0.45)
   }
@@ -2643,11 +2669,9 @@ object ExtensionQueries {
     * coarse-train → residual → PQ-train → encode chain hash-checks. */
   private val x120_pq_residual: QFn = (s, d) => {
     val e = embs(s, d)
-    val coarse = graft.ops.VectorOps.kmeansTrain(e, initK = 16,
-      iters = X48Iters)
+    val coarse = cachedCentroids(s, d, 16)
     val resid = graft.ops.VectorOps.pqResiduals(e, coarse)
-    val cents = graft.ops.VectorOps.pqTrain(resid, m = 4, ksub = 8,
-      iters = X48Iters, vecCol = "resid")
+    val cents = cachedPqResid(s, d)
     graft.ops.VectorOps.pqEncode(resid, cents, m = 4, vecCol = "resid")
   }
 
@@ -2667,8 +2691,7 @@ object ExtensionQueries {
         round(VF.cosineFast(col("q_e"), col("n_e")), 6).as("cos"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
       .select(col("q_id"), col("n_id"))
-    val cents = graft.ops.VectorOps.pqTrain(e, m = 4, ksub = 8,
-      iters = X48Iters)
+    val cents = cachedPqRaw(s, d)
     val codes = graft.ops.VectorOps.pqEncode(e, cents, m = 4)
     val approx = graft.ops.VectorOps.pqAdcTopK(e.filter(col("vec_id") < 10),
       codes, cents, k = 3, m = 4).select(col("q_id"), col("n_id"))
@@ -2687,11 +2710,9 @@ object ExtensionQueries {
     * index actually stores. Whole chain hash-checked. */
   private val x122_ivfpq_residual_ann: QFn = (s, d) => {
     val e = embs(s, d)
-    val coarse = graft.ops.VectorOps.kmeansTrain(e, initK = 16,
-      iters = X48Iters)
+    val coarse = cachedCentroids(s, d, 16)
     val resid = graft.ops.VectorOps.pqResiduals(e, coarse)
-    val cents = graft.ops.VectorOps.pqTrain(resid, m = 4, ksub = 8,
-      iters = X48Iters, vecCol = "resid")
+    val cents = cachedPqResid(s, d)
     val codes = graft.ops.VectorOps.pqEncode(resid, cents, m = 4,
       vecCol = "resid")
     graft.ops.VectorOps.ivfPqResidualTopK(e.filter(col("vec_id") < 10),
