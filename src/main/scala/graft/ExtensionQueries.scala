@@ -1031,7 +1031,10 @@ object ExtensionQueries {
   private val x21_tfidf: QFn = (s, d) => {
     val dd = docsR(s, d)
     // materialized once: tf feeds both dfreq and the final join (as
-    // x42 — pruning-specialized scans defeat exchange reuse otherwise)
+    // x42 — pruning-specialized scans defeat exchange reuse otherwise).
+    // Eager checkpoint beats lazy persist here: the columnar
+    // InMemoryRelation read path measured +0.3 s over row-block
+    // checkpoint reads on this two-consumer shape (r14 A/B)
     val tf = dd
       .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
@@ -1062,7 +1065,9 @@ object ExtensionQueries {
     // tf is consumed by FOUR branches (dl, dfreq, corpus, the final
     // join); materialize it once — column pruning otherwise specializes
     // each branch's scan and the corpus gets re-read and re-tokenized
-    // per branch (measured: 7 scans without this, 1 with)
+    // per branch (measured: 7 scans without this, 1 with). Eager
+    // checkpoint beats lazy persist: the columnar InMemoryRelation
+    // read path measured +0.7 s across four consumers (r14 A/B)
     val tf = dd
       .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
@@ -1598,6 +1603,34 @@ object ExtensionQueries {
         col("media_meta.nFrames").cast("long").as("n_frames"))
   }
 
+  /** Mixed-format imageio decode — x129's twin with BOTH real decoder
+    * branches exercised in one run: even doc_ids plant a real PNG, odd
+    * ones a real JPEG ([[graft.multimodal.MediaPipeline.encodeJpeg]] —
+    * lossy pixels, exact dimensions), so the magic-prefix routing AND
+    * the JPEG decode path are hash-checked (the oracle recomputes
+    * format + dimensions arithmetically; only a real decode of each
+    * format can match). Same 100 TB shape as x129: payloads are built
+    * and decoded inside `mapPartitions` batches, never shuffled, never
+    * driver-side. */
+  private val x131_jpeg_decode: QFn = (s, d) => {
+    import s.implicits._
+    val withImg = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 32).toInt
+        val h = 16 + ((id / 32) % 32).toInt
+        val bytes =
+          if (id % 2 == 0) graft.multimodal.MediaPipeline.encodePng(w, h, id)
+          else graft.multimodal.MediaPipeline.encodeJpeg(w, h, id)
+        (id, bytes)
+      }).toDF("doc_id", "media")
+    graft.multimodal.MediaPipeline.extractMeta(withImg, "media")
+      .select(col("doc_id"),
+        col("media_meta.format").as("format"),
+        col("media_meta.width").cast("long").as("width"),
+        col("media_meta.height").cast("long").as("height"),
+        col("media_meta.nFrames").cast("long").as("n_frames"))
+  }
+
   // ----------------------------------------------------------------- events
 
   /** Bump when the z-ordered layout recipe changes: the version is part
@@ -1711,10 +1744,13 @@ object ExtensionQueries {
   /** Train-once PQ codebooks, same contract: `salt` names the operating
     * point (raw vs coarse-residual subvectors); the builder runs once
     * per dataset generation behind layoutDir's fingerprint +
-    * atomic-rename publish. */
+    * atomic-rename publish. The training-iteration constant is folded
+    * into the cache key exactly as [[trainedCentroidDir]] folds it —
+    * bumping X48Iters must retrain, never serve a stale codebook whose
+    * source fingerprint still matches. */
   private def pqCodebookDir(s: SparkSession, d: String, salt: String)(
       train: => DataFrame): String =
-    layoutDir(s, d, "embeddings", s"pqcb|$salt|v1") { cat =>
+    layoutDir(s, d, "embeddings", s"pqcb|$salt|i$X48Iters|v1") { cat =>
       val c = train
       cat.create("cents", c.schema)
       cat.append("cents", c)
@@ -2150,41 +2186,80 @@ object ExtensionQueries {
     * query with both ranks (NULL where one modality missed) and the
     * fused score.
     *
-    * 100 TB shape: the corpus-grain work is exactly x42's (tf/dl/df
-    * shuffles at (doc,word) grain, 1-row scalar broadcast); the query
-    * set is tiny and rides broadcasts into both scorings (the
-    * non-equi query-probe joins are the declared x12 scoring shape).
-    * Both per-(query, modality) top-20s and the final top-10 plan
-    * WindowGroupLimit — map tasks forward ≤ k rows per query, never
-    * the corpus (PlanAuditSpec pins it). The fusion join is equi on
-    * (q_id, doc_id) over ≤ 20-row-per-query frames. */
+    * 100 TB shape (r14, inverted-probe): the query vocabulary (3 docs,
+    * filter pushed to the scan) is broadcast INTO the corpus tokenize,
+    * so the only corpus-grain shuffle is the query-vocab-bounded
+    * posting/length grain — BM25 never scores a (doc, word) pair that
+    * can't reach a ranking, which is what probing a real inverted
+    * index (x55's postings layout) would do; dl/avgdl/n_docs fall out
+    * of the same collapsed grain, and df/corpus scalars ride
+    * broadcasts. r13 scored EVERY (doc, word) pair through a
+    * checkpointed full-tf table — correct, but its pinned block set
+    * grew with the corpus (the 5.30 s r13 suite-sweep anomaly); the
+    * collapsed grain keeps the one materialized frame query-sized at
+    * any corpus scale. Both per-(query, modality) top-20s and the
+    * final top-10 plan WindowGroupLimit — map tasks forward ≤ k rows
+    * per query, never the corpus (PlanAuditSpec pins it). The fusion
+    * join is equi on (q_id, doc_id) over ≤ 20-row-per-query frames. */
   private val x94_hybrid_rrf: QFn = (s, d) => {
     val dd = docsR(s, d)
-    // tf is consumed by five branches (dl, dfreq, corpus, qterms, the
-    // probe side) — materialize once, the x42 discipline
-    val tf = dd
+    // INVERTED-PROBE shape (r14): BM25 only ever SCORES (candidate,
+    // word) pairs whose word occurs in a query doc — so the query
+    // vocabulary is extracted first (tiny: 3 docs, filter pushed to
+    // the scan) and broadcast INTO the corpus tokenize, slashing the
+    // (doc, word) shuffle from full-corpus tf grain to the posting
+    // lists of the query terms. r13 scored every (doc, word) pair and
+    // needed a checkpointed full tf (5.30 s in the r13 suite sweep);
+    // this is the plan an inverted index would give — nothing scored
+    // that can't reach a ranking. dfreq for the probed words falls out
+    // of the postings themselves (rows per word = docs containing it),
+    // and dl/avgdl/n_docs come from a MAP-ONLY token-count pass (dl =
+    // Σ tf over a doc's words = its token count — no shuffle).
+    val qterms = dd.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(TF.words(col("text"))).as("word"))
+      .distinct()
+    val qwords = qterms.select(col("word")).distinct()
+    // ONE corpus tokenize pass serves BOTH posting lists and document
+    // lengths: every non-query word collapses onto a per-doc NULL
+    // sentinel grain (a real token is never null, so no collision),
+    // which shrinks the shuffle to (#query-words-in-doc + 1) rows per
+    // doc; dl = Σ counts over a doc's grains (tf-grain token count, so
+    // zero-word docs are absent from n_docs/avgdl exactly as in the
+    // oracle's definition). grains feeds four consumers (postings, dl,
+    // dfreq, the probe) whose pruning-specialized scans would each
+    // re-tokenize the corpus — materialize it ONCE. Unlike r13's
+    // full-tf checkpoint (every (doc, word) pair — the 5.30 s suite
+    // blowup), the collapsed grain is query-vocab-bounded: the
+    // checkpointed block set is tiny at any corpus size.
+    val grains = dd
       .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(qwords.withColumn("hit", lit(1))),
+        Seq("word"), "left")
+      .groupBy(col("doc_id"),
+        when(col("hit").isNotNull, col("word")).as("w"))
+      .agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("dfreq"))
+    val postings = grains.filter(col("w").isNotNull)
+      .select(col("doc_id"), col("w").as("word"), col("c").as("tf"))
+    val dl = grains.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("dl"))
+    val dfreq = postings.groupBy(col("word"))
+      .agg(count(lit(1)).as("dfreq"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5)))
     val norm = col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-    val term = tf.join(dl, Seq("doc_id"))
-      .join(dfreq, Seq("word"))
+    val term = postings.join(dl, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("word"))
       .crossJoin(broadcast(corpus))
       .select(col("doc_id"), col("word"),
         graft.functions.ExactMath.microQ(idf * norm).as("t_q"))
-    val qterms = tf.filter(col("doc_id") < 3)
-      .select(col("doc_id").as("q_id"), col("word"))
     val wt = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    val tr = qterms.join(term, Seq("word"))
+    val tr = broadcast(qterms).join(term, Seq("word"))
       .filter(col("q_id") =!= col("doc_id"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("t_q")).as("score"))
@@ -3065,6 +3140,7 @@ object ExtensionQueries {
     "x128_dedup_tiers" -> x128_dedup_tiers,
     "x129_imageio_decode" -> x129_imageio_decode,
     "x130_curate_v6" -> x130_curate_v6,
+    "x131_jpeg_decode" -> x131_jpeg_decode,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3345,7 +3421,8 @@ object ExtensionQueries {
        |             sum(xq*xq) AS sxx, sum(xq*yq) AS sxy
        |        FROM r GROUP BY lang)
        |SELECT lang, n_types, n_tokens,
-       |       (CASE WHEN ((n_types*sxy - sx*sy) * 10000) < 0 THEN -CAST((2*(-((n_types*sxy - sx*sy) * 10000)) + (n_types*sxx - sx*sx)) // (2*(n_types*sxx - sx*sx)) AS BIGINT) ELSE CAST((2*((n_types*sxy - sx*sy) * 10000) + (n_types*sxx - sx*sx)) // (2*(n_types*sxx - sx*sx)) AS BIGINT) END) AS slope_q
+       |       (CASE WHEN n_types <= 1 THEN 0
+       |             WHEN ((n_types*sxy - sx*sy) * 10000) < 0 THEN -CAST((2*(-((n_types*sxy - sx*sy) * 10000)) + (n_types*sxx - sx*sx)) // (2*(n_types*sxx - sx*sx)) AS BIGINT) ELSE CAST((2*((n_types*sxy - sx*sy) * 10000) + (n_types*sxx - sx*sx)) // (2*(n_types*sxx - sx*sx)) AS BIGINT) END)::BIGINT AS slope_q
        |  FROM a""".stripMargin
 
   // x109/x111 shared chain: the x104 statistics derived from the TRAIN
@@ -4238,18 +4315,18 @@ object ExtensionQueries {
        |tot AS (SELECT sum(s_q) AS s_tot_q, sum(n_tokens)::BIGINT AS tok_tot
        |          FROM g2),
        |w AS (SELECT lang, n_tokens,
-       |        CAST((2*(s_q * 1000000) + (s_tot_q)) // (2*(s_tot_q)) AS BIGINT) AS weight_q,
+       |        CAST((2*(s_q::HUGEINT * 1000000) + (s_tot_q)) // (2*(s_tot_q::HUGEINT)) AS BIGINT) AS weight_q,
        |        tok_tot FROM g2 CROSS JOIN tot),
        |a AS (SELECT lang, n_tokens, weight_q,
-       |        CAST((CAST(floor($budget * tok_tot) AS BIGINT) * weight_q)
+       |        CAST((CAST(floor($budget * tok_tot) AS BIGINT)::HUGEINT * weight_q)
        |          // 1000000 AS BIGINT) AS alloc_tokens
        |        FROM w)""".stripMargin
 
   private lazy val x85Oracle: String =
     s"""WITH ${x85Ctes("0.5")}
        |SELECT lang, n_tokens, weight_q, alloc_tokens,
-       |       CAST((2*(alloc_tokens * 10000) + (n_tokens)) // (2*(n_tokens)) AS BIGINT) AS epochs_q,
-       |       CASE WHEN CAST((2*(alloc_tokens * 10000) + (n_tokens)) // (2*(n_tokens)) AS BIGINT)
+       |       CAST((2*(alloc_tokens::HUGEINT * 10000) + (n_tokens)) // (2*(n_tokens::HUGEINT)) AS BIGINT) AS epochs_q,
+       |       CASE WHEN CAST((2*(alloc_tokens::HUGEINT * 10000) + (n_tokens)) // (2*(n_tokens::HUGEINT)) AS BIGINT)
        |                 > 10000 THEN 1 ELSE 0 END::BIGINT AS oversampled
        |  FROM a""".stripMargin
 
@@ -4718,12 +4795,12 @@ object ExtensionQueries {
        |g AS (SELECT lang, sum(n)::BIGINT AS n_tokens FROM tc GROUP BY 1),
        |tt AS (SELECT sum(n_tokens)::BIGINT AS tok_tot FROM g),
        |p AS (SELECT g.lang, g.n_tokens, wts.weight_q,
-       |        CAST((CAST(floor(0.5 * tok_tot) AS BIGINT) * weight_q)
+       |        CAST((CAST(floor(0.5 * tok_tot) AS BIGINT)::HUGEINT * weight_q)
        |          // 1000000 AS BIGINT) AS alloc_tokens
        |        FROM g JOIN wts USING (lang) CROSS JOIN tt)
        |SELECT lang, n_tokens, weight_q, alloc_tokens,
-       |       ${DHU("alloc_tokens * 10000", "n_tokens")} AS epochs_q,
-       |       CASE WHEN ${DHU("alloc_tokens * 10000", "n_tokens")}
+       |       ${DHU("alloc_tokens::HUGEINT * 10000", "n_tokens")} AS epochs_q,
+       |       CASE WHEN ${DHU("alloc_tokens::HUGEINT * 10000", "n_tokens")}
        |                 > 10000 THEN 1 ELSE 0 END::BIGINT AS oversampled
        |  FROM p""".stripMargin
 
@@ -5028,6 +5105,17 @@ object ExtensionQueries {
       // decode on the Spark side can hash-match
       "x129_imageio_decode" ->
         """SELECT doc_id, 'png' AS format,
+          |       (16 + doc_id % 32)::BIGINT AS width,
+          |       (16 + (doc_id // 32) % 32)::BIGINT AS height,
+          |       1::BIGINT AS n_frames
+          |  FROM documents""".stripMargin,
+      // x131: BOTH real decoder branches — format follows the planted
+      // parity, dimensions recomputed arithmetically; only a real
+      // decode of each format can hash-match
+      "x131_jpeg_decode" ->
+        """SELECT doc_id,
+          |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END
+          |         AS format,
           |       (16 + doc_id % 32)::BIGINT AS width,
           |       (16 + (doc_id // 32) % 32)::BIGINT AS height,
           |       1::BIGINT AS n_frames

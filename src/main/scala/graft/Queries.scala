@@ -310,9 +310,17 @@ object Queries {
     * same exact values, one sort per group instead of three.
     * Outputs are integer CENTS (one round(x·100) quantization of the
     * identical interpolated double — the ExactMath discipline), which
-    * retired the historical compare sensitivity: round(double, 2) of a
-    * percentile landing exactly on .xx5 used to round apart across
-    * engines (observed once at sf0.001: 52724.245 → .24 vs .25).
+    * retired the DOMINANT historical compare sensitivity: round(double,
+    * 2) of a percentile landing exactly on .xx5 used to round apart
+    * across engines (observed once at sf0.001: 52724.245 → .24 vs .25).
+    * One rarer mode survives quantization BY CONSTRUCTION: Spark and
+    * DuckDB each interpolate the percentile in IEEE doubles, and if
+    * their interpolations differ in the final ulp AND x·100 lands
+    * exactly on a .5 boundary, the single round() still resolves apart.
+    * A future sweep flip on q27/q35 should be triaged as THIS mode
+    * (inputs-identical, one-cent delta on one row), not as a grid
+    * violation — the full ExactMath fix would be interpolating in
+    * integer cents end-to-end.
     * percentile() is a full sort-based aggregate: one shuffle on the
     * group key, spillable — exact form is for small/medium groups. */
   private val q27_quantiles: QFn = (s, d) => {
@@ -320,8 +328,12 @@ object Queries {
     // to an integer (round(x·100) — the ExactMath discipline), which
     // retires the documented cross-engine .xx5 flip (52724.245 at
     // sf0.001: round(double,2) resolved differently per DuckDB build;
-    // a single nearest-integer rounding of the identical double is
-    // portable)
+    // a single nearest-integer rounding of the IDENTICAL double is
+    // portable). Residual risk, by construction: the two engines
+    // interpolate independently, so a 1-ulp interpolation divergence
+    // landing exactly on a half-cent can still round apart — triage a
+    // future q27/q35 sweep flip as that (one-cent, one-row), not as a
+    // grid-discipline violation.
     def cents(c: Column): Column = round(c * lit(100d)).cast("long")
     cat(s, d).table("lineitem")
       .groupBy(col("l_returnflag"))

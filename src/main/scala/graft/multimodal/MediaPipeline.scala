@@ -104,6 +104,29 @@ object MediaPipeline extends Serializable {
     bos.toByteArray
   }
 
+  /** Deterministic JPEG bytes for fixtures — [[encodePng]]'s twin
+    * through the JDK's ImageIO JPEG writer. The encode is lossy in
+    * PIXELS but exact in DIMENSIONS, which is the whole decode
+    * contract ([[decodeMeta]] and its oracle only check format and
+    * width/height); planting both formats exercises the magic-prefix
+    * routing and BOTH real decoder branches. */
+  def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (((x * 31 + y * 17).toLong + seed) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   /** Decode metadata for every row, per-partition batches. Output =
     * input columns + `media_meta` struct. Narrow transform: partitioning
     * and row order are preserved; decoder init amortizes per partition.

@@ -1024,15 +1024,20 @@ object CorpusOps {
       .select(col(groupCol), TF.tokenCount(col(textCol)).as("n"))
       .groupBy(col(groupCol)).agg(sum(col("n")).as("n_tokens"))
     val tot = broadcast(grouped.agg(sum(col("n_tokens")).as("tok_tot")))
+    // DECIMAL(38,0) lane for the overflow-prone grid products — see
+    // [[mixtureAlloc]]: budget_tokens·weight_q exceeds Long above
+    // ~9e12 budget tokens, the very scale this plan is for
+    val dec = "decimal(38,0)"
     grouped
       .join(broadcast(weightsMicro.select(col(groupCol),
         col("weight_q").cast("long").as("weight_q"))), Seq(groupCol))
       .crossJoin(tot)
       .withColumn("alloc_tokens", call_function("div",
-        floor(lit(budgetFrac) * col("tok_tot")).cast("long") *
+        floor(lit(budgetFrac) * col("tok_tot")).cast(dec) *
           col("weight_q"), lit(1000000L)))
       .withColumn("epochs_q",
-        EM.divHalfUp(col("alloc_tokens") * lit(10000L), col("n_tokens")))
+        EM.divHalfUp(col("alloc_tokens").cast(dec) * lit(10000L),
+          col("n_tokens")))
       .select(col(groupCol), col("n_tokens"), col("weight_q"),
         col("alloc_tokens"), col("epochs_q"),
         when(col("epochs_q") > 10000L, 1L).otherwise(0L)
@@ -1047,7 +1052,13 @@ object CorpusOps {
       budgetFrac: java.math.BigDecimal, groupCol: String): DataFrame = {
     val EM = graft.functions.ExactMath
     // sqrt is correctly-rounded IEEE, so one micro-quantization of the
-    // identical double; everything after is exact integer arithmetic
+    // identical double; everything after is exact integer arithmetic.
+    // The grid products (s_q·1e6, budget·weight_q, alloc·1e4) ride the
+    // DECIMAL(38,0) lane, NOT raw longs: budget_tokens·weight_q reaches
+    // ~1e19 above ~9e12 budget tokens — past Long range at exactly the
+    // corpus sizes this plan targets (the zipfSlope squared-sum
+    // pattern; DuckDB promotes the same products to HUGEINT).
+    val dec = "decimal(38,0)"
     val toks = grouped
       .withColumn("s_q",
         EM.microQ(sqrt(col("n_tokens").cast("double"))))
@@ -1055,12 +1066,14 @@ object CorpusOps {
       sum(col("n_tokens")).as("tok_tot")))
     toks.crossJoin(tot)
       .withColumn("weight_q",
-        EM.divHalfUp(col("s_q") * lit(1000000L), col("s_tot_q")))
+        EM.divHalfUp(col("s_q").cast(dec) * lit(1000000L),
+          col("s_tot_q").cast(dec)))
       .withColumn("alloc_tokens", call_function("div",
-        floor(lit(budgetFrac) * col("tok_tot")).cast("long") *
+        floor(lit(budgetFrac) * col("tok_tot")).cast(dec) *
           col("weight_q"), lit(1000000L)))
       .withColumn("epochs_q",
-        EM.divHalfUp(col("alloc_tokens") * lit(10000L), col("n_tokens")))
+        EM.divHalfUp(col("alloc_tokens").cast(dec) * lit(10000L),
+          col("n_tokens")))
       .select(col(groupCol), col("n_tokens"), col("weight_q"),
         col("alloc_tokens"), col("epochs_q"),
         when(col("epochs_q") > 10000L, 1L).otherwise(0L).as("oversampled"))
@@ -1581,11 +1594,18 @@ object CorpusOps {
         sum((col("xq") * col("yq")).cast("decimal(38,0)")).as("sxy"))
       .select(col(groupCol), col("n_types"), col("n_tokens"),
         // slope = (n·sxy − sx·sy)/(n·sxx − sx²): both sides exact
-        // integers (1e-6 grids cancel), half-up onto the 1e-4 grid
-        graft.functions.ExactMath.divHalfUpSigned(
-          (col("n_types") * col("sxy") - col("sx") * col("sy")) *
-            lit(10000L),
-          col("n_types") * col("sxx") - col("sx") * col("sx"))
+        // integers (1e-6 grids cancel), half-up onto the 1e-4 grid.
+        // n_types = 1 makes the denominator exactly 0 (all xq equal)
+        // — an OLS slope is undefined there, and the engines disagree
+        // on integer-div-by-zero (Spark NULL vs DuckDB error), so a
+        // fixed sentinel 0 is pinned on BOTH sides (oracle: the same
+        // CASE), the entropySignal norm-guard discipline
+        when(col("n_types") > 1L,
+          graft.functions.ExactMath.divHalfUpSigned(
+            (col("n_types") * col("sxy") - col("sx") * col("sy")) *
+              lit(10000L),
+            col("n_types") * col("sxx") - col("sx") * col("sx")))
+          .otherwise(lit(0L).cast("long"))
           .as("slope_q"))
   }
 
