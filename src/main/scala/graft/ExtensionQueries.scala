@@ -288,16 +288,33 @@ object ExtensionQueries {
   private val x55_inverted_search: QFn = (s, d) => {
     val terms = Seq("spark", "join", "window")
     val idxDir = layoutDir(s, d, "documents", "invidx|v1") { cat =>
-      cat.writeBucketed("postings",
-        docsR(s, d).select(col("doc_id"),
-          explode(array_distinct(TF.words(col("text")))).as("word")),
-        buckets = 16, bucketCols = Seq("word"), sortCols = Seq("word"))
+      graft.ops.CorpusOps.writePostings(cat, "postings", docsR(s, d))
     }
-    Catalog(s, idxDir).bucketedTable("postings")
-      .filter(col("word").isin(terms: _*))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hit"))
-      .filter(col("n_hit") === terms.length)
+    graft.ops.CorpusOps.searchPostings(Catalog(s, idxDir), "postings", terms)
+  }
+
+  /** Inverted search THROUGH AN APPEND ([[graft.ops.CorpusOps
+    * .appendToPostings]]) — the index is built from docs with
+    * doc_id % 3 ≠ 0, then the remaining third arrives as a later
+    * ingest batch folded in by the frozen-contract append (new
+    * per-bucket files, layout preserved, nothing rewritten). The probe
+    * is x55's conjunctive search; the oracle intersects posting lists
+    * over the WHOLE corpus — so a hash-green row proves
+    * search-after-append ≡ rebuild, the invariant that makes the
+    * postings layout an incrementally-maintainable index rather than a
+    * build-once artifact. 100 TB shape: the append shuffles ONLY the
+    * batch's postings into the existing bucket layout; the probe scans
+    * a term-pruned slice exactly as x55. */
+  private val x132_postings_append: QFn = (s, d) => {
+    val terms = Seq("spark", "join", "window")
+    val dd = docsR(s, d)
+    val idxDir = layoutDir(s, d, "documents", "invidx-append|v1") { cat =>
+      graft.ops.CorpusOps.writePostings(cat, "postings",
+        dd.filter(col("doc_id") % 3 =!= 0))
+      graft.ops.CorpusOps.appendToPostings(cat, "postings",
+        dd.filter(col("doc_id") % 3 === 0))
+    }
+    graft.ops.CorpusOps.searchPostings(Catalog(s, idxDir), "postings", terms)
   }
 
   /** Deterministic per-group k-sample (eval-slice construction: a fixed
@@ -1385,23 +1402,25 @@ object ExtensionQueries {
     * scale paths (equi band/cell joins); the union is edge-grain;
     * components + decision are x36/x41's bounded-round machinery.
     * Embedding ids and doc ids share the key space (the fixture's
-    * vec_id ≡ doc_id contract, as x31's hydration join uses). The
-    * embedding edge generator here keeps x22's oracle-pinned k=16
-    * (fixed-k quadratic under replication — ScaleCheck measured 4.08×
-    * at ×4); at scale swap it for x81's trained k ~ √n regime
-    * ([[graft.ops.VectorOps.ivfPairs]] over `kmeansTrainAuto` cells,
-    * 1.68× on the same corpus) — the edge schema, and everything
-    * downstream, is unchanged. */
+    * vec_id ≡ doc_id contract, as x31's hydration join uses).
+    *
+    * This query is the PINNED FIXTURE of [[graft.ops.CorpusOps
+    * .fusedDedup]]: it passes the oracle-pinned k=16 first-vectors
+    * quantizer through the `coarseCentroids` escape hatch so the
+    * unrolled DuckDB oracle stays replayable (fixed-k is quadratic
+    * under replication — ScaleCheck measured 4.08× at ×4). The
+    * library DEFAULT is auto-k (k ~ √n, 3.3–3.4× cheaper on the
+    * doubled corpus; x101 is the trained-persisted variant) — a
+    * caller who doesn't pick a quantizer cannot reach the quadratic
+    * path by accident. */
   private val x75_fused_dedup: QFn = (s, d) => {
-    val textPairs = graft.ops.TextDedup.minhashLshPairs(docsR(s, d),
-      shingleK = ShingleK, numHashes = NumHashes, bands = 4, threshold = 0.8)
-      .select(col("a_id"), col("b_id"))
-    val embPairs = graft.ops.VectorOps
-      .ivfPairs(ivfCells(embs(s, d), nprobe = IvfProbe), threshold = 0.45)
-      .select(col("a_id"), col("b_id"))
-    val edges = textPairs.unionByName(embPairs).distinct()
-    graft.ops.CorpusOps.clusterDedupDecision(
-      graft.ops.GraphOps.connectedComponents(edges))
+    val e = embs(s, d)
+    graft.ops.CorpusOps.fusedDedup(docsR(s, d), e,
+      shingleK = ShingleK, numHashes = NumHashes, bands = 4,
+      textThreshold = 0.8, embThreshold = 0.45,
+      coarseCentroids = Some(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))),
+      nprobe = IvfProbe)
   }
 
   /** Tokenizer-efficiency audit — the fertility/compression report a
@@ -1756,18 +1775,37 @@ object ExtensionQueries {
       cat.append("cents", c)
     }
 
-  private def cachedPqRaw(s: SparkSession, d: String): DataFrame =
-    Catalog(s, pqCodebookDir(s, d, "raw-m4k8")(
+  private def pqRawDir(s: SparkSession, d: String): String =
+    pqCodebookDir(s, d, "raw-m4k8")(
       graft.ops.VectorOps.pqTrain(embs(s, d), m = 4, ksub = 8,
-        iters = X48Iters))).table("cents")
+        iters = X48Iters))
 
-  private def cachedPqResid(s: SparkSession, d: String): DataFrame =
-    Catalog(s, pqCodebookDir(s, d, "resid16-m4k8")(
+  private def cachedPqRaw(s: SparkSession, d: String): DataFrame =
+    Catalog(s, pqRawDir(s, d)).table("cents")
+
+  /** Test hooks for the train-once determinism contract
+    * (LayoutDeterminismSpec): the 13 ANN/dedup consumers of the
+    * persisted quantizer layouts rest on retraining being
+    * DETERMINISTIC — delete a layout generation, rebuild, and every
+    * artifact must come back value-identical (float-bit-identical).
+    * These expose the get-or-build dir paths so a spec can exercise
+    * exactly that cycle against the real publish path. */
+  private[graft] def centroidLayoutDirForTest(s: SparkSession, d: String,
+      initK: Int): String = trainedCentroidDir(s, d, initK, X48Iters)
+  private[graft] def pqRawLayoutDirForTest(s: SparkSession,
+      d: String): String = pqRawDir(s, d)
+  private[graft] def pqResidLayoutDirForTest(s: SparkSession,
+      d: String): String = pqResidDir(s, d)
+
+  private def pqResidDir(s: SparkSession, d: String): String =
+    pqCodebookDir(s, d, "resid16-m4k8")(
       graft.ops.VectorOps.pqTrain(
         graft.ops.VectorOps.pqResiduals(embs(s, d),
           cachedCentroids(s, d, 16)),
-        m = 4, ksub = 8, iters = X48Iters, vecCol = "resid")))
-      .table("cents")
+        m = 4, ksub = 8, iters = X48Iters, vecCol = "resid"))
+
+  private def cachedPqResid(s: SparkSession, d: String): DataFrame =
+    Catalog(s, pqResidDir(s, d)).table("cents")
 
   /** Z-ordered layout round-trip: ingest events clustered by the Morton
     * interleave of (user_id, value) ([[graft.catalog.Catalog
@@ -3141,6 +3179,7 @@ object ExtensionQueries {
     "x129_imageio_decode" -> x129_imageio_decode,
     "x130_curate_v6" -> x130_curate_v6,
     "x131_jpeg_decode" -> x131_jpeg_decode,
+    "x132_postings_append" -> x132_postings_append,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -5754,6 +5793,15 @@ object ExtensionQueries {
          |       ${DHU("sum(quality_q)", "count(*)")} AS mean_quality_q
          |  FROM f GROUP BY ROLLUP(lang, source)""".stripMargin,
     "x55_inverted_search" ->
+      s"""WITH w AS (SELECT doc_id,
+         |             unnest(list_distinct(string_split($NT,' '))) AS word
+         |             FROM documents)
+         |SELECT doc_id, count(*)::BIGINT AS n_hit
+         |  FROM w WHERE word IN ('spark','join','window')
+         | GROUP BY doc_id HAVING count(*) = 3""".stripMargin,
+    // x132: the oracle is the UNION-corpus intersection — identical to
+    // x55's — so a hash match proves search-after-append ≡ rebuild
+    "x132_postings_append" ->
       s"""WITH w AS (SELECT doc_id,
          |             unnest(list_distinct(string_split($NT,' '))) AS word
          |             FROM documents)

@@ -455,6 +455,24 @@ object ScaleCheck {
     val tAuto = ivfDedup(dst, kAuto)
     println(f"ivfDedupDecision on x$D%d corpus: auto-k (suggestK($nBig%d)=$kAuto%d) " +
       f"$tAuto%6.2f s (${tK16 / tAuto}%4.1fx vs fixed k=16)")
+    // The one-call library entry (CorpusOps.fusedDedup) DEFAULTS to
+    // auto-k — this row pins that a caller who names no quantizer gets
+    // the scale path, not x75's fixture-pinned fixed-k (which the
+    // x75 row above measures growing quadratically).
+    def fused(dir: String): Double = {
+      sweepState()
+      val dd = spark.read.parquet(s"$dir/documents.parquet")
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val t0 = System.nanoTime()
+      graft.ops.CorpusOps.fusedDedup(dd, e)
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    fused(src) // warm
+    val tFusedSmall = fused(src)
+    val tFusedBig = fused(dst)
+    println(f"fusedDedup (library default, auto-k): base=$tFusedSmall%5.2f s  " +
+      f"x$D%d-dups=$tFusedBig%6.2f s  scaleFactor=${tFusedBig / tFusedSmall}%5.2f")
     spark.stop()
   }
 }

@@ -530,7 +530,7 @@ final case class Catalog(spark: SparkSession, dir: String) {
     finally out.close()
   }
 
-  private def readBucketSpec(name: String): Option[Catalog.BucketSpec] = {
+  private[graft] def readBucketSpec(name: String): Option[Catalog.BucketSpec] = {
     val p = bucketSpecPath(name)
     if (!fs.exists(p)) None
     else {

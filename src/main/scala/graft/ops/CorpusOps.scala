@@ -311,6 +311,48 @@ object CorpusOps {
         col("n_members"))
   }
 
+  /** One-call fused text+embedding dedup — the LIBRARY entry for the
+    * x75/x101 family: MinHash-LSH banded text pairs ∪ IVF-bucketed
+    * embedding pairs → connected components → cluster keep/drop
+    * ([[clusterDedupDecision]]). Output: (drop_id, canonical_id,
+    * n_members).
+    *
+    * The coarse quantizer defaults to AUTO-k (k ~ √n,
+    * [[graft.ops.VectorOps.kmeansTrainAuto]]): with a FIXED small k the
+    * in-cell pair volume is Σ cell² ≈ n²/k — quadratic in corpus size
+    * (the x75 fixture pins k=16 for its unrolled oracle and measured
+    * 4.9× cost at 4× corpus in ScaleCheck; auto-k at the same corpus
+    * is 3.3–3.4× cheaper) — so a library caller CANNOT reach the
+    * quadratic path by accident. Production callers with a persisted
+    * train-once quantizer (the x101 contract,
+    * [[graft.ops.VectorOps.writePqIndex]]'s discipline) pass it via
+    * `coarseCentroids` and skip training entirely.
+    *
+    * 100 TB shape: both pair generators are banded/bucketed (band-key
+    * equi join; broadcast centroids + per-cell equi self-join under
+    * k ~ √n), the closure is O(log²n) star contraction with per-round
+    * checkpoints, and the decision is one cluster-keyed window — no
+    * stage is ever corpus×corpus. */
+  def fusedDedup(docs: DataFrame, embeddings: DataFrame,
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      textThreshold: Double = 0.8, embThreshold: Double = 0.45,
+      coarseCentroids: Option[DataFrame] = None, trainIters: Int = 2,
+      nprobe: Int = 1, idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = coarseCentroids.getOrElse(
+      graft.ops.VectorOps.kmeansTrainAuto(embeddings, iters = trainIters,
+        idCol = vecIdCol, vecCol = vecCol))
+    val textPairs = graft.ops.TextDedup.minhashLshPairs(docs, idCol,
+      textCol, shingleK, numHashes, bands, textThreshold)
+      .select(col("a_id"), col("b_id"))
+    val embPairs = graft.ops.VectorOps.ivfPairs(
+      graft.ops.VectorOps.ivfCells(embeddings, cent, nprobe,
+        vecIdCol, vecCol), embThreshold)
+      .select(col("a_id"), col("b_id"))
+    clusterDedupDecision(graft.ops.GraphOps.connectedComponents(
+      textPairs.unionByName(embPairs).distinct()))
+  }
+
   /** [[clusterDedupDecision]] with a QUALITY-aware canonical: keep the
     * cluster member maximizing `quality` (ties broken by min id — total
     * order, deterministic) instead of the min-id member. This is what
@@ -1135,6 +1177,53 @@ object CorpusOps {
         (col("full_ep") + when(col("running") + col("n_tokens") <= col("rem"),
           1L).otherwise(0L)).as("n_copies"))
   }
+
+  /** Build a persisted inverted index: the corpus's distinct
+    * (doc_id, word) postings in a word-bucketed, word-sorted table
+    * (x55's layout) — a conjunctive search scans only the probed
+    * terms' buckets and the corpus itself is never touched at query
+    * time. Build once per corpus; grow with [[appendToPostings]]. */
+  def writePostings(cat: graft.catalog.Catalog, name: String,
+      docs: DataFrame, buckets: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    cat.writeBucketed(name, postingRows(docs, idCol, textCol),
+      buckets = buckets, bucketCols = Seq("word"), sortCols = Seq("word"))
+
+  /** Fold a new batch into a persisted postings index — the
+    * frozen-contract append path the PQ and signature indexes already
+    * have ([[graft.ops.VectorOps.appendToPqIndex]],
+    * [[graft.ops.TextDedup.appendToSignatureIndex]]): the batch's
+    * distinct postings land as NEW per-bucket files via
+    * [[graft.catalog.Catalog.appendBucketed]] — bucket layout and
+    * term co-location preserved, no existing data rewritten — so
+    * [[searchPostings]] after an append answers exactly as a full
+    * rebuild over the union corpus (OpsSpec pins the equivalence;
+    * x132 hash-checks it against the union oracle). Run
+    * [[graft.catalog.Catalog.compactBucketed]] as the periodic
+    * small-file maintenance job at real ingest rates. */
+  def appendToPostings(cat: graft.catalog.Catalog, name: String,
+      batch: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    cat.appendBucketed(name, postingRows(batch, idCol, textCol))
+
+  private def postingRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TF.words(col(textCol)))).as("word"))
+
+  /** Conjunctive keyword search over a persisted postings index: the
+    * IN-list over the term column is pushed into the parquet scan
+    * (only the probed terms' postings are read — bucket pruning +
+    * sorted row groups), and docs matching ALL terms survive the
+    * count filter — the distributed form of posting-list
+    * intersection. Output: (doc_id, n_hit). */
+  def searchPostings(cat: graft.catalog.Catalog, name: String,
+      terms: Seq[String]): DataFrame =
+    cat.bucketedTable(name)
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === terms.length)
 
   /** Contamination FRACTION report — [[decontaminate]] upgraded from
     * "shares ≥1 shingle" to the GPT-3 appendix-C dirtiness metric: per

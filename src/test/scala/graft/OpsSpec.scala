@@ -1666,6 +1666,66 @@ class OpsSpec extends SparkTestBase {
     assert(stored == direct, "appended codes diverged from direct encode")
   }
 
+  test("CorpusOps fusedDedup: library default is auto-k; pinned-quantizer form matches manual composition") {
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // default path: auto-k (k ~ sqrt(n)) — the quadratic fixed-k path
+    // is unreachable without the explicit coarseCentroids escape hatch
+    val auto = graft.ops.CorpusOps.fusedDedup(dd, e)
+    val cent = graft.ops.VectorOps.kmeansTrainAuto(e, iters = 2)
+    val manual = graft.ops.CorpusOps.clusterDedupDecision(
+      graft.ops.GraphOps.connectedComponents(
+        graft.ops.TextDedup.minhashLshPairs(dd)
+          .select(col("a_id"), col("b_id"))
+          .unionByName(graft.ops.VectorOps.ivfPairs(
+            graft.ops.VectorOps.ivfCells(e, cent, nprobe = 1), 0.45)
+            .select(col("a_id"), col("b_id")))
+          .distinct()))
+    assert(rows(auto) == rows(manual),
+      "fusedDedup default diverged from the auto-k composition")
+    // drop rows point at a kept canonical (never a dropped doc)
+    val a = rows(auto)
+    val dropped = a.map(_._1).toSet
+    assert(a.nonEmpty && a.forall(t => !dropped.contains(t._2)),
+      "canonical_id points at a dropped doc")
+  }
+
+  test("CorpusOps postings index lifecycle: search-after-append equals full rebuild, layout preserved") {
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val terms = Seq("spark", "join", "window")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // incremental: build on two thirds, append the remaining third
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_postings_inc").toString
+    graft.ops.CorpusOps.writePostings(graft.catalog.Catalog(spark, dirA),
+      "p", dd.filter(col("doc_id") % 3 =!= 0))
+    // a FRESH catalog = a later ingest session reading the directory
+    val catA = graft.catalog.Catalog(spark, dirA)
+    val specBefore = catA.readBucketSpec("p").get
+    graft.ops.CorpusOps.appendToPostings(catA, "p",
+      dd.filter(col("doc_id") % 3 === 0))
+    val specAfter = catA.readBucketSpec("p").get
+    // frozen contract: bucket count/columns/sort survive the append;
+    // only the file count grows (new per-bucket files, no rewrite)
+    assert(specAfter.buckets == specBefore.buckets &&
+      specAfter.bucketCols == specBefore.bucketCols &&
+      specAfter.sortCols == specBefore.sortCols, s"$specBefore -> $specAfter")
+    assert(specAfter.nFiles.get > specBefore.nFiles.get, "no files appended")
+    val appended = rows(graft.ops.CorpusOps.searchPostings(catA, "p", terms))
+    // rebuild over the union corpus
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_postings_full").toString
+    val catB = graft.catalog.Catalog(spark, dirB)
+    graft.ops.CorpusOps.writePostings(catB, "p", dd)
+    val rebuilt = rows(graft.ops.CorpusOps.searchPostings(catB, "p", terms))
+    assert(appended.nonEmpty, "probe terms missing from fixture")
+    assert(appended == rebuilt,
+      "search-after-append diverged from full rebuild")
+  }
+
   test("VectorOps SQ tier: int8 cosine within quantization error of exact; zero guard; values bounded") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
