@@ -317,6 +317,20 @@ object ExtensionQueries {
     graft.ops.CorpusOps.searchPostings(Catalog(s, idxDir), "postings", terms)
   }
 
+  /** EXACT substring dedup ([[graft.ops.CorpusOps.exactSpanExcise]]) —
+    * the Lee et al. ACL'22 ExactSubstr half that x58/x60 approximate
+    * with stride-8 fingerprints: stride-1 length-32 windows grouped by
+    * TRUE CONTENT (the 8-byte fingerprint is only a candidate sieve —
+    * collisions are verified away), every repeated occurrence excised,
+    * first occurrence kept, text reassembled. The oracle replays the
+    * exact content grouping wholesale, so the rebuilt text — not a
+    * hash proxy of it — is checked end to end. Strictly more is cut
+    * than x60 (stride 1 covers the positions stride 8 skips); docs
+    * shorter than the window pass through untouched (exact semantics —
+    * no truncated tail span). */
+  private val x133_exact_substrings: QFn = (s, d) =>
+    graft.ops.CorpusOps.exactSpanExcise(docsR(s, d), minLen = 32)
+
   /** Deterministic per-group k-sample (eval-slice construction: a fixed
     * number of docs per language, reproducible across runs and
     * engines): rank by salted hash within each language, keep rank ≤ k.
@@ -3180,6 +3194,7 @@ object ExtensionQueries {
     "x130_curate_v6" -> x130_curate_v6,
     "x131_jpeg_decode" -> x131_jpeg_decode,
     "x132_postings_append" -> x132_postings_append,
+    "x133_exact_substrings" -> x133_exact_substrings,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -5962,6 +5977,38 @@ object ExtensionQueries {
          |        row_number() OVER (PARTITION BY fp
          |                           ORDER BY doc_id, st) AS rk FROM f),
          |e AS (SELECT doc_id, st, least(st+31, n) AS en
+         |        FROM r WHERE n_occ > 1 AND rk > 1),
+         |g AS (SELECT doc_id, list(struct_pack(st := st, en := en)) AS rs
+         |        FROM e GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, t.ws, t.n,
+         |        coalesce(g.rs, []) AS rs
+         |        FROM t LEFT JOIN g ON t.doc_id = g.doc_id),
+         |p AS (SELECT doc_id, ws, n,
+         |        list_filter(range(1, n+1),
+         |          i -> len(list_filter(rs,
+         |                 rr -> i >= rr.st AND i <= rr.en)) = 0) AS kept
+         |        FROM k)
+         |SELECT doc_id,
+         |       coalesce(array_to_string(list_transform(kept, i -> ws[i]),
+         |                ' '), '') AS text,
+         |       n::BIGINT AS n_tokens,
+         |       len(kept)::BIGINT AS n_kept,
+         |       (n - len(kept))::BIGINT AS n_cut
+         |  FROM p""".stripMargin,
+    // x133: the EXACT form — stride-1 windows grouped by true content
+    // (no fingerprint in the oracle at all); same reassembly as x60
+    "x133_exact_substrings" ->
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+         |t AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+         |s AS (SELECT doc_id, ws, n, unnest(range(1, n-30)) AS st
+         |        FROM t WHERE n >= 32),
+         |f AS (SELECT doc_id, n, st,
+         |        array_to_string(ws[st:st+31],' ') AS win FROM s),
+         |r AS (SELECT doc_id, n, st,
+         |        count(*) OVER (PARTITION BY win) AS n_occ,
+         |        row_number() OVER (PARTITION BY win
+         |                           ORDER BY doc_id, st) AS rk FROM f),
+         |e AS (SELECT doc_id, st, st+31 AS en
          |        FROM r WHERE n_occ > 1 AND rk > 1),
          |g AS (SELECT doc_id, list(struct_pack(st := st, en := en)) AS rs
          |        FROM e GROUP BY doc_id),

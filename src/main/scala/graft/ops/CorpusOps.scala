@@ -812,6 +812,90 @@ object CorpusOps {
         (col("n") - size(col("kept"))).cast("long").as("n_cut"))
   }
 
+  /** EXACT substring excision — the exact half of Lee et al., ACL 2022
+    * (their ExactSubstr dedup: remove every repeated occurrence of any
+    * substring of ≥ `minLen` tokens, keeping the first), which
+    * [[spanDupStats]]/[[exciseSpans]] APPROXIMATE with stride-8
+    * fingerprints. Two facts make the exact form distributable without
+    * the paper's monolithic suffix array:
+    *
+    *  1. a substring of length ≥ L is duplicated iff every one of its
+    *     length-L windows is duplicated, and a position lies inside a
+    *     duplicated ≥L-substring iff some duplicated length-L window
+    *     covers it — so STRIDE-1 length-L windows decide the exact
+    *     dup-position cover (the suffix array in the paper is an
+    *     efficiency device over the same windows, not a different
+    *     semantics);
+    *  2. duplicate detection must compare CONTENT, not hashes — a
+    *     fingerprint-only equality (the x58/x60 approximation) admits
+    *     collisions at exactly the scale where the corpus outgrows the
+    *     hash space.
+    *
+    * Plan (the Spark-native suffix-sort split): stage 1 shuffles only
+    * 8-byte span fingerprints (map-side hashes, stride 1) to find
+    * CANDIDATE duplicate windows; stage 2 re-slices the true window
+    * text for candidate positions only and groups by the full content
+    * — exact verification + lexicographic-min canonical — so the
+    * wide (L-token) shuffle keys are paid only for the duplicated
+    * tail, never the whole corpus. Excision and reassembly are
+    * [[exciseSpans]]'s per-doc array work. Docs shorter than `minLen`
+    * have no qualifying window and pass through untouched (the exact
+    * semantics; the approximate form spans their whole text instead).
+    * Output: (doc_id, text, n_tokens, n_kept, n_cut) for every input
+    * doc.
+    *
+    * 100 TB shape: stage-1 volume is one fingerprint per token
+    * (uniform keys, map-side partial agg); stage-2 volume is
+    * duplicated-candidate occurrences × L tokens; the doc-keyed
+    * re-slice join is equi on doc_id against docs that own at least
+    * one candidate (semi-join pruned); reassembly is codegen'd array
+    * work, no shuffle, no driver. */
+  def exactSpanExcise(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 32): DataFrame = {
+    require(minLen >= 2, s"minLen >= 2, got $minLen")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+    val sts = toks.filter(col("n") >= minLen)
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(1), col("n") - (minLen - 1))).as("st"))
+    // stage 1: 8-byte candidate sieve (collisions only ADD candidates
+    // — stage 2's content grouping verifies them away)
+    val fps = sts.select(col("doc_id"), col("st"),
+      TF.hash60(concat_ws(" ", slice(col("ws"), col("st"), lit(minLen))),
+        "exact|").as("fp"))
+    val dupFp = fps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("fp"))
+    val cand = fps.join(dupFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("st"))
+    // stage 2: true window content for candidates only — exact verify
+    // + lexicographic-min canonical occurrence
+    val candWin = cand.join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("st"),
+        concat_ws(" ", slice(col("ws"), col("st"), lit(minLen))).as("win"))
+    val occ = candWin.groupBy(col("win"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("st"))).as("keep"))
+      .filter(col("n_occ") > 1)
+    val cut = candWin.join(occ, Seq("win"))
+      .filter(!(col("doc_id") === col("keep.doc_id") &&
+        col("st") === col("keep.st")))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("st"),
+        (col("st") + (minLen - 1)).as("en"))).as("rs"))
+    toks.join(cut, Seq("doc_id"), "left")
+      .withColumn("rs",
+        coalesce(col("rs"), expr("array()").cast("array<struct<st:int,en:int>>")))
+      .withColumn("kept", expr(
+        "filter(sequence(1, n), i -> !exists(rs, r -> i >= r.st AND i <= r.en))"))
+      .select(col("doc_id"),
+        concat_ws(" ", expr("transform(kept, i -> element_at(ws, i))"))
+          .as("text"),
+        col("n").cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n") - size(col("kept"))).cast("long").as("n_cut"))
+  }
+
   /** Temperature-weighted mixture sampling — the multilingual /
     * multi-domain data-mixing step (Lample & Conneau NeurIPS'19 /
     * XLM-R: sample groups with probability ∝ (n_g/N)^α so

@@ -1666,6 +1666,29 @@ class OpsSpec extends SparkTestBase {
     assert(stored == direct, "appended codes diverged from direct encode")
   }
 
+  test("CorpusOps exactSpanExcise: exact semantics guards") {
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.CorpusOps.exactSpanExcise(dd, minLen = 32)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("n_cut"))
+      .collect()
+    assert(out.length == dd.count(), "every doc must pass through")
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+      s"token accounting broken: $r"))
+    assert(out.exists(_.getLong(3) > 0), "fixture has no exact dup spans")
+    // a window longer than every doc ⇒ nothing qualifies, nothing cut
+    val maxLen = out.map(_.getLong(1)).max.toInt
+    val none = graft.ops.CorpusOps.exactSpanExcise(dd, minLen = maxLen + 1)
+      .agg(sum(col("n_cut"))).head.getLong(0)
+    assert(none == 0L, s"cut $none tokens with an unsatisfiable window")
+    // stride-1 exact cover cuts at least what the stride-8 hash
+    // approximation cuts on the same window length (supersets modulo
+    // fingerprint collisions, which the fixture doesn't have)
+    val approx = graft.ops.CorpusOps.exciseSpans(dd, window = 32, stride = 8)
+      .agg(sum(col("n_cut"))).head.getLong(0)
+    val exact = out.map(_.getLong(3)).sum
+    assert(exact >= approx, s"exact cut $exact < stride-8 cut $approx")
+  }
+
   test("CorpusOps fusedDedup: library default is auto-k; pinned-quantizer form matches manual composition") {
     val dd = spark.read.parquet(s"$sf/documents.parquet")
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
