@@ -331,6 +331,78 @@ object ExtensionQueries {
   private val x133_exact_substrings: QFn = (s, d) =>
     graft.ops.CorpusOps.exactSpanExcise(docsR(s, d), minLen = 32)
 
+  /** Prefix-filtered ALL-PAIRS similarity join ([[graft.ops.CorpusOps
+    * .allPairsCosine]], Bayardo, Ma & Srikant, WWW 2007): every doc
+    * pair with shingle-tf cosine ≥ τ, WITHOUT the quadratic
+    * all-co-occurring-pairs scan — each doc indexes only the rare-first
+    * feature prefix whose suffix norm² still clears τ²·‖d‖² (a
+    * Cauchy–Schwarz-proven lossless sieve), candidates join on those
+    * indexed features only, and an exact integer test
+    * (dot²·10⁸ ≥ τ²₁ₑ₈·‖a‖²·‖b‖², DECIMAL(38,0)) verifies. The oracle
+    * is the BRUTE-FORCE join with the same integer test — a hash-green
+    * row set IS the losslessness proof of the pruning (the x53 Bloom
+    * pattern, applied to similarity search). OpsSpec measures the
+    * candidate-set shrinkage vs the co-occurring pair space and pins
+    * candidates ⊇ result. τ = 0.6 (X134Tau — one constant, both
+    * engines). */
+  private val x134_allpairs_sim: QFn = (s, d) =>
+    graft.ops.CorpusOps.allPairsCosine(docsR(s, d),
+      new java.math.BigDecimal(X134Tau))
+  private val X134Tau = "0.6"
+  private lazy val X134Tau2E8: Long =
+    new java.math.BigDecimal(X134Tau).pow(2).movePointRight(8)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+
+  // one constant set drives the Spark fold AND the oracle's CTE chain
+  // (the X98Steps discipline) — step count cannot drift between engines
+  private val X135Steps = 4
+
+  /** Linear-gate DISTILLATION ([[graft.ops.ClassifierOps
+    * .logregFeatures/logregTrain/logregScore]]): the x90 Gopher rule
+    * gate — a hand-written, many-signal decision — distilled into a
+    * 4-weight linear model trained by 4 full-batch gradient-descent
+    * rounds with a HARD sigmoid (clamp(0,1,½+z/4) — Courbariaux et al.
+    * NeurIPS 2015's piecewise-linear form; exp is non-portable IEEE,
+    * the hard form keeps training itself on the exact BIGINT micro
+    * grid). Train on the 4/5 split's rule labels, score the held-out
+    * 1/5: (doc_id, y, z_q, p_q, pred) — z through the trained weights
+    * pins every gradient step, so a hash-green table verifies the
+    * ENTIRE training trajectory (the x98 discipline applied to model
+    * fitting; NB = x72 is the generative family, this is the
+    * discriminative one). Features are pure integer rationals
+    * (distinct ratio, top-word dominance, mean word length) — no IEEE
+    * op anywhere in the whole query.
+    *
+    * 100 TB shape: each GD step is one map-side aggregate over the
+    * persisted narrow feature frame (4 DECIMAL sums to the driver —
+    * the pcaPower contract); scoring is a stateless map under literal
+    * weights. */
+  private val x135_logreg_distill: QFn = (s, d) => {
+    val all = docsR(s, d)
+    val y = graft.ops.CorpusOps.gopherRules(all)
+      .select(col("doc_id"), col("keep").as("y"))
+    val feats = graft.ops.ClassifierOps.logregFeatures(all)
+      .join(y, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = graft.ops.ClassifierOps.logregTrain(
+      feats.filter(col("doc_id") % 5 =!= 0), steps = X135Steps)
+    graft.ops.ClassifierOps.logregScore(
+      feats.filter(col("doc_id") % 5 === 0), w)
+  }
+
+  /** Whole-document sequence packing ([[graft.ops.CorpusOps
+    * .packDocs]]) — x38's concat-and-chunk SPLITS documents at
+    * sequence boundaries; this is the other loader contract, where
+    * documents stay intact: next-fit-decreasing bins of capacity 128
+    * within content-hash shards (Johnson 1973's NFD; Krell et al.
+    * arXiv 2107.02027 for the LLM-pretraining framing). The oracle
+    * replays the SEQUENTIAL greedy fold as a recursive CTE advancing
+    * all shards in rank lockstep — a hash-green table proves the
+    * distributed sort + codegen'd fold equals the literal one-by-one
+    * packing a single-node loader would compute. */
+  private val x136_pack_docs: QFn = (s, d) =>
+    graft.ops.CorpusOps.packDocs(docsR(s, d), seqLen = 128, nShards = 8)
+
   /** Deterministic per-group k-sample (eval-slice construction: a fixed
     * number of docs per language, reproducible across runs and
     * engines): rank by salted hash within each language, keep rank ≤ k.
@@ -3195,6 +3267,9 @@ object ExtensionQueries {
     "x131_jpeg_decode" -> x131_jpeg_decode,
     "x132_postings_append" -> x132_postings_append,
     "x133_exact_substrings" -> x133_exact_substrings,
+    "x134_allpairs_sim" -> x134_allpairs_sim,
+    "x135_logreg_distill" -> x135_logreg_distill,
+    "x136_pack_docs" -> x136_pack_docs,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -4465,8 +4540,10 @@ object ExtensionQueries {
   // x90: the rule table replayed with DuckDB string/list functions —
   // occurrence counts via the same replace-length deltas, ratios
   // rounded to 4 BEFORE thresholding in both engines.
-  private lazy val x90Oracle: String =
-    s"""WITH t AS (SELECT doc_id, $NT AS nt, string_split($NT,' ') AS ws
+  // Gopher rule-gate fragments shared by the x90 and x135 oracles (one
+  // definition — the distillation label cannot drift from the gate):
+  private lazy val gopherMCte: String =
+    s"""t AS (SELECT doc_id, $NT AS nt, string_split($NT,' ') AS ws
        |             FROM documents),
        |m AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
        |        round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE /
@@ -4479,15 +4556,63 @@ object ExtensionQueries {
        |        len(list_distinct(list_filter(ws,
        |            w -> w IN ('the','and','of','to','in','is','a'))))::BIGINT
        |          AS n_stop
-       |        FROM t)
+       |        FROM t)""".stripMargin
+  private val gopherKeepExpr: String =
+    """CASE WHEN n_words BETWEEN 50 AND 100000
+      |             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |             AND symbol_ratio < 0.1 AND alpha_frac >= 0.8
+      |             AND n_stop >= 2
+      |            THEN 1 ELSE 0 END::BIGINT""".stripMargin
+
+  private lazy val x90Oracle: String =
+    s"""WITH $gopherMCte
        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
        |       n_stop,
-       |       CASE WHEN n_words BETWEEN 50 AND 100000
-       |             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-       |             AND symbol_ratio < 0.1 AND alpha_frac >= 0.8
-       |             AND n_stop >= 2
-       |            THEN 1 ELSE 0 END::BIGINT AS keep
+       |       $gopherKeepExpr AS keep
        |  FROM m""".stripMargin
+
+  // x135: the whole hard-sigmoid GD trajectory unrolled as a CTE chain
+  // generated from X135Steps — features, label, every gradient step,
+  // and the held-out scoring all exact integer arithmetic (HUGEINT
+  // sums, divide-half-up), digit-identical to the Spark driver fold.
+  private lazy val x135Oracle: String = {
+    val zExpr = DHUS("w0*1000000 + w1*x1q + w2*x2q + w3*x3q", "1000000")
+    val pExpr = s"greatest(0, least(1000000, 500000 + ${DHUS(zExpr, "4")}))"
+    val steps = (1 to X135Steps).map { i =>
+      s"""g$i AS (SELECT w0, w1, w2, w3,
+         |        count(*)::HUGEINT * 1000000 AS nm,
+         |        sum((y*1000000 - $pExpr)::HUGEINT * 1000000) AS s0,
+         |        sum((y*1000000 - $pExpr)::HUGEINT * x1q) AS s1,
+         |        sum((y*1000000 - $pExpr)::HUGEINT * x2q) AS s2,
+         |        sum((y*1000000 - $pExpr)::HUGEINT * x3q) AS s3
+         |        FROM tr CROSS JOIN r${i - 1} GROUP BY 1, 2, 3, 4),
+         |r$i AS (SELECT w0 + ${DHUS(DHUS("s0", "nm"), "2")} AS w0,
+         |        w1 + ${DHUS(DHUS("s1", "nm"), "2")} AS w1,
+         |        w2 + ${DHUS(DHUS("s2", "nm"), "2")} AS w2,
+         |        w3 + ${DHUS(DHUS("s3", "nm"), "2")} AS w3 FROM g$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $gopherMCte,
+       |lab AS (SELECT doc_id, $gopherKeepExpr AS y FROM m),
+       |e AS (SELECT doc_id, unnest(ws) AS w FROM t),
+       |wc AS (SELECT doc_id, w, count(*)::BIGINT AS c,
+       |        max(length(w))::BIGINT AS len FROM e GROUP BY 1, 2),
+       |fx AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+       |        count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS maxc,
+       |        sum(c*len)::BIGINT AS sumlen FROM wc GROUP BY 1),
+       |ftr AS (SELECT fx.doc_id, lab.y,
+       |        ${DHU("n_distinct*1000000", "n_tokens")} AS x1q,
+       |        ${DHU("maxc*1000000", "n_tokens")} AS x2q,
+       |        ${DHU("sumlen*1000000", "n_tokens*10")} AS x3q
+       |        FROM fx JOIN lab USING (doc_id)),
+       |tr AS (SELECT * FROM ftr WHERE doc_id % 5 <> 0),
+       |r0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1,
+       |              0::BIGINT AS w2, 0::BIGINT AS w3),
+       |$steps
+       |SELECT doc_id, y, $zExpr AS z_q, $pExpr AS p_q,
+       |       CASE WHEN $pExpr >= 500000 THEN 1 ELSE 0 END::BIGINT AS pred
+       |  FROM ftr CROSS JOIN r$X135Steps WHERE doc_id % 5 = 0""".stripMargin
+  }
 
   // x92: block starts 1 + i·4 for the floor(n/4) full blocks (the
   // Spark side's stride-4 sequence with the full-block filter), df
@@ -4769,6 +4894,15 @@ object ExtensionQueries {
     // float64 — pin the output (and so the driver's hash repr) to the
     // same int64 the Spark side emits
     s"CAST((2*($num) + ($den)) // (2*($den)) AS BIGINT)"
+
+  /** DuckDB twin of [[graft.functions.ExactMath.divHalfUpSigned]]:
+    * [[DHU]] extended to signed numerators (den > 0), rounding half
+    * away from zero — the same CASE the signed in-oracle folds above
+    * inline, centralized for the generated CTE chains. */
+  private def DHUS(num: String, den: String): String =
+    s"""(CASE WHEN ($num) < 0
+       | THEN -CAST((-2*($num) + ($den)) // (2*($den)) AS BIGINT)
+       | ELSE CAST((2*($num) + ($den)) // (2*($den)) AS BIGINT) END)""".stripMargin
 
   private lazy val X98EtaQ: Long =
     new java.math.BigDecimal(X98Eta).movePointRight(6).longValueExact
@@ -5112,6 +5246,7 @@ object ExtensionQueries {
       "x88_threshold_curve" -> x88Oracle,
       "x89_dsir_resample" -> x89Oracle,
       "x90_gopher_rules" -> x90Oracle,
+      "x135_logreg_distill" -> x135Oracle,
       "x91_mixture_materialize" -> x91Oracle,
       "x92_boilerplate" -> x92Oracle,
       "x93_novelty" -> x93Oracle,
@@ -6027,6 +6162,52 @@ object ExtensionQueries {
          |       len(kept)::BIGINT AS n_kept,
          |       (n - len(kept))::BIGINT AS n_cut
          |  FROM p""".stripMargin,
+    // x134: BRUTE-FORCE all-pairs with the same exact integer τ² test —
+    // hash-green against the prefix-filtered Spark plan proves the
+    // pruning lossless (the x53 pattern for similarity search)
+    "x134_allpairs_sim" ->
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
+         |s AS (SELECT doc_id,
+         |        unnest([array_to_string(ws[i:i+2],' ')
+         |                for i in range(1, len(ws)-1)]) AS g FROM w),
+         |tf AS (SELECT doc_id, ${H60("'aps|' || g")} AS fp,
+         |        count(*)::BIGINT AS w FROM s GROUP BY 1, 2),
+         |ss AS (SELECT doc_id, sum(w*w)::BIGINT AS ss FROM tf GROUP BY 1),
+         |d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        sum(a.w*b.w)::BIGINT AS dot
+         |        FROM tf a JOIN tf b
+         |          ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT d.doc_a, d.doc_b, d.dot, sa.ss AS ss_a, sb.ss AS ss_b,
+         |       round(d.dot::DOUBLE /
+         |             sqrt(sa.ss::DOUBLE * sb.ss::DOUBLE), 4) AS cos
+         |  FROM d JOIN ss sa ON sa.doc_id = d.doc_a
+         |         JOIN ss sb ON sb.doc_id = d.doc_b
+         | WHERE d.dot::HUGEINT * d.dot * 100000000 >=
+         |       sa.ss::HUGEINT * sb.ss * $X134Tau2E8""".stripMargin,
+    // x136: the literal SEQUENTIAL next-fit fold, replayed as a
+    // recursive CTE advancing every shard in rank lockstep — the
+    // single-node packing a loader would compute one doc at a time
+    "x136_pack_docs" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT doc_id, len(string_split($NT,' '))::BIGINT AS n,
+         |        ${H60("'pack|' || doc_id::VARCHAR")} % 8 AS shard
+         |        FROM documents),
+         |r AS (SELECT doc_id, n, shard,
+         |        row_number() OVER (PARTITION BY shard
+         |                           ORDER BY n DESC, doc_id) AS rk FROM w),
+         |st AS (
+         |  SELECT shard, rk, doc_id, n, 0::BIGINT AS bin, 0::BIGINT AS off,
+         |         n AS used FROM r WHERE rk = 1
+         |  UNION ALL
+         |  SELECT r.shard, r.rk, r.doc_id, r.n,
+         |         CASE WHEN st.used + r.n <= 128 OR st.used = 0
+         |              THEN st.bin ELSE st.bin + 1 END,
+         |         CASE WHEN st.used + r.n <= 128 OR st.used = 0
+         |              THEN st.used ELSE 0 END,
+         |         CASE WHEN st.used + r.n <= 128 OR st.used = 0
+         |              THEN st.used + r.n ELSE r.n END
+         |    FROM st JOIN r ON r.shard = st.shard AND r.rk = st.rk + 1)
+         |SELECT doc_id, n AS n_tokens, shard, bin, off FROM st""".stripMargin,
     "x57_quality_buckets" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, $QQ AS quality_q

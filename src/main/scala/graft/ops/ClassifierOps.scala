@@ -124,4 +124,110 @@ object ClassifierOps {
       .groupBy(col("doc_id"))
       .agg(min(struct((-col("score")).as("ns"), col("label"))).as("k"))
       .select(col("doc_id"), col("k.label").as("pred_label"))
+
+  // ---- Linear (logistic-regression) gate distillation ---------------
+  //
+  // The second trainable-classifier family next to NB: a binary LINEAR
+  // gate trained by full-batch gradient descent — the shape of the
+  // fastText/linear quality filters in CCNet/GPT-3 curation, and the
+  // standard move of DISTILLING an expensive rule/model gate into a
+  // cheap per-doc linear score. The logistic sigmoid is replaced by the
+  // HARD sigmoid σ̂(z) = clamp(0, 1, 1/2 + z/4) (the piecewise-linear
+  // form quantized-ML training uses — Courbariaux, Bengio & David,
+  // "BinaryConnect", NeurIPS 2015 — slope 1/4 matching σ′(0)), because
+  // exp is non-portable IEEE while the hard form keeps the ENTIRE
+  // training loop on the exact integer grid: features, scores,
+  // residuals, gradients, and weight updates are all BIGINT micro-unit
+  // arithmetic both engines replay digit for digit (the x98 DoReMi
+  // discipline, applied to model training).
+  //
+  // 100 TB shape: each GD step is ONE map-side aggregate over the
+  // persisted narrow feature frame (d+1 DECIMAL(38,0) sums — no window,
+  // no join); only d+1 numbers reach the driver per step (the pcaPower
+  // contract); scoring is a stateless map with the weight vector folded
+  // into the plan as literals.
+
+  /** Per-doc integer gate features — pure integer rationals (no IEEE
+    * anywhere): x1 = distinct-word ratio, x2 = top-word dominance,
+    * x3 = mean word length / 10, each divide-half-up onto the 1e-6
+    * grid. All lie in (0, ~1e6], so the hard sigmoid's linear region
+    * covers the feature space at init. Output: (doc_id, x1_q, x2_q,
+    * x3_q). */
+  def logregFeatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val M = lit(1000000L)
+    words(docs, Seq(idCol), textCol)
+      .groupBy(col(idCol).as("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"), max(length(col("w"))).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("maxc"),
+        sum(col("c") * col("len")).as("sumlen"))
+      .select(col("doc_id"),
+        graft.functions.ExactMath.divHalfUp(col("n_distinct") * M,
+          col("n_tokens")).as("x1_q"),
+        graft.functions.ExactMath.divHalfUp(col("maxc") * M,
+          col("n_tokens")).as("x2_q"),
+        graft.functions.ExactMath.divHalfUp(col("sumlen") * M,
+          col("n_tokens") * lit(10L)).as("x3_q"))
+  }
+
+  /** z_q = divHalfUpSigned(w·x, 1e6) under weight vector `w` (micro
+    * units; w(0) is the bias, paired with the implicit x0 = 1e6). */
+  private def zCol(w: Seq[Long]): org.apache.spark.sql.Column =
+    graft.functions.ExactMath.divHalfUpSigned(
+      lit(w(0)) * lit(1000000L) + lit(w(1)) * col("x1_q") +
+        lit(w(2)) * col("x2_q") + lit(w(3)) * col("x3_q"),
+      lit(1000000L))
+
+  /** Hard sigmoid on the micro grid: clamp(0, 1e6, 5e5 + z_q/4). */
+  private def pCol(z: org.apache.spark.sql.Column) =
+    greatest(lit(0L), least(lit(1000000L),
+      lit(500000L) + graft.functions.ExactMath.divHalfUpSigned(z, lit(4L))))
+
+  /** Train the 4-weight gate by `steps` full-batch GD rounds (η = 1/2):
+    * w_j += dhuSigned(dhuSigned(Σᵢ x_ij·(yᵢ·1e6 − p̂ᵢ), n·1e6), 2),
+    * every quantity exact integer (sums ride DECIMAL(38,0) — safe past
+    * 10¹² docs; the driver folds them in BigInt). `feats` must carry
+    * (x1_q, x2_q, x3_q) and the 0/1 label column. Returns
+    * (w0 bias, w1, w2, w3) in micro units. */
+  def logregTrain(feats: DataFrame, yCol: String = "y",
+      steps: Int = 4): Seq[Long] = {
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def dhuS(num: BigInt, den: BigInt): BigInt =
+      if (num < 0) -((-num * 2 + den) / (den * 2))
+      else (num * 2 + den) / (den * 2)
+    var w: Seq[Long] = Seq(0L, 0L, 0L, 0L)
+    (1 to steps).foreach { _ =>
+      val r = col(yCol) * lit(1000000L) - pCol(zCol(w))
+      val row = f.agg(
+        count(lit(1)).as("n"),
+        sum((r * lit(1000000L)).cast("decimal(38,0)")).as("s0"),
+        sum((r * col("x1_q")).cast("decimal(38,0)")).as("s1"),
+        sum((r * col("x2_q")).cast("decimal(38,0)")).as("s2"),
+        sum((r * col("x3_q")).cast("decimal(38,0)")).as("s3")).head()
+      val n = BigInt(row.getLong(0)) * BigInt(1000000L)
+      w = w.zipWithIndex.map { case (wj, j) =>
+        val s = BigInt(row.getDecimal(j + 1).toBigInteger)
+        val v = BigInt(wj) + dhuS(dhuS(s, n), BigInt(2))
+        require(v.isValidLong, s"weight overflow: $v")
+        v.toLong
+      }
+    }
+    w
+  }
+
+  /** Score a feature frame under a trained weight vector: (doc_id, y,
+    * z_q, p_q, pred) — pred = p̂ ≥ 1/2 (boundary inclusive), all
+    * integers, fully hash-checkable. */
+  def logregScore(feats: DataFrame, w: Seq[Long],
+      yCol: String = "y"): DataFrame = {
+    val z = zCol(w)
+    feats.select(col("doc_id"), col(yCol).cast("long").as("y"),
+        z.as("z_q"))
+      .withColumn("p_q", pCol(col("z_q")))
+      .withColumn("pred",
+        when(col("p_q") >= 500000L, 1L).otherwise(0L))
+  }
 }

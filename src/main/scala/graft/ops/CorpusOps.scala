@@ -1965,4 +1965,166 @@ object CorpusOps {
         when(!col("low") && !col("uni") && !col("dup") && inMix, 1L)
           .otherwise(0L).as("kept"))
   }
+
+  /** Shared grain of the all-pairs similarity join: per-doc shingle
+    * term-frequency vectors (doc_id, fp, w) — feature = hash60 of the
+    * `k`-word shingle, weight = its in-doc occurrence count (pure
+    * integers end to end, so every similarity decision is exact). */
+  private def shingleTf(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame = docs
+    .select(col(idCol).as("doc_id"),
+      explode(TF.shingles(col(textCol), shingleK)).as("g"))
+    .select(col("doc_id"), TF.hash60(col("g"), "aps|").as("fp"))
+    .groupBy(col("doc_id"), col("fp"))
+    .agg(count(lit(1)).as("w"))
+
+  /** Candidate pairs of the prefix-filtered all-pairs join — exposed so
+    * audits/specs can measure the pruning ([[allPairsCosine]] is the
+    * verified result). A doc's features are ordered globally by
+    * (document frequency asc, fp asc) — rare features first — and a
+    * position is INDEXED only while the suffix norm² from it on is
+    * ≥ τ²·‖d‖² (exact integer comparison on the 1e-8 τ² grid). The
+    * candidate join is indexed(a) × indexed(b) — BOTH sides prefix
+    * only — and is still a PROVEN superset: let f* be the pair's FIRST
+    * shared feature in the global order; if f* missed either doc's
+    * prefix, every shared feature would sit in that doc's unindexed
+    * tail (prefixes are order-contiguous), and by Cauchy–Schwarz the
+    * cosine would be < τ (Bayardo, Ma & Srikant, WWW 2007, "Scaling Up
+    * All Pairs Similarity Search" — the prefix-filtering principle;
+    * rare-first ordering keeps the indexed prefixes low-df, so the
+    * candidate join explodes on rare keys, not stopword-like ones). */
+  def allPairsCandidates(docs: DataFrame,
+      tau: java.math.BigDecimal, idCol: String = "doc_id",
+      textCol: String = "text", shingleK: Int = 3): DataFrame = {
+    val tf = shingleTf(docs, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidatesFromTf(tf, tau2E8(tau))
+  }
+
+  private def tau2E8(tau: java.math.BigDecimal): Long =
+    tau.pow(2).movePointRight(8)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+
+  private def candidatesFromTf(tf: DataFrame, t2e8: Long): DataFrame = {
+    val dfreq = tf.groupBy(col("fp")).agg(count(lit(1)).as("dfreq"))
+    val ss = tf.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("ss"))
+    // cumulative w² in rare-first order; suffix-from-here = ss − cum + w²
+    val wOrd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dfreq"), col("fp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val indexed = tf.join(dfreq, Seq("fp")).join(ss, Seq("doc_id"))
+      .withColumn("cum", sum(col("w") * col("w")).over(wOrd))
+      .filter((col("ss") - col("cum") + col("w") * col("w"))
+        .cast("decimal(38,0)") * lit(100000000L) >=
+        col("ss").cast("decimal(38,0)") * lit(t2e8))
+      .select(col("doc_id"), col("fp"))
+    indexed.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(indexed.select(col("doc_id").as("doc_b"), col("fp")),
+        Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** WHOLE-DOCUMENT sequence packing — the alternative to
+    * [[packSequences]]'s concat-and-chunk (which splits documents at
+    * chunk boundaries): each document stays intact and is placed whole
+    * into fixed-capacity bins by next-fit-decreasing — the classic
+    * one-pass bin-packing heuristic (Johnson 1973; the document-packing
+    * framing is Krell et al., arXiv 2107.02027, who measure the padding
+    * cost of naive packing in LLM pretraining). Docs are sharded by
+    * content hash, sorted (n_tokens desc, doc_id asc) within the shard,
+    * and folded left to right: a doc joins the current bin if it fits,
+    * else opens the next; a doc longer than `seqLen` occupies a bin
+    * alone. Deterministic — a pure function of the corpus. Output:
+    * (doc_id, n_tokens, shard, bin, off).
+    *
+    * 100 TB shape: packing is sequential WITHIN a shard only — the fold
+    * runs as a codegen'd `aggregate` over the shard's collected doc
+    * list (id + length only, NOT text: 24 bytes/doc of task state), so
+    * `nShards` is the knob that bounds per-task state; shards pack in
+    * parallel with no cross-shard coordination, exactly how a loader
+    * consumes them. The [[packSequences]] prefix-sum form remains the
+    * choice when splitting docs is acceptable. */
+  def packDocs(docs: DataFrame, seqLen: Int = 128, nShards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val L = lit(seqLen.toLong)
+    val toks = docs.select(col(idCol).as("doc_id"),
+        size(TF.words(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        pmod(TF.hash60(col("doc_id").cast("string"), "pack|"),
+          lit(nShards.toLong)))
+    val accT = "array<struct<doc_id:bigint,n_tokens:bigint," +
+      "bin:bigint,off:bigint>>"
+    val init = struct(lit(0L).as("bin"), lit(0L).as("used"),
+      array().cast(accT).as("acc"))
+    val packed = toks
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct(
+        (-col("n_tokens")).as("nn"), col("doc_id"), col("n_tokens"))))
+        .as("ds"))
+      .select(col("shard"), aggregate(col("ds"), init, (st, e) => {
+        val fits = st("used") + e("n_tokens") <= L || st("used") === 0L
+        val bin = when(fits, st("bin")).otherwise(st("bin") + 1L)
+        val off = when(fits, st("used")).otherwise(lit(0L))
+        struct(bin.as("bin"), (off + e("n_tokens")).as("used"),
+          concat(st("acc"), array(struct(
+            e("doc_id").as("doc_id"), e("n_tokens").as("n_tokens"),
+            bin.as("bin"), off.as("off")))).as("acc"))
+      }).as("st"))
+      .select(col("shard"), explode(col("st.acc")).as("p"))
+    packed.select(col("p.doc_id").as("doc_id"),
+      col("p.n_tokens").as("n_tokens"), col("shard"),
+      col("p.bin").as("bin"), col("p.off").as("off"))
+  }
+
+  /** All-pairs cosine similarity join over shingle tf vectors (Bayardo
+    * et al. WWW 2007): every UNORDERED doc pair with
+    * cos(a, b) ≥ τ, found WITHOUT the quadratic all-pairs scan —
+    * prefix-filtered candidates ([[allPairsCandidates]], a proven
+    * superset) verified by the exact integer test
+    * dot²·10⁸ ≥ τ²₁ₑ₈·‖a‖²·‖b‖² (DECIMAL(38,0) products — no IEEE
+    * anywhere in the decision, so the pruned path is hash-identical to
+    * a brute-force engine replay at any τ, which is exactly how the
+    * oracle checks it). Output: (doc_a, doc_b, dot, ss_a, ss_b, cos —
+    * round-4 double, presentation only).
+    *
+    * 100 TB shape: the tf grain is one map-side explode + (doc, fp)
+    * groupBy; df/norms are feature-/doc-grain aggregates; the
+    * candidate join is keyed on LOW-df features by construction (the
+    * rare-first prefix), so no stopword-key explosion; verification
+    * touches candidate pairs only. The brute-force twin is the
+    * all-co-occurring-pairs join the prefix provably dominates. */
+  def allPairsCosine(docs: DataFrame, tau: java.math.BigDecimal,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3): DataFrame = {
+    val t2e8 = tau2E8(tau)
+    val tf = shingleTf(docs, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ss = tf.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("ss"))
+    val cand = candidatesFromTf(tf, t2e8)
+    val dot = cand
+      .join(tf.select(col("doc_id").as("doc_a"), col("fp"),
+        col("w").as("wa")), Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("fp"),
+        col("w").as("wb")), Seq("doc_b", "fp"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(ss.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")),
+        Seq("doc_a"))
+      .join(ss.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")),
+        Seq("doc_b"))
+      .filter(col("dot").cast("decimal(38,0)") *
+        col("dot").cast("decimal(38,0)") * lit(100000000L) >=
+        col("ss_a").cast("decimal(38,0)") *
+        col("ss_b").cast("decimal(38,0)") * lit(t2e8))
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("ss_a"),
+        col("ss_b"),
+        (round(col("dot").cast("double") /
+          sqrt(col("ss_a").cast("double") * col("ss_b").cast("double")),
+          4) + lit(0.0)).as("cos"))
+  }
 }

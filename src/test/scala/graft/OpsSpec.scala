@@ -2009,4 +2009,111 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((10L, 4L, -14877L)), out.toSeq)
   }
+
+  test("CorpusOps.allPairsCosine: prefix filter is lossless and actually prunes") {
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val tau = new java.math.BigDecimal("0.6")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val result = pairs(graft.ops.CorpusOps.allPairsCosine(dd, tau))
+    assert(result.nonEmpty, "fixture has no qualifying near-dup pairs")
+    val cand = pairs(graft.ops.CorpusOps.allPairsCandidates(dd, tau))
+    assert(result.subsetOf(cand),
+      s"candidates missed ${(result -- cand).take(3)} — pruning is UNSOUND")
+    // brute force: every co-occurring pair (the join the prefix avoids)
+    val sh = dd.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("g"))
+      .distinct()
+    val all = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val nAll = pairs(all).size
+    assert(cand.size < nAll / 4,
+      s"prefix filter barely pruned: ${cand.size} candidates vs $nAll co-occurring")
+    // (the DuckDB oracle IS the brute-force twin — x134 hash-checks it)
+    // threshold monotonicity: raising tau can only shrink the pair set
+    val strict = pairs(graft.ops.CorpusOps.allPairsCosine(
+      dd, new java.math.BigDecimal("0.9")))
+    assert(strict.subsetOf(result), "tau=0.9 result not ⊆ tau=0.6 result")
+  }
+
+  test("ClassifierOps.logregFeatures/logregTrain: hand-derived features and GD step") {
+    // "aa bb aa cc": n_tokens 4, n_distinct 3, maxc 2, sumlen 8
+    //   x1 = dhu(3e6, 4)  = 750000 (distinct ratio 0.75)
+    //   x2 = dhu(2e6, 4)  = 500000 (dominance 0.5)
+    //   x3 = dhu(8e6, 40) = 200000 (mean word len 2 / 10)
+    val one = Seq((1L, "aa bb aa cc")).toDF("doc_id", "text")
+    val f = graft.ops.ClassifierOps.logregFeatures(one).head()
+    assert((f.getLong(1), f.getLong(2), f.getLong(3)) ==
+      ((750000L, 500000L, 200000L)), f.toString)
+    // one GD step from w=0 on that single (y=1) example:
+    //   z=0 → p=500000 → r=500000; g_j = dhuS(r·x_j, 1e6);
+    //   Δw_j = dhuS(g_j, 2) → (250000, 187500, 125000, 50000)
+    val fy = graft.ops.ClassifierOps.logregFeatures(one)
+      .withColumn("y", org.apache.spark.sql.functions.lit(1L))
+    assert(graft.ops.ClassifierOps.logregTrain(fy, steps = 1) ==
+      Seq(250000L, 187500L, 125000L, 50000L))
+  }
+
+  test("ClassifierOps logreg: distilled gate separates a planted corpus and is partitioning-invariant") {
+    // y=1 docs: varied words (high distinct ratio); y=0: one word repeated
+    val rich = (1L to 12L).map(i => (i,
+      s"alpha bravo charlie delta echo$i foxtrot golf hotel india juliet"))
+    val dull = (21L to 32L).map(i => (i,
+      (Seq.fill(10)(s"spam$i")).mkString(" ")))
+    val df = (rich ++ dull).toDF("doc_id", "text")
+    val y = when(col("doc_id") <= 12L, 1L).otherwise(0L)
+    val feats = graft.ops.ClassifierOps.logregFeatures(df).withColumn("y", y)
+    val w = graft.ops.ClassifierOps.logregTrain(feats, steps = 4)
+    val scored = graft.ops.ClassifierOps.logregScore(feats, w)
+      .select(col("doc_id"), col("y"), col("pred")).collect()
+    val acc = scored.count(r => r.getLong(1) == r.getLong(2))
+    assert(acc == scored.length,
+      s"distilled gate misclassified ${scored.length - acc} of ${scored.length}")
+    // exact integer training ⇒ weights invariant to physical layout
+    val w2 = graft.ops.ClassifierOps.logregTrain(feats.repartition(7), steps = 4)
+    assert(w == w2, s"weights depend on partitioning: $w vs $w2")
+  }
+
+  test("CorpusOps.packDocs: NFD invariants — lossless, contiguous, capacity-safe, oversize isolated") {
+    val word = "tok "
+    val docs = ((1L to 20L).map(i => (i, (word * (10 + i.toInt)).trim)) :+
+      ((99L, (word * 200).trim))).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.packDocs(docs, seqLen = 64, nShards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // every doc packed exactly once
+    assert(out.map(_._1).sorted.toSeq == ((1L to 20L) :+ 99L).sorted)
+    val byBin = out.groupBy(t => (t._3, t._4))
+    byBin.foreach { case ((shard, bin), ds) =>
+      // offsets contiguous from 0 in pack order
+      val sorted = ds.sortBy(_._5)
+      assert(sorted.head._5 == 0L, s"bin ($shard,$bin) doesn't start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 == a._5 + a._2,
+          s"gap in bin ($shard,$bin): $a -> $b")
+        case _ =>
+      }
+      // capacity respected unless the bin is an oversize singleton
+      val total = ds.map(_._2).sum
+      assert(total <= 64 || ds.length == 1,
+        s"bin ($shard,$bin) overpacked: $total tokens in ${ds.length} docs")
+    }
+    // the 200-token doc sits alone in its bin
+    val big = out.find(_._1 == 99L).get
+    assert(byBin((big._3, big._4)).length == 1, "oversize doc shares a bin")
+    // bins are dense 0..max within each shard
+    out.groupBy(_._3).foreach { case (shard, ds) =>
+      val bins = ds.map(_._4).distinct.sorted.toSeq
+      assert(bins == (0L until bins.length.toLong).toList,
+        s"shard $shard bins not dense: $bins")
+    }
+    // NFD: within a shard, bin 0 holds that shard's largest doc
+    out.groupBy(_._3).foreach { case (shard, ds) =>
+      val maxN = ds.map(_._2).max
+      assert(ds.filter(_._4 == 0L).exists(_._2 == maxN),
+        s"shard $shard: largest doc not in bin 0")
+    }
+  }
 }
