@@ -344,10 +344,16 @@ object ExtensionQueries {
     * pattern, applied to similarity search). OpsSpec measures the
     * candidate-set shrinkage vs the co-occurring pair space and pins
     * candidates ⊇ result. τ = 0.6 (X134Tau — one constant, both
-    * engines). */
+    * engines); shingleK = 4 because the synthetic fixture's 31-word
+    * vocabulary SATURATES the 3-gram space at sf0.1 (avg feature df
+    * ≈ 10 — no feature is rare, so no prefix prunes; measured 569,750
+    * candidates at k=3 vs 268 at k=4 for the same 256 result pairs,
+    * 10.1 s → 1.5 s). Real web text never saturates 3-gram space;
+    * picking the shingle width so features stay sparse IS the
+    * documented tuning rule of the prefix-filter family. */
   private val x134_allpairs_sim: QFn = (s, d) =>
     graft.ops.CorpusOps.allPairsCosine(docsR(s, d),
-      new java.math.BigDecimal(X134Tau))
+      new java.math.BigDecimal(X134Tau), shingleK = 4)
   private val X134Tau = "0.6"
   private lazy val X134Tau2E8: Long =
     new java.math.BigDecimal(X134Tau).pow(2).movePointRight(8)
@@ -388,6 +394,31 @@ object ExtensionQueries {
       feats.filter(col("doc_id") % 5 =!= 0), steps = X135Steps)
     graft.ops.ClassifierOps.logregScore(
       feats.filter(col("doc_id") % 5 === 0), w)
+  }
+
+  /** Count-Min frequency estimates ([[graft.ops.SketchOps
+    * .cmSketch]]/[[graft.ops.SketchOps.cmEstimate]], Cormode &
+    * Muthukrishnan, J. Algorithms 2005) — the bounded-state POINT-QUERY
+    * tier next to x113's Misra–Gries heavy hitters: a depth×width grid
+    * of bucket sums answers "how often did this token occur" for ANY
+    * token in O(d·w) state, never undercounting, overcounting by at
+    * most the colliding mass. With fixed seeds the sketch is a pure
+    * function of the token multiset, so the estimates are
+    * HASH-CHECKED (the oracle replays the full hash grid), not merely
+    * bound-checked; the audit joins the exact counts so every word's
+    * overcount is a verified number. The bucket aggregate is algebraic
+    * ⇒ the same op keeps the sketch current over a stream in Complete
+    * mode (the x77 property). Output: (word, cnt, est, overcount). */
+  private val x137_cm_counts: QFn = (s, d) => {
+    val words = docsR(s, d)
+      .select(explode(TF.words(col("text"))).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val est = graft.ops.SketchOps.cmEstimate(
+      graft.ops.SketchOps.cmSketch(words, "word"), exact, "word")
+    exact.join(est, Seq("word"))
+      .select(col("word"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("overcount"))
   }
 
   /** Whole-document sequence packing ([[graft.ops.CorpusOps
@@ -3270,6 +3301,7 @@ object ExtensionQueries {
     "x134_allpairs_sim" -> x134_allpairs_sim,
     "x135_logreg_distill" -> x135_logreg_distill,
     "x136_pack_docs" -> x136_pack_docs,
+    "x137_cm_counts" -> x137_cm_counts,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -6168,8 +6200,8 @@ object ExtensionQueries {
     "x134_allpairs_sim" ->
       s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws FROM documents),
          |s AS (SELECT doc_id,
-         |        unnest([array_to_string(ws[i:i+2],' ')
-         |                for i in range(1, len(ws)-1)]) AS g FROM w),
+         |        unnest([array_to_string(ws[i:i+3],' ')
+         |                for i in range(1, len(ws)-2)]) AS g FROM w),
          |tf AS (SELECT doc_id, ${H60("'aps|' || g")} AS fp,
          |        count(*)::BIGINT AS w FROM s GROUP BY 1, 2),
          |ss AS (SELECT doc_id, sum(w*w)::BIGINT AS ss FROM tf GROUP BY 1),
@@ -6208,6 +6240,23 @@ object ExtensionQueries {
          |              THEN st.used + r.n ELSE r.n END
          |    FROM st JOIN r ON r.shard = st.shard AND r.rk = st.rk + 1)
          |SELECT doc_id, n AS n_tokens, shard, bin, off FROM st""".stripMargin,
+    // x137: the full depth×width hash grid replayed — bucket sums from
+    // exact counts, estimate = min over rows, overcount vs exact
+    "x137_cm_counts" ->
+      s"""WITH e AS (SELECT unnest(string_split($NT,' ')) AS w
+         |             FROM documents),
+         |c AS (SELECT w, count(*)::BIGINT AS cnt FROM e GROUP BY w),
+         |h AS (SELECT w, cnt, i,
+         |        ${H60("'cm' || i::VARCHAR || '|' || w")} % 64 AS bucket
+         |        FROM c, unnest([0, 1, 2, 3]) AS t(i)),
+         |sk AS (SELECT i, bucket, sum(cnt)::BIGINT AS bcnt
+         |         FROM h GROUP BY 1, 2),
+         |est AS (SELECT h.w, min(sk.bcnt)::BIGINT AS est
+         |          FROM h JOIN sk ON sk.i = h.i AND sk.bucket = h.bucket
+         |         GROUP BY h.w)
+         |SELECT c.w AS word, c.cnt, est.est,
+         |       (est.est - c.cnt)::BIGINT AS overcount
+         |  FROM c JOIN est ON est.w = c.w""".stripMargin,
     "x57_quality_buckets" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, $QQ AS quality_q

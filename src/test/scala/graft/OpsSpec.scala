@@ -2016,14 +2016,16 @@ class OpsSpec extends SparkTestBase {
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select(col("doc_a"), col("doc_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val result = pairs(graft.ops.CorpusOps.allPairsCosine(dd, tau))
+    val result = pairs(graft.ops.CorpusOps.allPairsCosine(dd, tau,
+      shingleK = 4))
     assert(result.nonEmpty, "fixture has no qualifying near-dup pairs")
-    val cand = pairs(graft.ops.CorpusOps.allPairsCandidates(dd, tau))
+    val cand = pairs(graft.ops.CorpusOps.allPairsCandidates(dd, tau,
+      shingleK = 4))
     assert(result.subsetOf(cand),
       s"candidates missed ${(result -- cand).take(3)} — pruning is UNSOUND")
     // brute force: every co-occurring pair (the join the prefix avoids)
     val sh = dd.select(col("doc_id"),
-      explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("g"))
+      explode(graft.functions.TextFunctions.shingles(col("text"), 4)).as("g"))
       .distinct()
     val all = sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -2034,7 +2036,7 @@ class OpsSpec extends SparkTestBase {
     // (the DuckDB oracle IS the brute-force twin — x134 hash-checks it)
     // threshold monotonicity: raising tau can only shrink the pair set
     val strict = pairs(graft.ops.CorpusOps.allPairsCosine(
-      dd, new java.math.BigDecimal("0.9")))
+      dd, new java.math.BigDecimal("0.9"), shingleK = 4))
     assert(strict.subsetOf(result), "tau=0.9 result not ⊆ tau=0.6 result")
   }
 
@@ -2074,6 +2076,22 @@ class OpsSpec extends SparkTestBase {
     // exact integer training ⇒ weights invariant to physical layout
     val w2 = graft.ops.ClassifierOps.logregTrain(feats.repartition(7), steps = 4)
     assert(w == w2, s"weights depend on partitioning: $w vs $w2")
+  }
+
+  test("ClassifierOps.logregFeatureCols: map-side HOF features equal the batch aggregation form") {
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val batch = graft.ops.ClassifierOps.logregFeatures(dd)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val hof = dd.select(Seq(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("ws")): _*)
+      .filter(size(col("ws")) > 0)
+      .select(Seq(col("doc_id")) ++
+        graft.ops.ClassifierOps.logregFeatureCols(col("ws")): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(hof == batch, s"HOF features diverged on ${
+      hof.count { case (k, v) => batch.get(k) != Some(v) }} docs")
   }
 
   test("CorpusOps.packDocs: NFD invariants — lossless, contiguous, capacity-safe, oversize isolated") {

@@ -116,4 +116,39 @@ class SketchSpec extends SparkTestBase {
       .collect().head.getLong(0)
     assert(per.forall(_ <= global * 1.05) && global <= per.sum)
   }
+
+  test("SketchOps.cmSketch/cmEstimate: never undercounts, bucketwise-mergeable, partition-invariant") {
+    import spark.implicits._
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.words(col("text")))
+        .as("word"))
+    val exact = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = graft.ops.SketchOps.cmSketch(words, "word")
+    val est = graft.ops.SketchOps.cmEstimate(sk,
+      words.select("word").distinct(), "word")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (w, c) =>
+      assert(est(w) >= c, s"CM UNDERCOUNTED '$w': est ${est(w)} < true $c")
+    }
+    // deterministic given the seeds: a different physical layout yields
+    // the identical sketch table (the merge/algebraic property)
+    def skRows(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.SketchOps.cmSketch(df, "word").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(skRows(words) == skRows(words.repartition(13)),
+      "sketch depends on partitioning")
+    // bucketwise merge: sketch(A) + sketch(B) == sketch(A ∪ B)
+    val a = words.limit(500); val b = words.exceptAll(a)
+    val merged = graft.ops.SketchOps.cmSketch(a, "word")
+      .unionByName(graft.ops.SketchOps.cmSketch(b, "word"))
+      .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == skRows(words), "bucketwise merge != whole-corpus sketch")
+    // a value never seen still answers (with colliding mass only)
+    val unseen = graft.ops.SketchOps.cmEstimate(sk,
+      Seq("zzz_never_in_corpus").toDF("word"), "word").head().getLong(1)
+    assert(unseen >= 0L)
+  }
 }

@@ -991,4 +991,36 @@ class StreamingSpec extends SparkTestBase {
             (expected.keySet -- got.keySet).size} docs")
     } finally q.stop()
   }
+
+  test("streaming linear gate: frozen trained weights, stateless scores equal the batch logregScore") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    implicit val sqlCtx = spark.sqlContext
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val y = graft.ops.CorpusOps.gopherRules(dd)
+      .select(col("doc_id"), col("keep").as("y"))
+    val feats = graft.ops.ClassifierOps.logregFeatures(dd)
+      .join(y, Seq("doc_id"))
+    val w = graft.ops.ClassifierOps.logregTrain(feats, steps = 4)
+    val batch = graft.ops.ClassifierOps.logregScore(feats, w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val rows = dd.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.logregScoreStream(
+        input.toDF().toDF("doc_id", "text"), w)
+      .writeStream.format("memory").queryName("logreg_stream_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("logreg_stream_test").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == batch, s"stream gate diverged from batch on ${
+        got.count { case (k, v) => batch.get(k) != Some(v) } +
+          (batch.keySet -- got.keySet).size} docs")
+    } finally q.stop()
+  }
 }
