@@ -396,6 +396,91 @@ object ExtensionQueries {
       feats.filter(col("doc_id") % 5 === 0), w)
   }
 
+  /** BM25 retrieval served ENTIRELY from the persisted scored-postings
+    * index ([[graft.ops.CorpusOps.writeScoredPostings/
+    * searchScoredPostings]]) — the serving-tier upgrade of x55/x132's
+    * boolean index and the index-backed twin of x42/x94's corpus-scan
+    * BM25: posting rows carry (tf, dl), df is each probed term's
+    * posting-list length, and the corpus scalars are SUMS of additive
+    * stats rows — so the whole ranked answer derives from the index
+    * alone, corpus untouched. Lifecycle-checked like x132: build on
+    * 2/3 of the corpus, [[graft.ops.CorpusOps.appendToScoredPostings]]
+    * the remaining third (new bucket files + ONE delta stats row —
+    * nothing rewritten), then search; the oracle replays BM25 over
+    * the WHOLE corpus, so hash-green = append ≡ rebuild INCLUDING the
+    * global statistics (df/avgdl/n_docs), the part a naive index
+    * append silently corrupts. */
+  private val x138_indexed_bm25: QFn = (s, d) =>
+    graft.ops.CorpusOps.searchScoredPostings(
+      Catalog(s, scoredIdxDir(s, d)), "spost",
+      Seq("spark", "join", "window"))
+
+  /** The shared scored-postings layout (build on 2/3 + append 1/3 —
+    * the lifecycle x138 verifies; x139 reads the same artifact). */
+  private def scoredIdxDir(s: SparkSession, d: String): String =
+    layoutDir(s, d, "documents", "scoredidx|v1") { cat =>
+      val dd = docsR(s, d)
+      graft.ops.CorpusOps.writeScoredPostings(cat, "spost",
+        dd.filter(col("doc_id") % 3 =!= 0))
+      graft.ops.CorpusOps.appendToScoredPostings(cat, "spost",
+        dd.filter(col("doc_id") % 3 === 0))
+    }
+
+  /** The persisted PQ serving index over the embeddings (train-once
+    * codebooks + codes — [[graft.ops.VectorOps.writePqIndex]]). */
+  private def pqServeIdxDir(s: SparkSession, d: String): String =
+    layoutDir(s, d, "embeddings", "pqserve|v1") { cat =>
+      graft.ops.VectorOps.writePqIndex(cat, "pqidx", embs(s, d))
+    }
+
+  /** Hybrid RRF retrieval served ENTIRELY from persisted indexes — the
+    * serving-tier capstone: x94 computes both ranking modalities from
+    * the raw corpus every time; here the LEXICAL ranks come from the
+    * scored postings index (x138's artifact, df/dl/avgdl all
+    * index-derived, corpus untouched — [[graft.ops.CorpusOps
+    * .searchScoredPostingsPerQuery]]) and the SEMANTIC ranks from the
+    * persisted PQ index (x115/x116's codes + frozen codebooks,
+    * stored vectors never touched at query time — [[graft.ops
+    * .VectorOps.searchPqIndex]]), fused with x94's exact-rational
+    * RRF (k=60, per-modality top-20, fused top-10). The oracle
+    * replays BOTH sides from first principles over the raw tables —
+    * BM25 from the whole corpus AND the full unrolled PQ
+    * train/encode/ADC chain — so a hash-green table proves the two
+    * stored artifacts serve exactly what fresh computation would
+    * (the x132/x138 rebuild-equivalence argument, composed across
+    * index families in one answer). */
+  private val x139_indexed_hybrid: QFn = (s, d) => {
+    val qterms = docs(s, d).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(TF.words(col("text"))).as("word"))
+      .distinct()
+    val tr = graft.ops.CorpusOps.searchScoredPostingsPerQuery(
+        Catalog(s, scoredIdxDir(s, d)), "spost", qterms, k = 20)
+      .select(col("q_id"), col("doc_id"), col("r_text"))
+    val vr = graft.ops.VectorOps.searchPqIndex(
+        Catalog(s, pqServeIdxDir(s, d)), "pqidx",
+        embs(s, d).filter(col("vec_id") < 3), k = 20)
+      .select(col("q_id"), col("n_id").as("doc_id"),
+        col("rnk").as("r_vec"))
+    val wf = Window.partitionBy("q_id")
+      .orderBy(col("rrf_q").desc, col("doc_id").asc)
+    val EMx = graft.functions.ExactMath
+    tr.join(vr, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_q",
+        when(col("r_text").isNotNull && col("r_vec").isNotNull,
+          EMx.divHalfUp(
+            lit(1000000L) * (lit(120L) + col("r_text") + col("r_vec")),
+            (lit(60L) + col("r_text")) * (lit(60L) + col("r_vec"))))
+          .when(col("r_text").isNotNull,
+            EMx.divHalfUp(lit(1000000L), lit(60L) + col("r_text")))
+          .otherwise(
+            EMx.divHalfUp(lit(1000000L), lit(60L) + col("r_vec"))))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("doc_id"), col("r_text"), col("r_vec"),
+        col("rrf_q"))
+  }
+
   /** Count-Min frequency estimates ([[graft.ops.SketchOps
     * .cmSketch]]/[[graft.ops.SketchOps.cmEstimate]], Cormode &
     * Muthukrishnan, J. Algorithms 2005) — the bounded-state POINT-QUERY
@@ -3302,6 +3387,8 @@ object ExtensionQueries {
     "x135_logreg_distill" -> x135_logreg_distill,
     "x136_pack_docs" -> x136_pack_docs,
     "x137_cm_counts" -> x137_cm_counts,
+    "x138_indexed_bm25" -> x138_indexed_bm25,
+    "x139_indexed_hybrid" -> x139_indexed_hybrid,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -6240,6 +6327,97 @@ object ExtensionQueries {
          |              THEN st.used + r.n ELSE r.n END
          |    FROM st JOIN r ON r.shard = st.shard AND r.rk = st.rk + 1)
          |SELECT doc_id, n AS n_tokens, shard, bin, off FROM st""".stripMargin,
+    // x138: BM25 over the probed terms replayed from the WHOLE corpus
+    // (df/dl/avgdl/n_docs from first principles) — hash-green proves
+    // the index-served ranking, including post-append statistics,
+    // equals a full corpus-scan BM25
+    "x138_indexed_bm25" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, w AS word, count(*)::BIGINT AS tf
+         |    FROM (SELECT doc_id, unnest(string_split($NT,' ')) AS w
+         |            FROM documents) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+         |c AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+         |        FROM dl),
+         |p AS (SELECT tf.doc_id, tf.word, tf.tf, dl.dl
+         |        FROM tf JOIN dl USING (doc_id)
+         |       WHERE tf.word IN ('spark', 'join', 'window')),
+         |df AS (SELECT word, count(*)::BIGINT AS dfreq FROM p GROUP BY word),
+         |t AS (SELECT p.doc_id,
+         |        CAST(round(ln(1.0 + (c.n_docs - df.dfreq + 0.5) /
+         |                        (df.dfreq + 0.5)) *
+         |              (p.tf * 2.2 /
+         |               (p.tf + 1.2 * (0.25 + 0.75 * p.dl /
+         |                (c.sum_dl::DOUBLE / c.n_docs::DOUBLE))))
+         |              * 1000000) AS BIGINT) AS t_q
+         |        FROM p JOIN df USING (word) CROSS JOIN c),
+         |s AS (SELECT doc_id, sum(t_q)::BIGINT AS score_q,
+         |        count(*)::BIGINT AS n_hit FROM t GROUP BY doc_id)
+         |SELECT doc_id, score_q, n_hit FROM s
+         | ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // x139: BOTH serving artifacts replayed from first principles —
+    // BM25 from the raw corpus (the x138 replay, per-query term sets)
+    // and the full unrolled PQ train/encode/ADC chain (the x116
+    // replay, top-20) — fused with x94's exact-rational RRF
+    "x139_indexed_hybrid" ->
+      s"""WITH $pqCtes,
+         |btf AS (
+         |  SELECT doc_id, w AS word, count(*)::BIGINT AS tf
+         |    FROM (SELECT doc_id, unnest(string_split($NT,' ')) AS w
+         |            FROM documents) GROUP BY 1, 2),
+         |bdl AS (SELECT doc_id, sum(tf)::BIGINT AS dl
+         |          FROM btf GROUP BY doc_id),
+         |bc AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+         |         FROM bdl),
+         |bq AS (SELECT doc_id AS q_id, word FROM btf WHERE doc_id < 3),
+         |bdf AS (SELECT word, count(*)::BIGINT AS dfreq FROM btf
+         |         WHERE word IN (SELECT word FROM bq) GROUP BY word),
+         |bterm AS (
+         |  SELECT btf.doc_id, btf.word,
+         |         CAST(round(ln(1.0 + (bc.n_docs - bdf.dfreq + 0.5) /
+         |                         (bdf.dfreq + 0.5)) *
+         |               (btf.tf * 2.2 /
+         |                (btf.tf + 1.2 * (0.25 + 0.75 * bdl.dl /
+         |                 (bc.sum_dl::DOUBLE / bc.n_docs::DOUBLE))))
+         |               * 1000000) AS BIGINT) AS t_q
+         |    FROM btf JOIN bdl USING (doc_id) JOIN bdf USING (word)
+         |         CROSS JOIN bc),
+         |bts AS (SELECT bq.q_id, bterm.doc_id, sum(t_q) AS score
+         |          FROM bq JOIN bterm USING (word)
+         |         WHERE bterm.doc_id <> bq.q_id GROUP BY 1, 2),
+         |tr AS (SELECT q_id, doc_id,
+         |              row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY score DESC, doc_id ASC)::BIGINT AS r_text
+         |         FROM bts QUALIFY r_text <= 20),
+         |hlut AS (
+         |  SELECT q.vec_id AS q_id, c.sub, c.c_id,
+         |         CAST(round((${PQL2("q.sv", "c.c_e")}) * 1048576) AS BIGINT)
+         |           AS pd2
+         |    FROM psv q JOIN pcent$X48Iters c ON q.sub = c.sub
+         |   WHERE q.vec_id < 3),
+         |hadc AS (
+         |  SELECT l.q_id, co.vec_id AS doc_id, sum(l.pd2)::BIGINT AS adc_qd2
+         |    FROM pcodes co JOIN hlut l ON l.sub = co.sub AND l.c_id = co.code
+         |   WHERE co.vec_id <> l.q_id GROUP BY 1, 2),
+         |vr AS (SELECT q_id, doc_id,
+         |              row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY adc_qd2 ASC, doc_id ASC)::BIGINT AS r_vec
+         |         FROM hadc QUALIFY r_vec <= 20),
+         |f AS (SELECT coalesce(tr.q_id, vr.q_id) AS q_id,
+         |             coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+         |             tr.r_text, vr.r_vec,
+         |             CASE
+         |               WHEN tr.r_text IS NOT NULL AND vr.r_vec IS NOT NULL
+         |               THEN CAST((2*(1000000 * (120 + tr.r_text + vr.r_vec)) + ((60 + tr.r_text) * (60 + vr.r_vec))) // (2*((60 + tr.r_text) * (60 + vr.r_vec))) AS BIGINT)
+         |               WHEN tr.r_text IS NOT NULL
+         |               THEN CAST((2*(1000000) + (60 + tr.r_text)) // (2*(60 + tr.r_text)) AS BIGINT)
+         |               ELSE CAST((2*(1000000) + (60 + vr.r_vec)) // (2*(60 + vr.r_vec)) AS BIGINT)
+         |             END AS rrf_q
+         |        FROM tr FULL JOIN vr
+         |          ON tr.q_id = vr.q_id AND tr.doc_id = vr.doc_id)
+         |SELECT q_id, doc_id, r_text, r_vec, rrf_q
+         |  FROM f QUALIFY row_number() OVER (PARTITION BY q_id
+         |         ORDER BY rrf_q DESC, doc_id ASC) <= 10""".stripMargin,
     // x137: the full depth×width hash grid replayed — bucket sums from
     // exact counts, estimate = min over rows, overcount vs exact
     "x137_cm_counts" ->

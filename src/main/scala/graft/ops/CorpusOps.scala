@@ -1309,6 +1309,148 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") === terms.length)
 
+  /** Build a persisted SCORED postings index — the ranked-retrieval
+    * upgrade of [[writePostings]] (which answers only boolean
+    * conjunctions): postings carry the BM25-sufficient statistics
+    * (word, doc_id, tf, dl) in the same word-bucketed layout, plus a
+    * `{name}_stats` sidecar of ADDITIVE (n_docs, sum_dl) rows — the
+    * Lucene-shaped index contract: df for a probed term falls out of
+    * its own posting list, dl rides the posting row (denormalized so
+    * a probe never joins a norms table), and the corpus scalars are a
+    * monoid (searchers SUM the stats rows), so [[
+    * appendToScoredPostings]] is PURELY additive — new bucket files +
+    * one delta stats row, nothing rewritten, and
+    * search-after-append ≡ rebuild by associativity (x138
+    * hash-checks it against the union-corpus oracle). */
+  def writeScoredPostings(cat: graft.catalog.Catalog, name: String,
+      docs: DataFrame, buckets: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val rows = scoredPostingRows(docs, idCol, textCol)
+    cat.writeBucketed(name, rows,
+      buckets = buckets, bucketCols = Seq("word"), sortCols = Seq("word"))
+    cat.createNew(s"${name}_stats", org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_dl",
+          org.apache.spark.sql.types.LongType))))
+    cat.append(s"${name}_stats", statsDelta(docs, idCol, textCol))
+  }
+
+  /** Additive append to a scored postings index: the batch's posting
+    * rows land as new per-bucket files ([[graft.catalog.Catalog
+    * .appendBucketed]] — frozen layout) and its corpus-stat
+    * contribution as ONE more delta row in the stats sidecar. No
+    * existing byte is rewritten; BM25 after the append is exactly the
+    * rebuild's (df from the union posting lists, scalars from the
+    * summed deltas). */
+  def appendToScoredPostings(cat: graft.catalog.Catalog, name: String,
+      batch: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    cat.appendBucketed(name, scoredPostingRows(batch, idCol, textCol))
+    cat.append(s"${name}_stats", statsDelta(batch, idCol, textCol))
+  }
+
+  private def scoredPostingRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TF.words(col(textCol))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"))
+
+  private def statsDelta(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(size(TF.words(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** BM25-ranked retrieval served ENTIRELY from a persisted scored
+    * postings index ([[writeScoredPostings]]) — the corpus is never
+    * touched at query time: the probed terms' posting lists (IN-list
+    * pushed into the bucket-pruned scan) carry tf and dl; df per term
+    * = its posting-list length (one probed-words-sized aggregate
+    * joined back); n_docs/avgdl = the summed stats rows (1-row
+    * broadcast). Per-term Okapi BM25 weight with x42's constants
+    * (k1=1.2, b=0.75), quantized once to BIGINT micro-units and
+    * summed exactly per doc (the x94 discipline — rankings are
+    * engine-identical); disjunctive semantics (standard ranked
+    * retrieval; `n_hit` is emitted for conjunctive post-filtering).
+    * Output: global top-`k` (score_q desc, doc_id asc) —
+    * TakeOrderedAndProject, map tasks forward ≤ k rows. */
+  def searchScoredPostings(cat: graft.catalog.Catalog, name: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    val post = cat.bucketedTable(name)
+      .filter(col("word").isin(terms: _*))
+    val dfreq = post.groupBy(col("word"))
+      .agg(count(lit(1)).as("dfreq"))
+    val stats = cat.table(s"${name}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5)))
+    val norm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    post
+      .join(broadcast(dfreq), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        graft.functions.ExactMath.microQ(idf * norm).as("t_q"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("t_q")).as("score_q"), count(lit(1)).as("n_hit"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Multi-query BM25 over a scored postings index — the per-query
+    * form of [[searchScoredPostings]] a retrieval stack runs: `qterms`
+    * is the (q_id, word) probe set (each query's distinct terms); the
+    * union of probe words becomes an IN-list pushed into the
+    * bucket-pruned index scan (collected driver-side — the probe
+    * vocabulary is query-set-sized by construction, the bounded side
+    * of the problem), per-term BM25 weights are computed once per
+    * (doc, word) from the index statistics exactly as the single-query
+    * form, and the query-set broadcast fans them out to (q_id, doc)
+    * scores. Per-query top-`k` by (score desc, doc_id asc) plans
+    * WindowGroupLimit — map tasks forward ≤ k rows per query. Output:
+    * (q_id, doc_id, score_q, r_text). Self-matches (q_id = doc_id)
+    * are excluded — the retrieval convention of the x94 family. */
+  def searchScoredPostingsPerQuery(cat: graft.catalog.Catalog,
+      name: String, qterms: DataFrame, k: Int = 20): DataFrame = {
+    val terms = qterms.select(col("word")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val post = cat.bucketedTable(name)
+      .filter(col("word").isin(terms: _*))
+    val dfreq = post.groupBy(col("word"))
+      .agg(count(lit(1)).as("dfreq"))
+    val stats = cat.table(s"${name}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5)))
+    val norm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val term = post
+      .join(broadcast(dfreq), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("word"),
+        graft.functions.ExactMath.microQ(idf * norm).as("t_q"))
+    val wt = Window.partitionBy("q_id")
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+    broadcast(qterms).join(term, Seq("word"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("t_q")).as("score_q"))
+      .withColumn("r_text", row_number().over(wt).cast("long"))
+      .filter(col("r_text") <= k)
+      .select(col("q_id"), col("doc_id"), col("score_q"), col("r_text"))
+  }
+
   /** Contamination FRACTION report — [[decontaminate]] upgraded from
     * "shares ≥1 shingle" to the GPT-3 appendix-C dirtiness metric: per
     * contaminated training doc, what fraction of its distinct k-word

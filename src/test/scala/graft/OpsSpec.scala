@@ -2078,6 +2078,39 @@ class OpsSpec extends SparkTestBase {
     assert(w == w2, s"weights depend on partitioning: $w vs $w2")
   }
 
+  test("CorpusOps scored postings: append == rebuild (scores AND statistics), fresh-session search") {
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val terms = Seq("spark", "join", "window")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_spost_a").toString
+    graft.ops.CorpusOps.writeScoredPostings(
+      graft.catalog.Catalog(spark, dirA), "spost",
+      dd.filter(col("doc_id") % 3 =!= 0))
+    graft.ops.CorpusOps.appendToScoredPostings(
+      graft.catalog.Catalog(spark, dirA), "spost",
+      dd.filter(col("doc_id") % 3 === 0))
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_spost_b").toString
+    graft.ops.CorpusOps.writeScoredPostings(
+      graft.catalog.Catalog(spark, dirB), "spost", dd)
+    // a FRESH catalog = a later session reading the same directory
+    val viaAppend = rows(graft.ops.CorpusOps.searchScoredPostings(
+      graft.catalog.Catalog(spark, dirA), "spost", terms, k = 25))
+    val rebuilt = rows(graft.ops.CorpusOps.searchScoredPostings(
+      graft.catalog.Catalog(spark, dirB), "spost", terms, k = 25))
+    assert(viaAppend == rebuilt,
+      "append-grown index ranking diverged from the full rebuild")
+    assert(viaAppend.nonEmpty && viaAppend.forall(_._3 >= 1L))
+    // the stats sidecar is additive: two delta rows sum to the rebuild's
+    val sA = graft.catalog.Catalog(spark, dirA).table("spost_stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    val sB = graft.catalog.Catalog(spark, dirB).table("spost_stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    assert(sA == sB, s"summed stats deltas diverged: $sA vs $sB")
+  }
+
   test("ClassifierOps.logregFeatureCols: map-side HOF features equal the batch aggregation form") {
     val dd = spark.read.parquet(s"$sf/documents.parquet")
     val batch = graft.ops.ClassifierOps.logregFeatures(dd)
