@@ -481,6 +481,67 @@ object ExtensionQueries {
         col("rrf_q"))
   }
 
+  /** Contrastive-pair mining — the training-data construction for
+    * retrieval/embedding models (the SimCSE/DPR data shape: anchor,
+    * positives, HARD negatives): for each anchor doc (every 17th id —
+    * a deterministic sample spine), positives are its verified
+    * near-dups (x07's banded-LSH pair set, ranked jaccard desc) and
+    * hard negatives are the top-3 embedding-cosine neighbors among
+    * docs with a DIFFERENT language label that are NOT positives —
+    * the "close in vector space, provably not a match" examples that
+    * make contrastive training work (Karpukhin et al. EMNLP 2020 §3.2
+    * mine hard negatives exactly this way, from BM25/ANN neighbors).
+    * Output: (anchor_id, cand_id, kind ∈ pos|neg, rnk).
+    *
+    * 100 TB shape: positives ride the banded LSH (never all-pairs);
+    * the negative side is anchors × corpus exact cosine here (the
+    * x12 allowlisted exact tier — anchors are the bounded sample), and
+    * swaps to the IVF/PQ probe (x18/x116) when anchors stop being
+    * broadcastable; the label filter prunes before any cosine is
+    * computed. */
+  private val x140_contrastive_pairs: QFn = (s, d) => {
+    val dd = docs(s, d)
+    val e = embs(s, d)
+    val anchors = dd.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("anchor_id"))
+    val pr = graft.ops.TextDedup.minhashLshPairs(dd)
+    val posU = pr.select(col("a_id").as("anchor_id"),
+        col("b_id").as("cand_id"), col("jac"))
+      .unionByName(pr.select(col("b_id").as("anchor_id"),
+        col("a_id").as("cand_id"), col("jac")))
+      .join(broadcast(anchors), Seq("anchor_id"))
+    val wp = Window.partitionBy("anchor_id")
+      .orderBy(col("jac").desc, col("cand_id").asc)
+    val pos = posU
+      .withColumn("rnk", row_number().over(wp).cast("long"))
+      .select(col("anchor_id"), col("cand_id"), lit("pos").as("kind"),
+        col("rnk"))
+    val lang = dd.select(col("doc_id"), col("lang"))
+    val qv = e.join(broadcast(anchors.withColumnRenamed("anchor_id",
+        "vec_id")), Seq("vec_id"))
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("q_e"))
+      .join(lang.select(col("doc_id").as("anchor_id"),
+        col("lang").as("a_lang")), Seq("anchor_id"))
+    val cands = e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("n_e"))
+      .join(lang.select(col("doc_id").as("cand_id"),
+        col("lang").as("c_lang")), Seq("cand_id"))
+    val wn = Window.partitionBy("anchor_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val neg = broadcast(qv).crossJoin(cands)
+      .filter(col("a_lang") =!= col("c_lang"))
+      .select(col("anchor_id"), col("cand_id"),
+        graft.functions.ExactMath.microQ(
+          VF.cosineFast(col("q_e"), col("n_e"))).as("cos"))
+      .join(pos.select(col("anchor_id"), col("cand_id")),
+        Seq("anchor_id", "cand_id"), "left_anti")
+      .withColumn("rnk", row_number().over(wn).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("anchor_id"), col("cand_id"), lit("neg").as("kind"),
+        col("rnk"))
+    pos.unionByName(neg)
+  }
+
   /** Count-Min frequency estimates ([[graft.ops.SketchOps
     * .cmSketch]]/[[graft.ops.SketchOps.cmEstimate]], Cormode &
     * Muthukrishnan, J. Algorithms 2005) — the bounded-state POINT-QUERY
@@ -3389,6 +3450,7 @@ object ExtensionQueries {
     "x137_cm_counts" -> x137_cm_counts,
     "x138_indexed_bm25" -> x138_indexed_bm25,
     "x139_indexed_hybrid" -> x139_indexed_hybrid,
+    "x140_contrastive_pairs" -> x140_contrastive_pairs,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -6355,6 +6417,39 @@ object ExtensionQueries {
          |        count(*)::BIGINT AS n_hit FROM t GROUP BY doc_id)
          |SELECT doc_id, score_q, n_hit FROM s
          | ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // x140: positives = the x07 oracle nested whole (both pair
+    // orientations, anchor-filtered); negatives = exact-cosine top-3
+    // among different-label docs, anti-joined against the positives
+    "x140_contrastive_pairs" ->
+      s"""WITH pr AS (
+         |${lshPairsSql(0.8)}
+         |),
+         |an AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0),
+         |posu AS (SELECT a_id AS anchor_id, b_id AS cand_id, jac FROM pr
+         |         UNION ALL
+         |         SELECT b_id AS anchor_id, a_id AS cand_id, jac FROM pr),
+         |pos AS (SELECT anchor_id, cand_id, 'pos' AS kind,
+         |          row_number() OVER (PARTITION BY anchor_id
+         |              ORDER BY jac DESC, cand_id ASC)::BIGINT AS rnk
+         |          FROM posu JOIN an ON an.doc_id = posu.anchor_id),
+         |lv AS (SELECT doc_id, lang FROM documents),
+         |cosj AS (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+         |         CAST(round((${COS("a.embedding", "b.embedding")})
+         |              * 1000000) AS BIGINT) AS cos
+         |    FROM embeddings a
+         |    JOIN an ON an.doc_id = a.vec_id
+         |    JOIN lv la ON la.doc_id = a.vec_id
+         |    JOIN embeddings b ON b.vec_id <> a.vec_id
+         |    JOIN lv lb ON lb.doc_id = b.vec_id AND lb.lang <> la.lang),
+         |negc AS (SELECT c.* FROM cosj c
+         |          ANTI JOIN pos p ON p.anchor_id = c.anchor_id
+         |                         AND p.cand_id = c.cand_id),
+         |neg AS (SELECT anchor_id, cand_id, 'neg' AS kind,
+         |          row_number() OVER (PARTITION BY anchor_id
+         |              ORDER BY cos DESC, cand_id ASC)::BIGINT AS rnk
+         |          FROM negc QUALIFY rnk <= 3)
+         |SELECT * FROM pos UNION ALL SELECT * FROM neg""".stripMargin,
     // x139: BOTH serving artifacts replayed from first principles —
     // BM25 from the raw corpus (the x138 replay, per-query term sets)
     // and the full unrolled PQ train/encode/ADC chain (the x116

@@ -417,7 +417,32 @@ object ScaleCheck {
         // FIXED oracle-pinned k=16 (x22's quadratic fixture class:
         // expect super-linear here; k ~ sqrt(n) is the scale rule) +
         // four keyed window passes over the one candidate frame
-        "x100_margin_mine")) {
+        "x100_margin_mine",
+        // x134: prefix-filtered all-pairs — replicas duplicate every
+        // shingle vector D×, so each qualifying pair becomes a
+        // D-clique (D² per original pair, the x119 banding argument);
+        // the PREFIX volume itself grows linearly — sub-D² growth
+        // means the filter, not the verify, stays the bottleneck
+        "x134_allpairs_sim",
+        // x136: whole-doc NFD packing — collect+fold per shard; the
+        // shard count is fixed (8) so per-task state grows D× here;
+        // in production nShards scales with the corpus (the
+        // epochShuffle rule) — the measurement shows the fold's
+        // in-task cost is linear, the safe regime for that scaling
+        "x136_pack_docs",
+        // x137: CM sketch — the (row, bucket) key space is FIXED
+        // (d·w) whatever the corpus: growth must track the map-side
+        // scan alone (the whole point of the sketch tier)
+        "x137_cm_counts",
+        // x138/x139: index-SERVED retrieval — the build (bucketed
+        // write + stats) grows D×, but the probe reads a term-pruned
+        // slice; the measured growth is dominated by the in-query
+        // index BUILD (layoutDir builds once per dataset dir — the
+        // replicated corpus is a fresh dir, so the build is paid
+        // here), i.e. this row times build+probe, production pays
+        // probe only
+        "x138_indexed_bm25",
+        "x139_indexed_hybrid")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)

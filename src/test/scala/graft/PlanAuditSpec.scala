@@ -466,6 +466,18 @@ class PlanAuditSpec extends SparkTestBase {
       "x126_matryoshka_recall", // two deliberate 10-query × corpus
                                 // exact rankings (x28's audit class);
                                 // the hits join is equi
+      "x140_contrastive_pairs", // the deliberate bounded-anchor-sample
+                                // broadcast × corpus exact-cosine scan
+                                // (x12's allowlisted class; the IVF/PQ
+                                // probe is the documented scale swap);
+                                // positives ride x07's equi band joins
+      "x138_indexed_bm25",      // 1-row summed index-stats scalar
+                                // broadcast (x85's class); the posting
+                                // probe and df joins are equi on word
+      "x139_indexed_hybrid",    // inherits x138's 1-row stats scalar;
+                                // posting/LUT/code/fusion joins are all
+                                // equi ((word), (sub, code),
+                                // (q_id, doc_id))
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
