@@ -434,13 +434,14 @@ object ScaleCheck {
         // (d·w) whatever the corpus: growth must track the map-side
         // scan alone (the whole point of the sketch tier)
         "x137_cm_counts",
-        // x138/x139: index-SERVED retrieval — the build (bucketed
-        // write + stats) grows D×, but the probe reads a term-pruned
-        // slice; the measured growth is dominated by the in-query
-        // index BUILD (layoutDir builds once per dataset dir — the
-        // replicated corpus is a fresh dir, so the build is paid
-        // here), i.e. this row times build+probe, production pays
-        // probe only
+        // x138/x139: index-SERVED retrieval — the ratio here is
+        // build-vs-probe ASYMMETRIC, not a scale signal: the base dir
+        // reads its already-built persisted layout (probe-only, the
+        // production steady state) while the replicated dir is fresh
+        // and pays the full index BUILD + probe; the row therefore
+        // MEASURES the build's one-time cost next to the probe's
+        // steady-state cost (r14: probe 0.3/1.4 s, build+probe
+        // 4.1/5.7 s at 2×sf0.1) — the amortization argument itself
         "x138_indexed_bm25",
         "x139_indexed_hybrid")) {
       time(n, src) // warm

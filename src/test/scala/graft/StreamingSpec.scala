@@ -520,6 +520,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cmSketch is streaming-maintainable as-is: incremental sketch equals the batch sketch") {
+    // the bucket aggregate is ALGEBRAIC (bucketwise counts), so the
+    // SAME op runs unchanged over a stream in Complete mode — d·w rows
+    // of state; an ingest pipeline keeps point-frequency estimates
+    // current for free (the x77 manifest property, at the sketch tier).
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.words(col("text")))
+        .as("word"))
+    val expected = graft.ops.SketchOps.cmSketch(words, "word")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val rows = words.collect().map(r => Tuple1(r.getString(0)))
+    val input = MemoryStream[Tuple1[String]]
+    val q = graft.ops.SketchOps
+      .cmSketch(input.toDF().toDF("word"), "word")
+      .writeStream.format("memory").queryName("cm_stream_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("cm_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got == expected,
+        s"incremental CM sketch diverged on ${
+          got.count { case (k, v) => expected.get(k) != Some(v) } +
+            (expected.keySet -- got.keySet).size} buckets")
+    } finally q.stop()
+  }
+
   test("gopherRules is streaming-applicable as-is: ingest-time rule gating equals the batch table") {
     // the rule tier is STATELESS (per-row array arithmetic, no agg, no
     // window), so the same op runs unchanged over a stream in Append
