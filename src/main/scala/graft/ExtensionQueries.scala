@@ -481,6 +481,40 @@ object ExtensionQueries {
         col("rrf_q"))
   }
 
+  /** Two-stage ANN: PQ candidates + EXACT re-rank (the FAISS
+    * IndexRefineFlat serving pattern, Jégou et al. TPAMI 2011 §VI):
+    * the persisted PQ index proposes top-50 candidates per query at
+    * code cost (stored vectors untouched — x116's ADC), then ONLY
+    * those ≤50 rows join the true embeddings for an exact-cosine
+    * re-rank to top-10 — approximate recall, exact precision, the
+    * standard answer to x121's honest resolution audit (4×8 codes on
+    * 64-dim data rank coarsely; the refine stage fixes ordering
+    * without paying a corpus scan). Output: (q_id, n_id, cos, rnk).
+    *
+    * 100 TB shape: stage 1 is the index probe (LUT broadcast, exact
+    * integer sums); stage 2 touches candidates×1 vectors — a
+    * queries·50-row equi join against the vector store, never the
+    * corpus. */
+  private val x141_pq_rerank: QFn = (s, d) => {
+    val e = embs(s, d)
+    val cand = graft.ops.VectorOps.searchPqIndex(
+        Catalog(s, pqServeIdxDir(s, d)), "pqidx",
+        e.filter(col("vec_id") < 3), k = 50)
+      .select(col("q_id"), col("n_id"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("n_id").asc)
+    cand
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_e")),
+        Seq("q_id"))
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_e")),
+        Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.ExactMath.microQ(
+          VF.cosineFast(col("q_e"), col("n_e"))).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+  }
+
   /** Contrastive-pair mining — the training-data construction for
     * retrieval/embedding models (the SimCSE/DPR data shape: anchor,
     * positives, HARD negatives): for each anchor doc (every 17th id —
@@ -3451,6 +3485,7 @@ object ExtensionQueries {
     "x138_indexed_bm25" -> x138_indexed_bm25,
     "x139_indexed_hybrid" -> x139_indexed_hybrid,
     "x140_contrastive_pairs" -> x140_contrastive_pairs,
+    "x141_pq_rerank" -> x141_pq_rerank,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -6417,6 +6452,35 @@ object ExtensionQueries {
          |        count(*)::BIGINT AS n_hit FROM t GROUP BY doc_id)
          |SELECT doc_id, score_q, n_hit FROM s
          | ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // x141: the full PQ chain proposes top-50 (x116's ADC replay),
+    // exact cosine re-ranks ONLY those candidates to top-10
+    "x141_pq_rerank" ->
+      s"""WITH $pqCtes,
+         |rlut AS (
+         |  SELECT q.vec_id AS q_id, c.sub, c.c_id,
+         |         CAST(round((${PQL2("q.sv", "c.c_e")}) * 1048576) AS BIGINT)
+         |           AS pd2
+         |    FROM psv q JOIN pcent$X48Iters c ON q.sub = c.sub
+         |   WHERE q.vec_id < 3),
+         |radc AS (
+         |  SELECT l.q_id, co.vec_id AS n_id, sum(l.pd2)::BIGINT AS adc_qd2
+         |    FROM pcodes co JOIN rlut l ON l.sub = co.sub AND l.c_id = co.code
+         |   WHERE co.vec_id <> l.q_id GROUP BY 1, 2),
+         |rcand AS (SELECT q_id, n_id FROM radc
+         |           QUALIFY row_number() OVER (PARTITION BY q_id
+         |               ORDER BY adc_qd2 ASC, n_id ASC) <= 50),
+         |rex AS (
+         |  SELECT rc.q_id, rc.n_id,
+         |         CAST(round((${COS("a.embedding", "b.embedding")})
+         |              * 1000000) AS BIGINT) AS cos
+         |    FROM rcand rc
+         |    JOIN embeddings a ON a.vec_id = rc.q_id
+         |    JOIN embeddings b ON b.vec_id = rc.n_id)
+         |SELECT q_id, n_id, cos,
+         |       row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, n_id ASC)::BIGINT AS rnk
+         |  FROM rex
+         | QUALIFY rnk <= 10""".stripMargin,
     // x140: positives = the x07 oracle nested whole (both pair
     // orientations, anchor-filtered); negatives = exact-cosine top-3
     // among different-label docs, anti-joined against the positives
