@@ -457,6 +457,37 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingest into the SCORED postings index — the serving
+    * index stays current as documents arrive: the first micro-batch
+    * builds the index ([[graft.ops.CorpusOps.writeScoredPostings]]),
+    * every later batch folds in via the purely-additive append
+    * ([[graft.ops.CorpusOps.appendToScoredPostings]] — new bucket
+    * files + one delta stats row, nothing rewritten). Because the
+    * append is exact-associative (df from union posting lists,
+    * scalars from summed deltas), a search after ANY number of
+    * micro-batches ranks exactly as a one-shot build over everything
+    * ingested so far — StreamingSpec pins it against the batch-built
+    * index. Exactly-once note: foreachBatch can REPLAY a batch on
+    * failure; production pairs this with [[graft.catalog.Catalog
+    * .compactBucketed]] maintenance and a batch-id high-water mark in
+    * the stats sidecar (the ingestDedupToLog txn-marker recipe). */
+  def scoredPostingsIngestStream(incoming: DataFrame, indexDir: String,
+      indexName: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cat = graft.catalog.Catalog(batch.sparkSession, indexDir)
+        if (!cat.bucketedExists(indexName))
+          graft.ops.CorpusOps.writeScoredPostings(cat, indexName, batch,
+            idCol = idCol, textCol = textCol)
+        else
+          graft.ops.CorpusOps.appendToScoredPostings(cat, indexName,
+            batch, idCol, textCol)
+      }
+      .start()
+
   val GapNs: Long = 30L * 60 * 1000000000L
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the

@@ -452,6 +452,45 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("scored-postings ingest stream: search after N micro-batches equals the one-shot batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val rows = dd.collect().map(r => (r.getLong(0), r.getString(1)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-spingest").toString
+    val terms = Seq("spark", "join", "window")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.scoredPostingsIngestStream(
+      input.toDF().toDF("doc_id", "text"), s"$dir/idx", "spost",
+      s"$dir/ckpt")
+    try {
+      val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+      thirds.foreach { b =>
+        input.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val streamed = res(graft.ops.CorpusOps.searchScoredPostings(
+        graft.catalog.Catalog(spark, s"$dir/idx"), "spost", terms, k = 25))
+      val oneDir = java.nio.file.Files
+        .createTempDirectory("graft-sponce").toString
+      graft.ops.CorpusOps.writeScoredPostings(
+        graft.catalog.Catalog(spark, oneDir), "spost", dd)
+      val oneShot = res(graft.ops.CorpusOps.searchScoredPostings(
+        graft.catalog.Catalog(spark, oneDir), "spost", terms, k = 25))
+      assert(streamed == oneShot,
+        "ingested-index ranking diverged from the one-shot build")
+      // stats sidecar carries one delta row per ingest batch
+      assert(graft.catalog.Catalog(spark, s"$dir/idx")
+        .table("spost_stats").count() == thirds.length)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(oneDir))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("stream-static LM scoring matches batch lmScore digit-for-digit on a shared corpus") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
