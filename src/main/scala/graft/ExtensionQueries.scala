@@ -481,6 +481,24 @@ object ExtensionQueries {
         col("rrf_q"))
   }
 
+  /** Exact PHRASE search from a persisted POSITIONAL postings index
+    * ([[graft.ops.CorpusOps.writePositionalPostings/searchPhrase]]) —
+    * the third index tier (x55 boolean, x138 ranked, this positional
+    * — Lucene's postings/positions split): each phrase term's
+    * bucket-pruned posting list is anchored at pos − i and the k-way
+    * (doc_id, anchor) equi join IS the positional intersection. The
+    * oracle counts consecutive-word occurrences by scanning the RAW
+    * text windows — hash-green proves index-served phrase search ≡
+    * a full-corpus scan, the x138 rebuild-equivalence argument at the
+    * positions tier. Phrase: "table hash" (present at every SF). */
+  private val x142_phrase_search: QFn = (s, d) => {
+    val idxDir = layoutDir(s, d, "documents", "posidx|v1") { cat =>
+      graft.ops.CorpusOps.writePositionalPostings(cat, "ppost", docsR(s, d))
+    }
+    graft.ops.CorpusOps.searchPhrase(Catalog(s, idxDir), "ppost",
+      Seq("table", "hash"))
+  }
+
   /** Two-stage ANN: PQ candidates + EXACT re-rank (the FAISS
     * IndexRefineFlat serving pattern, Jégou et al. TPAMI 2011 §VI):
     * the persisted PQ index proposes top-50 candidates per query at
@@ -3486,6 +3504,7 @@ object ExtensionQueries {
     "x139_indexed_hybrid" -> x139_indexed_hybrid,
     "x140_contrastive_pairs" -> x140_contrastive_pairs,
     "x141_pq_rerank" -> x141_pq_rerank,
+    "x142_phrase_search" -> x142_phrase_search,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -6452,6 +6471,16 @@ object ExtensionQueries {
          |        count(*)::BIGINT AS n_hit FROM t GROUP BY doc_id)
          |SELECT doc_id, score_q, n_hit FROM s
          | ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // x142: consecutive-word occurrences counted straight off the raw
+    // text windows — the index never enters the oracle, so hash-green
+    // proves index-served phrase search ≡ a full corpus scan
+    "x142_phrase_search" ->
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws
+         |             FROM documents),
+         |o AS (SELECT doc_id, i FROM w,
+         |        unnest(range(1, len(ws))) AS t(i)
+         |       WHERE ws[i] = 'table' AND ws[i+1] = 'hash')
+         |SELECT doc_id, count(*)::BIGINT AS n_occ FROM o GROUP BY doc_id""".stripMargin,
     // x141: the full PQ chain proposes top-50 (x116's ADC replay),
     // exact cosine re-ranks ONLY those candidates to top-10
     "x141_pq_rerank" ->

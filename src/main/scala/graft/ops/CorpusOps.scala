@@ -1451,6 +1451,50 @@ object CorpusOps {
       .select(col("q_id"), col("doc_id"), col("score_q"), col("r_text"))
   }
 
+  /** Build a POSITIONAL postings index — the third tier of the index
+    * family ([[writePostings]] boolean / [[writeScoredPostings]]
+    * ranked / this one positional): postings carry the token position
+    * (word, doc_id, pos) in the same word-bucketed layout, which is
+    * what phrase and proximity queries need (the Lucene positions
+    * file). Grows with [[graft.catalog.Catalog.appendBucketed]] like
+    * its siblings (positions are per-doc absolute, so appended docs
+    * are self-contained). */
+  def writePositionalPostings(cat: graft.catalog.Catalog, name: String,
+      docs: DataFrame, buckets: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    cat.writeBucketed(name,
+      docs.select(col(idCol).as("doc_id"),
+          posexplode(TF.words(col(textCol))).as(Seq("pos", "word")))
+        .select(col("word"), col("doc_id"), (col("pos") + 1).cast("long")
+          .as("pos")),
+      buckets = buckets, bucketCols = Seq("word"), sortCols = Seq("word"))
+
+  /** EXACT phrase search over a positional index: documents where the
+    * words of `phrase` occur at consecutive positions, with the
+    * occurrence count. Term i's posting list (bucket-pruned scan,
+    * word = phrase(i) pushed as a literal filter) is anchored at
+    * pos − i; the k-way equi join on (doc_id, anchor) IS the
+    * positional intersection — the corpus text is never touched.
+    * Output: (doc_id, n_occ).
+    *
+    * 100 TB shape: k bucket-pruned posting scans (one term each), k−1
+    * equi joins keyed (doc_id, anchor) — each join's inputs are the
+    * phrase terms' posting lists, never the corpus; rare-term phrases
+    * prune to almost nothing (the first join's smaller side caps the
+    * rest — exactly how Lucene orders its positional intersection). */
+  def searchPhrase(cat: graft.catalog.Catalog, name: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "searchPhrase: empty phrase")
+    val posts = cat.bucketedTable(name)
+    val anchored = phrase.zipWithIndex.map { case (w, i) =>
+      posts.filter(col("word") === lit(w))
+        .select(col("doc_id"), (col("pos") - lit(i.toLong)).as("anchor"))
+    }
+    anchored.reduce(_.join(_, Seq("doc_id", "anchor")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
   /** Contamination FRACTION report — [[decontaminate]] upgraded from
     * "shares ≥1 shingle" to the GPT-3 appendix-C dirtiness metric: per
     * contaminated training doc, what fraction of its distinct k-word

@@ -2111,6 +2111,31 @@ class OpsSpec extends SparkTestBase {
     assert(sA == sB, s"summed stats deltas diverged: $sA vs $sB")
   }
 
+  test("CorpusOps positional postings: phrase semantics — adjacency, repeats, occurrence counts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"),   // "alpha beta" twice
+      (2L, "beta alpha gamma"),              // reversed: no match
+      (3L, "alpha gamma beta"),              // non-adjacent: no match
+      (4L, "echo echo echo"),                // "echo echo" twice (overlap)
+      (5L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ppost").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    graft.ops.CorpusOps.writePositionalPostings(cat, "ppost", docs)
+    def res(phrase: Seq[String]) = graft.ops.CorpusOps
+      .searchPhrase(graft.catalog.Catalog(spark, dir), "ppost", phrase)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(Seq("alpha", "beta")) == Map(1L -> 2L, 5L -> 1L))
+    // repeated-word phrase: overlapping occurrences both count
+    assert(res(Seq("echo", "echo")) == Map(4L -> 2L))
+    // trigram
+    assert(res(Seq("alpha", "beta", "gamma")) == Map(1L -> 1L, 5L -> 1L))
+    // spans the middle of doc 1 ("...gamma alpha beta")
+    assert(res(Seq("gamma", "alpha", "beta")) == Map(1L -> 1L))
+    // absent phrase
+    assert(res(Seq("beta", "beta")).isEmpty)
+  }
+
   test("ClassifierOps.logregFeatureCols: map-side HOF features equal the batch aggregation form") {
     val dd = spark.read.parquet(s"$sf/documents.parquet")
     val batch = graft.ops.ClassifierOps.logregFeatures(dd)
