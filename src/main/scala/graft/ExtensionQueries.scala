@@ -499,6 +499,58 @@ object ExtensionQueries {
       Seq("table", "hash"))
   }
 
+  /** "Within k" PROXIMITY search from the SAME persisted positional
+    * index as x142 ([[graft.ops.CorpusOps.searchProximity]]) — the
+    * second half of the Lucene positional contract: docs where all of
+    * {dup, vector, merge} co-occur inside any 8-token window, with the
+    * tightest span per doc (min_span ASC = proximity-ranked retrieval
+    * on an exact integer). Posting lists join RAREST-FIRST ('dup' is
+    * ~35× rarer than the other two at every SF), each join banded to
+    * ±7 positions of the rarest term's occurrences — the corpus is
+    * never scanned. The oracle recomputes min spans from RAW text
+    * positions (the index never enters it), so hash-green proves
+    * index-served proximity ≡ a full-corpus window scan. */
+  private val x143_proximity_search: QFn = (s, d) => {
+    val idxDir = layoutDir(s, d, "documents", "posidx|v1") { cat =>
+      graft.ops.CorpusOps.writePositionalPostings(cat, "ppost", docsR(s, d))
+    }
+    graft.ops.CorpusOps.searchProximity(Catalog(s, idxDir), "ppost",
+      Seq("dup", "vector", "merge"), window = 8)
+  }
+
+  /** BM25 served from a scored postings index AFTER a TOMBSTONED
+    * DELETE — the index-tier delete lifecycle (r14 verdict gap: every
+    * index had build + additive append but no delete, so a
+    * dedup-dropped doc stayed in every index until a full rebuild).
+    * The layout builds x138's index over the WHOLE corpus, then
+    * applies the exact-dedup decision (x04's keep-min-id flow — the
+    * x82 dedup-application at the index tier) via
+    * [[graft.ops.CorpusOps.deleteFromScoredPostings]]: dropped ids
+    * land in the tombstone sidecar (probe-time anti-join — the
+    * posting files are never rewritten) and ONE negative stats delta
+    * compensates n_docs/sum_dl, while df falls out of the surviving
+    * posting lists. The oracle replays BM25 from first principles
+    * over the corpus WITH the dropped docs excluded — hash-green
+    * proves delete ≡ rebuild on the deduped corpus, including the
+    * global statistics (the part a results-only filter silently
+    * corrupts). [[graft.ops.CorpusOps.compactScoredPostings]] later
+    * makes the delete physical (OpsSpec pins compact ≡ rebuild). */
+  private val x144_bm25_after_delete: QFn = (s, d) => {
+    val idxDir = layoutDir(s, d, "documents", "scoredidx-del|v1") { cat =>
+      val dd = docsR(s, d)
+      graft.ops.CorpusOps.writeScoredPostings(cat, "spost", dd)
+      val drops = dd
+        .select(col("doc_id"), md5(TF.normText(col("text"))).as("h"))
+        .withColumn("mk",
+          min(col("doc_id")).over(Window.partitionBy(col("h"))))
+        .filter(col("doc_id") =!= col("mk"))
+        .select(col("doc_id"))
+      graft.ops.CorpusOps.deleteFromScoredPostings(cat, "spost", drops)
+    }
+    graft.ops.CorpusOps.searchScoredPostings(Catalog(s, idxDir), "spost",
+      Seq("spark", "join", "window"))
+  }
+
   /** Two-stage ANN: PQ candidates + EXACT re-rank (the FAISS
     * IndexRefineFlat serving pattern, Jégou et al. TPAMI 2011 §VI):
     * the persisted PQ index proposes top-50 candidates per query at
@@ -3505,6 +3557,8 @@ object ExtensionQueries {
     "x140_contrastive_pairs" -> x140_contrastive_pairs,
     "x141_pq_rerank" -> x141_pq_rerank,
     "x142_phrase_search" -> x142_phrase_search,
+    "x143_proximity_search" -> x143_proximity_search,
+    "x144_bm25_after_delete" -> x144_bm25_after_delete,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -4749,9 +4803,11 @@ object ExtensionQueries {
        |               AS n_shared
        |        FROM t LEFT JOIN b ON t.sh = b.sh GROUP BY 1)
        |SELECT doc_id, n_shingles, n_shared,
-       |       round(n_shared::DOUBLE / n_shingles::DOUBLE, 4) AS frac,
-       |       CASE WHEN round(n_shared::DOUBLE / n_shingles::DOUBLE, 4)
-       |                 >= 0.2 THEN 1 ELSE 0 END::BIGINT AS flagged
+       |       (2*(n_shared*10000) + n_shingles) // (2*n_shingles)
+       |         AS frac_q,
+       |       CASE WHEN (2*(n_shared*10000) + n_shingles)
+       |                 // (2*n_shingles) >= 2000
+       |            THEN 1 ELSE 0 END::BIGINT AS flagged
        |  FROM j WHERE n_shared > 0""".stripMargin
 
   // x88: x07's pair oracle at the loosest threshold (lshPairsSql —
@@ -6471,6 +6527,38 @@ object ExtensionQueries {
          |        count(*)::BIGINT AS n_hit FROM t GROUP BY doc_id)
          |SELECT doc_id, score_q, n_hit FROM s
          | ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // x144: x138's first-principles BM25 replay, over the corpus MINUS
+    // the exact-dedup-dropped docs — the index never enters the oracle,
+    // so hash-green proves tombstoned delete ≡ rebuild on the deduped
+    // corpus, including n_docs/avgdl/df
+    "x144_bm25_after_delete" ->
+      s"""WITH k AS (SELECT doc_id, $NT AS nt,
+         |             min(doc_id) OVER (PARTITION BY md5($NT)) AS mk
+         |        FROM documents),
+         |d2 AS (SELECT doc_id, nt FROM k WHERE doc_id = mk),
+         |tf AS (
+         |  SELECT doc_id, w AS word, count(*)::BIGINT AS tf
+         |    FROM (SELECT doc_id, unnest(string_split(nt,' ')) AS w
+         |            FROM d2) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+         |c AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+         |        FROM dl),
+         |p AS (SELECT tf.doc_id, tf.word, tf.tf, dl.dl
+         |        FROM tf JOIN dl USING (doc_id)
+         |       WHERE tf.word IN ('spark', 'join', 'window')),
+         |df AS (SELECT word, count(*)::BIGINT AS dfreq FROM p GROUP BY word),
+         |t AS (SELECT p.doc_id,
+         |        CAST(round(ln(1.0 + (c.n_docs - df.dfreq + 0.5) /
+         |                        (df.dfreq + 0.5)) *
+         |              (p.tf * 2.2 /
+         |               (p.tf + 1.2 * (0.25 + 0.75 * p.dl /
+         |                (c.sum_dl::DOUBLE / c.n_docs::DOUBLE))))
+         |              * 1000000) AS BIGINT) AS t_q
+         |        FROM p JOIN df USING (word) CROSS JOIN c),
+         |s AS (SELECT doc_id, sum(t_q)::BIGINT AS score_q,
+         |        count(*)::BIGINT AS n_hit FROM t GROUP BY doc_id)
+         |SELECT doc_id, score_q, n_hit FROM s
+         | ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin,
     // x142: consecutive-word occurrences counted straight off the raw
     // text windows — the index never enters the oracle, so hash-green
     // proves index-served phrase search ≡ a full corpus scan
@@ -6481,6 +6569,22 @@ object ExtensionQueries {
          |        unnest(range(1, len(ws))) AS t(i)
          |       WHERE ws[i] = 'table' AND ws[i+1] = 'hash')
          |SELECT doc_id, count(*)::BIGINT AS n_occ FROM o GROUP BY doc_id""".stripMargin,
+    // x143: min proximity spans recomputed from RAW text positions —
+    // the index never enters the oracle, so hash-green proves
+    // index-served within-k proximity ≡ a full-corpus window scan
+    "x143_proximity_search" ->
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws
+         |             FROM documents),
+         |p AS (SELECT doc_id, ws[i] AS word, i::BIGINT AS pos FROM w,
+         |        unnest(range(1, len(ws)+1)) AS t(i)),
+         |a AS (SELECT doc_id, pos AS p0 FROM p WHERE word = 'dup'),
+         |b AS (SELECT doc_id, pos AS p1 FROM p WHERE word = 'vector'),
+         |c AS (SELECT doc_id, pos AS p2 FROM p WHERE word = 'merge'),
+         |j AS (SELECT a.doc_id,
+         |             greatest(p0,p1,p2) - least(p0,p1,p2) + 1 AS span
+         |        FROM a JOIN b USING (doc_id) JOIN c USING (doc_id))
+         |SELECT doc_id, min(span)::BIGINT AS min_span
+         |  FROM j WHERE span <= 8 GROUP BY doc_id""".stripMargin,
     // x141: the full PQ chain proposes top-50 (x116's ADC replay),
     // exact cosine re-ranks ONLY those candidates to top-10
     "x141_pq_rerank" ->

@@ -443,7 +443,14 @@ object ScaleCheck {
         // steady-state cost (r14: probe 0.3/1.4 s, build+probe
         // 4.1/5.7 s at 2×sf0.1) — the amortization argument itself
         "x138_indexed_bm25",
-        "x139_indexed_hybrid")) {
+        "x139_indexed_hybrid",
+        // x143/x144: positional-proximity and delete-lifecycle probes
+        // — same build-vs-probe asymmetry note as x138/x139; at probe
+        // steady state x143's cost is the probed terms' posting lists
+        // (band-joined rarest-first) and x144's is x138's plus a
+        // deletes-sized broadcast anti-join, both corpus-independent
+        "x143_proximity_search",
+        "x144_bm25_after_delete")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)

@@ -54,5 +54,42 @@ object Verify {
       System.err.println(s"[verify] ${errors.size} queries FAILED: " +
         errors.keys.mkString(", "))
     spark.stop()
+    // Self-computed correctness artifact (r14 shipped an EMPTY driver-side
+    // CORRECTNESS json, so the round had no oracle confirmation at all):
+    // when the local python3+duckdb toolchain is present, run the same
+    // rows/schema/value-hash compare the driver performs and write
+    // CORRECTNESS_LOCAL.json in the driver's exact per-query format.
+    // Skipped silently (with a stderr note) when the toolchain is absent
+    // — the dump itself is the primary contract and must never fail on
+    // the self-check's account. Full runs only: a VERIFY_ONLY subset
+    // must not clobber the full-inventory record.
+    if (only.isEmpty) {
+      val tool = Paths.get("tools/oracle_check.py")
+      if (Files.exists(tool)) {
+        try {
+          val pb = new ProcessBuilder("python3", tool.toString, sfDir,
+            outDir, "--json", "CORRECTNESS_LOCAL.json")
+          pb.redirectErrorStream(true)
+          val p = pb.start()
+          val out = new String(p.getInputStream.readAllBytes())
+          val rc = p.waitFor()
+          // the tail carries the "N/M pass" summary line
+          System.err.println("[verify] self-check rc=" + rc + " tail: " +
+            out.linesIterator.toSeq.takeRight(3).mkString(" | "))
+          // smoke: the artifact must exist and parse as a JSON object
+          // with one record per registered query
+          val txt = Files.readString(Paths.get("CORRECTNESS_LOCAL.json"))
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(txt)
+          require(node.isObject && node.size >= SparkEntry.queries.size,
+            s"CORRECTNESS_LOCAL.json has ${node.size} records, " +
+              s"expected ${SparkEntry.queries.size}")
+          System.err.println(
+            s"[verify] CORRECTNESS_LOCAL.json: ${node.size} records OK")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] self-check skipped/failed: $e")
+        }
+      }
+    }
   }
 }

@@ -403,8 +403,11 @@ final case class Catalog(spark: SparkSession, dir: String) {
     val before = dataFileCount(name)
     val stagingCat = Catalog(spark, s"$dir/.compact_$name")
     fs.delete(new HPath(stagingCat.dir), true)
+    // tombstone-aware: compaction is where recorded deletes become
+    // physical — the rewrite excludes tombstoned keys and the sidecar
+    // is dropped after the swap (probe-time anti-joins stop paying)
     stagingCat.writeBucketed(name,
-      bucketedTable(name)
+      minusTombstones(name, bucketedTable(name))
         .repartition(spec.buckets, spec.bucketCols.map(col): _*),
       spec.buckets, spec.bucketCols, spec.sortCols)
     stagingCat.dropBucketed(name) // staging registration, never served
@@ -417,7 +420,76 @@ final case class Catalog(spark: SparkSession, dir: String) {
       s"compactBucketed: could not publish staging (old data at $old)")
     fs.delete(old, true)
     fs.delete(new HPath(stagingCat.dir), true)
+    if (hasTombstones(name)) drop(tombstoneName(name))
     before - dataFileCount(name)
+  }
+
+  // ---- tombstone lifecycle (index delete path) --------------------------
+
+  /** The tombstone sidecar table for `name` — the index tier's mirror
+    * of the log tier's delete semantics (the reference's storage half
+    * is tombstone+compaction-centric, src/storage/log_file/
+    * log_compaction.rs:9-64; [[graft.mvcc.LogTable]] carries it for
+    * row data): an appendable index (postings, PQ codes, signatures)
+    * can't rewrite its frozen files per delete, so deletes are
+    * RECORDED here, applied at probe time ([[minusTombstones]] — a
+    * broadcast anti-join on the sidecar's key columns), and made
+    * physical by compaction ([[compactBucketed]] /
+    * [[rewriteExcludingTombstones]], which drop the sidecar after the
+    * swap). A tombstoned key stays dead even if re-appended later —
+    * the grave wins until compaction clears it; re-adding a deleted id
+    * is a compact-first contract, documented at the delete APIs. */
+  def tombstoneName(name: String): String = s"${name}_tombstones"
+
+  def hasTombstones(name: String): Boolean = exists(tombstoneName(name))
+
+  /** Record deletes for `name`: `ids`' columns ARE the join key at
+    * probe/compact time (single `doc_id`/`vec_id` column by
+    * convention), so they must be columns of the target table. */
+  def addTombstones(name: String, ids: DataFrame): Unit = {
+    val tn = tombstoneName(name)
+    if (!exists(tn)) createNew(tn, ids.schema)
+    append(tn, ids)
+  }
+
+  /** `rows` minus `name`'s tombstoned keys — identity when no sidecar
+    * exists. The sidecar is deletes-sized (tiny next to the index), so
+    * the anti-join broadcasts and the index side's bucket pruning /
+    * pushed filters are unaffected (Catalyst pushes the probe's own
+    * predicates below this join). */
+  def minusTombstones(name: String, rows: DataFrame): DataFrame =
+    if (!hasTombstones(name)) rows
+    else {
+      val ts = table(tombstoneName(name)).distinct()
+      rows.join(org.apache.spark.sql.functions.broadcast(ts),
+        ts.columns.toSeq, "left_anti")
+    }
+
+  /** Rewrite a PLAIN (non-bucketed) table without its tombstoned rows
+    * and drop the sidecar — the compact job for un-bucketed index
+    * tables (PQ codes). Publishes by the same staged-directory swap as
+    * [[compactBucketed]]: readers never see a partial table, and a
+    * crash between the renames leaves the old data at `<path>.old`.
+    * Returns the number of rows removed; no-op (0) without a sidecar.
+    * Single-writer: concurrent appends during the rewrite follow the
+    * same caveat as [[append]]+[[compactLog]]. */
+  def rewriteExcludingTombstones(name: String): Long = {
+    if (!hasTombstones(name)) return 0L
+    val before = table(name).count()
+    val staging = s"$dir/.compact_$name"
+    fs.delete(new HPath(staging), true)
+    minusTombstones(name, table(name))
+      .write.mode("overwrite").parquet(staging)
+    val live = new HPath(path(name))
+    val old = new HPath(s"${path(name)}.old")
+    fs.delete(old, true)
+    require(fs.rename(live, old),
+      s"rewriteExcludingTombstones: could not move $live aside")
+    require(fs.rename(new HPath(staging), live),
+      s"rewriteExcludingTombstones: could not publish (old data at $old)")
+    fs.delete(old, true)
+    drop(tombstoneName(name))
+    before - table(name).count()
   }
 
   /** Data files (non-underscore-prefixed, what Spark's file index sees)

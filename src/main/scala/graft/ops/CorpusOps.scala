@@ -1303,7 +1303,7 @@ object CorpusOps {
     * intersection. Output: (doc_id, n_hit). */
   def searchPostings(cat: graft.catalog.Catalog, name: String,
       terms: Seq[String]): DataFrame =
-    cat.bucketedTable(name)
+    cat.minusTombstones(name, cat.bucketedTable(name))
       .filter(col("word").isin(terms: _*))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit"))
@@ -1350,6 +1350,85 @@ object CorpusOps {
     cat.append(s"${name}_stats", statsDelta(batch, idCol, textCol))
   }
 
+  /** Delete documents from a boolean or positional postings index:
+    * their ids land in the tombstone sidecar
+    * ([[graft.catalog.Catalog.addTombstones]]), every searcher
+    * anti-joins it from this moment on, and
+    * [[graft.catalog.Catalog.compactBucketed]] makes the delete
+    * physical — the index-tier mirror of [[graft.mvcc.LogTable]]'s
+    * tombstone+compaction semantics (a dedup-dropped or MVCC-deleted
+    * doc no longer needs a full index rebuild to leave the serving
+    * path). A tombstoned id stays dead even if re-appended; re-adding
+    * requires compacting first. */
+  def deleteFromPostings(cat: graft.catalog.Catalog, name: String,
+      ids: DataFrame, idCol: String = "doc_id"): Unit =
+    cat.addTombstones(name,
+      ids.select(col(idCol).cast("long").as("doc_id")).distinct())
+
+  /** Delete documents from a SCORED postings index: tombstone the
+    * posting rows AND append the corpus-stat compensation — one
+    * NEGATIVE (n_docs, sum_dl) delta row derived from the index
+    * itself (dl rides every posting row, so no corpus access), the
+    * additive inverse of the delta [[appendToScoredPostings]] wrote.
+    * Because the stats are a monoid and df falls out of the surviving
+    * (anti-joined) posting lists, search-after-delete ranks exactly
+    * as a rebuild over the corpus minus the deleted docs — the same
+    * associativity argument as append≡rebuild, now with inverses
+    * (OpsSpec pins delete ≡ rebuild, and compaction preserves it).
+    * Ids already tombstoned, or absent from the index, contribute
+    * nothing to the delta (double-delete can't double-subtract).
+    * Crash window: tombstones land first, the delta second — a crash
+    * between them leaves deleted docs out of results but still
+    * counted in n_docs/avgdl; re-running the delete is NOT the fix
+    * (the anti-join would hide their dl rows); compact + one stats
+    * rebuild from the surviving index is. */
+  def deleteFromScoredPostings(cat: graft.catalog.Catalog, name: String,
+      ids: DataFrame, idCol: String = "doc_id"): Unit = {
+    val want = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val fresh =
+      if (!cat.hasTombstones(name)) want
+      else want.join(cat.table(cat.tombstoneName(name)),
+        Seq("doc_id"), "left_anti")
+    // dl per doc from its own posting rows (max = the dl every row of
+    // the doc's generation carries); one deletes-sized aggregate
+    val gone = cat.bucketedTable(name)
+      .join(broadcast(fresh), Seq("doc_id"))
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .head()
+    cat.addTombstones(name, fresh)
+    if (gone.getLong(0) > 0L) {
+      val spark = ids.sparkSession
+      import spark.implicits._
+      cat.append(s"${name}_stats",
+        Seq((-gone.getLong(0), -gone.getLong(1)))
+          .toDF("n_docs", "sum_dl"))
+    }
+  }
+
+  /** Compaction for a scored postings index: the bucketed rewrite
+    * drops tombstoned posting rows ([[graft.catalog.Catalog
+    * .compactBucketed]] — physical delete, sidecar cleared) and the
+    * stats sidecar's accumulated delta rows (build + appends −
+    * deletes) collapse to ONE row with the same sum, so the searcher
+    * reads one stats row instead of one per ingest event. Returns the
+    * bucketed table's file-count savings. */
+  def compactScoredPostings(cat: graft.catalog.Catalog,
+      name: String): Int = {
+    val saved = cat.compactBucketed(name)
+    val sn = s"${name}_stats"
+    val tot = cat.table(sn)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)),
+        coalesce(sum(col("sum_dl")), lit(0L))).head()
+    val spark = cat.spark
+    import spark.implicits._
+    cat.drop(sn)
+    val one = Seq((tot.getLong(0), tot.getLong(1))).toDF("n_docs", "sum_dl")
+    cat.createNew(sn, one.schema)
+    cat.append(sn, one)
+    saved
+  }
+
   private def scoredPostingRows(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
@@ -1381,7 +1460,7 @@ object CorpusOps {
     * TakeOrderedAndProject, map tasks forward ≤ k rows. */
   def searchScoredPostings(cat: graft.catalog.Catalog, name: String,
       terms: Seq[String], k: Int = 10): DataFrame = {
-    val post = cat.bucketedTable(name)
+    val post = cat.minusTombstones(name, cat.bucketedTable(name))
       .filter(col("word").isin(terms: _*))
     val dfreq = post.groupBy(col("word"))
       .agg(count(lit(1)).as("dfreq"))
@@ -1419,10 +1498,26 @@ object CorpusOps {
     * (q_id, doc_id, score_q, r_text). Self-matches (q_id = doc_id)
     * are excluded — the retrieval convention of the x94 family. */
   def searchScoredPostingsPerQuery(cat: graft.catalog.Catalog,
-      name: String, qterms: DataFrame, k: Int = 20): DataFrame = {
-    val terms = qterms.select(col("word")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val post = cat.bucketedTable(name)
+      name: String, qterms: DataFrame, k: Int = 20,
+      maxProbeVocab: Int = 262144): DataFrame = {
+    // Driver-side cap on the probe vocabulary: the distinct query-term
+    // set is collected to push an IN-list into the bucket-pruned scan,
+    // which is query-set-sized by construction — but a caller that
+    // passes a corpus-sized frame as the "query set" would OOM the
+    // driver here. limit(cap+1) bounds the collect itself (the driver
+    // never materializes more than cap+1 strings even on misuse), and
+    // the require turns the 262145th term into a loud contract error
+    // instead of a silent heap death. 256K terms ≈ a few MB — far past
+    // any real query workload, far below driver heap.
+    val terms0 = qterms.select(col("word")).distinct()
+      .limit(maxProbeVocab + 1).collect()
+    require(terms0.length <= maxProbeVocab,
+      s"searchScoredPostingsPerQuery: probe vocabulary exceeds " +
+        s"$maxProbeVocab distinct terms — this API broadcasts the " +
+        "query vocabulary; for corpus-scale probes use the index-join " +
+        "form (join postings on word) instead of an IN-list probe")
+    val terms = terms0.map(_.getString(0)).toSeq
+    val post = cat.minusTombstones(name, cat.bucketedTable(name))
       .filter(col("word").isin(terms: _*))
     val dfreq = post.groupBy(col("word"))
       .agg(count(lit(1)).as("dfreq"))
@@ -1485,7 +1580,7 @@ object CorpusOps {
   def searchPhrase(cat: graft.catalog.Catalog, name: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "searchPhrase: empty phrase")
-    val posts = cat.bucketedTable(name)
+    val posts = cat.minusTombstones(name, cat.bucketedTable(name))
     val anchored = phrase.zipWithIndex.map { case (w, i) =>
       posts.filter(col("word") === lit(w))
         .select(col("doc_id"), (col("pos") - lit(i.toLong)).as("anchor"))
@@ -1493,6 +1588,77 @@ object CorpusOps {
     anchored.reduce(_.join(_, Seq("doc_id", "anchor")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** "Within k" PROXIMITY search over a positional index — the other
+    * half of the Lucene positional contract next to [[searchPhrase]]'s
+    * exact adjacency: documents where ALL of `terms` (distinct words,
+    * any order) co-occur inside a window of `window` consecutive token
+    * positions, with the TIGHTEST such span per doc. Output:
+    * (doc_id, min_span) — min_span ∈ [terms.size, window]; ranking
+    * min_span ASC is proximity-scored retrieval on an exact integer
+    * both engines replay (no IEEE anywhere).
+    *
+    * Plan: each term's bucket-pruned posting list, joined RAREST-FIRST
+    * (posting-list lengths from one tiny per-term count — Lucene's df
+    * ordering) on doc_id with the |pos−anchor| < window band as a join
+    * predicate, so the intermediate never exceeds (matches within the
+    * band) × (rarest list). The corpus is never touched. A term absent
+    * from the index short-circuits to an empty result (conjunctive
+    * semantics) without running the join.
+    *
+    * 100 TB shape: m bucket-pruned posting scans; the m−1 band joins
+    * are keyed on doc_id and fan out only within ±window positions of
+    * the rarest term's occurrences — per-doc work is O(tf_rarest ·
+    * window-band hits), independent of corpus size. Stopword probes
+    * are the caller's contract to avoid, exactly as in Lucene. */
+  def searchProximity(cat: graft.catalog.Catalog, name: String,
+      terms: Seq[String], window: Int): DataFrame = {
+    require(terms.nonEmpty, "searchProximity: empty term set")
+    require(terms.distinct == terms,
+      s"searchProximity: duplicate terms in $terms")
+    require(window >= terms.size,
+      s"searchProximity: window $window can't hold ${terms.size} terms")
+    val posts = cat.minusTombstones(name, cat.bucketedTable(name))
+    val spark = posts.sparkSession
+    // df per probed term: one bucket-pruned, terms-sized aggregate —
+    // drives the rarest-first join order AND the absent-term short-circuit
+    val sizes = posts.filter(col("word").isin(terms: _*))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("min_span",
+        org.apache.spark.sql.types.LongType)))
+    if (terms.exists(t => !sizes.contains(t)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val ordered = terms.sortBy(t => (sizes(t), t))
+    // per-list unique column names (d_i, p_i): all m frames derive from
+    // the same bucketed scan, so df("col") disambiguation on a chained
+    // self-join is fragile — unique names make every join predicate
+    // unambiguous by construction
+    val lists = ordered.zipWithIndex.map { case (w, i) =>
+      posts.filter(col("word") === lit(w))
+        .select(col("doc_id").as(s"d$i"), col("pos").as(s"p$i"))
+    }
+    val joined = lists.tail.zipWithIndex.foldLeft(lists.head) {
+      case (acc, (nxt, i)) =>
+        acc.join(nxt,
+          col(s"d${i + 1}") === col("d0") &&
+            col(s"p${i + 1}") > col("p0") - window &&
+            col(s"p${i + 1}") < col("p0") + window)
+          .drop(s"d${i + 1}")
+    }
+    val ps = ordered.indices.map(i => col(s"p$i"))
+    val span =
+      if (ps.size == 1) lit(1L)
+      else greatest(ps: _*) - least(ps: _*) + lit(1L)
+    joined.select(col("d0").as("doc_id"), span.as("span"))
+      .filter(col("span") <= window)
+      .groupBy(col("doc_id"))
+      .agg(min(col("span")).cast("long").as("min_span"))
   }
 
   /** Contamination FRACTION report — [[decontaminate]] upgraded from
@@ -1505,7 +1671,8 @@ object CorpusOps {
     * benchmark shingle set, so n_shingles (set size) and n_shared
     * (hits) fall out of the same aggregate — no second scan, and the
     * fraction can never mix two tokenizations. Output: (doc_id,
-    * n_shingles, n_shared, frac, flagged) for docs with n_shared > 0.
+    * n_shingles, n_shared, frac_q — the fraction in exact 1e-4 grid
+    * units, BIGINT — flagged) for docs with n_shared > 0.
     *
     * 100 TB shape: one corpus scan; the benchmark set is broadcast
     * (suite-sized); swap in [[decontaminateBloom]]'s sketch prefilter
@@ -1520,15 +1687,22 @@ object CorpusOps {
       .select(explode(TF.shingleSetFast(TF.words(col(textCol)), shingleK))
         .as("sh"))
       .distinct().withColumn("hit", lit(1L))
+    // dirtiness fraction on the exact 1e-4 integer grid (ExactMath
+    // discipline — the last rounded-raw-double output in the registry
+    // until r15): numerator and denominator are exact longs, so the
+    // quantized ratio and the flag threshold are pure integer
+    // arithmetic both engines replay digit-for-digit; no IEEE division
+    // anywhere in the output or the decision.
+    val flagQ = math.rint(flagFrac * 10000d).toLong
     tsh.join(broadcast(bsh), Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
       .filter(col("n_shared") > 0)
-      .withColumn("frac", round(col("n_shared").cast("double") /
-        col("n_shingles").cast("double"), 4))
+      .withColumn("frac_q", graft.functions.ExactMath.divHalfUp(
+        col("n_shared") * lit(10000L), col("n_shingles")))
       .withColumn("flagged",
-        when(col("frac") >= flagFrac, 1L).otherwise(0L))
+        when(col("frac_q") >= flagQ, 1L).otherwise(0L))
   }
 
   /** Gopher/MassiveText rule-based quality gate (Rae et al. 2021,
@@ -2278,7 +2452,9 @@ object CorpusOps {
     * dot²·10⁸ ≥ τ²₁ₑ₈·‖a‖²·‖b‖² (DECIMAL(38,0) products — no IEEE
     * anywhere in the decision, so the pruned path is hash-identical to
     * a brute-force engine replay at any τ, which is exactly how the
-    * oracle checks it). Output: (doc_a, doc_b, dot, ss_a, ss_b, cos —
+    * oracle checks it). The decision's 38-digit exactness requires
+    * per-doc ss ≤ 10¹⁵, ENFORCED below with a loud failure — see the
+    * inline bound note. Output: (doc_a, doc_b, dot, ss_a, ss_b, cos —
     * round-4 double, presentation only).
     *
     * 100 TB shape: the tf grain is one map-side explode + (doc, fp)
@@ -2297,8 +2473,29 @@ object CorpusOps {
     // write+read path losing to row blocks on tf-grain shapes
     val tf = shingleTf(docs, idCol, textCol, shingleK)
       .localCheckpoint(true)
+    // Exactness bound, enforced (not just documented): the verification
+    // below computes dot²·1e8 and ss_a·ss_b·t2e8 in DECIMAL(38,0); with
+    // per-doc ss ≤ 1e15 both sides are ≤ 1e38 (dot ≤ √(ss_a·ss_b) by
+    // Cauchy–Schwarz, t2e8 ≤ 1e8), so no product can overflow 38 digits.
+    // Past the cap Spark's decimal multiply yields NULL and the filter
+    // would silently DROP a genuinely qualifying pair — and the DuckDB
+    // HUGEINT oracle shares the ~1.7e38 ceiling, so the bench would stay
+    // green while both engines are wrong. A doc needs ~3·10⁷ repeats of
+    // one shingle (≈ a 100 MB degenerate file) to trip this; such docs
+    // fail loudly here with a split/pre-filter hint instead. (ss itself
+    // is exact: each w² ≤ 1e15 pre-cap and the long sum saturates far
+    // below 2⁶³ — wrap-around would require ss ≥ 9·10¹⁸, caught by this
+    // same gate long before.)
+    val ssCap = 1000000000000000L // 1e15
     val ss = tf.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("ss"))
+      .withColumn("ss", when(col("ss") <= ssCap, col("ss"))
+        .otherwise(raise_error(concat(
+          lit("allPairsCosine: doc "), col("doc_id").cast("string"),
+          lit(" has ss="), col("ss").cast("string"),
+          lit(" > 1e15 — exact DECIMAL(38,0) verification would " +
+            "overflow and silently drop pairs; split or pre-filter " +
+            "degenerate documents"))).cast("long")))
     val cand = candidatesFromTf(tf, t2e8)
     val dot = cand
       .join(tf.select(col("doc_id").as("doc_a"), col("fp"),

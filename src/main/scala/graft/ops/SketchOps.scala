@@ -99,7 +99,14 @@ object SketchOps {
     * vocabulary size, with map-side partial combine absorbing all
     * skew; this is precisely the regime where exact value-grain counts
     * stop fitting and CM is the production answer. Output:
-    * (row, bucket, cnt). */
+    * (row, bucket, cnt, width) — width rides every row as SELF-
+    * DESCRIBING metadata, so a probe ([[cmEstimate]]) derives the
+    * sketch's true geometry instead of trusting caller-supplied
+    * parameters (a probe hashed with a different width lands in the
+    * wrong buckets, misses the join, and min() returns a silent
+    * UNDERCOUNT — the one failure mode CM promises can't happen).
+    * Mergers must carry width through (e.g. `first`/`min` in the
+    * bucketwise-sum groupBy). */
   def cmSketch(rows: DataFrame, valueCol: String, depth: Int = 4,
       width: Int = 64): DataFrame = {
     val TF = graft.functions.TextFunctions
@@ -109,25 +116,43 @@ object SketchOps {
           lit(width.toLong)).as("bucket"))): _*)).as("h"))
       .groupBy(col("h.row").as("row"), col("h.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("width", lit(width.toLong))
   }
 
   /** Point-query estimates from a [[cmSketch]]: for each distinct
-    * value in `items`, est = min over the `depth` rows of its bucket
+    * value in `items`, est = min over the sketch's rows of its bucket
     * count — ≥ the true count always (every occurrence landed in all
     * of its buckets), ≤ true + N/width in expectation per row. Items
     * absent from the sketched multiset still get their (collision-
-    * driven) estimate via the left join's zero fill. Output: (value,
-    * est). */
-  def cmEstimate(sketch: DataFrame, items: DataFrame, valueCol: String,
-      depth: Int = 4, width: Int = 64): DataFrame = {
+    * driven) estimate via the left join's zero fill.
+    *
+    * Geometry (depth, width) is DERIVED from the sketch frame itself
+    * — depth as max(row)+1 (every sketched value populates all rows),
+    * width from the metadata column every sketch row carries — and a
+    * mixed-width frame fails fast, so a probe can never hash against
+    * the wrong grid (which would silently undercount). One bounded
+    * action: the sketch is ≤ d·w rows by construction. Output:
+    * (value, est). */
+  def cmEstimate(sketch: DataFrame, items: DataFrame,
+      valueCol: String): DataFrame = {
     val TF = graft.functions.TextFunctions
+    val meta = sketch.agg(max(col("row")).as("maxrow"),
+      min(col("width")).as("wmin"), max(col("width")).as("wmax")).head()
+    require(!meta.isNullAt(0), "cmEstimate: empty sketch frame")
+    require(meta.getLong(1) == meta.getLong(2),
+      s"cmEstimate: inconsistent widths in sketch frame " +
+        s"(${meta.getLong(1)} vs ${meta.getLong(2)}) — merged sketches " +
+        "must share one geometry")
+    val depth = meta.getLong(0).toInt + 1
+    val width = meta.getLong(1)
     items.select(col(valueCol).cast("string").as("v")).distinct()
       .select(col("v"), explode(array((0 until depth).map(i => struct(
         lit(i.toLong).as("row"),
         pmod(TF.hash60(col("v"), s"cm$i|"),
-          lit(width.toLong)).as("bucket"))): _*)).as("h"))
+          lit(width)).as("bucket"))): _*)).as("h"))
       .select(col("v"), col("h.row").as("row"), col("h.bucket").as("bucket"))
-      .join(sketch, Seq("row", "bucket"), "left")
+      .join(sketch.select("row", "bucket", "cnt"), Seq("row", "bucket"),
+        "left")
       .groupBy(col("v"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
       .select(col("v").as(valueCol), col("est"))

@@ -393,11 +393,15 @@ object TextDedup {
       .localCheckpoint(false) // feeds the probe and the verify join back
     val probe = sig.select(col("in_id"),
       explode(minhashBucketKeys(col("mh"), numHashes, bands)).as("bkey"))
-    val cand = probe.join(cat.bucketedTable(s"${name}_bands"), Seq("bkey"))
+    val liveBands =
+      cat.minusTombstones(s"${name}_bands", cat.bucketedTable(s"${name}_bands"))
+    val liveSets =
+      cat.minusTombstones(s"${name}_sets", cat.bucketedTable(s"${name}_sets"))
+    val cand = probe.join(liveBands, Seq("bkey"))
       .select(col("in_id"), col("doc_id").as("match_id"))
       .distinct() // a true match collides in several bands; verify once
     cand
-      .join(cat.bucketedTable(s"${name}_sets")
+      .join(liveSets
         .select(col("doc_id").as("match_id"), col("el_set")), Seq("match_id"))
       .join(sig.select(col("in_id"), col("in_set")), Seq("in_id"))
       .select(col("in_id"), col("match_id"),
@@ -433,6 +437,31 @@ object TextDedup {
     cat.appendBucketed(s"${name}_sets",
       sig.select(col("doc_id"), col("el_set")))
   }
+
+  /** Delete documents from a [[writeSignatureIndex]] index: their ids
+    * land in BOTH bucketed tables' tombstone sidecars (bands + sets —
+    * each table compacts independently, so each carries its own
+    * grave list), [[dedupAgainstIndex]] anti-joins them from this
+    * moment on (a deleted historical doc stops flagging incoming
+    * near-dups), and [[compactSignatureIndex]] makes the delete
+    * physical. The index-tier mirror of [[graft.mvcc.LogTable]]'s
+    * tombstone semantics, closing the loop with the x82 flow: a doc
+    * the MVCC dedup application tombstones can now leave the
+    * signature index without a rebuild. */
+  def deleteFromSignatureIndex(cat: graft.catalog.Catalog, name: String,
+      ids: DataFrame, idCol: String = "doc_id"): Unit = {
+    val ts = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    cat.addTombstones(s"${name}_bands", ts)
+    cat.addTombstones(s"${name}_sets", ts)
+  }
+
+  /** Physical delete + small-file maintenance for a signature index:
+    * tombstone-aware [[graft.catalog.Catalog.compactBucketed]] on both
+    * tables. Returns total file-count savings. */
+  def compactSignatureIndex(cat: graft.catalog.Catalog,
+      name: String): Int =
+    cat.compactBucketed(s"${name}_bands") +
+      cat.compactBucketed(s"${name}_sets")
 
   /** One ingest step of the incremental near-dedup loop — the
     * production shape of corpus maintenance: probe the batch against

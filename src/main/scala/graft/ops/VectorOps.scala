@@ -611,8 +611,29 @@ object VectorOps {
   def searchPqIndex(cat: graft.catalog.Catalog, name: String,
       queries: DataFrame, k: Int, m: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    pqAdcTopK(queries, cat.table(s"${name}_codes"),
+    pqAdcTopK(queries,
+      cat.minusTombstones(s"${name}_codes", cat.table(s"${name}_codes")),
       cat.table(s"${name}_cents"), k, m, idCol, vecCol)
+
+  /** Delete vectors from a persisted PQ index: their ids land in the
+    * codes table's tombstone sidecar ([[graft.catalog.Catalog
+    * .addTombstones]]) — [[searchPqIndex]] anti-joins it, so deleted
+    * vectors stop appearing as neighbors immediately, and
+    * [[compactPqIndex]] makes the delete physical. The codebook is
+    * untouched (train-once contract: a quantizer trained on data that
+    * included since-deleted vectors is still a valid quantizer —
+    * FAISS's remove_ids does exactly this). */
+  def deleteFromPqIndex(cat: graft.catalog.Catalog, name: String,
+      ids: DataFrame, idCol: String = "vec_id"): Unit =
+    cat.addTombstones(s"${name}_codes",
+      ids.select(col(idCol).cast("long").as("vec_id")).distinct())
+
+  /** Physical delete for a PQ index: rewrite the codes table without
+    * tombstoned rows and clear the sidecar
+    * ([[graft.catalog.Catalog.rewriteExcludingTombstones]] — staged
+    * swap, readers never see a partial table). Returns rows removed. */
+  def compactPqIndex(cat: graft.catalog.Catalog, name: String): Long =
+    cat.rewriteExcludingTombstones(s"${name}_codes")
 
   /** Residuals w.r.t. a coarse assignment — the input of FAISS-faithful
     * residual PQ (IVFPQ encodes x − centroid(x), not x: residuals are

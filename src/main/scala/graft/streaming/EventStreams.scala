@@ -467,26 +467,80 @@ object EventStreams {
     * scalars from summed deltas), a search after ANY number of
     * micro-batches ranks exactly as a one-shot build over everything
     * ingested so far — StreamingSpec pins it against the batch-built
-    * index. Exactly-once note: foreachBatch can REPLAY a batch on
-    * failure; production pairs this with [[graft.catalog.Catalog
-    * .compactBucketed]] maintenance and a batch-id high-water mark in
-    * the stats sidecar (the ingestDedupToLog txn-marker recipe). */
+    * index.
+    *
+    * Replay idempotence: foreachBatch is at-least-once — Structured
+    * Streaming REPLAYS a micro-batch whose sink write succeeded but
+    * whose checkpoint offset-commit didn't (restart after crash), and
+    * a blind re-append would double the batch's posting rows AND its
+    * stats delta, silently inflating df/n_docs/sum_dl and corrupting
+    * every BM25 ranking thereafter. The sink therefore keeps a
+    * batch-id high-water mark in an `{index}_hwm` marker table (the
+    * ingestDedupToLog txn-marker recipe): the marker row is appended
+    * LAST, after both index writes, and any batch whose id is ≤ the
+    * recorded maximum is skipped wholesale. This makes the common
+    * replay (fully-committed batch, lost offset commit) exactly-once.
+    * The residual window — a crash strictly BETWEEN the index appends
+    * and the marker append — is the irreducible cost of a
+    * non-transactional two-table sink; it is detectable (hwm <
+    * checkpoint's last batch id) and recoverable by rebuilding via
+    * [[graft.ops.CorpusOps.writeScoredPostings]] from the retained
+    * corpus, which StreamingSpec's append≡rebuild equivalence makes a
+    * pure maintenance job rather than a semantic change. */
   def scoredPostingsIngestStream(incoming: DataFrame, indexDir: String,
       indexName: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cat = graft.catalog.Catalog(batch.sparkSession, indexDir)
-        if (!cat.bucketedExists(indexName))
-          graft.ops.CorpusOps.writeScoredPostings(cat, indexName, batch,
-            idCol = idCol, textCol = textCol)
-        else
-          graft.ops.CorpusOps.appendToScoredPostings(cat, indexName,
-            batch, idCol, textCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestScoredPostingsBatch(
+          graft.catalog.Catalog(batch.sparkSession, indexDir), indexName,
+          batch, batchId, idCol, textCol)
+        ()
       }
       .start()
+
+  /** One micro-batch of [[scoredPostingsIngestStream]]'s sink —
+    * factored out so the replay path is directly testable. Returns
+    * true if the batch was ingested, false if it was recognized as a
+    * replay (batchId ≤ recorded high-water mark) and skipped.
+    *
+    * Caveat the marker contract imposes: batch ids are scoped to ONE
+    * checkpoint lineage. Re-pointing a FRESH checkpoint at an existing
+    * index dir restarts ids at 0, so every batch would read as a
+    * replay — pair a new checkpoint with a new index dir (or drop the
+    * `{index}_hwm` table along with the old checkpoint). */
+  def ingestScoredPostingsBatch(cat: graft.catalog.Catalog,
+      indexName: String, batch: DataFrame, batchId: Long,
+      idCol: String = "doc_id", textCol: String = "text"): Boolean = {
+    val s = batch.sparkSession
+    val hwmName = s"${indexName}_hwm"
+    val replay = cat.exists(hwmName) && {
+      val r = cat.table(hwmName)
+        .agg(org.apache.spark.sql.functions.max(col("batch_id"))).head()
+      !r.isNullAt(0) && batchId <= r.getLong(0)
+    }
+    if (replay) {
+      System.err.println(s"[graft] scoredPostingsIngestStream: " +
+        s"batch $batchId already committed — replay skipped")
+      false
+    } else {
+      if (!cat.bucketedExists(indexName))
+        graft.ops.CorpusOps.writeScoredPostings(cat, indexName, batch,
+          idCol = idCol, textCol = textCol)
+      else
+        graft.ops.CorpusOps.appendToScoredPostings(cat, indexName,
+          batch, idCol, textCol)
+      if (!cat.exists(hwmName))
+        cat.createNew(hwmName, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType))))
+      import s.implicits._
+      cat.append(hwmName, Seq(batchId).toDF("batch_id"))
+      true
+    }
+  }
 
   val GapNs: Long = 30L * 60 * 1000000000L
 

@@ -1331,9 +1331,10 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("CorpusOps.contaminationReport: fraction from one shingle grain, flag boundary at flagFrac") {
-    // k=2 shingles; benchmark set = {"a b"}:
-    //  doc 1 "a b c d e" → 4 shingles, 1 shared → frac 0.25 < 0.5
-    //  doc 2 "a b c"     → 2 shingles, 1 shared → frac 0.5  = flagFrac
+    // k=2 shingles; benchmark set = {"a b"}; frac_q on the exact 1e-4
+    // grid (divHalfUp(n_shared·10⁴, n_shingles)):
+    //  doc 1 "a b c d e" → 4 shingles, 1 shared → frac_q 2500 < 5000
+    //  doc 2 "a b c"     → 2 shingles, 1 shared → frac_q 5000 = flag
     //  doc 3 "x y z"     → no overlap → absent from the report
     val train = Seq((1L, "a b c d e"), (2L, "a b c"), (3L, "x y z"))
       .toDF("doc_id", "text")
@@ -1341,10 +1342,10 @@ class OpsSpec extends SparkTestBase {
     val out = graft.ops.CorpusOps
       .contaminationReport(train, bench, shingleK = 2, flagFrac = 0.5)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(out == Map(
-      1L -> ((4L, 1L, 0.25, 0L)),
-      2L -> ((2L, 1L, 0.5, 1L))), out)
+      1L -> ((4L, 1L, 2500L, 0L)),
+      2L -> ((2L, 1L, 5000L, 1L))), out)
   }
 
   test("CorpusOps.doremiWeights: hand-derived MWU chain on a planted easy/hard domain pair") {
@@ -2134,6 +2135,155 @@ class OpsSpec extends SparkTestBase {
     assert(res(Seq("gamma", "alpha", "beta")) == Map(1L -> 1L))
     // absent phrase
     assert(res(Seq("beta", "beta")).isEmpty)
+  }
+
+  test("CorpusOps.searchProximity: tightest within-k spans, short-circuits, contract errors") {
+    val docs = Seq(
+      (1L, "a x b y c"),                     // spans {a,b,c}: 5
+      (2L, "c b a"),                         // 3 (order-free)
+      (3L, "a b"),                           // missing c: absent
+      (4L, "a q q q q b q c a b c"))         // best tuple (9,10,11): 3
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_prox").toString
+    graft.ops.CorpusOps.writePositionalPostings(
+      graft.catalog.Catalog(spark, dir), "ppost", docs)
+    val cat = graft.catalog.Catalog(spark, dir)
+    def res(terms: Seq[String], w: Int) = graft.ops.CorpusOps
+      .searchProximity(cat, "ppost", terms, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(Seq("a", "b", "c"), 5) ==
+      Map(1L -> 5L, 2L -> 3L, 4L -> 3L))
+    // tighter window drops doc 1's span-5 co-occurrence
+    assert(res(Seq("a", "b", "c"), 4) == Map(2L -> 3L, 4L -> 3L))
+    // single term degenerates to containment with span 1
+    assert(res(Seq("c"), 1) == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+    // a term absent from the index short-circuits to empty —
+    // conjunctive semantics without running the join
+    assert(res(Seq("a", "zzz_missing"), 8).isEmpty)
+    // contract errors are loud
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusOps.searchProximity(cat, "ppost", Seq("a", "a"), 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusOps.searchProximity(cat, "ppost", Seq("a", "b"), 1)
+    }
+  }
+
+  test("scored postings delete lifecycle: tombstoned delete == rebuild on the kept corpus, compact preserves it") {
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val terms = Seq("spark", "join", "window")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val gone = dd.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_spdel_a").toString
+    val catA = graft.catalog.Catalog(spark, dirA)
+    graft.ops.CorpusOps.writeScoredPostings(catA, "spost", dd)
+    graft.ops.CorpusOps.deleteFromScoredPostings(catA, "spost", gone)
+    // the oracle: a fresh index built over ONLY the kept docs
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_spdel_b").toString
+    graft.ops.CorpusOps.writeScoredPostings(
+      graft.catalog.Catalog(spark, dirB), "spost",
+      dd.filter(col("doc_id") % 7 =!= 0))
+    val rebuilt = rows(graft.ops.CorpusOps.searchScoredPostings(
+      graft.catalog.Catalog(spark, dirB), "spost", terms, k = 25))
+    val afterDelete = rows(graft.ops.CorpusOps.searchScoredPostings(
+      catA, "spost", terms, k = 25))
+    assert(afterDelete == rebuilt,
+      "tombstoned index ranking diverged from the kept-corpus rebuild " +
+        "(scores depend on n_docs/avgdl/df — the delta or anti-join is off)")
+    assert(afterDelete.nonEmpty &&
+      afterDelete.forall(_._1 % 7 != 0), "a deleted doc was served")
+    // double-delete must not double-subtract the stats
+    graft.ops.CorpusOps.deleteFromScoredPostings(catA, "spost", gone)
+    val sA = catA.table("spost_stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    val sB = graft.catalog.Catalog(spark, dirB).table("spost_stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    assert(sA == sB, s"stats after delete diverged from rebuild: $sA vs $sB")
+    // compaction: physical delete, sidecar dropped, stats one row,
+    // ranking unchanged
+    graft.ops.CorpusOps.compactScoredPostings(catA, "spost")
+    assert(!catA.hasTombstones("spost"), "compaction left the sidecar")
+    assert(catA.table("spost_stats").count() == 1L)
+    assert(catA.bucketedTable("spost")
+      .filter(col("doc_id") % 7 === 0).count() == 0L,
+      "compaction did not physically drop tombstoned rows")
+    assert(rows(graft.ops.CorpusOps.searchScoredPostings(
+      catA, "spost", terms, k = 25)) == rebuilt,
+      "compaction changed the served ranking")
+  }
+
+  test("PQ and signature index delete lifecycle: tombstone hides, compact makes physical") {
+    // PQ tier
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .limit(64).localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pqdel").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    graft.ops.VectorOps.writePqIndex(cat, "pqidx", e)
+    val q = e.limit(3)
+    def neighbors() = graft.ops.VectorOps
+      .searchPqIndex(cat, "pqidx", q, k = 5)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    val victim = neighbors().head
+    graft.ops.VectorOps.deleteFromPqIndex(
+      cat, "pqidx", Seq(victim).toDF("vec_id"))
+    assert(!neighbors().contains(victim),
+      s"deleted vector $victim still served as a neighbor")
+    val removed = graft.ops.VectorOps.compactPqIndex(cat, "pqidx")
+    assert(removed > 0L && !cat.hasTombstones("pqidx_codes"))
+    assert(cat.table("pqidx_codes")
+      .filter(col("vec_id") === victim).count() == 0L)
+    assert(!neighbors().contains(victim))
+    // signature tier: a deleted historical doc stops flagging near-dups
+    val hist = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft_sigdel").toString
+    val scat = graft.catalog.Catalog(spark, sdir)
+    graft.ops.TextDedup.writeSignatureIndex(scat, "sig", hist,
+      shingleK = 2, numHashes = 8, bands = 4)
+    val probe = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    def matches() = graft.ops.TextDedup.dedupAgainstIndex(scat, "sig",
+      probe, shingleK = 2, numHashes = 8, bands = 4, threshold = 0.8)
+      .select("match_id").collect().map(_.getLong(0)).toSet
+    assert(matches() == Set(1L))
+    graft.ops.TextDedup.deleteFromSignatureIndex(
+      scat, "sig", Seq(1L).toDF("doc_id"))
+    assert(matches().isEmpty,
+      "a tombstoned historical doc still flags incoming near-dups")
+    graft.ops.TextDedup.compactSignatureIndex(scat, "sig")
+    assert(!scat.hasTombstones("sig_bands") &&
+      !scat.hasTombstones("sig_sets"))
+    assert(scat.bucketedTable("sig_sets").count() == 1L)
+    assert(matches().isEmpty)
+  }
+
+  test("CorpusOps.searchScoredPostingsPerQuery: probe-vocabulary cap fails loudly, never OOMs the driver") {
+    val docs = Seq((1L, "aa bb cc"), (2L, "bb cc dd"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_spcap").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    graft.ops.CorpusOps.writeScoredPostings(cat, "spost", docs)
+    val qterms = Seq((10L, "aa"), (10L, "bb"), (10L, "cc"))
+      .toDF("q_id", "word")
+    // under the cap: works
+    assert(graft.ops.CorpusOps.searchScoredPostingsPerQuery(
+      cat, "spost", qterms, k = 5).count() > 0)
+    // over the cap: the contract error names the misuse (a corpus-sized
+    // "query set"), and limit(cap+1) means the driver never collected
+    // more than cap+1 terms on the way to it
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.CorpusOps.searchScoredPostingsPerQuery(
+        cat, "spost", qterms, k = 5, maxProbeVocab = 2)
+    }
+    assert(e.getMessage.contains("probe vocabulary"))
   }
 
   test("ClassifierOps.logregFeatureCols: map-side HOF features equal the batch aggregation form") {

@@ -478,6 +478,9 @@ class PlanAuditSpec extends SparkTestBase {
                                 // posting/LUT/code/fusion joins are all
                                 // equi ((word), (sub, code),
                                 // (q_id, doc_id))
+      "x144_bm25_after_delete", // x138's 1-row stats scalar broadcast;
+                                // the tombstone anti-join is equi on
+                                // doc_id, posting probes equi on word
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{BRound, Cast, Expression, Round}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BRound, Cast, Expression, ExprId, Round}
 import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
 
 /** Determinism audit for the round-12 failure class: a value produced
@@ -68,6 +68,101 @@ class RoundingAuditSpec extends SparkTestBase {
         s"instead, or allowlist with a justification: $unaudited")
     assert(stale.isEmpty,
       s"allowlist entries whose pattern is gone — delete them: $stale")
+  }
+
+  /** Round-15 widening: the r14 verdict flagged that the audit above
+    * nets only the Cast(Round(double), DECIMAL) shape, so a rounded
+    * raw double SERVED DIRECTLY as an output column (x87's `frac`
+    * until r15, now exact) escaped it — and that shape is the same
+    * one-ulp hash-red class. This register is the full audited debt:
+    * every query whose OUTPUT still derives from Round/BRound over an
+    * IEEE double, by family. All entries are driver-green across every
+    * shipped CORRECTNESS artifact; an ADDITION here is a review event.
+    *
+    * (a) q-series presentation rounding — the TPC-H-style reporting
+    * convention this engine set in round 1: `round(sum/avg, n)` where
+    * the oracle SQL applies the IDENTICAL round() to the identically-
+    * associated aggregate. Both engines round the same double, so the
+    * residual risk is a cross-build libm/rounding divergence on one
+    * shared value, not a drifted computation.
+    * (b) similarity/score columns (cosine, jaccard, tf-idf, LM/NN
+    * scores) — round-n of a genuinely IEEE pipeline (sqrt/dot). Where
+    * a DECISION depends on these, the decision is already exact
+    * (x134's DECIMAL verify, x124's integer-ratio compare, x101/x113's
+    * integer thresholds); the rounded double is the reported score.
+    * Migrating the remaining REPORTED scores to micro-unit grids is
+    * the open tail of the ExactMath program.
+    * (c) round(long/long) single-division ratios (x90-family rule
+    * signals, x113's frac, x78/x117/x125 diagnostics) — one correctly-
+    * rounded IEEE division of two exact longs, re-rounded once; both
+    * engines see bit-identical inputs. */
+  private val outputAllowlisted: Set[String] = Set(
+    // (a) q-series presentation
+    "q04_agg", "q16_revenue_top", "q17_nation_revenue", "q20_rollup",
+    "q25_date_agg", "q29_cube", "q30_pivot", "q31_range_join",
+    "q36_moving_avg", "q40_ntile_prank", "q41_range_frame",
+    "q42_json_extract", "q43_grouping_sets", "q44_unpivot",
+    "x17_mvcc_snapshot", "x63_skew_join",
+    // (b) similarity / score columns
+    "x07_minhash_lsh_pairs", "x10_ngram_jaccard", "x11_cosine_pairs",
+    "x12_ann_topk", "x13_ann_lsh", "x18_ann_ivf", "x21_tfidf",
+    "x28_ann_recall", "x29_embed_quantize", "x30_kmeans_step",
+    "x31_semantic_search", "x42_bm25", "x43_chargram_lsh",
+    "x48_ann_trained", "x54_mix_sample", "x58_span_dup", "x64_curate",
+    "x69_token_mix", "x73_weighted_sample", "x76_curate_trained",
+    "x93_novelty", "x119_pq_band_dedup", "x121_pq_recall", "x124_sq_ann",
+    "x126_matryoshka_recall", "x134_allpairs_sim",
+    // (c) exact-long single-division ratios
+    "x39_repetition", "x78_tokenizer_audit", "x90_gopher_rules",
+    "x110_repetition", "x113_heavy_hitters", "x117_langid_confusion",
+    "x125_saturation")
+  // x135_distill_logreg is NOT here despite sharing x90's gate: its
+  // output (weights, predictions) is already all-integer — the rounded
+  // gate ratios are consumed internally, never emitted.
+
+  /** Does the transitive defining expression of any OUTPUT attribute
+    * contain a Round/BRound over double/float? Aliases are chased
+    * through the whole plan (project → aggregate → join inputs …), so
+    * a round computed three operators below the final projection is
+    * still attributed to the output column it feeds. */
+  private def outputCarriesRound(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean = {
+    val aliases: Map[ExprId, Expression] =
+      plan.collect { case p => p }
+        .flatMap(_.expressions.flatMap(_.collect {
+          case a: Alias => a.exprId -> a.child
+        })).toMap
+    def roundy(e: Expression): Boolean = e.exists {
+      case r: Round =>
+        r.child.dataType == DoubleType || r.child.dataType == FloatType
+      case r: BRound =>
+        r.child.dataType == DoubleType || r.child.dataType == FloatType
+      case _ => false
+    }
+    def chase(e: Expression, seen: Set[ExprId]): Boolean =
+      roundy(e) || e.collect {
+        case ar: AttributeReference
+            if aliases.contains(ar.exprId) && !seen(ar.exprId) => ar.exprId
+      }.exists(id => chase(aliases(id), seen + id))
+    plan.output.exists(attr =>
+      (attr.dataType == DoubleType || attr.dataType == FloatType) &&
+        aliases.get(attr.exprId).exists(c => chase(c, Set(attr.exprId))))
+  }
+
+  test("no unaudited round(double) feeding any OUTPUT column of any registered query") {
+    val flagged = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      outputCarriesRound(
+        SparkEntry.queries(name)(spark, sf).queryExecution.analyzed)
+    }
+    val unaudited = flagged.filterNot(outputAllowlisted.contains)
+    val stale = outputAllowlisted -- flagged
+    assert(unaudited.isEmpty,
+      s"queries whose OUTPUT carries a rounded raw double (the x87 " +
+        s"r15 class) — quantize via ExactMath micro-units or allowlist " +
+        s"with a justification: $unaudited")
+    assert(stale.isEmpty,
+      s"output-allowlist entries whose pattern is gone — delete: $stale")
   }
 
   test("the three r12 hash-red queries emit no DECIMAL and no raw-double columns at all") {

@@ -151,4 +151,23 @@ class SketchSpec extends SparkTestBase {
       Seq("zzz_never_in_corpus").toDF("word"), "word").head().getLong(1)
     assert(unseen >= 0L)
   }
+
+  test("cmEstimate derives the sketch's geometry; a mixed-width frame fails fast") {
+    import spark.implicits._
+    val df = Seq("a", "a", "a", "b").toDF("word")
+    // NON-default geometry: if cmEstimate hashed with its old default
+    // (4×64) against this 3×8 sketch, probes would miss buckets and the
+    // never-undercount guarantee would break
+    val sk = graft.ops.SketchOps.cmSketch(df, "word", depth = 3, width = 8)
+    val est = graft.ops.SketchOps
+      .cmEstimate(sk, Seq("a", "b").toDF("word"), "word")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") >= 3L && est("b") >= 1L,
+      s"undercount against a non-default-geometry sketch: $est")
+    val mixed = sk.unionByName(
+      graft.ops.SketchOps.cmSketch(df, "word", depth = 3, width = 16))
+    intercept[IllegalArgumentException] {
+      graft.ops.SketchOps.cmEstimate(mixed, Seq("a").toDF("word"), "word")
+    }
+  }
 }

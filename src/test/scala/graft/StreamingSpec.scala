@@ -484,6 +484,22 @@ class StreamingSpec extends SparkTestBase {
       // stats sidecar carries one delta row per ingest batch
       assert(graft.catalog.Catalog(spark, s"$dir/idx")
         .table("spost_stats").count() == thirds.length)
+      // at-least-once replay: re-delivering an already-committed batch
+      // (foreachBatch's contract after a crash between sink success and
+      // offset commit) must be a no-op — same ranking, same stats rows,
+      // hwm recognizes the stale batch id
+      val cat = graft.catalog.Catalog(spark, s"$dir/idx")
+      assert(cat.table("spost_hwm").count() == thirds.length)
+      val replayed = EventStreams.ingestScoredPostingsBatch(
+        cat, "spost", thirds.last.toSeq.toDF("doc_id", "text"),
+        batchId = thirds.length - 1L)
+      assert(!replayed, "replay of a committed batch was NOT skipped")
+      assert(cat.table("spost_stats").count() == thirds.length,
+        "replay double-appended a stats delta")
+      val afterReplay = res(graft.ops.CorpusOps.searchScoredPostings(
+        cat, "spost", terms, k = 25))
+      assert(afterReplay == oneShot,
+        "replay corrupted the served BM25 ranking")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(oneDir))
     } finally {
       q.stop()
