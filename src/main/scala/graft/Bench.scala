@@ -184,7 +184,12 @@ object Bench {
     // under comma-decimal locales would emit invalid JSON ("value":7,32)
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val headline = results.filter(_._1.startsWith("q"))
+    // full runs print the 45 headline q-series (the driver's capture
+    // window); a SPARK_GRAFT_BENCH_ONLY profiling subset prints every
+    // selected query — small by construction, and the per-query numbers
+    // are the whole point of an isolated re-measure
+    val headline =
+      if (only.isDefined) results else results.filter(_._1.startsWith("q"))
     val qs = headline.map {
       case (k, Right(v)) => "\"" + key(k) + "\":" + fmt(v)
       case (k, Left(_))  => "\"" + key(k) + "\":-1"

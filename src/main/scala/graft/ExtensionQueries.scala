@@ -518,6 +518,23 @@ object ExtensionQueries {
       Seq("dup", "vector", "merge"), window = 8)
   }
 
+  /** ORDERED sloppy-phrase search from the SAME persisted positional
+    * index as x142/x143 ([[graft.ops.CorpusOps.searchPhraseSlop]]) —
+    * Lucene's slop semantics between x142's exact adjacency and
+    * x143's order-free window: "table … hash" IN ORDER with at most 2
+    * intervening tokens (slop 0 ≡ x142's phrase, OpsSpec-pinned;
+    * at every SF slop 2 surfaces ~3× the exact-adjacency anchors).
+    * Output counts DISTINCT start positions, so loose slops can't
+    * combinatorially inflate. The oracle recounts anchors from raw
+    * text positions — index never enters it. */
+  private val x145_slop_phrase: QFn = (s, d) => {
+    val idxDir = layoutDir(s, d, "documents", "posidx|v1") { cat =>
+      graft.ops.CorpusOps.writePositionalPostings(cat, "ppost", docsR(s, d))
+    }
+    graft.ops.CorpusOps.searchPhraseSlop(Catalog(s, idxDir), "ppost",
+      Seq("table", "hash"), slop = 2)
+  }
+
   /** BM25 served from a scored postings index AFTER a TOMBSTONED
     * DELETE — the index-tier delete lifecycle (r14 verdict gap: every
     * index had build + additive append but no delete, so a
@@ -3559,6 +3576,7 @@ object ExtensionQueries {
     "x142_phrase_search" -> x142_phrase_search,
     "x143_proximity_search" -> x143_proximity_search,
     "x144_bm25_after_delete" -> x144_bm25_after_delete,
+    "x145_slop_phrase" -> x145_slop_phrase,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -6527,6 +6545,19 @@ object ExtensionQueries {
          |        count(*)::BIGINT AS n_hit FROM t GROUP BY doc_id)
          |SELECT doc_id, score_q, n_hit FROM s
          | ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // x145: ordered slop-2 anchors recounted from RAW text positions —
+    // hash-green proves index-served sloppy phrase ≡ a full-corpus scan
+    "x145_slop_phrase" ->
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws
+         |             FROM documents),
+         |p AS (SELECT doc_id, ws[i] AS word, i::BIGINT AS pos FROM w,
+         |        unnest(range(1, len(ws)+1)) AS t(i)),
+         |a AS (SELECT doc_id, pos AS p0 FROM p WHERE word = 'table'),
+         |b AS (SELECT doc_id, pos AS p1 FROM p WHERE word = 'hash'),
+         |j AS (SELECT DISTINCT a.doc_id, p0 FROM a JOIN b USING (doc_id)
+         |       WHERE p1 > p0 AND p1 <= p0 + 3)
+         |SELECT doc_id, count(*)::BIGINT AS n_anchors
+         |  FROM j GROUP BY doc_id""".stripMargin,
     // x144: x138's first-principles BM25 replay, over the corpus MINUS
     // the exact-dedup-dropped docs — the index never enters the oracle,
     // so hash-green proves tombstoned delete ≡ rebuild on the deduped

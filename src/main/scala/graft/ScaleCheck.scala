@@ -450,7 +450,8 @@ object ScaleCheck {
         // (band-joined rarest-first) and x144's is x138's plus a
         // deletes-sized broadcast anti-join, both corpus-independent
         "x143_proximity_search",
-        "x144_bm25_after_delete")) {
+        "x144_bm25_after_delete",
+        "x145_slop_phrase")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)

@@ -492,6 +492,24 @@ final case class Catalog(spark: SparkSession, dir: String) {
     before - table(name).count()
   }
 
+  /** Maintenance trigger for appendable bucketed layouts — the
+    * bucketed-index analogue of [[graft.mvcc.LogTable.shouldCompact]]'s
+    * redundancy trigger: compact when EITHER append-accumulated small
+    * files exceed `maxFilesPerBucket` per bucket (scan/open overhead
+    * eats the layout's benefit) OR recorded deletes reach
+    * `maxTombstones` (every probe pays the anti-join until compaction
+    * makes them physical). Both signals are metadata-cheap: one
+    * directory listing + one deletes-sized count. Policy only — the
+    * caller schedules [[compactBucketed]] (or the index-specific
+    * wrapper) when this fires. */
+  def shouldCompactBucketed(name: String, maxFilesPerBucket: Int = 8,
+      maxTombstones: Long = 10000L): Boolean =
+    readBucketSpec(name).exists { spec =>
+      dataFileCount(name) > spec.buckets.toLong * maxFilesPerBucket ||
+        (hasTombstones(name) &&
+          table(tombstoneName(name)).count() >= maxTombstones)
+    }
+
   /** Data files (non-underscore-prefixed, what Spark's file index sees)
     * currently in `name`'s directory. */
   private def dataFileCount(name: String): Int =

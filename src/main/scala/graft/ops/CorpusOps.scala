@@ -1590,6 +1590,47 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_occ"))
   }
 
+  /** ORDERED sloppy-phrase search over a positional index — the
+    * middle rung between [[searchPhrase]]'s exact adjacency and
+    * [[searchProximity]]'s order-free window: the phrase's words must
+    * occur IN ORDER at strictly increasing positions p₀ < … < p₋₁
+    * whose total stretch (p₋₁ − p₀ + 1) − m is at most `slop`
+    * (the number of extra tokens allowed inside the phrase span —
+    * slop 0 forces consecutive positions and is EXACTLY
+    * [[searchPhrase]]'s semantics, OpsSpec pins the equivalence).
+    * Output: (doc_id, n_anchors) — the count of distinct start
+    * positions that begin at least one valid match (dedup by start,
+    * so a loose slop can't combinatorially inflate the count).
+    *
+    * Plan: the join chain follows PHRASE order (each hop adds term
+    * i+1's bucket-pruned posting list, keyed on doc_id with the
+    * position band p_i < p_{i+1} ≤ p₀ + m − 1 + slop as a join
+    * predicate — the band makes the final stretch filter implicit and
+    * caps each hop's fan-out at slop+1 candidates per occurrence).
+    * Corpus never touched; same 100 TB shape as [[searchPhrase]]. */
+  def searchPhraseSlop(cat: graft.catalog.Catalog, name: String,
+      phrase: Seq[String], slop: Int): DataFrame = {
+    require(phrase.nonEmpty, "searchPhraseSlop: empty phrase")
+    require(slop >= 0, s"searchPhraseSlop: negative slop $slop")
+    val posts = cat.minusTombstones(name, cat.bucketedTable(name))
+    val m = phrase.size
+    val lists = phrase.zipWithIndex.map { case (w, i) =>
+      posts.filter(col("word") === lit(w))
+        .select(col("doc_id").as(s"d$i"), col("pos").as(s"p$i"))
+    }
+    val joined = lists.tail.zipWithIndex.foldLeft(lists.head) {
+      case (acc, (nxt, i)) =>
+        acc.join(nxt,
+          col(s"d${i + 1}") === col("d0") &&
+            col(s"p${i + 1}") > col(s"p$i") &&
+            col(s"p${i + 1}") <= col("p0") + lit((m - 1 + slop).toLong))
+          .drop(s"d${i + 1}")
+    }
+    joined.select(col("d0").as("doc_id"), col("p0")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_anchors"))
+  }
+
   /** "Within k" PROXIMITY search over a positional index — the other
     * half of the Lucene positional contract next to [[searchPhrase]]'s
     * exact adjacency: documents where ALL of `terms` (distinct words,
@@ -2465,7 +2506,8 @@ object CorpusOps {
     * all-co-occurring-pairs join the prefix provably dominates. */
   def allPairsCosine(docs: DataFrame, tau: java.math.BigDecimal,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3,
+      maxDocSs: Long = 1000000000000000L): DataFrame = {
     val t2e8 = tau2E8(tau)
     // eager row-block checkpoint, not columnar persist: five consumers
     // read this narrow frame, and the x21/x42 A/B (re-measured here:
@@ -2485,8 +2527,9 @@ object CorpusOps {
     // fail loudly here with a split/pre-filter hint instead. (ss itself
     // is exact: each w² ≤ 1e15 pre-cap and the long sum saturates far
     // below 2⁶³ — wrap-around would require ss ≥ 9·10¹⁸, caught by this
-    // same gate long before.)
-    val ssCap = 1000000000000000L // 1e15
+    // same gate long before.) `maxDocSs` must never EXCEED 1e15 (the
+    // decimal headroom); callers may tighten it.
+    val ssCap = math.min(maxDocSs, 1000000000000000L)
     val ss = tf.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("ss"))
       .withColumn("ss", when(col("ss") <= ssCap, col("ss"))

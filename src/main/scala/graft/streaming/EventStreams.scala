@@ -501,6 +501,35 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming DELETE maintenance for a scored postings index — the
+    * other half of the index's continuous lifecycle next to
+    * [[scoredPostingsIngestStream]]: a stream of document ids (an MVCC
+    * tombstone feed, a dedup decision stream, a takedown queue) is
+    * applied per micro-batch via [[graft.ops.CorpusOps
+    * .deleteFromScoredPostings]] — ids land in the tombstone sidecar,
+    * searchers stop serving them at the NEXT probe, and the one
+    * negative stats delta keeps BM25's n_docs/avgdl exact
+    * (delete ≡ rebuild, OpsSpec). No batch-id high-water mark needed
+    * here: the delete op is IDEMPOTENT by construction (already-
+    * tombstoned ids are anti-joined out of the delta computation, so
+    * an at-least-once replay re-deletes nothing and re-subtracts
+    * nothing — StreamingSpec asserts it). Pair with
+    * [[graft.ops.CorpusOps.compactScoredPostings]] on the
+    * [[graft.catalog.Catalog.shouldCompactBucketed]] trigger to keep
+    * the probe-side anti-join deletes-sized. */
+  def scoredPostingsDeleteStream(deletes: DataFrame, indexDir: String,
+      indexName: String, checkpointDir: String,
+      idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deletes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.CorpusOps.deleteFromScoredPostings(
+          graft.catalog.Catalog(batch.sparkSession, indexDir), indexName,
+          batch, idCol)
+      }
+      .start()
+
   /** One micro-batch of [[scoredPostingsIngestStream]]'s sink —
     * factored out so the replay path is directly testable. Returns
     * true if the batch was ingested, false if it was recognized as a

@@ -2137,6 +2137,57 @@ class OpsSpec extends SparkTestBase {
     assert(res(Seq("beta", "beta")).isEmpty)
   }
 
+  test("CorpusOps.searchPhraseSlop: ordered gaps within slop; slop 0 equals exact phrase") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"),   // exact "alpha beta" twice
+      (2L, "beta alpha gamma"),              // reversed: never matches
+      (3L, "alpha gamma beta"),              // 1 insertion: slop >= 1
+      (4L, "alpha x y beta"),                // 2 insertions: slop >= 2
+      (5L, "echo echo echo")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_slop").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    graft.ops.CorpusOps.writePositionalPostings(cat, "ppost", docs)
+    def slop(phrase: Seq[String], s: Int) = graft.ops.CorpusOps
+      .searchPhraseSlop(cat, "ppost", phrase, s)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ab = Seq("alpha", "beta")
+    assert(slop(ab, 0) == Map(1L -> 2L))
+    assert(slop(ab, 1) == Map(1L -> 2L, 3L -> 1L))
+    assert(slop(ab, 2) == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+    // order is respected at ANY slop: doc 2's "beta alpha" never matches
+    assert(!slop(ab, 10).contains(2L))
+    // repeated-word phrase, anchor-deduped counts
+    assert(slop(Seq("echo", "echo"), 0) == Map(5L -> 2L))
+    assert(slop(Seq("echo", "echo"), 1) == Map(5L -> 2L))
+    // slop 0 == searchPhrase on every phrase of the corpus vocabulary
+    for (p <- Seq(Seq("alpha", "beta"), Seq("alpha", "beta", "gamma"),
+        Seq("gamma", "alpha"), Seq("echo", "echo", "echo"))) {
+      val exact = graft.ops.CorpusOps.searchPhrase(cat, "ppost", p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(slop(p, 0) == exact, s"slop-0 != exact phrase for $p")
+    }
+  }
+
+  test("CorpusOps.allPairsCosine: the DECIMAL(38,0) exactness bound fails loudly, never drops pairs") {
+    // with the bound tightened to 1, every real doc trips it — the
+    // production cap (1e15) needs a ~100 MB degenerate doc to reach,
+    // so the test exercises the GATE, not the pathology
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val ok = graft.ops.CorpusOps.allPairsCosine(
+      docs, new java.math.BigDecimal("0.5"), shingleK = 2)
+    assert(ok.collect().nonEmpty) // default cap: fine
+    val e = intercept[Throwable] {
+      graft.ops.CorpusOps.allPairsCosine(
+        docs, new java.math.BigDecimal("0.5"), shingleK = 2,
+        maxDocSs = 1L).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("allPairsCosine"), s"unexpected failure: $msgs")
+  }
+
   test("CorpusOps.searchProximity: tightest within-k spans, short-circuits, contract errors") {
     val docs = Seq(
       (1L, "a x b y c"),                     // spans {a,b,c}: 5
@@ -2262,6 +2313,27 @@ class OpsSpec extends SparkTestBase {
       !scat.hasTombstones("sig_sets"))
     assert(scat.bucketedTable("sig_sets").count() == 1L)
     assert(matches().isEmpty)
+  }
+
+  test("Catalog.shouldCompactBucketed: fires on file pile-up or delete pile-up, quiet otherwise") {
+    val docs = Seq((1L, "aa bb"), (2L, "bb cc"), (3L, "cc dd"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_trig").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    graft.ops.CorpusOps.writePostings(cat, "post", docs, buckets = 2)
+    assert(!cat.shouldCompactBucketed("post"))
+    // delete pile-up (threshold 1 for the test) fires the trigger;
+    // compaction clears it
+    graft.ops.CorpusOps.deleteFromPostings(cat, "post", Seq(2L).toDF("doc_id"))
+    assert(cat.shouldCompactBucketed("post", maxTombstones = 1L))
+    cat.compactBucketed("post")
+    assert(!cat.shouldCompactBucketed("post", maxTombstones = 1L))
+    // file pile-up: appends add files per batch; a tiny per-bucket cap fires
+    graft.ops.CorpusOps.appendToPostings(cat, "post",
+      Seq((4L, "dd ee")).toDF("doc_id", "text"))
+    assert(cat.shouldCompactBucketed("post", maxFilesPerBucket = 1))
+    assert(!cat.shouldCompactBucketed("post", maxFilesPerBucket = 100))
   }
 
   test("CorpusOps.searchScoredPostingsPerQuery: probe-vocabulary cap fails loudly, never OOMs the driver") {

@@ -500,6 +500,31 @@ class StreamingSpec extends SparkTestBase {
         cat, "spost", terms, k = 25))
       assert(afterReplay == oneShot,
         "replay corrupted the served BM25 ranking")
+      // streaming DELETE maintenance: a tombstone feed applied per
+      // micro-batch; ranking after the stream equals a rebuild over
+      // the kept docs, and re-delivering the same ids (at-least-once)
+      // changes nothing — the delete op is idempotent by construction
+      val delIds = rows.map(_._1).filter(_ % 5 == 0)
+      val delInput = MemoryStream[Long]
+      val dq = EventStreams.scoredPostingsDeleteStream(
+        delInput.toDF().toDF("doc_id"), s"$dir/idx", "spost",
+        s"$dir/delckpt")
+      try {
+        delInput.addData(delIds.toSeq: _*); dq.processAllAvailable()
+        delInput.addData(delIds.toSeq: _*); dq.processAllAvailable() // replay
+      } finally dq.stop()
+      val keptDir = java.nio.file.Files
+        .createTempDirectory("graft-spkept").toString
+      graft.ops.CorpusOps.writeScoredPostings(
+        graft.catalog.Catalog(spark, keptDir), "spost",
+        dd.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0))
+      val keptOracle = res(graft.ops.CorpusOps.searchScoredPostings(
+        graft.catalog.Catalog(spark, keptDir), "spost", terms, k = 25))
+      val afterDelete = res(graft.ops.CorpusOps.searchScoredPostings(
+        cat, "spost", terms, k = 25))
+      assert(afterDelete == keptOracle,
+        "streamed deletes diverged from the kept-corpus rebuild")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(keptDir))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(oneDir))
     } finally {
       q.stop()
