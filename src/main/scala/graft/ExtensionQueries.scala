@@ -535,6 +535,27 @@ object ExtensionQueries {
       Seq("table", "hash"), slop = 2)
   }
 
+  /** PHRASE-SCORED ranked retrieval ([[graft.ops.CorpusOps
+    * .searchPhraseRanked]]) — the last piece of the Lucene positional
+    * contract (x142 exact, x145 slop, x143 proximity, THIS scoring):
+    * docs holding {dup, vector, merge} inside an 8-token window
+    * (positional-index gate), ranked by index-served BM25 over the
+    * same terms PLUS the 1/min_span tightness bonus on the exact
+    * integer grid — both modalities from persisted artifacts, corpus
+    * untouched at query time. The oracle replays BM25 from first
+    * principles AND recomputes min spans from raw text positions, so
+    * hash-green proves the two stored indexes together serve exactly
+    * what fresh computation would. */
+  private val x146_phrase_ranked: QFn = (s, d) => {
+    val posDir = layoutDir(s, d, "documents", "posidx|v1") { cat =>
+      graft.ops.CorpusOps.writePositionalPostings(cat, "ppost", docsR(s, d))
+    }
+    graft.ops.CorpusOps.searchPhraseRanked(
+      Catalog(s, scoredIdxDir(s, d)), "spost",
+      Catalog(s, posDir), "ppost",
+      Seq("dup", "vector", "merge"), window = 8)
+  }
+
   /** BM25 served from a scored postings index AFTER a TOMBSTONED
     * DELETE — the index-tier delete lifecycle (r14 verdict gap: every
     * index had build + additive append but no delete, so a
@@ -3577,6 +3598,7 @@ object ExtensionQueries {
     "x143_proximity_search" -> x143_proximity_search,
     "x144_bm25_after_delete" -> x144_bm25_after_delete,
     "x145_slop_phrase" -> x145_slop_phrase,
+    "x146_phrase_ranked" -> x146_phrase_ranked,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -6545,6 +6567,47 @@ object ExtensionQueries {
          |        count(*)::BIGINT AS n_hit FROM t GROUP BY doc_id)
          |SELECT doc_id, score_q, n_hit FROM s
          | ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // x146: proximity gate recomputed from RAW text positions + BM25
+    // replayed from first principles, fused on the same exact integer
+    // grids — neither index enters the oracle
+    "x146_phrase_ranked" ->
+      s"""WITH w AS (SELECT doc_id, string_split($NT,' ') AS ws
+         |             FROM documents),
+         |p AS (SELECT doc_id, ws[i] AS word, i::BIGINT AS pos FROM w,
+         |        unnest(range(1, len(ws)+1)) AS t(i)),
+         |pa AS (SELECT doc_id, pos AS p0 FROM p WHERE word = 'dup'),
+         |pb AS (SELECT doc_id, pos AS p1 FROM p WHERE word = 'vector'),
+         |pc AS (SELECT doc_id, pos AS p2 FROM p WHERE word = 'merge'),
+         |pj AS (SELECT pa.doc_id,
+         |              greatest(p0,p1,p2) - least(p0,p1,p2) + 1 AS span
+         |         FROM pa JOIN pb USING (doc_id) JOIN pc USING (doc_id)),
+         |sp AS (SELECT doc_id, min(span)::BIGINT AS min_span
+         |         FROM pj WHERE span <= 8 GROUP BY doc_id),
+         |tf AS (SELECT doc_id, w AS word, count(*)::BIGINT AS tf
+         |         FROM (SELECT doc_id, unnest(string_split($NT,' ')) AS w
+         |                 FROM documents) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+         |c AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+         |        FROM dl),
+         |pp AS (SELECT tf.doc_id, tf.word, tf.tf, dl.dl
+         |         FROM tf JOIN dl USING (doc_id)
+         |        WHERE tf.word IN ('dup', 'vector', 'merge')),
+         |dfq AS (SELECT word, count(*)::BIGINT AS dfreq FROM pp GROUP BY word),
+         |t AS (SELECT pp.doc_id,
+         |        CAST(round(ln(1.0 + (c.n_docs - dfq.dfreq + 0.5) /
+         |                        (dfq.dfreq + 0.5)) *
+         |              (pp.tf * 2.2 /
+         |               (pp.tf + 1.2 * (0.25 + 0.75 * pp.dl /
+         |                (c.sum_dl::DOUBLE / c.n_docs::DOUBLE))))
+         |              * 1000000) AS BIGINT) AS t_q
+         |        FROM pp JOIN dfq USING (word) CROSS JOIN c),
+         |s AS (SELECT doc_id, sum(t_q)::BIGINT AS score_q FROM t
+         |       GROUP BY doc_id)
+         |SELECT sp.doc_id, s.score_q, sp.min_span,
+         |       s.score_q + (2*1000000 + sp.min_span) // (2*sp.min_span)
+         |         AS rank_q
+         |  FROM sp JOIN s USING (doc_id)
+         | ORDER BY rank_q DESC, sp.doc_id ASC LIMIT 10""".stripMargin,
     // x145: ordered slop-2 anchors recounted from RAW text positions —
     // hash-green proves index-served sloppy phrase ≡ a full-corpus scan
     "x145_slop_phrase" ->

@@ -451,7 +451,8 @@ object ScaleCheck {
         // deletes-sized broadcast anti-join, both corpus-independent
         "x143_proximity_search",
         "x144_bm25_after_delete",
-        "x145_slop_phrase")) {
+        "x145_slop_phrase",
+        "x146_phrase_ranked")) {
       time(n, src) // warm
       val tSmall = time(n, src)
       val tBig = time(n, dst)

@@ -1459,7 +1459,19 @@ object CorpusOps {
     * Output: global top-`k` (score_q desc, doc_id asc) —
     * TakeOrderedAndProject, map tasks forward ≤ k rows. */
   def searchScoredPostings(cat: graft.catalog.Catalog, name: String,
-      terms: Seq[String], k: Int = 10): DataFrame = {
+      terms: Seq[String], k: Int = 10): DataFrame =
+    bm25Scores(cat, name, terms)
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** Doc-grain BM25 scores for `terms` from a scored postings index —
+    * the un-truncated scoring half of [[searchScoredPostings]]
+    * (which adds the global top-k), reusable by compositions that
+    * gate or re-rank before truncating ([[searchPhraseRanked]]).
+    * Output: (doc_id, score_q, n_hit) for every doc matching ≥1
+    * term. */
+  def bm25Scores(cat: graft.catalog.Catalog, name: String,
+      terms: Seq[String]): DataFrame = {
     val post = cat.minusTombstones(name, cat.bucketedTable(name))
       .filter(col("word").isin(terms: _*))
     val dfreq = post.groupBy(col("word"))
@@ -1480,7 +1492,36 @@ object CorpusOps {
         graft.functions.ExactMath.microQ(idf * norm).as("t_q"))
       .groupBy(col("doc_id"))
       .agg(sum(col("t_q")).as("score_q"), count(lit(1)).as("n_hit"))
-      .orderBy(col("score_q").desc, col("doc_id").asc)
+  }
+
+  /** PHRASE-SCORED ranked retrieval — the scoring half of the Lucene
+    * positional contract, composed ENTIRELY from two persisted
+    * artifacts: the proximity gate comes from the positional index
+    * ([[searchProximity]] — only docs holding all phrase terms inside
+    * `window` positions survive) and the relevance score from the
+    * scored postings index ([[bm25Scores]]), boosted by tightness:
+    * rank_q = score_q + divHalfUp(10⁶, min_span) — the
+    * 1/min_span proximity bonus on the exact 1e-6 grid (the same
+    * idea as Lucene's sloppyFreq ∝ 1/(slop+1), kept in pure integer
+    * arithmetic so the ranking is engine-replayable). Output: global
+    * top-`k` by (rank_q desc, doc_id asc): (doc_id, score_q,
+    * min_span, rank_q).
+    *
+    * 100 TB shape: both inputs are index probes (bucket-pruned
+    * posting lists, never the corpus); the gate join is equi on
+    * doc_id between two probe-sized frames; top-k is
+    * TakeOrderedAndProject. */
+  def searchPhraseRanked(scoredCat: graft.catalog.Catalog,
+      scoredName: String, posCat: graft.catalog.Catalog,
+      posName: String, phrase: Seq[String], window: Int,
+      k: Int = 10): DataFrame = {
+    val prox = searchProximity(posCat, posName, phrase.distinct, window)
+    val bm = bm25Scores(scoredCat, scoredName, phrase.distinct)
+    prox.join(bm, Seq("doc_id"))
+      .withColumn("rank_q", col("score_q") +
+        graft.functions.ExactMath.divHalfUp(lit(1000000L), col("min_span")))
+      .select(col("doc_id"), col("score_q"), col("min_span"), col("rank_q"))
+      .orderBy(col("rank_q").desc, col("doc_id").asc)
       .limit(k)
   }
 

@@ -481,6 +481,9 @@ class PlanAuditSpec extends SparkTestBase {
       "x144_bm25_after_delete", // x138's 1-row stats scalar broadcast;
                                 // the tombstone anti-join is equi on
                                 // doc_id, posting probes equi on word
+      "x146_phrase_ranked",     // inherits x138's 1-row stats scalar;
+                                // the proximity gate and fusion joins
+                                // are equi on doc_id
       "x17_mvcc_snapshot")      // committed-set semi-join pushed through the
                                 // union: per-branch txn is a literal, so each
                                 // branch degenerates to a conditionless check
