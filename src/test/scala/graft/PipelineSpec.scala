@@ -367,6 +367,59 @@ class PipelineSpec extends SparkTestBase {
         s"diff=${(keptOp -- keptInd) ++ (keptInd -- keptOp)}")
   }
 
+  test("serving follows the log: MVCC deletes drive index tombstones, search equals the new snapshot") {
+    // The maintenance loop a served corpus runs: the MVCC log is the
+    // source of truth (upserts @txn1, deletes @txn2 — the x82 flow);
+    // the serving index is built ONCE from the txn1 snapshot and then
+    // FOLLOWS the log: the txn2 tombstones feed
+    // deleteFromScoredPostings, and the served BM25 ranking must equal
+    // an index rebuilt from the txn2 snapshot — the log and the index
+    // can never disagree about which documents exist.
+    import graft.mvcc.LogTable
+    val docs = Catalog(spark, sf).table("documents")
+      .select(col("doc_id").as("rid"), col("text"))
+    val gone = docs.filter(col("rid") % 9 === 0).select(col("rid"))
+    val log = LogTable.upserts(docs, 1L, col("rid"))
+      .unionByName(LogTable.deletes(
+        docs.join(gone, Seq("rid")), 2L, col("rid")),
+        allowMissingColumns = true)
+      .unionByName(LogTable.commitMarker(spark, 1L),
+        allowMissingColumns = true)
+      .unionByName(LogTable.commitMarker(spark, 2L),
+        allowMissingColumns = true)
+      .localCheckpoint(true)
+    val terms = Seq("spark", "join", "window")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // index built from the txn1 snapshot, then maintained by the
+    // txn2 tombstones (rid -> doc_id at the index boundary)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_logidx_a").toString
+    val catA = Catalog(spark, dirA)
+    CorpusOps.writeScoredPostings(catA, "spost",
+      LogTable.snapshot(log, asOf = 1L)
+        .select(col("rid").as("doc_id"), col("text")))
+    CorpusOps.deleteFromScoredPostings(catA, "spost",
+      gone.select(col("rid").as("doc_id")))
+    // the oracle: an index built fresh from the txn2 snapshot
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_logidx_b").toString
+    CorpusOps.writeScoredPostings(Catalog(spark, dirB), "spost",
+      LogTable.snapshot(log, asOf = 2L)
+        .select(col("rid").as("doc_id"), col("text")))
+    val followed = rows(CorpusOps.searchScoredPostings(
+      catA, "spost", terms, k = 25))
+    val rebuilt = rows(CorpusOps.searchScoredPostings(
+      Catalog(spark, dirB), "spost", terms, k = 25))
+    assert(followed == rebuilt,
+      "log-following index diverged from the new-snapshot rebuild")
+    // and compaction of the followed index preserves the parity
+    CorpusOps.compactScoredPostings(catA, "spost")
+    assert(rows(CorpusOps.searchScoredPostings(
+      catA, "spost", terms, k = 25)) == rebuilt,
+      "compaction broke log-following parity")
+  }
+
   test("x123 scan-amplification audit: the card's word-grain consumers share one persisted explode") {
     val sc = spark.sparkContext
     val docs = Catalog(spark, sf).table("documents")
