@@ -497,6 +497,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"unintended cartesian/BNLJ in: $offenders")
   }
 
+  test("x144: bucket pruning survives the tombstone anti-join; deletes ride broadcast anti-joins") {
+    // the load-bearing property of the index delete design: recording
+    // deletes in a sidecar must not cost the probe its layout — the
+    // IN-list still prunes buckets below the anti-join, and the
+    // (deletes-sized) tombstone side broadcasts
+    val p = plan("x144_bm25_after_delete")
+    assert(p.contains("SelectedBucketsCount: 3 out of 16"),
+      s"posting probe lost bucket pruning under the tombstone anti-join:\n$p")
+    assert(p.contains("In(word, [join,spark,window])"),
+      s"IN-list not pushed into the bucketed scan:\n$p")
+    assert("""BroadcastHashJoin \[doc_id#\d+L?\], \[doc_id#\d+L?\], LeftAnti, BuildRight"""
+      .r.findFirstIn(p).isDefined,
+      s"tombstone anti-join is not a broadcast hash join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x143/x146: per-term positional probes each prune to their word's bucket") {
+    for (q <- Seq("x143_proximity_search", "x146_phrase_ranked")) {
+      val p = plan(q)
+      // three single-term probes -> three 1-of-16 pruned scans
+      assert(p.linesIterator
+        .count(_.contains("SelectedBucketsCount: 1 out of 16")) >= 3,
+        s"$q: positional probes not bucket-pruned:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("x84/x89: DSIR selection plans TakeOrderedAndProject — per-partition top-k, no global sort of the weight table") {
     // the selector must forward ≤64 rows per partition and merge on the
     // driver; a global Sort/Exchange of the doc-grain weight table is
