@@ -418,7 +418,7 @@ object ExtensionQueries {
   /** The shared scored-postings layout (build on 2/3 + append 1/3 —
     * the lifecycle x138 verifies; x139 reads the same artifact). */
   private def scoredIdxDir(s: SparkSession, d: String): String =
-    layoutDir(s, d, "documents", "scoredidx|v1") { cat =>
+    layoutDir(s, d, "documents", "scoredidx|v2") { cat =>
       val dd = docsR(s, d)
       graft.ops.CorpusOps.writeScoredPostings(cat, "spost",
         dd.filter(col("doc_id") % 3 =!= 0))
@@ -574,7 +574,7 @@ object ExtensionQueries {
     * corrupts). [[graft.ops.CorpusOps.compactScoredPostings]] later
     * makes the delete physical (OpsSpec pins compact ≡ rebuild). */
   private val x144_bm25_after_delete: QFn = (s, d) => {
-    val idxDir = layoutDir(s, d, "documents", "scoredidx-del|v1") { cat =>
+    val idxDir = layoutDir(s, d, "documents", "scoredidx-del|v2") { cat =>
       val dd = docsR(s, d)
       graft.ops.CorpusOps.writeScoredPostings(cat, "spost", dd)
       val drops = dd
@@ -587,6 +587,38 @@ object ExtensionQueries {
     }
     graft.ops.CorpusOps.searchScoredPostings(Catalog(s, idxDir), "spost",
       Seq("spark", "join", "window"))
+  }
+
+  /** ANN served from a persisted IVF cell index AFTER a TOMBSTONED
+    * DELETE — closes the r15 verdict's last index-delete gap (every
+    * other tier — plain/scored/positional postings, PQ codes,
+    * signatures — already had the lifecycle; the IVF cell index did
+    * not, so a dedup-dropped vector kept surfacing as a neighbor until
+    * a full rebuild). The layout builds the bucketed cell index over
+    * ALL vectors ([[graft.ops.VectorOps.writeIndex]] — x18's stand-in
+    * centroid assignment), then [[graft.ops.VectorOps.deleteFromIndex]]
+    * tombstones vec_id % 7 == 0: dropped ids land in the sidecar and
+    * the probe ([[graft.ops.VectorOps.searchIndex]]) anti-joins them —
+    * off BOTH sides of the in-cell self-join, so deleted vectors
+    * neither query nor serve. The oracle replays the assignment from
+    * first principles and searches ONLY the surviving vectors —
+    * hash-green proves delete ≡ rebuild-on-survivors under the frozen
+    * quantizer (the FAISS remove_ids contract; assignment is
+    * per-vector, so survivors' cells are unchanged).
+    * [[graft.ops.VectorOps.compactIndex]] later makes the delete
+    * physical (OpsSpec pins compact ≡ rebuild). 100 TB shape: the
+    * sidecar is deletes-sized and broadcast; the bucketed scan's
+    * partitioning on `cell` survives the anti-join, so the probe's
+    * self-join stays zero-shuffle (PlanAuditSpec pins it). */
+  private val x147_ann_after_delete: QFn = (s, d) => {
+    val idxDir = layoutDir(s, d, "embeddings", "ivfidx-del|v1") { cat =>
+      graft.ops.VectorOps.writeIndex(cat, "vidx",
+        ivfCells(embs(s, d), nprobe = 1), buckets = 16)
+      graft.ops.VectorOps.deleteFromIndex(cat, "vidx",
+        embs(s, d).filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+    }
+    graft.ops.VectorOps.searchIndex(Catalog(s, idxDir), "vidx", k = 3,
+      queryPred = col("q_id") < 10)
   }
 
   /** Two-stage ANN: PQ candidates + EXACT re-rank (the FAISS
@@ -1809,24 +1841,32 @@ object ExtensionQueries {
     * Embedding ids and doc ids share the key space (the fixture's
     * vec_id ≡ doc_id contract, as x31's hydration join uses).
     *
-    * This query is the PINNED FIXTURE of [[graft.ops.CorpusOps
-    * .fusedDedup]]: it passes the oracle-pinned k=16 first-vectors
-    * quantizer through the `coarseCentroids` escape hatch so the
-    * unrolled DuckDB oracle stays replayable (fixed-k is quadratic
-    * under replication — ScaleCheck measured 4.08× at ×4). The
-    * library DEFAULT is auto-k (k ~ √n, 3.3–3.4× cheaper on the
-    * doubled corpus; x101 is the trained-persisted variant) — a
-    * caller who doesn't pick a quantizer cannot reach the quadratic
-    * path by accident. */
-  private val x75_fused_dedup: QFn = (s, d) => {
-    val e = embs(s, d)
-    graft.ops.CorpusOps.fusedDedup(docsR(s, d), e,
+    * This query pins [[graft.ops.CorpusOps.fusedDedup]]'s LIBRARY
+    * DEFAULT operating point — auto-k (k ~ √n via [[graft.ops
+    * .VectorOps.suggestK]], 2 Lloyd's rounds, nprobe=1) — in its
+    * PRODUCTION form: the quantizer trains ONCE per dataset generation
+    * inside a persisted layout (the x101/[[trainedCentroidDir]]
+    * train-once contract — you never retrain a production quantizer
+    * per run) and every execution reads the √n-row centroid table
+    * back, paying assignment + pairs + closure only. The oracle
+    * replays the WHOLE chain from first principles — k =
+    * greatest/least/√count(*) derived from the data on both engines
+    * (one oracle string serves every SF), √n-seeded training unrolled
+    * round by round on the exact-integer centroid grid, assignment,
+    * in-cell pairs, fused closure — so the stored centroids stay
+    * hash-verified, never trusted. Until r15 this query pinned the
+    * fixed-k=16/nprobe=6 `coarseCentroids` fixture instead (quadratic
+    * under replication — ScaleCheck measured 4.9× at ×4 — and the
+    * single most expensive query of every bench sweep, benchmarking an
+    * escape hatch the default deliberately avoids); that path keeps
+    * OpsSpec equivalence coverage, and the one-call in-query-training
+    * default keeps its own OpsSpec row (auto ≡ manual composition). */
+  private val x75_fused_dedup: QFn = (s, d) =>
+    graft.ops.CorpusOps.fusedDedup(docsR(s, d), embs(s, d),
       shingleK = ShingleK, numHashes = NumHashes, bands = 4,
       textThreshold = 0.8, embThreshold = 0.45,
-      coarseCentroids = Some(e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))),
-      nprobe = IvfProbe)
-  }
+      coarseCentroids = Some(
+        Catalog(s, autoCentroidDir(s, d)).table("cent")))
 
   /** Tokenizer-efficiency audit — the fertility/compression report a
     * tokenizer owner publishes per corpus slice: under the SAME trained
@@ -2088,18 +2128,36 @@ object ExtensionQueries {
     val fp = srcFs.listStatus(srcPath).toSeq
       .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
       .sorted.mkString(",")
-    // per-user base dir (a world-shared /tmp path would silently trust —
-    // or fail on — another user's dirs on multi-user hosts); the layout
-    // name splits into <dataset+salt>_<fingerprint> so stale fingerprint
-    // GENERATIONS of the same dataset are identifiable and pruned below.
-    val user = Option(System.getProperty("user.name")).getOrElse("anon")
-      .replaceAll("[^A-Za-z0-9_-]", "_")
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_layout_$user"
+    // Base dir resolution: env override > a project-stable `.graft_layouts`
+    // under the working directory > the old per-user tmpdir. The stable
+    // default is what makes a FRESH JVM's first full run warm: layouts
+    // built by one session (a bench warm-up, a local verify sweep) are
+    // reused by the next JVM run from the same checkout — tmpdir does not
+    // reliably survive between harness runs, and rebuilding every BPE/PQ/
+    // postings layout cold is what pushed full Verify sweeps past their
+    // wall-clock budget (r14/r15 empty driver artifacts). The per-user
+    // tmpdir fallback covers a read-only working directory.
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAYOUT_DIR", {
+      val cwd = new java.io.File(System.getProperty("user.dir"))
+      if (cwd.isDirectory && cwd.canWrite)
+        s"${cwd.getAbsolutePath}/.graft_layouts"
+      else {
+        val user = Option(System.getProperty("user.name")).getOrElse("anon")
+          .replaceAll("[^A-Za-z0-9_-]", "_")
+        s"${System.getProperty("java.io.tmpdir")}/graft_layout_$user"
+      }
+    })
     val dsKey = md5hex(s"$d|$salt")
     val genName = s"${dsKey}_${md5hex(fp)}"
     val target = s"$base/$genName"
     val hTarget = new org.apache.hadoop.fs.Path(target)
     val fs = hTarget.getFileSystem(conf)
+    // in-JVM get-or-build dedupe: concurrent threads (parallel Verify
+    // dumps) wanting the same layout serialize here, so exactly one
+    // builds and the rest read it back — the atomic-rename publish below
+    // still guards the cross-JVM race, this lock just stops same-JVM
+    // threads from paying duplicate builds that one of them discards.
+    layoutBuildLocks.computeIfAbsent(target, _ => new Object).synchronized {
     if (!fs.exists(hTarget)) {
       val staging = s"$target.stage.${s.sparkContext.applicationId}" +
         s".${java.util.UUID.randomUUID.toString.take(8)}"
@@ -2128,8 +2186,12 @@ object ExtensionQueries {
         }
         .foreach(fs.delete(_, true))
     }
+    }
     target
   }
+
+  private val layoutBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def zorderLayoutDir(s: SparkSession, d: String,
       ev: DataFrame): String =
@@ -2151,6 +2213,21 @@ object ExtensionQueries {
     layoutDir(s, d, "embeddings", s"kmeans|k$initK|i$iters|v1") { cat =>
       val cent = graft.ops.VectorOps.kmeansTrain(embs(s, d),
         initK = initK, iters = iters)
+      cat.create("cent", cent.schema)
+      cat.append("cent", cent)
+    }
+
+  /** Train-once AUTO-K (k ~ √n, [[graft.ops.VectorOps.kmeansTrainAuto]])
+    * centroids behind the same fingerprint + atomic-rename contract —
+    * the persisted production form of [[graft.ops.CorpusOps
+    * .fusedDedup]]'s default quantizer (x75 reads it; the oracle
+    * re-derives k from count(*) and replays the training, so the
+    * stored table is hash-verified every run). k is data-derived, so a
+    * regenerated dataset retrains at ITS √n automatically. */
+  private def autoCentroidDir(s: SparkSession, d: String): String =
+    layoutDir(s, d, "embeddings", s"kmeans-auto|i$X48Iters|v1") { cat =>
+      val cent = graft.ops.VectorOps.kmeansTrainAuto(embs(s, d),
+        iters = X48Iters)
       cat.create("cent", cent.schema)
       cat.append("cent", cent)
     }
@@ -3599,6 +3676,7 @@ object ExtensionQueries {
     "x144_bm25_after_delete" -> x144_bm25_after_delete,
     "x145_slop_phrase" -> x145_slop_phrase,
     "x146_phrase_ranked" -> x146_phrase_ranked,
+    "x147_ann_after_delete" -> x147_ann_after_delete,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3741,22 +3819,17 @@ object ExtensionQueries {
        |         JOIN documents db ON p.b_id = db.doc_id)
        |SELECT src_1, src_2, count(*) AS n_pairs FROM sp GROUP BY 1, 2""".stripMargin
 
-  // x75: x07's text pair set UNION x22's embedding pair set (same CTEs,
-  // pair grain instead of the decision groupBy), one transitive closure
-  // over the fused edges, x41's decision shape.
+  // x75: x07's text pair set UNION the auto-k IVF embedding pair set
+  // (pair grain instead of the decision groupBy), one transitive closure
+  // over the fused edges, x41's decision shape. The embedding half is
+  // the AUTO-K unrolled Lloyd's chain (seed count = suggestK's
+  // greatest/least/sqrt over count(*), data-derived on both engines).
   private lazy val x75Oracle: String =
     s"""WITH RECURSIVE tp AS (
        |${oracles("x07_minhash_lsh_pairs")}
        |),
+       |${lloydCtes(seedK = AutoKSql, nprobe = 1)},
        |ec AS (
-       |  WITH cent AS (SELECT vec_id AS c_id, embedding AS c_e
-       |                  FROM embeddings WHERE vec_id < 16),
-       |  asg AS (
-       |    SELECT e.vec_id, e.embedding, c.c_id,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |               ORDER BY ${COS("e.embedding", "c.c_e")} DESC, c.c_id ASC) AS rn
-       |      FROM embeddings e CROSS JOIN cent c),
-       |  cells AS (SELECT vec_id, embedding, c_id AS cell FROM asg WHERE rn <= 6)
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |    FROM cells a JOIN cells b
        |      ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -3782,7 +3855,7 @@ object ExtensionQueries {
     s"""WITH RECURSIVE tp AS (
        |${oracles("x07_minhash_lsh_pairs")}
        |),
-       |${lloydCtes(seedK = 64, nprobe = 2)},
+       |${lloydCtes(seedK = "64", nprobe = 2)},
        |ec AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |    FROM cells a JOIN cells b
@@ -4073,7 +4146,7 @@ object ExtensionQueries {
   // Candidates from the cell equi-join, ADC from codes × LUT, exact
   // integer sums throughout.
   private lazy val x118Oracle: String =
-    s"""WITH ${lloydCtes(seedK = 16, nprobe = 2)},
+    s"""WITH ${lloydCtes(seedK = "16", nprobe = 2)},
        |$pqCtes,
        |qc AS (SELECT vec_id AS q_id, c_id AS cell FROM asgf
        |        WHERE rn <= 2 AND vec_id < 10),
@@ -4168,7 +4241,7 @@ object ExtensionQueries {
   // rn<=2), residual chain re-prefixed, per-(q, cell) residual LUT,
   // cell-matched exact integer ADC sums.
   private lazy val x122Oracle: String =
-    s"""WITH ${lloydCtes(seedK = 16, nprobe = 2)},
+    s"""WITH ${lloydCtes(seedK = "16", nprobe = 2)},
        |resid AS (
        |  SELECT a.vec_id, a.c_id AS cell,
        |         list_transform(list_zip(a.embedding, k.c_e),
@@ -4536,10 +4609,12 @@ object ExtensionQueries {
   // divided back) so both engines derive bit-identical centroids each
   // round — training is hash-checked, not approximated. Generated from
   // X48Iters so queries and oracles can't drift on the round count.
-  // `seedK` = first-K-vectors seeding (kmeansTrain's initK); `nprobe` =
+  // `seedK` = first-K-vectors seeding (kmeansTrain's initK) as a SQL
+  // expression — a literal ("64") or a scalar subquery (AutoKSql, the
+  // k ~ √n rule, so one oracle string serves every SF); `nprobe` =
   // how many nearest trained cells each vector lands in at the end
   // (training assignment itself is always nprobe=1, as in kmeansTrain).
-  private def lloydCtes(seedK: Int, nprobe: Int): String = {
+  private def lloydCtes(seedK: String, nprobe: Int): String = {
     def asg(cent: String, name: String) =
       s"""$name AS (
          |  SELECT e.vec_id, e.embedding, c.c_id,
@@ -4567,7 +4642,15 @@ object ExtensionQueries {
        |            FROM asgf WHERE rn <= $nprobe)""".stripMargin
   }
 
-  private lazy val lloydCellCtes: String = lloydCtes(seedK = 16, nprobe = 1)
+  private lazy val lloydCellCtes: String = lloydCtes(seedK = "16", nprobe = 1)
+
+  /** [[graft.ops.VectorOps.suggestK]] as a DuckDB scalar subquery —
+    * greatest(floor, least(cap, round(√n))) over the embeddings table,
+    * so an auto-k oracle stays one string across scale factors (k is
+    * data-derived on BOTH engines, never baked per-SF). */
+  private val AutoKSql: String =
+    "(SELECT greatest(16, least(65536, " +
+      "CAST(round(sqrt(count(*))) AS BIGINT))) FROM embeddings)"
 
   private lazy val x48Oracle: String =
     s"""WITH $lloydCellCtes,
@@ -4598,7 +4681,7 @@ object ExtensionQueries {
   // x81: the same unrolled training with 64 seeds, nprobe=2 cells, then
   // x22's pair-verify + decision shape over the TRAINED assignment.
   private lazy val x81Oracle: String =
-    s"""WITH ${lloydCtes(seedK = 64, nprobe = 2)},
+    s"""WITH ${lloydCtes(seedK = "64", nprobe = 2)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
        |         round(${COS("a.embedding", "b.embedding")}, 6) AS cos
@@ -6653,6 +6736,32 @@ object ExtensionQueries {
          |        count(*)::BIGINT AS n_hit FROM t GROUP BY doc_id)
          |SELECT doc_id, score_q, n_hit FROM s
          | ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // x147: x18's assignment replayed from first principles, searched
+    // over ONLY the surviving vectors (vec_id % 7 <> 0 filtered in the
+    // cells CTE — off both the query and neighbor sides, exactly what
+    // the probe's tombstone anti-join does) — hash-green proves
+    // delete ≡ rebuild-on-survivors under the frozen quantizer
+    "x147_ann_after_delete" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_e
+         |                FROM embeddings WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${COS("e.embedding", "c.c_e")} DESC, c.c_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |cells AS (SELECT vec_id, embedding, c_id AS cell FROM asg
+         |           WHERE rn = 1 AND vec_id % 7 <> 0),
+         |cand AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |         round(${COS("q.embedding", "n.embedding")}, 6) AS cos
+         |    FROM cells q JOIN cells n
+         |      ON q.cell = n.cell AND q.vec_id <> n.vec_id
+         |   WHERE q.vec_id < 10)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT q_id, n_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY cos DESC, n_id ASC) AS rnk
+         |    FROM cand) WHERE rnk <= 3""".stripMargin,
     // x142: consecutive-word occurrences counted straight off the raw
     // text windows — the index never enters the oracle, so hash-green
     // proves index-served phrase search ≡ a full corpus scan

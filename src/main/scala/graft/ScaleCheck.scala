@@ -330,9 +330,12 @@ object ScaleCheck {
         // with the corpus (fixture-pinned k=16, same caveat as x22;
         // the library rule is k ~ sqrt(n) via suggestK)
         "x71_semdedup",
-        // x75: fused text+embedding dedup — BOTH corpora are D× at this
-        // point (docs replicated above); edge volume grows like its two
-        // generators (x07 ~linear, x22's fixed-k quadratic caveat), and
+        // x75: fused text+embedding dedup at the library DEFAULT
+        // (auto-k since r16; the fixed-k=16/nprobe=6 escape hatch it
+        // used to pin measured 4.9x at x4 — the quadratic fixture
+        // class, now OpsSpec-covered instead of bench-weighted) — BOTH
+        // corpora are D× here; edge volume grows like its generators
+        // (x07 ~linear, auto-k in-cell pairs ~n^1.5/√n-bounded), and
         // cluster merges across replicas stress the component rounds
         "x75_fused_dedup",
         // x81: the k=64 TRAINED regime of the same decision — must sit
@@ -399,9 +402,9 @@ object ScaleCheck {
         // corpus-wide partition
         "x99_prototypical",
         // x101: fused dedup at the TRAINED k=64 operating point — must
-        // sit far below x75's fixed-k growth on the same corpus (x75
-        // measured 4.9x at x4; the embedding half here is x81's
-        // regime, the text half x07's banding). r13: the quantizer is
+        // sit far below the fixed-k growth on the same corpus (the
+        // pre-r16 x75 pin measured 4.9x at x4; the embedding half here
+        // is x81's regime, the text half x07's banding). r13: the quantizer is
         // train-once (persisted centroid layout, read back per
         // execution) — the growth factor now measures assignment +
         // pair generation + closure only, the production per-run cost
@@ -492,8 +495,8 @@ object ScaleCheck {
       f"$tAuto%6.2f s (${tK16 / tAuto}%4.1fx vs fixed k=16)")
     // The one-call library entry (CorpusOps.fusedDedup) DEFAULTS to
     // auto-k — this row pins that a caller who names no quantizer gets
-    // the scale path, not x75's fixture-pinned fixed-k (which the
-    // x75 row above measures growing quadratically).
+    // the scale path (since r16 the x75 oracle query pins this same
+    // default; the fixed-k escape hatch is OpsSpec-covered).
     def fused(dir: String): Double = {
       sweepState()
       val dd = spark.read.parquet(s"$dir/documents.parquet")

@@ -436,10 +436,55 @@ final case class Catalog(spark: SparkSession, dir: String) {
     * broadcast anti-join on the sidecar's key columns), and made
     * physical by compaction ([[compactBucketed]] /
     * [[rewriteExcludingTombstones]], which drop the sidecar after the
-    * swap). A tombstoned key stays dead even if re-appended later —
-    * the grave wins until compaction clears it; re-adding a deleted id
-    * is a compact-first contract, documented at the delete APIs. */
+    * swap).
+    *
+    * Two delete modes, selected by the data:
+    *  - KEY tombstones (no `gen` column): a tombstoned key stays dead
+    *    even if re-appended later — the grave wins until compaction
+    *    clears it; re-adding a deleted id is a compact-first contract,
+    *    documented at the delete APIs.
+    *  - GENERATION-stamped tombstones (both the index rows and the
+    *    grave rows carry a `gen` column, minted by [[nextGen]]): a
+    *    grave kills only row generations ≤ its own, so
+    *    delete → re-append SERVES the new rows correctly with no
+    *    compaction — the old physical rows stay suppressed (their gen
+    *    is at or below the grave's) while the re-added batch's higher
+    *    gen rides above it. The scored-postings tier uses this mode
+    *    ([[graft.ops.CorpusOps.deleteFromScoredPostings]]); at 100 TB
+    *    it turns "undo one takedown" from a full-index rewrite into
+    *    one append. */
   def tombstoneName(name: String): String = s"${name}_tombstones"
+
+  // ---- write-generation counter (generation-stamped delete mode) -------
+
+  /** Monotonic per-table write-generation counter, persisted as a tiny
+    * `.gen_<name>` file NEXT TO the table directory (outside it — a
+    * `mode=overwrite` rewrite or compaction directory swap must not
+    * reset the clock). Single-writer, like [[append]]. The counter
+    * only ever needs monotonicity, so surviving a [[drop]] is
+    * harmless. */
+  def currentGen(name: String): Long = {
+    val p = genPath(name)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Mint the next write generation for `name` (1, 2, 3, …). */
+  def nextGen(name: String): Long = {
+    val g = currentGen(name) + 1L
+    val out = fs.create(genPath(name), true)
+    try out.write(g.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    g
+  }
+
+  private def genPath(name: String): HPath = new HPath(dir, s".gen_$name")
 
   def hasTombstones(name: String): Boolean = exists(tombstoneName(name))
 
@@ -454,15 +499,32 @@ final case class Catalog(spark: SparkSession, dir: String) {
 
   /** `rows` minus `name`'s tombstoned keys — identity when no sidecar
     * exists. The sidecar is deletes-sized (tiny next to the index), so
-    * the anti-join broadcasts and the index side's bucket pruning /
+    * the join broadcasts and the index side's bucket pruning /
     * pushed filters are unaffected (Catalyst pushes the probe's own
-    * predicates below this join). */
+    * predicates below this join).
+    *
+    * Mode selection (see [[tombstoneName]]): when BOTH the grave rows
+    * and `rows` carry a `gen` column, a grave kills only generations
+    * ≤ its own max — the filter is a broadcast left join against the
+    * per-key max-grave-gen frame; otherwise the classic key anti-join
+    * (grave wins until compaction). */
   def minusTombstones(name: String, rows: DataFrame): DataFrame =
     if (!hasTombstones(name)) rows
     else {
-      val ts = table(tombstoneName(name)).distinct()
-      rows.join(org.apache.spark.sql.functions.broadcast(ts),
-        ts.columns.toSeq, "left_anti")
+      val F = org.apache.spark.sql.functions
+      val ts = table(tombstoneName(name))
+      val keyCols = ts.columns.filterNot(_ == "gen").toSeq
+      if (ts.columns.contains("gen") && rows.columns.contains("gen")) {
+        val graves = ts.groupBy(keyCols.map(F.col): _*)
+          .agg(F.max(F.col("gen")).as("__grave_gen"))
+        rows.join(F.broadcast(graves), keyCols, "left")
+          .filter(F.col("__grave_gen").isNull ||
+            F.col("gen") > F.col("__grave_gen"))
+          .drop("__grave_gen")
+      } else {
+        val keys = ts.select(keyCols.map(F.col): _*).distinct()
+        rows.join(F.broadcast(keys), keyCols, "left_anti")
+      }
     }
 
   /** Rewrite a PLAIN (non-bucketed) table without its tombstoned rows
@@ -490,6 +552,26 @@ final case class Catalog(spark: SparkSession, dir: String) {
     fs.delete(old, true)
     drop(tombstoneName(name))
     before - table(name).count()
+  }
+
+  /** Collapse a streaming ingest's `{index}_hwm` batch-id marker table
+    * to its single max row. The marker gains one parquet append per
+    * micro-batch forever and is re-scanned with max(batch_id) on every
+    * batch — unbounded growth the index compactions must fold back,
+    * exactly as they fold the stats sidecar (the r15 ADVICE gap).
+    * No-op when the table doesn't exist (batch-built index, no
+    * streaming ingest yet). */
+  def collapseHwm(name: String): Unit = if (exists(name)) {
+    val r = table(name)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("batch_id"))).head()
+    if (!r.isNullAt(0)) {
+      import spark.implicits._
+      val one = Seq(r.getLong(0)).toDF("batch_id")
+      drop(name)
+      createNew(name, one.schema)
+      append(name, one)
+    }
   }
 
   /** Maintenance trigger for appendable bucketed layouts — the
@@ -571,8 +653,12 @@ final case class Catalog(spark: SparkSession, dir: String) {
       val sorted =
         if (spec.sortCols.isEmpty) ""
         else s" SORTED BY (${spec.sortCols.map(q).mkString(", ")})"
+      // IF NOT EXISTS: two threads of one session may race to restore the
+      // same published layout (parallel Verify dumps probing a shared
+      // index) — the registration is idempotent metadata, so losing the
+      // race must be a no-op, not a TableAlreadyExists failure.
       spark.sql(
-        s"""CREATE TABLE ${bucketedName(name)} (${table(name).schema.toDDL})
+        s"""CREATE TABLE IF NOT EXISTS ${bucketedName(name)} (${table(name).schema.toDDL})
            | USING parquet
            | CLUSTERED BY (${spec.bucketCols.map(q).mkString(", ")})$sorted
            | INTO ${spec.buckets} BUCKETS

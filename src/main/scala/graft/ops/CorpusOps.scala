@@ -1325,7 +1325,13 @@ object CorpusOps {
   def writeScoredPostings(cat: graft.catalog.Catalog, name: String,
       docs: DataFrame, buckets: Int = 16, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
+    // posting rows carry their WRITE GENERATION (the catalog's per-table
+    // monotonic counter) — the delete tier stamps graves with the
+    // current gen and kills only generations ≤ it, so delete → re-add
+    // serves the new rows with no compaction (Catalog.tombstoneName's
+    // generation mode)
     val rows = scoredPostingRows(docs, idCol, textCol)
+      .withColumn("gen", lit(cat.nextGen(name)))
     cat.writeBucketed(name, rows,
       buckets = buckets, bucketCols = Seq("word"), sortCols = Seq("word"))
     cat.createNew(s"${name}_stats", org.apache.spark.sql.types.StructType(
@@ -1346,7 +1352,8 @@ object CorpusOps {
   def appendToScoredPostings(cat: graft.catalog.Catalog, name: String,
       batch: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    cat.appendBucketed(name, scoredPostingRows(batch, idCol, textCol))
+    cat.appendBucketed(name, scoredPostingRows(batch, idCol, textCol)
+      .withColumn("gen", lit(cat.nextGen(name))))
     cat.append(s"${name}_stats", statsDelta(batch, idCol, textCol))
   }
 
@@ -1375,28 +1382,35 @@ object CorpusOps {
     * as a rebuild over the corpus minus the deleted docs — the same
     * associativity argument as append≡rebuild, now with inverses
     * (OpsSpec pins delete ≡ rebuild, and compaction preserves it).
-    * Ids already tombstoned, or absent from the index, contribute
-    * nothing to the delta (double-delete can't double-subtract).
+    * Graves are GENERATION-stamped (the posting rows carry their write
+    * gen; the grave carries the current counter and kills only
+    * generations ≤ it — [[graft.catalog.Catalog.tombstoneName]]'s
+    * generation mode), so delete → [[appendToScoredPostings]] re-adds
+    * a doc correctly with NO compaction: the re-added batch mints a
+    * higher gen that rides above the grave while the doc's old rows
+    * stay suppressed. The stats delta is computed from the LIVE
+    * (gen-filtered) view, so double-delete contributes nothing and a
+    * delete-after-re-add subtracts exactly the re-added generation's
+    * mass. Ids absent from the live index contribute nothing.
     * Crash window: tombstones land first, the delta second — a crash
     * between them leaves deleted docs out of results but still
     * counted in n_docs/avgdl; re-running the delete is NOT the fix
-    * (the anti-join would hide their dl rows); compact + one stats
+    * (the grave would hide their dl rows); compact + one stats
     * rebuild from the surviving index is. */
   def deleteFromScoredPostings(cat: graft.catalog.Catalog, name: String,
       ids: DataFrame, idCol: String = "doc_id"): Unit = {
     val want = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val fresh =
-      if (!cat.hasTombstones(name)) want
-      else want.join(cat.table(cat.tombstoneName(name)),
-        Seq("doc_id"), "left_anti")
-    // dl per doc from its own posting rows (max = the dl every row of
-    // the doc's generation carries); one deletes-sized aggregate
-    val gone = cat.bucketedTable(name)
-      .join(broadcast(fresh), Seq("doc_id"))
+    // dl per LIVE doc from its own posting rows (max = the dl every row
+    // of the doc's serving generation carries; the gen-filtered view
+    // already excludes dead generations); one deletes-sized aggregate
+    val live = cat.minusTombstones(name, cat.bucketedTable(name))
+    val gone = live
+      .join(broadcast(want), Seq("doc_id"))
       .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
       .head()
-    cat.addTombstones(name, fresh)
+    cat.addTombstones(name,
+      want.withColumn("gen", lit(cat.currentGen(name))))
     if (gone.getLong(0) > 0L) {
       val spark = ids.sparkSession
       import spark.implicits._
@@ -1426,6 +1440,10 @@ object CorpusOps {
     val one = Seq((tot.getLong(0), tot.getLong(1))).toDF("n_docs", "sum_dl")
     cat.createNew(sn, one.schema)
     cat.append(sn, one)
+    // streaming-ingested indexes also accumulate one hwm marker row per
+    // micro-batch — fold them to the single max row here, like the stats
+    // sidecar (no-op for batch-built indexes)
+    cat.collapseHwm(s"${name}_hwm")
     saved
   }
 
@@ -2548,7 +2566,7 @@ object CorpusOps {
   def allPairsCosine(docs: DataFrame, tau: java.math.BigDecimal,
       idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 3,
-      maxDocSs: Long = 1000000000000000L): DataFrame = {
+      maxDocSs: Long = 999999999999999L): DataFrame = {
     val t2e8 = tau2E8(tau)
     // eager row-block checkpoint, not columnar persist: five consumers
     // read this narrow frame, and the x21/x42 A/B (re-measured here:
@@ -2558,26 +2576,30 @@ object CorpusOps {
       .localCheckpoint(true)
     // Exactness bound, enforced (not just documented): the verification
     // below computes dot²·1e8 and ss_a·ss_b·t2e8 in DECIMAL(38,0); with
-    // per-doc ss ≤ 1e15 both sides are ≤ 1e38 (dot ≤ √(ss_a·ss_b) by
-    // Cauchy–Schwarz, t2e8 ≤ 1e8), so no product can overflow 38 digits.
-    // Past the cap Spark's decimal multiply yields NULL and the filter
-    // would silently DROP a genuinely qualifying pair — and the DuckDB
-    // HUGEINT oracle shares the ~1.7e38 ceiling, so the bench would stay
-    // green while both engines are wrong. A doc needs ~3·10⁷ repeats of
-    // one shingle (≈ a 100 MB degenerate file) to trip this; such docs
-    // fail loudly here with a split/pre-filter hint instead. (ss itself
-    // is exact: each w² ≤ 1e15 pre-cap and the long sum saturates far
-    // below 2⁶³ — wrap-around would require ss ≥ 9·10¹⁸, caught by this
-    // same gate long before.) `maxDocSs` must never EXCEED 1e15 (the
-    // decimal headroom); callers may tighten it.
-    val ssCap = math.min(maxDocSs, 1000000000000000L)
+    // per-doc ss ≤ 1e15−1 both sides stay STRICTLY below 1e38
+    // (dot ≤ √(ss_a·ss_b) by Cauchy–Schwarz, t2e8 ≤ 1e8), inside
+    // DECIMAL(38,0)'s max of 1e38−1. The ceiling is 1e15−1, not 1e15:
+    // at ss_a = ss_b = 1e15 exactly (identical degenerate docs),
+    // dot²·1e8 = 1e38 — one past the decimal max, so the boundary case
+    // would still overflow to NULL. Past the cap Spark's decimal
+    // multiply yields NULL and the filter would silently DROP a
+    // genuinely qualifying pair — and the DuckDB HUGEINT oracle shares
+    // the ~1.7e38 ceiling, so the bench would stay green while both
+    // engines are wrong. A doc needs ~3·10⁷ repeats of one shingle
+    // (≈ a 100 MB degenerate file) to trip this; such docs fail loudly
+    // here with a split/pre-filter hint instead. (ss itself is exact:
+    // each w² ≤ 1e15 pre-cap and the long sum saturates far below 2⁶³ —
+    // wrap-around would require ss ≥ 9·10¹⁸, caught by this same gate
+    // long before.) `maxDocSs` must never exceed 1e15−1 (the decimal
+    // headroom); callers may tighten it.
+    val ssCap = math.min(maxDocSs, 999999999999999L)
     val ss = tf.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("ss"))
       .withColumn("ss", when(col("ss") <= ssCap, col("ss"))
         .otherwise(raise_error(concat(
           lit("allPairsCosine: doc "), col("doc_id").cast("string"),
           lit(" has ss="), col("ss").cast("string"),
-          lit(" > 1e15 — exact DECIMAL(38,0) verification would " +
+          lit(" above the 1e15-1 cap — exact DECIMAL(38,0) verification would " +
             "overflow and silently drop pairs; split or pre-filter " +
             "degenerate documents"))).cast("long")))
     val cand = candidatesFromTf(tf, t2e8)

@@ -136,13 +136,26 @@ object SketchOps {
   def cmEstimate(sketch: DataFrame, items: DataFrame,
       valueCol: String): DataFrame = {
     val TF = graft.functions.TextFunctions
-    val meta = sketch.agg(max(col("row")).as("maxrow"),
-      min(col("width")).as("wmin"), max(col("width")).as("wmax")).head()
+    val meta = sketch.groupBy(col("row"))
+      .agg(sum(col("cnt")).as("tot"),
+        min(col("width")).as("w1"), max(col("width")).as("w2"))
+      .agg(max(col("row")).as("maxrow"),
+        min(col("w1")).as("wmin"), max(col("w2")).as("wmax"),
+        min(col("tot")).as("tmin"), max(col("tot")).as("tmax")).head()
     require(!meta.isNullAt(0), "cmEstimate: empty sketch frame")
     require(meta.getLong(1) == meta.getLong(2),
       s"cmEstimate: inconsistent widths in sketch frame " +
         s"(${meta.getLong(1)} vs ${meta.getLong(2)}) — merged sketches " +
         "must share one geometry")
+    // mixed-DEPTH merges pass the width check but leave the extra rows
+    // holding only one sketch's mass — min() over them silently
+    // undercounts. Every sketched value lands once in EVERY row, so a
+    // well-formed (or well-merged) sketch has identical per-row total
+    // mass; unequal row totals mean the merged frames disagreed on depth.
+    require(meta.getLong(3) == meta.getLong(4),
+      s"cmEstimate: unequal per-row totals in sketch frame " +
+        s"(${meta.getLong(3)} vs ${meta.getLong(4)}) — merged sketches " +
+        "must share one depth")
     val depth = meta.getLong(0).toInt + 1
     val width = meta.getLong(1)
     items.select(col(valueCol).cast("string").as("v")).distinct()

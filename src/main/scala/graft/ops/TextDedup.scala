@@ -459,9 +459,14 @@ object TextDedup {
     * tombstone-aware [[graft.catalog.Catalog.compactBucketed]] on both
     * tables. Returns total file-count savings. */
   def compactSignatureIndex(cat: graft.catalog.Catalog,
-      name: String): Int =
-    cat.compactBucketed(s"${name}_bands") +
+      name: String): Int = {
+    val saved = cat.compactBucketed(s"${name}_bands") +
       cat.compactBucketed(s"${name}_sets")
+    // streaming ingest (graft.streaming.EventStreams.nearDupIngestStream)
+    // accumulates one hwm marker row per micro-batch — fold to one here
+    cat.collapseHwm(s"${name}_hwm")
+    saved
+  }
 
   /** One ingest step of the incremental near-dedup loop — the
     * production shape of corpus maintenance: probe the batch against

@@ -228,13 +228,22 @@ object VectorOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     var cent = e.filter(col(idCol) < initK)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_e"))
-      .localCheckpoint(true)
     var round = 0
     var shifted = true
     while (round < iters && shifted) {
-      val next = kmeansStepCentroids(
+      // Checkpoint policy: with tol > 0 every round must materialize
+      // (the driver reads the shift scalar off it); with tol = 0 the
+      // rounds are a fixed-length pure chain, so checkpoint only every
+      // 3rd round — plan growth stays bounded (≤ 8× between cuts)
+      // while a short train (the fusedDedup default's 2 rounds)
+      // collapses into the consumer's ONE job instead of paying an
+      // eager job per round. Values are unchanged either way: the
+      // centroid math is exact-integer quantized, so materialization
+      // points cannot shift a digit.
+      val step = kmeansStepCentroids(
         ivfCells(e, cent, nprobe = 1, idCol = idCol, vecCol = vecCol))
-        .localCheckpoint(true)
+      val next =
+        if (tol > 0 || round % 3 == 2) step.localCheckpoint(true) else step
       if (tol > 0) {
         // max L2 shift over surviving cells — one scalar to the driver
         val shift = next.as("n")
@@ -311,8 +320,38 @@ object VectorOps {
     val t =
       if (cat.bucketedExists(name)) cat.bucketedTable(name)
       else cat.table(name)
-    inCellTopK(t, k, queryPred, dedupProbes = true)
+    // tombstone-aware: deleted vectors stop appearing as queries AND as
+    // neighbors at the next probe (one anti-join on the shared subtree
+    // covers both aliased sides of the in-cell self-join). The sidecar
+    // broadcast anti-join preserves the bucketed scan's output
+    // partitioning on `cell`, so the self-join stays zero-shuffle
+    // (PlanAuditSpec pins it).
+    inCellTopK(cat.minusTombstones(name, t), k, queryPred,
+      dedupProbes = true)
   }
+
+  /** Delete vectors from a persisted IVF cell index — the last index
+    * tier to gain the r15 delete lifecycle (plain/scored/positional
+    * postings, PQ codes, and signatures all have it): ids land in the
+    * index table's tombstone sidecar ([[graft.catalog.Catalog
+    * .addTombstones]]), [[searchIndex]] anti-joins it (deleted vectors
+    * stop appearing as neighbors immediately), and [[compactIndex]]
+    * makes the delete physical. The centroid assignment of SURVIVING
+    * vectors is per-vector (broadcast argmax against frozen centroids),
+    * so delete ≡ rebuild-on-survivors under the same quantizer — the
+    * FAISS remove_ids contract, oracle-proven by x147. */
+  def deleteFromIndex(cat: graft.catalog.Catalog, name: String,
+      ids: DataFrame, idCol: String = "vec_id"): Unit =
+    cat.addTombstones(name,
+      ids.select(col(idCol).cast("long").as("vec_id")).distinct())
+
+  /** Physical delete + small-file fold for an IVF cell index:
+    * [[graft.catalog.Catalog.compactBucketed]] rewrites the bucketed
+    * layout without tombstoned rows (staged-directory swap — readers
+    * never see a partial index) and drops the sidecar, so probes stop
+    * paying the anti-join. Returns files-before − files-after. */
+  def compactIndex(cat: graft.catalog.Catalog, name: String): Int =
+    cat.compactBucketed(name)
 
   /** Exact-decimal Gram (second-moment) matrix Σ x xᵀ over the vector
     * column — the first step of distributed PCA and the only

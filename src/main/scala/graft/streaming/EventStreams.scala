@@ -445,17 +445,50 @@ object EventStreams {
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cat = graft.catalog.Catalog(batch.sparkSession, indexDir)
-        if (!cat.bucketedExists(s"${indexName}_bands"))
-          graft.ops.TextDedup.writeSignatureIndex(cat, indexName, batch,
-            idCol, textCol, shingleK, numHashes, bands, buckets)
-        else
-          graft.ops.TextDedup.ingestNearDup(cat, indexName, batch,
-            idCol, textCol, shingleK, numHashes, bands, threshold)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(decisionsPath)
+        ingestNearDupBatch(
+          graft.catalog.Catalog(batch.sparkSession, indexDir), indexName,
+          batch, batchId, decisionsPath, idCol, textCol,
+          shingleK, numHashes, bands, threshold, buckets)
+        ()
       }
       .start()
+
+  /** One micro-batch of [[nearDupIngestStream]]'s sink — factored out so
+    * the replay path is directly testable, carrying the SAME batch-id
+    * high-water-mark contract as [[ingestScoredPostingsBatch]] (the r15
+    * fix covered the scored-postings ingest but left this sink open):
+    * foreachBatch is at-least-once, and a blind replay would re-append
+    * the batch's signature rows to the persisted index (duplicate
+    * band/set rows — every later probe double-matches them) AND
+    * re-emit its decision rows to `decisionsPath`. The `{index}_hwm`
+    * marker row is appended LAST, after both the index append and the
+    * decisions write, and any batch whose id is ≤ the recorded maximum
+    * is skipped wholesale. Returns true if ingested, false if
+    * recognized as a replay. Same residual window and same
+    * checkpoint-lineage caveat as [[ingestScoredPostingsBatch]]. */
+  def ingestNearDupBatch(cat: graft.catalog.Catalog, indexName: String,
+      batch: DataFrame, batchId: Long, decisionsPath: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.8, buckets: Int = 64): Boolean = {
+    val hwmName = s"${indexName}_hwm"
+    if (hwmReplay(cat, hwmName, batchId)) {
+      System.err.println(s"[graft] nearDupIngestStream: " +
+        s"batch $batchId already committed — replay skipped")
+      false
+    } else {
+      if (!cat.bucketedExists(s"${indexName}_bands"))
+        graft.ops.TextDedup.writeSignatureIndex(cat, indexName, batch,
+          idCol, textCol, shingleK, numHashes, bands, buckets)
+      else
+        graft.ops.TextDedup.ingestNearDup(cat, indexName, batch,
+          idCol, textCol, shingleK, numHashes, bands, threshold)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(decisionsPath)
+      hwmRecord(cat, hwmName, batchId)
+      true
+    }
+  }
 
   /** Streaming ingest into the SCORED postings index — the serving
     * index stays current as documents arrive: the first micro-batch
@@ -543,14 +576,8 @@ object EventStreams {
   def ingestScoredPostingsBatch(cat: graft.catalog.Catalog,
       indexName: String, batch: DataFrame, batchId: Long,
       idCol: String = "doc_id", textCol: String = "text"): Boolean = {
-    val s = batch.sparkSession
     val hwmName = s"${indexName}_hwm"
-    val replay = cat.exists(hwmName) && {
-      val r = cat.table(hwmName)
-        .agg(org.apache.spark.sql.functions.max(col("batch_id"))).head()
-      !r.isNullAt(0) && batchId <= r.getLong(0)
-    }
-    if (replay) {
+    if (hwmReplay(cat, hwmName, batchId)) {
       System.err.println(s"[graft] scoredPostingsIngestStream: " +
         s"batch $batchId already committed — replay skipped")
       false
@@ -561,14 +588,36 @@ object EventStreams {
       else
         graft.ops.CorpusOps.appendToScoredPostings(cat, indexName,
           batch, idCol, textCol)
-      if (!cat.exists(hwmName))
-        cat.createNew(hwmName, org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("batch_id",
-            org.apache.spark.sql.types.LongType))))
-      import s.implicits._
-      cat.append(hwmName, Seq(batchId).toDF("batch_id"))
+      hwmRecord(cat, hwmName, batchId)
       true
     }
+  }
+
+  /** Whether `batchId` is at or below the recorded high-water mark in
+    * marker table `hwmName` — i.e. an at-least-once REPLAY of a batch
+    * whose sink effects already committed. */
+  private def hwmReplay(cat: graft.catalog.Catalog, hwmName: String,
+      batchId: Long): Boolean =
+    cat.exists(hwmName) && {
+      val r = cat.table(hwmName)
+        .agg(org.apache.spark.sql.functions.max(col("batch_id"))).head()
+      !r.isNullAt(0) && batchId <= r.getLong(0)
+    }
+
+  /** Append `batchId` to the `hwmName` marker table — the LAST effect of
+    * a micro-batch body, so a crash before it leaves the batch
+    * re-runnable and a crash after it leaves it skippable. One parquet
+    * append per batch; [[graft.catalog.Catalog.collapseHwm]] (run by the
+    * index compaction jobs) folds the accumulated rows back to one. */
+  private def hwmRecord(cat: graft.catalog.Catalog, hwmName: String,
+      batchId: Long): Unit = {
+    if (!cat.exists(hwmName))
+      cat.createNew(hwmName, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType))))
+    val s = cat.spark
+    import s.implicits._
+    cat.append(hwmName, Seq(batchId).toDF("batch_id"))
   }
 
   val GapNs: Long = 30L * 60 * 1000000000L

@@ -172,15 +172,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows("x22_embed_dedup_bucketed") == rows("x19_embed_dedup"))
   }
 
-  test("x75 fused drop set ⊇ x41 text drops ∪ x22 embedding drops (merging clusters never un-drops)") {
+  test("x75 fused drop set ⊇ x41 text drops ∪ its own auto-k embedding drops (merging clusters never un-drops)") {
     // provable from the min-label rule: a node dropped by either signal
     // has a lower-id node in its fused component, so the fused component
     // min is below it and it stays dropped; fusion only MERGES clusters.
+    // The embedding half must come from x75's OWN edge generator (the
+    // auto-k trained assignment since r16) — x22's fixture k=16/nprobe=6
+    // cells draw different boundaries, and cross-assignment recall may
+    // legitimately differ in both directions (the x101 caveat).
     val fusedDrops = SparkEntry.queries("x75_fused_dedup")(spark, sf)
       .collect().map(_.getLong(0)).toSet
     val textDrops = SparkEntry.queries("x41_cluster_decision")(spark, sf)
       .collect().map(_.getLong(0)).toSet
-    val embDrops = SparkEntry.queries("x22_embed_dedup_bucketed")(spark, sf)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val embDrops = graft.ops.VectorOps.ivfDedupDecision(
+        graft.ops.VectorOps.ivfCells(e,
+          graft.ops.VectorOps.kmeansTrainAuto(e, iters = 2), nprobe = 1),
+        threshold = 0.45)
       .collect().map(_.getLong(0)).toSet
     assert(textDrops.subsetOf(fusedDrops),
       s"missing text drops: ${textDrops -- fusedDrops}")

@@ -33,7 +33,10 @@ class LayoutDeterminismSpec extends SparkTestBase {
   private def deleteLayout(dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(dir.contains("graft_layout_"), s"refusing to delete $dir")
+    // both layout-cache bases: the project-stable `.graft_layouts`
+    // (default since r16) and the tmpdir `graft_layout_<user>` fallback
+    assert(dir.contains("graft_layout_") || dir.contains(".graft_layouts"),
+      s"refusing to delete $dir")
     fs.delete(p, true)
     assert(!fs.exists(p))
   }

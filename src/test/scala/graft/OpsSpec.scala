@@ -1714,6 +1714,24 @@ class OpsSpec extends SparkTestBase {
     val dropped = a.map(_._1).toSet
     assert(a.nonEmpty && a.forall(t => !dropped.contains(t._2)),
       "canonical_id points at a dropped doc")
+    // the explicit-quantizer escape hatch (x75's pre-r16 oracle pin:
+    // fixed k=16 first-vector stand-ins, nprobe=6) must equal the same
+    // manual composition — this spec carries that coverage now that the
+    // bench-weighted oracle query pins the auto-k default instead
+    val fixedCent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+    val pinned = graft.ops.CorpusOps.fusedDedup(dd, e,
+      coarseCentroids = Some(fixedCent), nprobe = 6)
+    val manualPinned = graft.ops.CorpusOps.clusterDedupDecision(
+      graft.ops.GraphOps.connectedComponents(
+        graft.ops.TextDedup.minhashLshPairs(dd)
+          .select(col("a_id"), col("b_id"))
+          .unionByName(graft.ops.VectorOps.ivfPairs(
+            graft.ops.VectorOps.ivfCells(e, fixedCent, nprobe = 6), 0.45)
+            .select(col("a_id"), col("b_id")))
+          .distinct()))
+    assert(rows(pinned) == rows(manualPinned),
+      "fusedDedup escape hatch diverged from the pinned composition")
   }
 
   test("CorpusOps postings index lifecycle: search-after-append equals full rebuild, layout preserved") {
@@ -2265,6 +2283,70 @@ class OpsSpec extends SparkTestBase {
       "compaction did not physically drop tombstoned rows")
     assert(rows(graft.ops.CorpusOps.searchScoredPostings(
       catA, "spost", terms, k = 25)) == rebuilt,
+      "compaction changed the served ranking")
+  }
+
+  test("scored postings generation tombstones: delete then re-append serves the new rows with NO compaction; re-delete and compact stay exact") {
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val terms = Seq("spark", "join", "window")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def statsOf(c: graft.catalog.Catalog) = c.table("spost_stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    val victims = dd.filter(col("doc_id") % 7 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_spgen").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    graft.ops.CorpusOps.writeScoredPostings(cat, "spost", dd)
+    graft.ops.CorpusOps.deleteFromScoredPostings(cat, "spost",
+      victims.select("doc_id"))
+    // re-admit the deleted docs by a PLAIN additive append — the r15
+    // contract required compacting the whole index first; generation
+    // graves (grave kills only gens <= its own) make this one append
+    graft.ops.CorpusOps.appendToScoredPostings(cat, "spost", victims)
+    assert(cat.hasTombstones("spost"),
+      "precondition: the graves must still be in place (no compaction)")
+    val dirFull = java.nio.file.Files
+      .createTempDirectory("graft_spgen_full").toString
+    graft.ops.CorpusOps.writeScoredPostings(
+      graft.catalog.Catalog(spark, dirFull), "spost", dd)
+    val fullRebuilt = rows(graft.ops.CorpusOps.searchScoredPostings(
+      graft.catalog.Catalog(spark, dirFull), "spost", terms, k = 25))
+    assert(rows(graft.ops.CorpusOps.searchScoredPostings(
+      cat, "spost", terms, k = 25)) == fullRebuilt,
+      "delete + re-append diverged from the full-corpus rebuild " +
+        "(old generations resurrected, or the new generation suppressed)")
+    assert(statsOf(cat) == statsOf(graft.catalog.Catalog(spark, dirFull)),
+      "stats after delete + re-append diverged from the full rebuild")
+    // a re-added doc actually serves (not just global ranking equality)
+    val bm = graft.ops.CorpusOps.bm25Scores(cat, "spost", terms)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bm.exists(_ % 7 == 0), "no re-added doc serves any probe term")
+    // delete AGAIN: the new grave must ride above the re-added
+    // generation — ranking and stats equal the kept-only rebuild
+    graft.ops.CorpusOps.deleteFromScoredPostings(cat, "spost",
+      victims.select("doc_id"))
+    val dirKept = java.nio.file.Files
+      .createTempDirectory("graft_spgen_kept").toString
+    graft.ops.CorpusOps.writeScoredPostings(
+      graft.catalog.Catalog(spark, dirKept), "spost",
+      dd.filter(col("doc_id") % 7 =!= 0))
+    val keptRebuilt = rows(graft.ops.CorpusOps.searchScoredPostings(
+      graft.catalog.Catalog(spark, dirKept), "spost", terms, k = 25))
+    assert(rows(graft.ops.CorpusOps.searchScoredPostings(
+      cat, "spost", terms, k = 25)) == keptRebuilt,
+      "re-delete after re-append diverged from the kept-corpus rebuild")
+    assert(statsOf(cat) == statsOf(graft.catalog.Catalog(spark, dirKept)),
+      "stats after re-delete diverged from the kept-corpus rebuild")
+    // tombstone-aware compaction under generation graves still == rebuild
+    graft.ops.CorpusOps.compactScoredPostings(cat, "spost")
+    assert(!cat.hasTombstones("spost"), "compaction left the sidecar")
+    assert(cat.bucketedTable("spost")
+      .filter(col("doc_id") % 7 === 0).count() == 0L,
+      "compaction did not physically drop generation-tombstoned rows")
+    assert(rows(graft.ops.CorpusOps.searchScoredPostings(
+      cat, "spost", terms, k = 25)) == keptRebuilt,
       "compaction changed the served ranking")
   }
 

@@ -497,19 +497,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"unintended cartesian/BNLJ in: $offenders")
   }
 
-  test("x144: bucket pruning survives the tombstone anti-join; deletes ride broadcast anti-joins") {
+  test("x144: bucket pruning survives the tombstone filter; deletes ride broadcast joins") {
     // the load-bearing property of the index delete design: recording
     // deletes in a sidecar must not cost the probe its layout — the
-    // IN-list still prunes buckets below the anti-join, and the
-    // (deletes-sized) tombstone side broadcasts
+    // IN-list still prunes buckets below the tombstone join, and the
+    // (deletes-sized) grave side broadcasts. Since r16 the scored tier
+    // uses GENERATION graves (grave kills only gens <= its own), so the
+    // filter is a broadcast LEFT OUTER hash join on doc_id plus the gen
+    // predicate instead of a key anti-join — same broadcast, same
+    // preserved partitioning.
     val p = plan("x144_bm25_after_delete")
     assert(p.contains("SelectedBucketsCount: 3 out of 16"),
-      s"posting probe lost bucket pruning under the tombstone anti-join:\n$p")
+      s"posting probe lost bucket pruning under the tombstone join:\n$p")
     assert(p.contains("In(word, [join,spark,window])"),
       s"IN-list not pushed into the bucketed scan:\n$p")
-    assert("""BroadcastHashJoin \[doc_id#\d+L?\], \[doc_id#\d+L?\], LeftAnti, BuildRight"""
+    assert("""BroadcastHashJoin \[doc_id#\d+L?\], \[doc_id#\d+L?\], LeftOuter, BuildRight"""
       .r.findFirstIn(p).isDefined,
-      s"tombstone anti-join is not a broadcast hash join:\n$p")
+      s"tombstone filter is not a broadcast LEFT OUTER hash join:\n$p")
+    assert(p.contains("__grave_gen"),
+      s"generation predicate missing from the tombstone filter:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
@@ -761,6 +767,56 @@ class PlanAuditSpec extends SparkTestBase {
       assert(!s2.queryExecution.executedPlan.toString
         .contains("Exchange hashpartitioning(cell"),
         "compaction degraded the bucketed cell join")
+    } finally {
+      cat.dropBucketed("emb_idx")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("persisted IVF index: deleteFromIndex hides vectors at probe time (≡ rebuild on survivors), compactIndex makes it physical, plan stays zero-shuffle") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfdel").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    val e = cat2.table("embeddings")
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+    def results(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    try {
+      graft.ops.VectorOps.writeIndex(cat, "emb_idx",
+        graft.ops.VectorOps.ivfCells(e, cent, nprobe = 1), buckets = 4)
+      graft.ops.VectorOps.deleteFromIndex(cat, "emb_idx",
+        e.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+      // assignment is per-vector under the frozen centroids, so the
+      // tombstoned probe must equal a REBUILD over the survivors
+      val expected = results(graft.ops.VectorOps.inCellTopK(
+        graft.ops.VectorOps.ivfCells(
+          e.filter(col("vec_id") % 7 =!= 0), cent, nprobe = 1),
+        k = 3, queryPred = col("q_id") < 10))
+      val s = graft.ops.VectorOps.searchIndex(cat, "emb_idx", k = 3,
+        queryPred = col("q_id") < 10)
+      val got = results(s)
+      assert(got == expected, "tombstoned probe diverged from rebuild")
+      // deleted ids surface neither as queries nor as neighbors
+      assert(got.forall { case (q, n, _, _) => q % 7 != 0 && n % 7 != 0 })
+      // the deletes-sized anti-join must broadcast and must NOT cost the
+      // bucketed layout its zero-shuffle cell join
+      val p = s.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(cell"),
+        s"tombstone anti-join degraded the bucketed cell join:\n$p")
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"tombstone filter should be a broadcast anti-join:\n$p")
+      // physical delete: sidecar dropped, same results, same plan shape
+      graft.ops.VectorOps.compactIndex(cat, "emb_idx")
+      assert(!cat.hasTombstones("emb_idx"), "compact left the sidecar")
+      val s2 = graft.ops.VectorOps.searchIndex(cat, "emb_idx", k = 3,
+        queryPred = col("q_id") < 10)
+      assert(results(s2) == expected, "compacted index diverged")
+      val p2 = s2.queryExecution.executedPlan.toString
+      assert(!p2.contains("Exchange hashpartitioning(cell"),
+        s"compaction degraded the bucketed cell join:\n$p2")
+      assert(!p2.contains("LeftAnti"),
+        "compacted probe still pays the tombstone anti-join")
     } finally {
       cat.dropBucketed("emb_idx")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

@@ -112,6 +112,7 @@ class RoundingAuditSpec extends SparkTestBase {
     "x69_token_mix", "x73_weighted_sample", "x76_curate_trained",
     "x93_novelty", "x119_pq_band_dedup", "x121_pq_recall", "x124_sq_ann",
     "x126_matryoshka_recall", "x134_allpairs_sim",
+    "x147_ann_after_delete", // x18's cos column through the index probe
     // (c) exact-long single-division ratios
     "x39_repetition", "x78_tokenizer_audit", "x90_gopher_rules",
     "x110_repetition", "x113_heavy_hitters", "x117_langid_confusion",

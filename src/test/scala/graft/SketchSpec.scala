@@ -169,5 +169,23 @@ class SketchSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       graft.ops.SketchOps.cmEstimate(mixed, Seq("a").toDF("word"), "word")
     }
+    // mixed DEPTH, same width: the extra row holds only one sketch's
+    // mass, so min() over it would silently undercount — the per-row
+    // total-mass gate must fail fast (same contract as the width gate)
+    val mixedDepth = sk.unionByName(
+      graft.ops.SketchOps.cmSketch(df, "word", depth = 4, width = 8))
+    intercept[IllegalArgumentException] {
+      graft.ops.SketchOps.cmEstimate(mixedDepth, Seq("a").toDF("word"),
+        "word")
+    }
+    // ... while a well-formed same-geometry bucketwise merge (summed
+    // counts, width carried through) still passes the gate
+    val ok = sk.unionByName(
+        graft.ops.SketchOps.cmSketch(df, "word", depth = 3, width = 8))
+      .groupBy("row", "bucket")
+      .agg(sum(col("cnt")).as("cnt"), min(col("width")).as("width"))
+    val est2 = graft.ops.SketchOps
+      .cmEstimate(ok, Seq("a").toDF("word"), "word").head().getLong(1)
+    assert(est2 >= 6L, s"merged same-geometry sketch undercounted: $est2")
   }
 }

@@ -443,6 +443,34 @@ class StreamingSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(dec == Set((3L, 1L, 1L), (5L, 4L, 1L), (6L, 1L, 1L)),
         dec.toString)
+      // at-least-once replay (the r15 verdict gap — the scored-postings
+      // ingest got the hwm in r15, this sink didn't): re-delivering an
+      // already-committed batch must neither re-append signature rows to
+      // the index nor re-emit its decision rows
+      val cat0 = graft.catalog.Catalog(spark, s"$dir/idx")
+      assert(cat0.table("hist_hwm").count() == 3, "one marker per batch")
+      val bandsBefore = cat0.bucketedTable("hist_bands").count()
+      val setsBefore = cat0.bucketedTable("hist_sets").count()
+      val replayed = EventStreams.ingestNearDupBatch(cat0, "hist",
+        Seq((5L, otherDoc), (6L, base)).toDF("doc_id", "text"),
+        batchId = 2L, s"$dir/decisions")
+      assert(!replayed, "replay of a committed batch was NOT skipped")
+      assert(cat0.bucketedTable("hist_bands").count() == bandsBefore,
+        "replay re-appended band rows to the signature index")
+      assert(cat0.bucketedTable("hist_sets").count() == setsBefore,
+        "replay re-appended set rows to the signature index")
+      val decAfter = spark.read.parquet(s"$dir/decisions")
+        .select("in_id", "canonical_id", "n_matches").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(decAfter == dec, "replay re-emitted decision rows")
+      // compaction folds the per-batch hwm markers to the single max row
+      graft.ops.TextDedup.compactSignatureIndex(cat0, "hist")
+      assert(cat0.table("hist_hwm").count() == 1, "hwm not collapsed")
+      assert(cat0.table("hist_hwm").head().getLong(0) == 2L)
+      assert(!EventStreams.ingestNearDupBatch(cat0, "hist",
+        Seq((6L, base)).toDF("doc_id", "text"),
+        batchId = 2L, s"$dir/decisions"),
+        "replay detection broke after hwm collapse")
     } finally {
       q.stop()
       val cat = graft.catalog.Catalog(spark, s"$dir/idx")
@@ -524,6 +552,23 @@ class StreamingSpec extends SparkTestBase {
         cat, "spost", terms, k = 25))
       assert(afterDelete == keptOracle,
         "streamed deletes diverged from the kept-corpus rebuild")
+      // compaction folds BOTH unbounded sidecars: the stats deltas
+      // collapse to one row AND the per-batch hwm markers collapse to
+      // the single max row (the r15 ADVICE gap — the marker table grew
+      // one parquet append per micro-batch forever); the served ranking
+      // and replay detection both survive the fold
+      graft.ops.CorpusOps.compactScoredPostings(cat, "spost")
+      assert(cat.table("spost_stats").count() == 1, "stats not collapsed")
+      assert(cat.table("spost_hwm").count() == 1, "hwm not collapsed")
+      assert(cat.table("spost_hwm").head().getLong(0) == thirds.length - 1L)
+      assert(!EventStreams.ingestScoredPostingsBatch(cat, "spost",
+        thirds.last.toSeq.toDF("doc_id", "text"),
+        batchId = thirds.length - 1L),
+        "replay detection broke after hwm collapse")
+      val afterCompact = res(graft.ops.CorpusOps.searchScoredPostings(
+        cat, "spost", terms, k = 25))
+      assert(afterCompact == keptOracle,
+        "compaction changed the served ranking")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(keptDir))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(oneDir))
     } finally {

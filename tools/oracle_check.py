@@ -73,7 +73,10 @@ def main(sf_dir, out_dir):
         got_cols, got_rows = norm(got_rel)
         if q not in oracle:
             results[q] = f"ROWS_ONLY rows={len(got_rows)}" + (" EMPTY!" if not got_rows else "")
-            record(q, len(got_rows) > 0, None, None, len(got_rows), None,
+            # rows_match is UNKNOWN here (there is no oracle row count to
+            # match against) — None, not a non-empty verdict, keeps the
+            # field's semantics identical to the driver's per-query format
+            record(q, None, None, None, len(got_rows), None,
                    "rows_only (no oracle SQL)")
             continue
         try:
@@ -109,8 +112,16 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     json_out = None
     if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
-        args.remove(json_out) if json_out in args else None
+        i = sys.argv.index("--json")
+        if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
+            sys.exit("usage: oracle_check.py <sfDir> <verifyOutDir> "
+                     "[--json <outPath>]")
+        json_out = sys.argv[i + 1]
+        if json_out in args:
+            args.remove(json_out)
+    if len(args) != 2:
+        sys.exit("usage: oracle_check.py <sfDir> <verifyOutDir> "
+                 "[--json <outPath>]")
     rc = main(args[0], args[1])
     if json_out:
         with open(json_out, "w") as f:
