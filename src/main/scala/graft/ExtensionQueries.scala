@@ -287,7 +287,7 @@ object ExtensionQueries {
     * search/inspection tooling. */
   private val x55_inverted_search: QFn = (s, d) => {
     val terms = Seq("spark", "join", "window")
-    val idxDir = layoutDir(s, d, "documents", "invidx|v1") { cat =>
+    val idxDir = layoutDir(s, d, "documents", "invidx|v2") { cat =>
       graft.ops.CorpusOps.writePostings(cat, "postings", docsR(s, d))
     }
     graft.ops.CorpusOps.searchPostings(Catalog(s, idxDir), "postings", terms)
@@ -308,7 +308,7 @@ object ExtensionQueries {
   private val x132_postings_append: QFn = (s, d) => {
     val terms = Seq("spark", "join", "window")
     val dd = docsR(s, d)
-    val idxDir = layoutDir(s, d, "documents", "invidx-append|v1") { cat =>
+    val idxDir = layoutDir(s, d, "documents", "invidx-append|v2") { cat =>
       graft.ops.CorpusOps.writePostings(cat, "postings",
         dd.filter(col("doc_id") % 3 =!= 0))
       graft.ops.CorpusOps.appendToPostings(cat, "postings",
@@ -429,7 +429,7 @@ object ExtensionQueries {
   /** The persisted PQ serving index over the embeddings (train-once
     * codebooks + codes — [[graft.ops.VectorOps.writePqIndex]]). */
   private def pqServeIdxDir(s: SparkSession, d: String): String =
-    layoutDir(s, d, "embeddings", "pqserve|v1") { cat =>
+    layoutDir(s, d, "embeddings", "pqserve|v2") { cat =>
       graft.ops.VectorOps.writePqIndex(cat, "pqidx", embs(s, d))
     }
 
@@ -492,7 +492,7 @@ object ExtensionQueries {
     * a full-corpus scan, the x138 rebuild-equivalence argument at the
     * positions tier. Phrase: "table hash" (present at every SF). */
   private val x142_phrase_search: QFn = (s, d) => {
-    val idxDir = layoutDir(s, d, "documents", "posidx|v1") { cat =>
+    val idxDir = layoutDir(s, d, "documents", "posidx|v2") { cat =>
       graft.ops.CorpusOps.writePositionalPostings(cat, "ppost", docsR(s, d))
     }
     graft.ops.CorpusOps.searchPhrase(Catalog(s, idxDir), "ppost",
@@ -511,7 +511,7 @@ object ExtensionQueries {
     * positions (the index never enters it), so hash-green proves
     * index-served proximity ≡ a full-corpus window scan. */
   private val x143_proximity_search: QFn = (s, d) => {
-    val idxDir = layoutDir(s, d, "documents", "posidx|v1") { cat =>
+    val idxDir = layoutDir(s, d, "documents", "posidx|v2") { cat =>
       graft.ops.CorpusOps.writePositionalPostings(cat, "ppost", docsR(s, d))
     }
     graft.ops.CorpusOps.searchProximity(Catalog(s, idxDir), "ppost",
@@ -528,7 +528,7 @@ object ExtensionQueries {
     * combinatorially inflate. The oracle recounts anchors from raw
     * text positions — index never enters it. */
   private val x145_slop_phrase: QFn = (s, d) => {
-    val idxDir = layoutDir(s, d, "documents", "posidx|v1") { cat =>
+    val idxDir = layoutDir(s, d, "documents", "posidx|v2") { cat =>
       graft.ops.CorpusOps.writePositionalPostings(cat, "ppost", docsR(s, d))
     }
     graft.ops.CorpusOps.searchPhraseSlop(Catalog(s, idxDir), "ppost",
@@ -547,7 +547,7 @@ object ExtensionQueries {
     * hash-green proves the two stored indexes together serve exactly
     * what fresh computation would. */
   private val x146_phrase_ranked: QFn = (s, d) => {
-    val posDir = layoutDir(s, d, "documents", "posidx|v1") { cat =>
+    val posDir = layoutDir(s, d, "documents", "posidx|v2") { cat =>
       graft.ops.CorpusOps.writePositionalPostings(cat, "ppost", docsR(s, d))
     }
     graft.ops.CorpusOps.searchPhraseRanked(
@@ -589,6 +589,35 @@ object ExtensionQueries {
       Seq("spark", "join", "window"))
   }
 
+  /** BM25 after DELETE → RE-APPEND with NO compaction — the oracle
+    * face of the r16 generation-tombstone contract ([[graft.catalog
+    * .Catalog.tombstoneName]]'s generation mode): the layout builds
+    * x138's index over the whole corpus, tombstones doc_id % 7 == 0
+    * ([[graft.ops.CorpusOps.deleteFromScoredPostings]] — graves
+    * stamped with the current write generation), then RE-ADMITS the
+    * same docs by a plain additive append (a higher generation that
+    * rides above the graves). Under r15's key-tombstone contract this
+    * sequence required compacting the whole index first — at 100 TB, a
+    * full-index rewrite to undo one takedown; now it is one append.
+    * The oracle replays BM25 over the FULL corpus from first
+    * principles (delete + full re-add restores exactly the original
+    * corpus — including n_docs/sum_dl via the negative-then-positive
+    * stats deltas), so hash-green proves the old generations stay
+    * suppressed, the new generation serves, and the global statistics
+    * are exact through the whole cycle. */
+  private val x148_bm25_delete_readd: QFn = (s, d) => {
+    val idxDir = layoutDir(s, d, "documents", "scoredidx-readd|v1") { cat =>
+      val dd = docsR(s, d)
+      graft.ops.CorpusOps.writeScoredPostings(cat, "spost", dd)
+      val victims = dd.filter(col("doc_id") % 7 === 0)
+      graft.ops.CorpusOps.deleteFromScoredPostings(cat, "spost",
+        victims.select(col("doc_id")))
+      graft.ops.CorpusOps.appendToScoredPostings(cat, "spost", victims)
+    }
+    graft.ops.CorpusOps.searchScoredPostings(Catalog(s, idxDir), "spost",
+      Seq("spark", "join", "window"))
+  }
+
   /** ANN served from a persisted IVF cell index AFTER a TOMBSTONED
     * DELETE — closes the r15 verdict's last index-delete gap (every
     * other tier — plain/scored/positional postings, PQ codes,
@@ -611,7 +640,7 @@ object ExtensionQueries {
     * partitioning on `cell` survives the anti-join, so the probe's
     * self-join stays zero-shuffle (PlanAuditSpec pins it). */
   private val x147_ann_after_delete: QFn = (s, d) => {
-    val idxDir = layoutDir(s, d, "embeddings", "ivfidx-del|v1") { cat =>
+    val idxDir = layoutDir(s, d, "embeddings", "ivfidx-del|v2") { cat =>
       graft.ops.VectorOps.writeIndex(cat, "vidx",
         ivfCells(embs(s, d), nprobe = 1), buckets = 16)
       graft.ops.VectorOps.deleteFromIndex(cat, "vidx",
@@ -2387,7 +2416,7 @@ object ExtensionQueries {
     * dataset generation behind [[layoutDir]]'s atomic publish, so bench
     * reps measure the PROBE (the recurring cost), not the build. */
   private val x50_index_dedup: QFn = (s, d) => {
-    val idxDir = layoutDir(s, d, "documents", "sigindex|v1") { cat =>
+    val idxDir = layoutDir(s, d, "documents", "sigindex|v2") { cat =>
       graft.ops.TextDedup.writeSignatureIndex(cat, "hist",
         docsR(s, d).filter(col("doc_id") % 10 =!= 0),
         shingleK = ShingleK, numHashes = NumHashes, bands = 4, buckets = 16)
@@ -3677,6 +3706,7 @@ object ExtensionQueries {
     "x145_slop_phrase" -> x145_slop_phrase,
     "x146_phrase_ranked" -> x146_phrase_ranked,
     "x147_ann_after_delete" -> x147_ann_after_delete,
+    "x148_bm25_delete_readd" -> x148_bm25_delete_readd,
   )
 
   // DuckDB mirrors. Shared SQL fragments:
@@ -3847,6 +3877,12 @@ object ExtensionQueries {
        |  SELECT doc_id AS drop_id, cluster_id AS canonical_id,
        |         count(*) OVER (PARTITION BY cluster_id) AS n_members
        |    FROM lab) WHERE drop_id <> canonical_id""".stripMargin
+
+  // x148: delete + full re-add restores exactly the original corpus, so
+  // the oracle IS x138's whole-corpus BM25 replay — hash-green proves
+  // the generation graves suppress the old rows, serve the new ones,
+  // and keep n_docs/sum_dl exact through the delete/re-append cycle.
+  private lazy val x148Oracle: String = oracles("x138_indexed_bm25")
 
   // x101: x75's fusion + transitive closure verbatim, with the
   // embedding edge set from the TRAINED 64-seed / nprobe=2 cells
@@ -5672,6 +5708,7 @@ object ExtensionQueries {
       "x99_prototypical" -> x99Oracle,
       "x100_margin_mine" -> x100Oracle,
       "x101_fused_trained" -> x101Oracle,
+      "x148_bm25_delete_readd" -> x148Oracle,
       "x102_sem_decontaminate" -> x102Oracle,
       "x103_doremi_mixture" -> x103Oracle,
       "x104_kn_bigram" -> x104Oracle,

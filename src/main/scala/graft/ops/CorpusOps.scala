@@ -1270,7 +1270,8 @@ object CorpusOps {
   def writePostings(cat: graft.catalog.Catalog, name: String,
       docs: DataFrame, buckets: Int = 16, idCol: String = "doc_id",
       textCol: String = "text"): Unit =
-    cat.writeBucketed(name, postingRows(docs, idCol, textCol),
+    cat.writeBucketed(name, postingRows(docs, idCol, textCol)
+        .withColumn("gen", lit(cat.nextGen(name))),
       buckets = buckets, bucketCols = Seq("word"), sortCols = Seq("word"))
 
   /** Fold a new batch into a persisted postings index — the
@@ -1288,7 +1289,8 @@ object CorpusOps {
   def appendToPostings(cat: graft.catalog.Catalog, name: String,
       batch: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Unit =
-    cat.appendBucketed(name, postingRows(batch, idCol, textCol))
+    cat.appendBucketed(name, postingRows(batch, idCol, textCol)
+      .withColumn("gen", lit(cat.nextGen(name))))
 
   private def postingRows(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
@@ -1365,12 +1367,17 @@ object CorpusOps {
     * physical — the index-tier mirror of [[graft.mvcc.LogTable]]'s
     * tombstone+compaction semantics (a dedup-dropped or MVCC-deleted
     * doc no longer needs a full index rebuild to leave the serving
-    * path). A tombstoned id stays dead even if re-appended; re-adding
-    * requires compacting first. */
+    * path). Graves are GENERATION-stamped (r16): on indexes whose rows
+    * carry their write gen ([[writePostings]]/[[writePositionalPostings]]
+    * stamp it) a grave kills only generations ≤ its own, so
+    * delete → re-append serves the new rows with no compaction; on a
+    * pre-gen layout the probe falls back to the key anti-join
+    * (grave wins until compaction). */
   def deleteFromPostings(cat: graft.catalog.Catalog, name: String,
       ids: DataFrame, idCol: String = "doc_id"): Unit =
     cat.addTombstones(name,
-      ids.select(col(idCol).cast("long").as("doc_id")).distinct())
+      ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .withColumn("gen", lit(cat.currentGen(name))))
 
   /** Delete documents from a SCORED postings index: tombstone the
     * posting rows AND append the corpus-stat compensation — one
@@ -1617,11 +1624,25 @@ object CorpusOps {
       docs: DataFrame, buckets: Int = 16, idCol: String = "doc_id",
       textCol: String = "text"): Unit =
     cat.writeBucketed(name,
-      docs.select(col(idCol).as("doc_id"),
-          posexplode(TF.words(col(textCol))).as(Seq("pos", "word")))
-        .select(col("word"), col("doc_id"), (col("pos") + 1).cast("long")
-          .as("pos")),
+      positionalRows(docs, idCol, textCol)
+        .withColumn("gen", lit(cat.nextGen(name))),
       buckets = buckets, bucketCols = Seq("word"), sortCols = Seq("word"))
+
+  /** Additive append to a positional index — positions are per-doc
+    * absolute, so appended docs are self-contained; new per-bucket
+    * files, frozen layout, rows gen-stamped like every text tier. */
+  def appendToPositionalPostings(cat: graft.catalog.Catalog,
+      name: String, batch: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    cat.appendBucketed(name, positionalRows(batch, idCol, textCol)
+      .withColumn("gen", lit(cat.nextGen(name))))
+
+  private def positionalRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TF.words(col(textCol))).as(Seq("pos", "word")))
+      .select(col("word"), col("doc_id"), (col("pos") + 1).cast("long")
+        .as("pos"))
 
   /** EXACT phrase search over a positional index: documents where the
     * words of `phrase` occur at consecutive positions, with the

@@ -364,12 +364,18 @@ object TextDedup {
       TF.minhashSigsFast(TF.words(col(textCol)), shingleK, numHashes).as("mh"))
       .filter(size(col("el_set")) > 0) // degenerate empty-set docs can't verify
       .localCheckpoint(false)
+    // rows carry their write generation (per-table counters) — the
+    // delete tier's graves kill only gens <= their own, so a deleted
+    // doc can be RE-INGESTED by a plain append, no compaction
     cat.writeBucketed(s"${name}_bands",
       sig.select(col("doc_id"),
-        explode(minhashBucketKeys(col("mh"), numHashes, bands)).as("bkey")),
+        explode(minhashBucketKeys(col("mh"), numHashes, bands)).as("bkey"))
+        .withColumn("gen", lit(cat.nextGen(s"${name}_bands"))),
       buckets, Seq("bkey"))
     cat.writeBucketed(s"${name}_sets",
-      sig.select(col("doc_id"), col("el_set")), buckets, Seq("doc_id"))
+      sig.select(col("doc_id"), col("el_set"))
+        .withColumn("gen", lit(cat.nextGen(s"${name}_sets"))),
+      buckets, Seq("doc_id"))
   }
 
   /** Dedup an incoming batch against a [[writeSignatureIndex]] index:
@@ -433,9 +439,11 @@ object TextDedup {
       .localCheckpoint(false)
     cat.appendBucketed(s"${name}_bands",
       sig.select(col("doc_id"),
-        explode(minhashBucketKeys(col("mh"), numHashes, bands)).as("bkey")))
+        explode(minhashBucketKeys(col("mh"), numHashes, bands)).as("bkey"))
+        .withColumn("gen", lit(cat.nextGen(s"${name}_bands"))))
     cat.appendBucketed(s"${name}_sets",
-      sig.select(col("doc_id"), col("el_set")))
+      sig.select(col("doc_id"), col("el_set"))
+        .withColumn("gen", lit(cat.nextGen(s"${name}_sets"))))
   }
 
   /** Delete documents from a [[writeSignatureIndex]] index: their ids
@@ -451,8 +459,10 @@ object TextDedup {
   def deleteFromSignatureIndex(cat: graft.catalog.Catalog, name: String,
       ids: DataFrame, idCol: String = "doc_id"): Unit = {
     val ts = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-    cat.addTombstones(s"${name}_bands", ts)
-    cat.addTombstones(s"${name}_sets", ts)
+    cat.addTombstones(s"${name}_bands",
+      ts.withColumn("gen", lit(cat.currentGen(s"${name}_bands"))))
+    cat.addTombstones(s"${name}_sets",
+      ts.withColumn("gen", lit(cat.currentGen(s"${name}_sets"))))
   }
 
   /** Physical delete + small-file maintenance for a signature index:

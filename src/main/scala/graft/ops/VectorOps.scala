@@ -289,7 +289,10 @@ object VectorOps {
     // loudly rather than landing data in a surprise namespace
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"index name must be a plain SQL identifier, got '$name'")
-    cat.writeBucketed(name, cells, buckets, bucketCols = Seq("cell"))
+    // rows carry their write generation — deleteFromIndex's graves kill
+    // only gens <= their own, so delete -> re-append needs no compaction
+    cat.writeBucketed(name, cells.withColumn("gen", lit(cat.nextGen(name))),
+      buckets, bucketCols = Seq("cell"))
   }
 
   /** Fold newly-arrived vectors into a persisted index — the vector
@@ -306,7 +309,8 @@ object VectorOps {
     * frozen centroids a bad partition of the data. */
   def appendToIndex(cat: graft.catalog.Catalog, name: String,
       newCells: DataFrame): Unit =
-    cat.appendBucketed(name, newCells)
+    cat.appendBucketed(name,
+      newCells.withColumn("gen", lit(cat.nextGen(name))))
 
   /** Search a persisted index by cell-key equi-join — [[inCellTopK]]
     * with the bucketed table on both sides and probe-dedup ON (a
@@ -343,7 +347,8 @@ object VectorOps {
   def deleteFromIndex(cat: graft.catalog.Catalog, name: String,
       ids: DataFrame, idCol: String = "vec_id"): Unit =
     cat.addTombstones(name,
-      ids.select(col(idCol).cast("long").as("vec_id")).distinct())
+      ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+        .withColumn("gen", lit(cat.currentGen(name))))
 
   /** Physical delete + small-file fold for an IVF cell index:
     * [[graft.catalog.Catalog.compactBucketed]] rewrites the bucketed
@@ -626,6 +631,7 @@ object VectorOps {
       s"index name must be a plain SQL identifier, got '$name'")
     val cents = pqTrain(e, m, ksub, iters, idCol, vecCol)
     val codes = pqEncode(e, cents, m, idCol, vecCol)
+      .withColumn("gen", lit(cat.nextGen(s"${name}_codes")))
     cat.create(s"${name}_cents", cents.schema)
     cat.append(s"${name}_cents", cents)
     cat.create(s"${name}_codes", codes.schema)
@@ -642,7 +648,8 @@ object VectorOps {
       newVecs: DataFrame, m: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit =
     cat.append(s"${name}_codes",
-      pqEncode(newVecs, cat.table(s"${name}_cents"), m, idCol, vecCol))
+      pqEncode(newVecs, cat.table(s"${name}_cents"), m, idCol, vecCol)
+        .withColumn("gen", lit(cat.nextGen(s"${name}_codes"))))
 
   /** ADC top-k over a persisted PQ index — [[pqAdcTopK]] with both
     * halves read back from the catalog; any session that can see the
@@ -665,7 +672,8 @@ object VectorOps {
   def deleteFromPqIndex(cat: graft.catalog.Catalog, name: String,
       ids: DataFrame, idCol: String = "vec_id"): Unit =
     cat.addTombstones(s"${name}_codes",
-      ids.select(col(idCol).cast("long").as("vec_id")).distinct())
+      ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+        .withColumn("gen", lit(cat.currentGen(s"${name}_codes"))))
 
   /** Physical delete for a PQ index: rewrite the codes table without
     * tombstoned rows and clear the sidecar

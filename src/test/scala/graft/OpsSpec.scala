@@ -2350,6 +2350,93 @@ class OpsSpec extends SparkTestBase {
       "compaction changed the served ranking")
   }
 
+  test("every index tier: delete then re-append serves the re-added docs with NO compaction (generation graves)") {
+    // delete + full re-add restores the corpus, so each tier's probe
+    // must equal its own PRE-DELETE answer — old generations stay
+    // suppressed, the re-added generation serves (r16 contract,
+    // Catalog.tombstoneName generation mode, now on ALL tiers)
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val victims = dd.filter(col("doc_id") % 7 === 0)
+    val vIds = victims.select("doc_id")
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // boolean postings
+    locally {
+      val cat = graft.catalog.Catalog(spark, tmp("graft_gen_post"))
+      graft.ops.CorpusOps.writePostings(cat, "p", dd)
+      def res() = graft.ops.CorpusOps
+        .searchPostings(cat, "p", Seq("spark", "join", "window"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val before = res()
+      graft.ops.CorpusOps.deleteFromPostings(cat, "p", vIds)
+      graft.ops.CorpusOps.appendToPostings(cat, "p", victims)
+      assert(cat.hasTombstones("p"), "precondition: graves in place")
+      assert(res() == before, "postings: delete + re-append != original")
+    }
+    // positional postings
+    locally {
+      val cat = graft.catalog.Catalog(spark, tmp("graft_gen_pos"))
+      graft.ops.CorpusOps.writePositionalPostings(cat, "pp", dd)
+      def res() = graft.ops.CorpusOps
+        .searchPhrase(cat, "pp", Seq("table", "hash"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val before = res()
+      graft.ops.CorpusOps.deleteFromPostings(cat, "pp", vIds)
+      graft.ops.CorpusOps.appendToPositionalPostings(cat, "pp", victims)
+      assert(res() == before, "positional: delete + re-append != original")
+    }
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val eVictims = e.filter(col("vec_id") % 7 === 0)
+    // IVF cell index
+    locally {
+      val cat = graft.catalog.Catalog(spark, tmp("graft_gen_ivf"))
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+      graft.ops.VectorOps.writeIndex(cat, "vidx",
+        graft.ops.VectorOps.ivfCells(e, cent, nprobe = 1), buckets = 4)
+      def res() = graft.ops.VectorOps
+        .searchIndex(cat, "vidx", k = 3, queryPred = col("q_id") < 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      val before = res()
+      graft.ops.VectorOps.deleteFromIndex(cat, "vidx",
+        eVictims.select("vec_id"))
+      graft.ops.VectorOps.appendToIndex(cat, "vidx",
+        graft.ops.VectorOps.ivfCells(eVictims, cent, nprobe = 1))
+      assert(res() == before, "IVF: delete + re-append != original")
+    }
+    // PQ codes (codebook frozen; re-encode is a pure function of it)
+    locally {
+      val cat = graft.catalog.Catalog(spark, tmp("graft_gen_pq"))
+      graft.ops.VectorOps.writePqIndex(cat, "pqidx", e)
+      val q = e.filter(col("vec_id") < 3)
+      def res() = graft.ops.VectorOps
+        .searchPqIndex(cat, "pqidx", q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val before = res()
+      graft.ops.VectorOps.deleteFromPqIndex(cat, "pqidx",
+        eVictims.select("vec_id"))
+      graft.ops.VectorOps.appendToPqIndex(cat, "pqidx", eVictims)
+      assert(res() == before, "PQ: delete + re-append != original")
+    }
+    // signature index (near-dup probe against the historical corpus)
+    locally {
+      val cat = graft.catalog.Catalog(spark, tmp("graft_gen_sig"))
+      graft.ops.TextDedup.writeSignatureIndex(cat, "hist", dd, buckets = 4)
+      val probe = dd.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      def res() = graft.ops.TextDedup
+        .dedupAgainstIndex(cat, "hist", probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val before = res()
+      graft.ops.TextDedup.deleteFromSignatureIndex(cat, "hist", vIds)
+      graft.ops.TextDedup.appendToSignatureIndex(cat, "hist", victims)
+      assert(res() == before, "signature: delete + re-append != original")
+    }
+  }
+
   test("PQ and signature index delete lifecycle: tombstone hides, compact makes physical") {
     // PQ tier
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

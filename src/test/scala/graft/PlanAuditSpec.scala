@@ -481,6 +481,9 @@ class PlanAuditSpec extends SparkTestBase {
       "x144_bm25_after_delete", // x138's 1-row stats scalar broadcast;
                                 // the tombstone anti-join is equi on
                                 // doc_id, posting probes equi on word
+      "x148_bm25_delete_readd", // same shape as x144: 1-row stats
+                                // scalar broadcast; gen-grave filter is
+                                // equi on doc_id, probes equi on word
       "x146_phrase_ranked",     // inherits x138's 1-row stats scalar;
                                 // the proximity gate and fusion joins
                                 // are equi on doc_id
@@ -799,13 +802,14 @@ class PlanAuditSpec extends SparkTestBase {
       assert(got == expected, "tombstoned probe diverged from rebuild")
       // deleted ids surface neither as queries nor as neighbors
       assert(got.forall { case (q, n, _, _) => q % 7 != 0 && n % 7 != 0 })
-      // the deletes-sized anti-join must broadcast and must NOT cost the
-      // bucketed layout its zero-shuffle cell join
+      // the deletes-sized generation filter must broadcast and must NOT
+      // cost the bucketed layout its zero-shuffle cell join
       val p = s.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange hashpartitioning(cell"),
-        s"tombstone anti-join degraded the bucketed cell join:\n$p")
-      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-        s"tombstone filter should be a broadcast anti-join:\n$p")
+        s"tombstone filter degraded the bucketed cell join:\n$p")
+      assert(p.contains("BroadcastHashJoin") && p.contains("__grave_gen"),
+        s"tombstone filter should be a broadcast join with the gen " +
+          s"predicate:\n$p")
       // physical delete: sidecar dropped, same results, same plan shape
       graft.ops.VectorOps.compactIndex(cat, "emb_idx")
       assert(!cat.hasTombstones("emb_idx"), "compact left the sidecar")
@@ -815,8 +819,8 @@ class PlanAuditSpec extends SparkTestBase {
       val p2 = s2.queryExecution.executedPlan.toString
       assert(!p2.contains("Exchange hashpartitioning(cell"),
         s"compaction degraded the bucketed cell join:\n$p2")
-      assert(!p2.contains("LeftAnti"),
-        "compacted probe still pays the tombstone anti-join")
+      assert(!p2.contains("__grave_gen"),
+        "compacted probe still pays the tombstone filter")
     } finally {
       cat.dropBucketed("emb_idx")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
