@@ -593,6 +593,56 @@ object EventStreams {
     }
   }
 
+  /** Streaming ingest into the POSITIONAL postings index — the
+    * phrase/proximity serving tier stays current as documents arrive,
+    * completing the streaming lifecycle symmetry across the index
+    * family (boolean/scored postings, signatures, and now positions):
+    * first micro-batch builds ([[graft.ops.CorpusOps
+    * .writePositionalPostings]]), later batches fold in via the
+    * additive append (positions are per-doc absolute, so appended docs
+    * are self-contained — [[graft.ops.CorpusOps
+    * .appendToPositionalPostings]]). Search after any number of
+    * micro-batches equals a one-shot build over everything ingested
+    * (StreamingSpec pins phrase AND proximity probes). Same `{index}_hwm`
+    * replay contract as [[scoredPostingsIngestStream]]. */
+  def positionalIngestStream(incoming: DataFrame, indexDir: String,
+      indexName: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestPositionalBatch(
+          graft.catalog.Catalog(batch.sparkSession, indexDir), indexName,
+          batch, batchId, idCol, textCol)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[positionalIngestStream]]'s sink — factored
+    * out so the replay path is directly testable. Returns true if
+    * ingested, false if recognized as a replay (same contract and
+    * caveats as [[ingestScoredPostingsBatch]]). */
+  def ingestPositionalBatch(cat: graft.catalog.Catalog,
+      indexName: String, batch: DataFrame, batchId: Long,
+      idCol: String = "doc_id", textCol: String = "text"): Boolean = {
+    val hwmName = s"${indexName}_hwm"
+    if (hwmReplay(cat, hwmName, batchId)) {
+      System.err.println(s"[graft] positionalIngestStream: " +
+        s"batch $batchId already committed — replay skipped")
+      false
+    } else {
+      if (!cat.bucketedExists(indexName))
+        graft.ops.CorpusOps.writePositionalPostings(cat, indexName, batch,
+          idCol = idCol, textCol = textCol)
+      else
+        graft.ops.CorpusOps.appendToPositionalPostings(cat, indexName,
+          batch, idCol, textCol)
+      hwmRecord(cat, hwmName, batchId)
+      true
+    }
+  }
+
   /** Whether `batchId` is at or below the recorded high-water mark in
     * marker table `hwmName` — i.e. an at-least-once REPLAY of a batch
     * whose sink effects already committed. */

@@ -10,6 +10,36 @@ class PlanAuditSpec extends SparkTestBase {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("sweep: executed-plan scan amplification bounded for EVERY query (no silently unshared grains)") {
+    // The verify skill's global plan-quality audit, pinned: execute each
+    // query (so lazy persists materialize and AQE finalizes — the
+    // pre-execution plan over-counts cached subtrees 5-10x) and count
+    // parquet scans PER SOURCE TABLE in the final plan. Current honest
+    // maximum is 5 (the deliberate exact-recall baselines x28/x121/x126/
+    // x67, the 4-signal tier matrices x103/x128); a refactor that
+    // un-shares a derived grain (tokenize/explode recomputed per
+    // consumer branch) pushes a query past the bound and fails here
+    // with the offending table named. Dims/set-ops/self-joins sit at
+    // 2-3 by construction and stay far under the bound.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      qe.toRdd.count()
+      val body = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+      val over = "file:[^\\],\\s]*".r.findAllIn(body).toSeq
+        .map(_.split('/').takeRight(2).mkString("/").stripSuffix("]"))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+        .filter(_._2 > 5)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      if (over.isEmpty) Nil else Seq(name -> over)
+    }
+    assert(offenders.isEmpty,
+      s"queries re-scanning one table > 5x in the EXECUTED plan " +
+        s"(unshared grain — persist/localCheckpoint the shared frame " +
+        s"or justify and raise the bound): $offenders")
+  }
+
   test("q02: both predicates pushed into the parquet scan") {
     val p = plan("q02_filter")
     assert(p.contains("GreaterThan(l_quantity,25.0)"), p)

@@ -577,6 +577,58 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("positional-index ingest stream: phrase and proximity search after N micro-batches equal the one-shot batch build; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val rows = dd.collect().map(r => (r.getLong(0), r.getString(1)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-posingest").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.positionalIngestStream(
+      input.toDF().toDF("doc_id", "text"), s"$dir/idx", "ppost",
+      s"$dir/ckpt")
+    try {
+      val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+      thirds.foreach { b =>
+        input.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      def res2(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val cat = graft.catalog.Catalog(spark, s"$dir/idx")
+      val oneDir = java.nio.file.Files
+        .createTempDirectory("graft-posonce").toString
+      graft.ops.CorpusOps.writePositionalPostings(
+        graft.catalog.Catalog(spark, oneDir), "ppost", dd)
+      val oneCat = graft.catalog.Catalog(spark, oneDir)
+      assert(res2(graft.ops.CorpusOps.searchPhrase(cat, "ppost",
+          Seq("table", "hash"))) ==
+        res2(graft.ops.CorpusOps.searchPhrase(oneCat, "ppost",
+          Seq("table", "hash"))),
+        "ingested-index phrase search diverged from the one-shot build")
+      def prox(c: graft.catalog.Catalog) = graft.ops.CorpusOps
+        .searchProximity(c, "ppost", Seq("dup", "vector", "merge"),
+          window = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(prox(cat) == prox(oneCat),
+        "ingested-index proximity search diverged from the one-shot build")
+      // at-least-once replay: re-delivering a committed batch must
+      // neither re-append posting rows nor change any probe
+      assert(cat.table("ppost_hwm").count() == thirds.length)
+      val before = cat.bucketedTable("ppost").count()
+      assert(!EventStreams.ingestPositionalBatch(cat, "ppost",
+        thirds.last.toSeq.toDF("doc_id", "text"),
+        batchId = thirds.length - 1L),
+        "replay of a committed batch was NOT skipped")
+      assert(cat.bucketedTable("ppost").count() == before,
+        "replay re-appended posting rows")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(oneDir))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("stream-static LM scoring matches batch lmScore digit-for-digit on a shared corpus") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
