@@ -1637,6 +1637,19 @@ object CorpusOps {
     cat.appendBucketed(name, positionalRows(batch, idCol, textCol)
       .withColumn("gen", lit(cat.nextGen(name))))
 
+  /** Compaction for a positional index: tombstone-aware bucketed
+    * rewrite ([[graft.catalog.Catalog.compactBucketed]] — generation
+    * graves become physical, sidecar cleared, append files fold) plus
+    * the streaming ingest's hwm marker collapse (one row per
+    * micro-batch otherwise accumulates forever — the same fold
+    * [[compactScoredPostings]] does). Returns file-count savings. */
+  def compactPositionalPostings(cat: graft.catalog.Catalog,
+      name: String): Int = {
+    val saved = cat.compactBucketed(name)
+    cat.collapseHwm(s"${name}_hwm")
+    saved
+  }
+
   private def positionalRows(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

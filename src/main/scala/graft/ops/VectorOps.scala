@@ -354,9 +354,15 @@ object VectorOps {
     * [[graft.catalog.Catalog.compactBucketed]] rewrites the bucketed
     * layout without tombstoned rows (staged-directory swap — readers
     * never see a partial index) and drops the sidecar, so probes stop
-    * paying the anti-join. Returns files-before − files-after. */
-  def compactIndex(cat: graft.catalog.Catalog, name: String): Int =
-    cat.compactBucketed(name)
+    * paying the anti-join; a streaming ingest's per-batch hwm markers
+    * collapse to one row (the [[graft.catalog.Catalog.collapseHwm]]
+    * fold every index compaction performs). Returns files-before −
+    * files-after. */
+  def compactIndex(cat: graft.catalog.Catalog, name: String): Int = {
+    val saved = cat.compactBucketed(name)
+    cat.collapseHwm(s"${name}_hwm")
+    saved
+  }
 
   /** Exact-decimal Gram (second-moment) matrix Σ x xᵀ over the vector
     * column — the first step of distributed PCA and the only

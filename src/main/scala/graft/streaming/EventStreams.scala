@@ -643,6 +643,87 @@ object EventStreams {
     }
   }
 
+  /** Streaming ingest into a persisted IVF vector index — the VECTOR
+    * twin of the text tiers' index ingest streams: arriving embeddings
+    * are assigned against the FROZEN coarse quantizer (`centroids` —
+    * the train-once contract; you never retrain per micro-batch) and
+    * folded into the bucketed cell layout (first batch
+    * [[graft.ops.VectorOps.writeIndex]], later batches
+    * [[graft.ops.VectorOps.appendToIndex]] — new per-bucket files,
+    * zero-shuffle probe plan intact). ANN search after any number of
+    * micro-batches equals a one-shot build over everything ingested
+    * (assignment is per-vector under frozen centroids — StreamingSpec
+    * pins it). Same `{index}_hwm` replay contract as
+    * [[scoredPostingsIngestStream]]. */
+  def vectorIngestStream(incoming: DataFrame, centroids: DataFrame,
+      indexDir: String, indexName: String, checkpointDir: String,
+      buckets: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestVectorBatch(
+          graft.catalog.Catalog(batch.sparkSession, indexDir), indexName,
+          centroids, batch, batchId, buckets, idCol, vecCol)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[vectorIngestStream]]'s sink — factored out so
+    * the replay path is directly testable (same contract and caveats
+    * as [[ingestScoredPostingsBatch]]). */
+  def ingestVectorBatch(cat: graft.catalog.Catalog, indexName: String,
+      centroids: DataFrame, batch: DataFrame, batchId: Long,
+      buckets: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean = {
+    val hwmName = s"${indexName}_hwm"
+    if (hwmReplay(cat, hwmName, batchId)) {
+      System.err.println(s"[graft] vectorIngestStream: " +
+        s"batch $batchId already committed — replay skipped")
+      false
+    } else {
+      val cells = graft.ops.VectorOps.ivfCells(batch, centroids,
+        nprobe = 1, idCol, vecCol)
+      if (!cat.bucketedExists(indexName))
+        graft.ops.VectorOps.writeIndex(cat, indexName, cells, buckets)
+      else
+        graft.ops.VectorOps.appendToIndex(cat, indexName, cells)
+      hwmRecord(cat, hwmName, batchId)
+      true
+    }
+  }
+
+  /** Streaming DELETE maintenance for a persisted IVF vector index —
+    * the takedown/dedup-decision feed for the embedding store, the
+    * vector twin of [[scoredPostingsDeleteStream]]: each micro-batch
+    * of vec_ids lands in the generation-stamped tombstone sidecar
+    * ([[graft.ops.VectorOps.deleteFromIndex]]) and searchers stop
+    * serving them at the next probe. Replay-safe by construction: a
+    * re-delivered batch re-records graves at the same generation,
+    * which the per-key max aggregation makes a no-op — no hwm needed.
+    * Caveat shared with every pair of independent writers on one
+    * index (the delete and ingest streams have separate checkpoints,
+    * so no cross-stream ordering exists): a delete replay that lands
+    * AFTER an interleaved re-ingest of the same id stamps the newer
+    * generation's grave — run takedown feeds and re-admissions
+    * through one stream (or serialize them operationally) when ids
+    * can legitimately return. Pair with
+    * [[graft.ops.VectorOps.compactIndex]] on the
+    * [[graft.catalog.Catalog.shouldCompactBucketed]] trigger. */
+  def vectorDeleteStream(deletes: DataFrame, indexDir: String,
+      indexName: String, checkpointDir: String,
+      idCol: String = "vec_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deletes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.VectorOps.deleteFromIndex(
+          graft.catalog.Catalog(batch.sparkSession, indexDir), indexName,
+          batch, idCol)
+      }
+      .start()
+
   /** Whether `batchId` is at or below the recorded high-water mark in
     * marker table `hwmName` — i.e. an at-least-once REPLAY of a batch
     * whose sink effects already committed. */

@@ -622,9 +622,94 @@ class StreamingSpec extends SparkTestBase {
         "replay of a committed batch was NOT skipped")
       assert(cat.bucketedTable("ppost").count() == before,
         "replay re-appended posting rows")
+      // compaction folds the append files AND the per-batch hwm markers;
+      // probes and replay detection survive the fold
+      graft.ops.CorpusOps.compactPositionalPostings(cat, "ppost")
+      assert(cat.table("ppost_hwm").count() == 1, "hwm not collapsed")
+      assert(!EventStreams.ingestPositionalBatch(cat, "ppost",
+        thirds.last.toSeq.toDF("doc_id", "text"),
+        batchId = thirds.length - 1L),
+        "replay detection broke after hwm collapse")
+      assert(res2(graft.ops.CorpusOps.searchPhrase(cat, "ppost",
+          Seq("table", "hash"))) ==
+        res2(graft.ops.CorpusOps.searchPhrase(oneCat, "ppost",
+          Seq("table", "hash"))),
+        "compaction changed the served phrase answer")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(oneDir))
     } finally {
       q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("vector-index ingest + delete streams: ANN after N micro-batches equals the one-shot build; takedown feed hides vectors; replays are no-ops") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+      .localCheckpoint(true) // the FROZEN train-once quantizer
+    val rows = e.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vecingest").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = EventStreams.vectorIngestStream(
+      input.toDF().toDF("vec_id", "embedding"), cent,
+      s"$dir/idx", "vidx", s"$dir/ckpt", buckets = 4)
+    try {
+      val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+      thirds.foreach { b =>
+        input.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      val cat = graft.catalog.Catalog(spark, s"$dir/idx")
+      // one-shot expectation: assignment is per-vector under the frozen
+      // centroids, so the streamed index must serve identically
+      val expected = res(graft.ops.VectorOps.inCellTopK(
+        graft.ops.VectorOps.ivfCells(e, cent, nprobe = 1), k = 3,
+        queryPred = col("q_id") < 10))
+      assert(res(graft.ops.VectorOps.searchIndex(cat, "vidx", k = 3,
+        queryPred = col("q_id") < 10)) == expected,
+        "streamed vector index diverged from the one-shot build")
+      // replay: re-delivering a committed batch appends nothing
+      assert(cat.table("vidx_hwm").count() == thirds.length)
+      val before = cat.bucketedTable("vidx").count()
+      assert(!EventStreams.ingestVectorBatch(cat, "vidx", cent,
+        thirds.last.toSeq.toDF("vec_id", "embedding"),
+        batchId = thirds.length - 1L, buckets = 4),
+        "replay of a committed batch was NOT skipped")
+      assert(cat.bucketedTable("vidx").count() == before,
+        "replay re-appended cell rows")
+      // takedown feed: vec_id % 7 == 0 leaves the serving path; the
+      // probe equals a rebuild over the survivors; re-delivery no-op
+      val delIds = rows.map(_._1).filter(_ % 7 == 0)
+      val delInput = MemoryStream[Long]
+      val dq = EventStreams.vectorDeleteStream(
+        delInput.toDF().toDF("vec_id"), s"$dir/idx", "vidx",
+        s"$dir/delckpt")
+      try {
+        delInput.addData(delIds.toSeq: _*); dq.processAllAvailable()
+        delInput.addData(delIds.toSeq: _*); dq.processAllAvailable()
+      } finally dq.stop()
+      val kept = res(graft.ops.VectorOps.inCellTopK(
+        graft.ops.VectorOps.ivfCells(e.filter(col("vec_id") % 7 =!= 0),
+          cent, nprobe = 1), k = 3, queryPred = col("q_id") < 10))
+      assert(res(graft.ops.VectorOps.searchIndex(cat, "vidx", k = 3,
+        queryPred = col("q_id") < 10)) == kept,
+        "streamed deletes diverged from the survivors rebuild")
+      // compaction: delete physical, markers folded, answer unchanged
+      graft.ops.VectorOps.compactIndex(cat, "vidx")
+      assert(!cat.hasTombstones("vidx") &&
+        cat.table("vidx_hwm").count() == 1)
+      assert(res(graft.ops.VectorOps.searchIndex(cat, "vidx", k = 3,
+        queryPred = col("q_id") < 10)) == kept,
+        "compaction changed the served ANN answer")
+    } finally {
+      q.stop()
+      graft.catalog.Catalog(spark, s"$dir/idx").dropBucketed("vidx")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
