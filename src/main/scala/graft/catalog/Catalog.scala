@@ -468,19 +468,51 @@ final case class Catalog(spark: SparkSession, dir: String) {
     if (!fs.exists(p)) 0L
     else {
       val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
+      val txt =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      // A torn counter must FAIL LOUDLY, never default: parsing "" or a
+      // partial write as 0 would reset the gen clock and silently
+      // resurrect every tombstoned row (graves kill gens ≤ their own).
+      // With the atomic publish in [[nextGen]] this can only be a file
+      // written by a pre-r17 build that crashed mid-create.
+      require(txt.nonEmpty && txt.forall(_.isDigit),
+        s"corrupt generation counter $p: '$txt' — restore it to the " +
+          "last minted gen (or any larger value); defaulting to 0 would " +
+          "resurrect tombstoned rows")
+      txt.toLong
     }
   }
 
-  /** Mint the next write generation for `name` (1, 2, 3, …). */
+  /** Mint the next write generation for `name` (1, 2, 3, …).
+    *
+    * Crash-safe: the counter is staged to a temp file and published with
+    * an ATOMIC overwrite-rename ([[org.apache.hadoop.fs.FileContext]]
+    * gives rename-with-overwrite on both HDFS and the local fs — plain
+    * `FileSystem.rename` can't replace an existing destination). A kill
+    * at any point leaves either the old counter or the new one, never a
+    * truncated file that would reset the gen clock — the pre-r17
+    * `fs.create(overwrite)` truncated FIRST and wrote SECOND, so a
+    * mid-write crash (or a concurrent [[currentGen]] read — the
+    * streaming ingest/takedown twin-writer case) could observe ''.
+    *
+    * Still a read-modify-write: two concurrent minters can both read g
+    * and both publish g+1 (last rename wins, atomically). Writers that
+    * share one index must serialize minting — [[graft.streaming
+    * .EventStreams.vectorDeleteStream]] does this by capturing its gen
+    * at enqueue time instead of minting in the sink. */
   def nextGen(name: String): Long = {
     val g = currentGen(name) + 1L
-    val out = fs.create(genPath(name), true)
+    val tmp = new HPath(dir, s".gen_$name.tmp")
+    val out = fs.create(tmp, true)
     try out.write(g.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, genPath(name),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     g
   }
 
@@ -498,34 +530,60 @@ final case class Catalog(spark: SparkSession, dir: String) {
   }
 
   /** `rows` minus `name`'s tombstoned keys — identity when no sidecar
-    * exists. The sidecar is deletes-sized (tiny next to the index), so
-    * the join broadcasts and the index side's bucket pruning /
-    * pushed filters are unaffected (Catalyst pushes the probe's own
+    * exists. The sidecar is usually deletes-sized (tiny next to the
+    * index), so the join broadcasts and the index side's bucket pruning
+    * / pushed filters are unaffected (Catalyst pushes the probe's own
     * predicates below this join).
     *
     * Mode selection (see [[tombstoneName]]): when BOTH the grave rows
     * and `rows` carry a `gen` column, a grave kills only generations
-    * ≤ its own max — the filter is a broadcast left join against the
-    * per-key max-grave-gen frame; otherwise the classic key anti-join
-    * (grave wins until compaction). */
-  def minusTombstones(name: String, rows: DataFrame): DataFrame =
+    * ≤ its own max — the filter is a left join against the per-key
+    * max-grave-gen frame; otherwise the classic key anti-join (grave
+    * wins until compaction).
+    *
+    * Broadcast bound: "deletes-sized" holds for takedowns, but a
+    * GDPR-scale purge or a dedup drop-set over a 100 TB corpus is
+    * millions of keys — an unconditional `broadcast()` hint there is a
+    * driver OOM. The sidecar's row count (one metadata-cheap parquet
+    * footer count, cached per (catalog, sidecar-mtime)) gates the hint:
+    * at or under `broadcastMaxRows` (default 1M keys ≈ tens of MB
+    * broadcast) the grave frame broadcasts; above it the hint is
+    * dropped and AQE/Catalyst pick the join (shuffle anti-join) —
+    * correct at any size, and [[shouldCompactBucketed]]'s tombstone
+    * trigger will have long since asked for compaction anyway. */
+  def minusTombstones(name: String, rows: DataFrame,
+      broadcastMaxRows: Long = Catalog.TombstoneBroadcastMaxRows): DataFrame =
     if (!hasTombstones(name)) rows
     else {
       val F = org.apache.spark.sql.functions
-      val ts = table(tombstoneName(name))
+      val tn = tombstoneName(name)
+      val ts = table(tn)
+      val small = tombstoneCountCached(tn) <= broadcastMaxRows
+      def hint(df: DataFrame): DataFrame = if (small) F.broadcast(df) else df
       val keyCols = ts.columns.filterNot(_ == "gen").toSeq
       if (ts.columns.contains("gen") && rows.columns.contains("gen")) {
         val graves = ts.groupBy(keyCols.map(F.col): _*)
           .agg(F.max(F.col("gen")).as("__grave_gen"))
-        rows.join(F.broadcast(graves), keyCols, "left")
+        rows.join(hint(graves), keyCols, "left")
           .filter(F.col("__grave_gen").isNull ||
             F.col("gen") > F.col("__grave_gen"))
           .drop("__grave_gen")
       } else {
         val keys = ts.select(keyCols.map(F.col): _*).distinct()
-        rows.join(F.broadcast(keys), keyCols, "left_anti")
+        rows.join(hint(keys), keyCols, "left_anti")
       }
     }
+
+  /** Sidecar row count for the broadcast gate, keyed by the sidecar
+    * dir's modification time so appends/compactions invalidate it —
+    * without the cache every probe of a tombstoned index would pay a
+    * count job per [[minusTombstones]] call. */
+  private def tombstoneCountCached(tn: String): Long = {
+    val mtime = fs.getFileStatus(new HPath(path(tn))).getModificationTime
+    val key = (path(tn), mtime)
+    Catalog.tombstoneCounts
+      .computeIfAbsent(key, _ => Long.box(table(tn).count())).longValue()
+  }
 
   /** Rewrite a PLAIN (non-bucketed) table without its tombstoned rows
     * and drop the sidecar — the compact job for un-bucketed index
@@ -568,9 +626,26 @@ final case class Catalog(spark: SparkSession, dir: String) {
     if (!r.isNullAt(0)) {
       import spark.implicits._
       val one = Seq(r.getLong(0)).toDF("batch_id")
-      drop(name)
-      createNew(name, one.schema)
-      append(name, one)
+      // Staged swap, NOT drop-then-rewrite: a crash between a drop and
+      // the re-append would erase the replay high-water mark entirely,
+      // so a later at-least-once replay of an already-committed batch
+      // would pass the hwm guard and re-append its rows — the exact
+      // duplication the hwm exists to prevent, introduced by the
+      // maintenance op itself. Same discipline as [[compactBucketed]] /
+      // [[rewriteExcludingTombstones]]: the only crash window is
+      // between the two renames, which leaves the old marker intact at
+      // `<path>.old` instead of gone.
+      val staging = s"$dir/.collapse_$name"
+      fs.delete(new HPath(staging), true)
+      one.coalesce(1).write.mode("overwrite").parquet(staging)
+      val live = new HPath(path(name))
+      val old = new HPath(s"${path(name)}.old")
+      fs.delete(old, true)
+      require(fs.rename(live, old),
+        s"collapseHwm: could not move $live aside")
+      require(fs.rename(new HPath(staging), live),
+        s"collapseHwm: could not publish (old marker at $old)")
+      fs.delete(old, true)
     }
   }
 
@@ -764,4 +839,13 @@ object Catalog {
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Default tombstone-sidecar size above which [[Catalog.minusTombstones]]
+    * stops hinting `broadcast()` — ~1M single-key rows is tens of MB
+    * on the wire, the conventional ceiling for a useful broadcast. */
+  val TombstoneBroadcastMaxRows: Long = 1000000L
+
+  /** (sidecar path, dir mtime) → row count, for the broadcast gate. */
+  private[catalog] val tombstoneCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
 }

@@ -1375,9 +1375,23 @@ object CorpusOps {
     * (grave wins until compaction). */
   def deleteFromPostings(cat: graft.catalog.Catalog, name: String,
       ids: DataFrame, idCol: String = "doc_id"): Unit =
-    cat.addTombstones(name,
-      ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-        .withColumn("gen", lit(cat.currentGen(name))))
+    cat.addTombstones(name, stampGraveGen(cat, name, ids, idCol))
+
+  /** Grave rows for a delete feed: an existing `gen` column in `ids`
+    * (captured by the producer at ENQUEUE time) is used verbatim — the
+    * discipline that makes an at-least-once delete replay idempotent
+    * under interleaved re-ingest of the same id (the replay re-stamps
+    * the original gen instead of the newest counter, so re-added
+    * generations stay above the grave). Gen-less feeds stamp the
+    * counter read at apply time (single-writer semantics). */
+  private def stampGraveGen(cat: graft.catalog.Catalog, name: String,
+      ids: DataFrame, idCol: String, keyName: String = "doc_id"): DataFrame =
+    if (ids.columns.contains("gen"))
+      ids.select(col(idCol).cast("long").as(keyName),
+        col("gen").cast("long").as("gen")).distinct()
+    else
+      ids.select(col(idCol).cast("long").as(keyName)).distinct()
+        .withColumn("gen", lit(cat.currentGen(name)))
 
   /** Delete documents from a SCORED postings index: tombstone the
     * posting rows AND append the corpus-stat compensation — one
@@ -1416,8 +1430,7 @@ object CorpusOps {
       .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
       .head()
-    cat.addTombstones(name,
-      want.withColumn("gen", lit(cat.currentGen(name))))
+    cat.addTombstones(name, stampGraveGen(cat, name, ids, idCol))
     if (gone.getLong(0) > 0L) {
       val spark = ids.sparkSession
       import spark.implicits._

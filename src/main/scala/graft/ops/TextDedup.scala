@@ -458,11 +458,20 @@ object TextDedup {
     * signature index without a rebuild. */
   def deleteFromSignatureIndex(cat: graft.catalog.Catalog, name: String,
       ids: DataFrame, idCol: String = "doc_id"): Unit = {
-    val ts = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-    cat.addTombstones(s"${name}_bands",
-      ts.withColumn("gen", lit(cat.currentGen(s"${name}_bands"))))
-    cat.addTombstones(s"${name}_sets",
-      ts.withColumn("gen", lit(cat.currentGen(s"${name}_sets"))))
+    // An existing `gen` column (captured at enqueue time) is honored
+    // verbatim for BOTH sidecars — the bands/sets counters are minted
+    // in lock-step by build/append, so one captured value names the
+    // same write on each; see CorpusOps.stampGraveGen for why this
+    // makes replayed deletes idempotent under interleaved re-ingest.
+    def stamped(tbl: String): DataFrame =
+      if (ids.columns.contains("gen"))
+        ids.select(col(idCol).cast("long").as("doc_id"),
+          col("gen").cast("long").as("gen")).distinct()
+      else
+        ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+          .withColumn("gen", lit(cat.currentGen(tbl)))
+    cat.addTombstones(s"${name}_bands", stamped(s"${name}_bands"))
+    cat.addTombstones(s"${name}_sets", stamped(s"${name}_sets"))
   }
 
   /** Physical delete + small-file maintenance for a signature index:

@@ -343,12 +343,26 @@ object VectorOps {
     * makes the delete physical. The centroid assignment of SURVIVING
     * vectors is per-vector (broadcast argmax against frozen centroids),
     * so delete ≡ rebuild-on-survivors under the same quantizer — the
-    * FAISS remove_ids contract, oracle-proven by x147. */
+    * FAISS remove_ids contract, oracle-proven by x147.
+    *
+    * Gen stamping: when `ids` carries a `gen` column, the graves use it
+    * VERBATIM — the enqueue-time-capture discipline that makes a
+    * replayed delete idempotent even when an interleaved re-ingest of
+    * the same id has minted newer generations in between (the replay
+    * re-stamps the ORIGINAL gen, so the re-added rows stay above the
+    * grave; see [[graft.streaming.EventStreams.vectorDeleteStream]]).
+    * A gen-less feed falls back to stamping the counter read at apply
+    * time — correct single-writer, with the documented interleave
+    * caveat. */
   def deleteFromIndex(cat: graft.catalog.Catalog, name: String,
       ids: DataFrame, idCol: String = "vec_id"): Unit =
     cat.addTombstones(name,
-      ids.select(col(idCol).cast("long").as("vec_id")).distinct()
-        .withColumn("gen", lit(cat.currentGen(name))))
+      if (ids.columns.contains("gen"))
+        ids.select(col(idCol).cast("long").as("vec_id"),
+          col("gen").cast("long").as("gen")).distinct()
+      else
+        ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+          .withColumn("gen", lit(cat.currentGen(name))))
 
   /** Physical delete + small-file fold for an IVF cell index:
     * [[graft.catalog.Catalog.compactBucketed]] rewrites the bucketed

@@ -702,13 +702,21 @@ object EventStreams {
     * serving them at the next probe. Replay-safe by construction: a
     * re-delivered batch re-records graves at the same generation,
     * which the per-key max aggregation makes a no-op — no hwm needed.
-    * Caveat shared with every pair of independent writers on one
-    * index (the delete and ingest streams have separate checkpoints,
-    * so no cross-stream ordering exists): a delete replay that lands
-    * AFTER an interleaved re-ingest of the same id stamps the newer
-    * generation's grave — run takedown feeds and re-admissions
-    * through one stream (or serialize them operationally) when ids
-    * can legitimately return. Pair with
+    *
+    * Interleave-safe feeds: when the delete feed's rows carry a `gen`
+    * column — stamped by the PRODUCER at enqueue time from
+    * [[graft.catalog.Catalog.currentGen]] — graves use that gen
+    * verbatim ([[graft.ops.VectorOps.deleteFromIndex]]'s passthrough),
+    * so a delete replay that lands AFTER an interleaved re-ingest of
+    * the same id re-stamps the ORIGINAL generation and the re-added
+    * vectors keep serving (StreamingSpec pins the ingest-v1 → delete →
+    * re-ingest-v2 → replay-delete sequence). A gen-less feed falls
+    * back to stamping the counter at apply time, which restores the
+    * old caveat: with no cross-stream ordering between the two
+    * checkpoints, such a replay stamps the newer generation's grave —
+    * so EITHER stamp the feed at enqueue time, run takedowns and
+    * re-admissions through one stream, or serialize them
+    * operationally. Pair with
     * [[graft.ops.VectorOps.compactIndex]] on the
     * [[graft.catalog.Catalog.shouldCompactBucketed]] trigger. */
   def vectorDeleteStream(deletes: DataFrame, indexDir: String,

@@ -15,10 +15,21 @@ import scala.jdk.CollectionConverters._
   * The run is reps=1 / warmup=0 in a TEMP working directory (so the
   * repo's committed BENCH_LOCAL.json — the sf0.1 record the stdout line
   * points at — is never clobbered), sharing the project's `.graft_layouts`
-  * cache so the persisted layouts don't rebuild cold. */
+  * cache so the persisted layouts don't rebuild cold.
+  *
+  * Portability: the SF dir resolves from SPARK_GRAFT_TESTDATA (default
+  * the standard driver layout) and the whole test is assume()-skipped
+  * when that dir is absent, so a checkout on a machine without the
+  * driver's testdata doesn't fail the suite on a host-layout accident. */
 class BenchContractSpec extends AnyFunSuite {
 
-  test("graft.Bench full sf0.001 run: stdout line parses within the capture window with warmup_sec; BENCH_LOCAL.json carries the full registry") {
+  private val sfDir = new java.io.File(
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001")
+
+  test("graft.Bench full sf0.001 run: stdout line parses within the capture window with warmup_sec + contamination fields; BENCH_LOCAL.json carries the full registry") {
+    assume(sfDir.isDirectory,
+      s"testdata dir $sfDir absent — set SPARK_GRAFT_TESTDATA to run " +
+        "the bench contract check")
     val tmp = java.nio.file.Files.createTempDirectory("graft-benchcontract")
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
@@ -44,7 +55,7 @@ class BenchContractSpec extends AnyFunSuite {
     pb.redirectOutput(outF)
     pb.redirectError(errF)
     val env = pb.environment()
-    env.put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    env.put("SPARK_GRAFT_SF_DIR", sfDir.getAbsolutePath)
     env.put("SPARK_GRAFT_BENCH_REPS", "1")
     env.put("SPARK_GRAFT_BENCH_WARMUP", "0")
     env.put("SPARK_GRAFT_CPUS", "8")
@@ -78,6 +89,18 @@ class BenchContractSpec extends AnyFunSuite {
       s"n_queries=${node.get("n_queries")} != registry " +
         s"size ${SparkEntry.queries.size}")
     assert(node.get("queries") != null && node.get("queries").isObject, line)
+    // contamination self-evidence (r17 verdict #2): the fields must ALWAYS
+    // be present so a loaded-machine sweep carries its own adjudication
+    // record. At sf0.001 with no matching reference both read -1 (not
+    // comparable) — existence, numericness and the -1 semantics are the
+    // contract.
+    assert(node.get("control_ratio") != null &&
+      node.get("control_ratio").isNumber,
+      s"stdout line lacks numeric control_ratio: $line")
+    assert(node.get("n_over_band") != null &&
+      node.get("n_over_band").isNumber,
+      s"stdout line lacks numeric n_over_band: $line")
+    assert(node.get("n_over_band").asInt >= -1, line)
     // full-fidelity artifact: every registered query timed, none failed
     val localF = tmp.resolve("BENCH_LOCAL.json").toFile
     assert(localF.exists, "full run did not write BENCH_LOCAL.json")
@@ -90,6 +113,9 @@ class BenchContractSpec extends AnyFunSuite {
       s"bench recorded failures: ${full.get("errors")}")
     assert(full.get("calib_sec").isArray &&
       full.get("calib_sec").size >= 2, "calibration series missing")
+    assert(full.get("control_ratio") != null && full.get("over_band") != null
+      && full.get("over_band").isArray,
+      "contamination fields missing from BENCH_LOCAL.json")
     org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
   }
 }
