@@ -447,4 +447,64 @@ class CoreOpsSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("generation counter: atomic publish survives simulated torn states; a corrupt counter fails loudly instead of resetting the clock") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gen").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    try {
+      assert(cat.currentGen("t") == 0L)
+      assert(cat.nextGen("t") == 1L && cat.nextGen("t") == 2L)
+      assert(cat.currentGen("t") == 2L)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"),
+        spark.sparkContext.hadoopConfiguration)
+      // a leftover staging file (crash between create and rename) is
+      // invisible to readers and harmlessly overwritten by the next mint
+      val tmp = new org.apache.hadoop.fs.Path(dir, ".gen_t.tmp")
+      val o1 = fs.create(tmp, true); o1.write("999".getBytes); o1.close()
+      assert(cat.currentGen("t") == 2L,
+        "staging leftover leaked into the published counter")
+      assert(cat.nextGen("t") == 3L)
+      // the pre-r17 failure: fs.create(overwrite) truncated the live
+      // file FIRST — a crash (or concurrent read) there saw ''. Parsing
+      // that as 0 would reset the clock and resurrect every tombstoned
+      // row (graves kill gens <= their own), so a torn counter must
+      // fail loudly instead.
+      val live = new org.apache.hadoop.fs.Path(dir, ".gen_t")
+      val o2 = fs.create(live, true); o2.close() // empty = torn
+      val ex = intercept[IllegalArgumentException] { cat.currentGen("t") }
+      assert(ex.getMessage.contains("resurrect"), ex.getMessage)
+      val o3 = fs.create(live, true); o3.write("12".getBytes); o3.close()
+      assert(cat.nextGen("t") == 13L, "recovery from restored counter")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("collapseHwm: staged swap folds the marker to one row, keeps the max, and leaves no staging debris") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hwm").toString
+    val cat = graft.catalog.Catalog(spark, dir)
+    try {
+      cat.createNew("idx_hwm", Seq(0L).toDF("batch_id").schema)
+      Seq(0L, 1L, 2L).foreach(b =>
+        cat.append("idx_hwm", Seq(b).toDF("batch_id")))
+      assert(cat.table("idx_hwm").count() == 3)
+      cat.collapseHwm("idx_hwm")
+      assert(cat.table("idx_hwm").count() == 1)
+      assert(cat.table("idx_hwm").head().getLong(0) == 2L,
+        "collapse lost the high-water mark")
+      // staged-swap hygiene: neither the staging dir nor the .old copy
+      // survives a clean collapse (a crash BETWEEN the renames leaves
+      // `.old` — the recoverable state drop-then-rewrite never had)
+      val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(!left.exists(n => n.startsWith(".collapse_") ||
+        n.endsWith(".old")), s"staging debris left: $left")
+      cat.collapseHwm("idx_hwm") // idempotent on an already-folded marker
+      assert(cat.table("idx_hwm").head().getLong(0) == 2L)
+      cat.collapseHwm("absent_hwm") // no-op without the table
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

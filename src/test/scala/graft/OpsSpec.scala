@@ -2583,4 +2583,46 @@ class OpsSpec extends SparkTestBase {
         s"shard $shard: largest doc not in bin 0")
     }
   }
+
+  test("tombstone broadcast bound: an oversized sidecar drops the broadcast hint, answers unchanged in both modes") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cat = graft.catalog.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_tbound").toString)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+    graft.ops.VectorOps.writeIndex(cat, "vidx",
+      graft.ops.VectorOps.ivfCells(e, cent, nprobe = 1), buckets = 4)
+    graft.ops.VectorOps.deleteFromIndex(cat, "vidx",
+      e.filter(col("vec_id") % 7 === 0).select("vec_id"))
+    val idx = cat.bucketedTable("vidx")
+    // takedown-sized sidecar (default bound): the grave frame carries
+    // the broadcast hint — probes never reshuffle the index side
+    val hinted = cat.minusTombstones("vidx", idx)
+    assert(hinted.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"),
+      "small sidecar lost its broadcast hint")
+    // purge-sized sidecar (bound 0 simulates millions of keys without
+    // materializing them): the hint is DROPPED — a driver-OOM-scale
+    // broadcast can no longer be forced; AQE/Catalyst pick the join
+    val unhinted = cat.minusTombstones("vidx", idx, broadcastMaxRows = 0L)
+    assert(!unhinted.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"),
+      "oversized sidecar still forces a broadcast")
+    // same answer either way, and the searchIndex probe built on the
+    // unhinted frame still serves the survivors exactly
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(key(hinted) == key(unhinted),
+      "broadcast mode changed the surviving row set")
+    val expected = graft.ops.VectorOps.inCellTopK(
+      graft.ops.VectorOps.ivfCells(e.filter(col("vec_id") % 7 =!= 0),
+        cent, nprobe = 1), k = 3, queryPred = col("q_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = graft.ops.VectorOps.inCellTopK(unhinted, k = 3,
+      queryPred = col("q_id") < 10, dedupProbes = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed == expected,
+      "unhinted tombstone join diverged from the survivors rebuild")
+  }
 }

@@ -840,6 +840,23 @@ class PlanAuditSpec extends SparkTestBase {
       assert(p.contains("BroadcastHashJoin") && p.contains("__grave_gen"),
         s"tombstone filter should be a broadcast join with the gen " +
           s"predicate:\n$p")
+      // purge-sized mode (broadcastMaxRows=0 drops the FORCED broadcast
+      // hint — the driver-OOM guard for GDPR-scale sidecars): at this
+      // deletes-sized scale AQE still picks a broadcast at RUNTIME, so
+      // the bucketed cell join stays shuffle-free; a genuinely huge
+      // sidecar is now free to shuffle instead of OOM-ing the driver.
+      val su = graft.ops.VectorOps.inCellTopK(
+        cat.minusTombstones("emb_idx", cat.bucketedTable("emb_idx"),
+          broadcastMaxRows = 0L),
+        k = 3, queryPred = col("q_id") < 10, dedupProbes = true)
+      assert(results(su) == expected,
+        "unhinted tombstone mode diverged from rebuild")
+      // FINAL adaptive plan only (the initial plan legitimately plans a
+      // shuffle before AQE's runtime broadcast conversion)
+      val pu = su.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!pu.contains("Exchange hashpartitioning(cell"),
+        s"unhinted tombstone filter degraded the bucketed cell join:\n$pu")
       // physical delete: sidecar dropped, same results, same plan shape
       graft.ops.VectorOps.compactIndex(cat, "emb_idx")
       assert(!cat.hasTombstones("emb_idx"), "compact left the sidecar")

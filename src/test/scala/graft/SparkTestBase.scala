@@ -14,7 +14,8 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
         appName = "graft-test")
       .getOrCreate()
 
-  lazy val sf: String = "/root/testdata/sf0.001"
+  lazy val sf: String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
 
   /** Storage sweep between suites — the same hygiene graft.Bench applies
     * between reps: localCheckpoint blocks are PINNED (no lineage), so

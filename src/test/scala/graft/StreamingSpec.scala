@@ -714,6 +714,74 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("gen-stamped takedown feed: a delete replay landing AFTER a re-ingest of the same id leaves the re-added vector serving") {
+    // The cross-stream interleave the r16 caveat documented: the delete
+    // and ingest streams share no ordering, so an at-least-once replay
+    // of a delete can land after a legitimate re-admission of the same
+    // id. With the feed's gen captured at ENQUEUE time the replay
+    // re-stamps the ORIGINAL generation and the re-added (higher-gen)
+    // rows stay above the grave — v2 keeps serving.
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 48).select("vec_id", "embedding")
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-veninterleave").toString
+    val cat = graft.catalog.Catalog(spark, s"$dir/idx")
+    try {
+      // ingest v1 (the whole corpus, one batch)
+      assert(EventStreams.ingestVectorBatch(cat, "vidx2", cent, e,
+        batchId = 0L, buckets = 4))
+      val victim = 21L
+      // ENQUEUE-time capture: the takedown producer stamps the gen that
+      // is current when the delete is REQUESTED
+      val enqueueGen = cat.currentGen("vidx2")
+      val graveFeed = Seq((victim, enqueueGen)).toDF("vec_id", "gen")
+      def applyDelete(ckpt: String): Unit = {
+        val delInput = MemoryStream[(Long, Long)]
+        val dq = EventStreams.vectorDeleteStream(
+          delInput.toDF().toDF("vec_id", "gen"), s"$dir/idx", "vidx2",
+          s"$dir/$ckpt")
+        try {
+          delInput.addData((victim, enqueueGen))
+          dq.processAllAvailable()
+        } finally dq.stop()
+      }
+      applyDelete("delckpt1") // original delivery
+      // re-admission: v2 of the victim = a DIFFERENT live vector's
+      // embedding, so serving v2 is distinguishable from serving v1
+      val v2 = e.filter(col("vec_id") === 33L)
+        .select(org.apache.spark.sql.functions.lit(victim).as("vec_id"),
+          col("embedding"))
+      assert(EventStreams.ingestVectorBatch(cat, "vidx2", cent, v2,
+        batchId = 1L, buckets = 4))
+      applyDelete("delckpt2") // the REPLAY, landing after the re-ingest
+      def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      // expectation: a rebuild over the corpus with the victim's v2
+      // embedding — the delete replay must NOT have killed it
+      val state = e.filter(col("vec_id") =!= victim).unionByName(v2)
+      val expected = res(graft.ops.VectorOps.inCellTopK(
+        graft.ops.VectorOps.ivfCells(state, cent, nprobe = 1), k = 3,
+        queryPred = col("q_id") < 10))
+      val served = res(graft.ops.VectorOps.searchIndex(cat, "vidx2",
+        k = 3, queryPred = col("q_id") < 10))
+      assert(served == expected,
+        "replayed gen-stamped delete killed the re-ingested vector")
+      // and the victim's v2 really is in the serving set somewhere
+      assert(graft.ops.VectorOps.searchIndex(cat, "vidx2", k = 3,
+          queryPred = col("q_id") === victim).count() > 0,
+        "re-added vector not serving as a query")
+    } finally {
+      cat.dropBucketed("vidx2")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("stream-static LM scoring matches batch lmScore digit-for-digit on a shared corpus") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
