@@ -51,6 +51,14 @@ object ExtensionQueries {
     Catalog(s, d).table("embeddings")
   private def docsR(s: SparkSession, d: String): DataFrame =
     Catalog(s, d).tableRebalanced("documents")
+  /** [[graft.catalog.Catalog.tableRebalanced]]'s under-split guard for a
+    * DERIVED frame feeding compute-heavy per-row work (image decode,
+    * hashing): one shuffle of the slim input when the source offers
+    * fewer splits than the cluster, no-op on any healthy layout. */
+  private def rebalanced(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
   private def embsR(s: SparkSession, d: String): DataFrame =
     Catalog(s, d).tableRebalanced("embeddings")
   // ts normalized to epoch-ns long whatever the parquet encoding
@@ -1260,8 +1268,13 @@ object ExtensionQueries {
     * scale path (pigeonhole banding — exact same pair semantics without
     * the language-sized quadratic block). */
   private val x09_simhash_pairs: QFn = (s, d) => {
-    val sh = docs(s, d).select(col("doc_id"), col("lang"),
-      TF.simhashFast(col("text")).as("sh"))
+    // rebalanced + checkpoint barrier: the hamming filter's inferred
+    // isnotnull(sh) otherwise pushes the full simhash below the scan
+    // on both join sides (computed serially on the single scan split,
+    // then recomputed by the projection above — the x23-family
+    // pushdown pathology)
+    val sh = docsR(s, d).select(col("doc_id"), col("lang"),
+      TF.simhashFast(col("text")).as("sh")).localCheckpoint(false)
     sh.as("a").join(sh.as("b").hint("shuffle_hash"),
       col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -2000,8 +2013,12 @@ object ExtensionQueries {
     val base = docs(s, d).select(col("doc_id").as("rid"), col("text"))
     val log = LogTable.upserts(base, 1L, col("rid"))
       .unionByName(LogTable.commitMarker(s, 1L), allowMissingColumns = true)
+    // checkpoint barrier: the anti-join's inferred isnotnull(fp)
+    // otherwise pushes md5(normText) below the snapshot window into
+    // the scan-side filter — hashed twice per row (filter + project)
     val existing = LogTable.snapshot(log, asOf = 1L)
       .select(md5(TF.normText(col("text"))).as("fp"))
+      .localCheckpoint(false)
     val inc = docs(s, d).filter(col("doc_id") % 7 === 3)
       .select((col("doc_id") + 10000).as("doc_id"), col("text")) // re-crawled dups
       .unionByName(docs(s, d).filter(col("doc_id") % 11 === 5)
@@ -2083,7 +2100,11 @@ object ExtensionQueries {
     * map-side work (no shuffle until the oracle-ordered output). */
   private val x129_imageio_decode: QFn = (s, d) => {
     import s.implicits._
-    val withPng = docs(s, d).select(col("doc_id")).as[Long]
+    // rebalance the slim id column BEFORE the encode/decode map: the
+    // single-row-group fixture parquet offers one split, which would
+    // serialize ~0.7 ms/row of codec work on one core (guide §2.5
+    // input-skew class; no-op when the source is already well-split)
+    val withPng = rebalanced(s, docs(s, d).select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         (id, graft.multimodal.MediaPipeline.encodePng(
           16 + (id % 32).toInt, 16 + ((id / 32) % 32).toInt, seed = id))
@@ -2107,7 +2128,9 @@ object ExtensionQueries {
     * driver-side. */
   private val x131_jpeg_decode: QFn = (s, d) => {
     import s.implicits._
-    val withImg = docs(s, d).select(col("doc_id")).as[Long]
+    // same under-split rebalance as x129 — codec work must not run on
+    // the single scan split the fixture parquet offers
+    val withImg = rebalanced(s, docs(s, d).select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         val w = 16 + (id % 32).toInt
         val h = 16 + ((id / 32) % 32).toInt
@@ -3461,9 +3484,17 @@ object ExtensionQueries {
     * equi self-join, and tier-grain rollups. */
   private val x128_dedup_tiers: QFn = (s, d) => {
     import s.implicits._
-    val dd = docs(s, d)
+    // rebalanced: the exact/bag tiers hash (md5, sort_array) every doc
+    // map-side — on the fixture's single-row-group scan that work would
+    // serialize on one task (r17 profile: 0.9 s + 0.6 s single-task
+    // stages); the near-dup tiers already read the rebalanced view
+    val dd = docsR(s, d)
     def hashDrops(h: Column, tier: String) = {
-      val t = dd.select(col("doc_id"), h.as("h"))
+      // checkpoint barrier: the self-join's implicit isnotnull(h)
+      // null-filter otherwise pushes below the rebalance exchange with
+      // the md5/sort_array expression substituted — re-hashing every
+      // doc on the single scan split just to test a never-null value
+      val t = dd.select(col("doc_id"), h.as("h")).localCheckpoint(false)
       t.join(t.groupBy(col("h")).agg(min(col("doc_id")).as("k")), Seq("h"))
         .filter(col("doc_id") =!= col("k"))
         .select(lit(tier).as("tier"), col("doc_id"))
@@ -3517,7 +3548,10 @@ object ExtensionQueries {
     * and PipelineSpec pins the op's kept set against the gates run
     * individually. */
   private val x130_curate_v6: QFn = (s, d) =>
-    graft.ops.CorpusOps.curateV6(docs(s, d))
+    // rebalanced: curateV6 tokenizes its input twice (entropy grain +
+    // CDC chunk grain) — both explodes must not run on the fixture's
+    // single scan split (r17 profile: 2× ~0.8 s single-task stages)
+    graft.ops.CorpusOps.curateV6(docsR(s, d))
 
   /** Language-ID confusion matrix — the gauge for the x03 classifier
     * itself: labeled lang × predicted lang with counts and

@@ -27,6 +27,18 @@ import org.apache.spark.sql.types._
   */
 object MediaPipeline extends Serializable {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // creates (and deletes) a temp file — two filesystem round-trips per
+  // payload, the dominant per-call cost for small images at any scale
+  // (and pure overhead for byte-array sources, which are already fully
+  // in memory). Memory-cached streams produce byte-identical
+  // encodes/decodes. Executor-side: the flag is process-local, so set
+  // it in a transient lazy val touched on every decode/encode path
+  // (the object's constructor only runs where the object is first
+  // dereferenced — that is each executor JVM, but guard anyway).
+  @transient private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
 
   val metaSchema: StructType = StructType(Seq(
@@ -71,6 +83,7 @@ object MediaPipeline extends Serializable {
     * for still images. */
   def decodeMeta(bytes: Array[Byte]): MediaMeta =
     if (bytes != null && (looksLikePng(bytes) || looksLikeJpeg(bytes))) {
+      imageIoNoDiskCache
       try {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
@@ -88,20 +101,34 @@ object MediaPipeline extends Serializable {
     * decoded dimensions must round-trip exactly (the oracle recomputes
     * them arithmetically; only a REAL decode can match). */
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    imageIoNoDiskCache
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        img.setRGB(x, y, (((x * 31 + y * 17).toLong + seed) & 0xffffff).toInt)
-        x += 1
-      }
-      y += 1
-    }
+    img.setRGB(0, 0, width, height, fixturePixels(width, height, seed),
+      0, width)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** The (x, y, seed) fixture pixel function as one bulk row-major
+    * array — same values as the historical per-pixel `setRGB` loop
+    * (setRGB masks to 24 bits itself for TYPE_INT_RGB), written in one
+    * raster call instead of width×height JNI-boundary calls. */
+  private def fixturePixels(width: Int, height: Int,
+      seed: Long): Array[Int] = {
+    val px = new Array[Int](width * height)
+    var y = 0
+    var i = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        px(i) = (((x * 31 + y * 17).toLong + seed) & 0xffffff).toInt
+        x += 1; i += 1
+      }
+      y += 1
+    }
+    px
   }
 
   /** Deterministic JPEG bytes for fixtures — [[encodePng]]'s twin
@@ -111,17 +138,11 @@ object MediaPipeline extends Serializable {
     * width/height); planting both formats exercises the magic-prefix
     * routing and BOTH real decoder branches. */
   def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+    imageIoNoDiskCache
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        img.setRGB(x, y, (((x * 31 + y * 17).toLong + seed) & 0xffffff).toInt)
-        x += 1
-      }
-      y += 1
-    }
+    img.setRGB(0, 0, width, height, fixturePixels(width, height, seed),
+      0, width)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpg", bos)
     bos.toByteArray

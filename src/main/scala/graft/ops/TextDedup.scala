@@ -178,8 +178,18 @@ object TextDedup {
     // docs with an EMPTY element set all share the degenerate all--1
     // signature — banding them would funnel every such doc into one
     // quadratic bucket; they can never verify anyway (empty sets have
-    // Jaccard 0), so drop them before banding
-    val sig = sig0.filter(size(col("el_set")) > 0).localCheckpoint(false)
+    // Jaccard 0), so drop them before banding.
+    // Filter AFTER the checkpoint boundary, not inside its lineage:
+    // inside, the predicate is pushed below the caller's rebalance
+    // exchange and below the signature projection, substituting the
+    // heavy set expression into the filter — the whole
+    // chargram/shingle hashing then runs a second time on the
+    // UNREBALANCED scan side (one task on a single-row-group source)
+    // just to evaluate `size(...) > 0`. Past the checkpoint the filter
+    // reads the materialized array — one cheap comparison per row.
+    // (r17 profile, x43: a 1.8 s single-task stage ahead of the 0.35 s
+    // 32-task signature stage; gone after this reorder.)
+    val sig = sig0.localCheckpoint(false).filter(size(col("el_set")) > 0)
     val slim = sig.select(col("doc_id"),
       posexplode(array(minhashBandKeyExprs(col("mh"), numHashes, bands): _*))
         .as(Seq("band", "key")))
@@ -261,8 +271,16 @@ object TextDedup {
       textCol: String = "text", maxHamming: Int = 6,
       pairKeys: Boolean = false): DataFrame = {
     val keyExprs = simhashKeyExprs(col("sh"), maxHamming, pairKeys)
+    // checkpoint barrier below the band self-join: the join's implicit
+    // isnotnull(cval) null-filters otherwise push below the caller's
+    // rebalance exchange with the chunk expression SUBSTITUTED — i.e.
+    // the full simhash (a per-word 60-bit vote aggregate) re-evaluated
+    // on the un-rebalanced single scan split of each side, the x43
+    // pushdown pathology with simhash in place of chargrams. Past the
+    // checkpoint the filter reads the materialized sh column. Lazy
+    // (localCheckpoint(false)): construction stays job-free.
     val sh = docs.select(col(idCol).as("doc_id"),
-      TF.simhashFast(col(textCol)).as("sh"))
+      TF.simhashFast(col(textCol)).as("sh")).localCheckpoint(false)
     val chunked = sh.select(col("doc_id"), col("sh"),
       posexplode(array(keyExprs: _*)).as(Seq("chunk", "cval")))
     chunked.as("a").join(chunked.as("b").hint("shuffle_hash"),
