@@ -2908,13 +2908,22 @@ object ExtensionQueries {
     * corpus-sized after the joins. */
   private val x97_signal_corr: QFn = (s, d) => {
     val dd = docsR(s, d)
+    // checkpoint barriers on the three signal frames: the explicit
+    // q/v null-filter below otherwise pushes past the joins AND the
+    // rebalance exchange with the full qualityQ expression substituted
+    // — the whole stopword/regexp/token scoring re-ran serially on the
+    // single scan split just to evaluate isnotnull (r17 profile: a
+    // 0.9 s single-task stage). Past the barrier the filter reads the
+    // materialized column.
     val q = dd.select(col("doc_id"),
       (qualityQ * lit(new java.math.BigDecimal("0.0001")))
-        .cast("decimal(18,4)").as("q"))
+        .cast("decimal(18,4)").as("q")).localCheckpoint(false)
     val g = graft.ops.CorpusOps.gopherRules(dd)
       .select(col("doc_id"), col("keep").cast("decimal(18,4)").as("g"))
+      .localCheckpoint(false)
     val nv = graft.ops.CorpusOps.noveltyScore(dd)
       .select(col("doc_id"), col("novel_frac").cast("decimal(18,4)").as("v"))
+      .localCheckpoint(false)
     val j = q.join(g, Seq("doc_id")).join(nv, Seq("doc_id"))
       .filter(col("q").isNotNull && col("v").isNotNull)
     // sufficient statistics: every sum exact decimal; the (14,4)/(18,8)

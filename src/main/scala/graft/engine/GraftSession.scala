@@ -33,6 +33,20 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing merges post-shuffle partitions by BYTES
+      // (parallelismFirst merges anything under minPartitionSize,
+      // default 1 MB). The LLM-pipeline operators have many CPU-dense,
+      // byte-light stages — exact-decimal entropy/log rollups, cosine
+      // verify joins, jaccard merges — where 1 MB of shuffled input is
+      // hundreds of ms of compute, so byte-driven coalescing serializes
+      // them (r17 profile: x123's entropy rollup and x22's cell join
+      // collapsed to 1–5 tasks with 31 cores idle). 64 KB keeps such
+      // stages parallel while still folding genuinely empty partitions.
+      // At healthy scale shuffles are orders of magnitude above either
+      // bound, so production plans are unchanged; env-overridable for
+      // A/B and cluster tuning.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
