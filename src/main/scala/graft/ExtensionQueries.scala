@@ -55,10 +55,8 @@ object ExtensionQueries {
     * DERIVED frame feeding compute-heavy per-row work (image decode,
     * hashing): one shuffle of the slim input when the source offers
     * fewer splits than the cluster, no-op on any healthy layout. */
-  private def rebalanced(s: SparkSession, df: DataFrame): DataFrame = {
-    val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def rebalanced(s: SparkSession, df: DataFrame): DataFrame =
+    Catalog.rebalanced(s, df)
   private def embsR(s: SparkSession, d: String): DataFrame =
     Catalog(s, d).tableRebalanced("embeddings")
   // ts normalized to epoch-ns long whatever the parquet encoding
@@ -1274,7 +1272,7 @@ object ExtensionQueries {
     // then recomputed by the projection above — the x23-family
     // pushdown pathology)
     val sh = docsR(s, d).select(col("doc_id"), col("lang"),
-      TF.simhashFast(col("text")).as("sh")).localCheckpoint(false)
+      TF.simhashFast(col("text")).as("sh")).transform(graft.engine.Barrier.pushdownBarrier)
     sh.as("a").join(sh.as("b").hint("shuffle_hash"),
       col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -1535,7 +1533,7 @@ object ExtensionQueries {
       .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .transform(graft.engine.Barrier.lineageBarrier)
     val dfreq = tf.groupBy(col("word"))
       .agg(count(lit(1)).as("dfreq")) // one row per (doc,word) ⇒ doc count
     val n = dd.agg(count(lit(1)).as("n_docs"))
@@ -1568,7 +1566,7 @@ object ExtensionQueries {
       .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .transform(graft.engine.Barrier.lineageBarrier)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("dfreq"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"),
@@ -2018,7 +2016,7 @@ object ExtensionQueries {
     // the scan-side filter — hashed twice per row (filter + project)
     val existing = LogTable.snapshot(log, asOf = 1L)
       .select(md5(TF.normText(col("text"))).as("fp"))
-      .localCheckpoint(false)
+      .transform(graft.engine.Barrier.pushdownBarrier)
     val inc = docs(s, d).filter(col("doc_id") % 7 === 3)
       .select((col("doc_id") + 10000).as("doc_id"), col("text")) // re-crawled dups
       .unionByName(docs(s, d).filter(col("doc_id") % 11 === 5)
@@ -2811,7 +2809,7 @@ object ExtensionQueries {
       .groupBy(col("doc_id"),
         when(col("hit").isNotNull, col("word")).as("w"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .transform(graft.engine.Barrier.lineageBarrier)
     val postings = grains.filter(col("w").isNotNull)
       .select(col("doc_id"), col("w").as("word"), col("c").as("tf"))
     val dl = grains.groupBy(col("doc_id"))
@@ -2917,13 +2915,13 @@ object ExtensionQueries {
     // materialized column.
     val q = dd.select(col("doc_id"),
       (qualityQ * lit(new java.math.BigDecimal("0.0001")))
-        .cast("decimal(18,4)").as("q")).localCheckpoint(false)
+        .cast("decimal(18,4)").as("q")).transform(graft.engine.Barrier.pushdownBarrier)
     val g = graft.ops.CorpusOps.gopherRules(dd)
       .select(col("doc_id"), col("keep").cast("decimal(18,4)").as("g"))
-      .localCheckpoint(false)
+      .transform(graft.engine.Barrier.pushdownBarrier)
     val nv = graft.ops.CorpusOps.noveltyScore(dd)
       .select(col("doc_id"), col("novel_frac").cast("decimal(18,4)").as("v"))
-      .localCheckpoint(false)
+      .transform(graft.engine.Barrier.pushdownBarrier)
     val j = q.join(g, Seq("doc_id")).join(nv, Seq("doc_id"))
       .filter(col("q").isNotNull && col("v").isNotNull)
     // sufficient statistics: every sum exact decimal; the (14,4)/(18,8)
@@ -3503,7 +3501,7 @@ object ExtensionQueries {
       // null-filter otherwise pushes below the rebalance exchange with
       // the md5/sort_array expression substituted — re-hashing every
       // doc on the single scan split just to test a never-null value
-      val t = dd.select(col("doc_id"), h.as("h")).localCheckpoint(false)
+      val t = dd.select(col("doc_id"), h.as("h")).transform(graft.engine.Barrier.pushdownBarrier)
       t.join(t.groupBy(col("h")).agg(min(col("doc_id")).as("k")), Seq("h"))
         .filter(col("doc_id") =!= col("k"))
         .select(lit(tier).as("tier"), col("doc_id"))

@@ -60,6 +60,12 @@ object Profile {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         val wall = (System.nanoTime() - t0) / 1e9
+        // The listener bus delivers stage-completed events asynchronously;
+        // without a drain pause, late events can be missed or bleed into
+        // the next rep after stages.clear() (r17 ADVICE). listenerBus is
+        // private[spark], so a short sleep is the drain — diagnostic tool,
+        // the 300 ms is untimed.
+        Thread.sleep(300)
         sweep()
         println(f"\n=== $name rep $rep: $wall%.2f s, ${stages.size} stages")
         println("   ms task    inputMB    shrdMB  shrdRec    shwrMB" +

@@ -39,11 +39,8 @@ final case class Catalog(spark: SparkSession, dir: String) {
     * 100 TB layout), so production plans are unchanged; don't use it for
     * plain project/filter scans, where an extra exchange buys nothing.
     */
-  def tableRebalanced(name: String): DataFrame = {
-    val df = table(name)
-    val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  def tableRebalanced(name: String): DataFrame =
+    Catalog.rebalanced(spark, table(name))
 
   def path(name: String): String = s"$dir/$name.parquet"
 
@@ -828,6 +825,20 @@ final case class Catalog(spark: SparkSession, dir: String) {
 }
 
 object Catalog {
+  /** The under-split guard behind [[Catalog.tableRebalanced]], usable on
+    * any DERIVED frame feeding compute-heavy per-row work (image decode,
+    * hashing, vector math): if the frame offers fewer partitions than
+    * the cluster's parallelism — one giant gzip, a single parquet row
+    * group — every map phase downstream runs near-serial no matter how
+    * many executors exist, so rebalance once BEFORE the heavy work.
+    * No-op whenever the frame is already well-split (any healthy 100 TB
+    * layout), so production plans are unchanged. ONE copy of the policy
+    * — call-site duplicates drift (r17 ADVICE). */
+  def rebalanced(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** On-disk description of a bucketed layout (the sidecar's JSON shape).
     * `nFiles` = data-file count at write time, the restore-time
     * consistency witness (None in sidecars from older writes). */

@@ -36,6 +36,13 @@ object MediaPipeline extends Serializable {
   // it in a transient lazy val touched on every decode/encode path
   // (the object's constructor only runs where the object is first
   // dereferenced — that is each executor JVM, but guard anyway).
+  // CAVEAT (r17 ADVICE): setUseCache(false) is a JVM-GLOBAL mutation —
+  // every other ImageIO user in the same driver/executor JVM also
+  // switches to heap-buffered streams (a very large image elsewhere now
+  // buffers fully on heap instead of spilling to a disk temp file).
+  // Acceptable for this framework's small-image paths; co-tenant code
+  // decoding multi-GB images in the same JVM should scope its own reads
+  // with explicit FileCacheImageInputStream instances.
   @transient private lazy val imageIoNoDiskCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 

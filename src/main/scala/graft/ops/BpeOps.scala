@@ -269,7 +269,7 @@ object BpeOps {
       numMerges: Int = 32): Seq[Merge] = {
     var words = wordCounts(docs, textCol)
       .select(col("cnt"), split(col("w"), "").as("syms"))
-      .localCheckpoint(true)
+      .transform(graft.engine.Barrier.lineageBarrier)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     try {
       var rank = 0
@@ -292,7 +292,7 @@ object BpeOps {
           // eager: materialized HERE, so prev's blocks can go at once
           words = prev
             .select(col("cnt"), applyMerge(col("syms"), l, r).as("syms"))
-            .localCheckpoint(true)
+            .transform(graft.engine.Barrier.lineageBarrier)
           freeCheckpointed(prev)
           rank += 1
         }

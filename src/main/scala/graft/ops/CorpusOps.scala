@@ -2504,7 +2504,7 @@ object CorpusOps {
       tau: java.math.BigDecimal, idCol: String = "doc_id",
       textCol: String = "text", shingleK: Int = 3): DataFrame = {
     val tf = shingleTf(docs, idCol, textCol, shingleK)
-      .localCheckpoint(true)
+      .transform(graft.engine.Barrier.lineageBarrier)
     candidatesFromTf(tf, tau2E8(tau))
   }
 
@@ -2530,7 +2530,7 @@ object CorpusOps {
         .cast("decimal(38,0)") * lit(100000000L) >=
         col("ss").cast("decimal(38,0)") * lit(t2e8))
       .select(col("doc_id"), col("fp"))
-      .localCheckpoint(true)
+      .transform(graft.engine.Barrier.lineageBarrier)
     indexed.select(col("doc_id").as("doc_a"), col("fp"))
       .join(indexed.select(col("doc_id").as("doc_b"), col("fp")),
         Seq("fp"))
@@ -2620,7 +2620,7 @@ object CorpusOps {
     // 4.2 s -> 2.6 s per fresh run at sf0.1) shows the columnar cache
     // write+read path losing to row blocks on tf-grain shapes
     val tf = shingleTf(docs, idCol, textCol, shingleK)
-      .localCheckpoint(true)
+      .transform(graft.engine.Barrier.lineageBarrier)
     // Exactness bound, enforced (not just documented): the verification
     // below computes dot²·1e8 and ss_a·ss_b·t2e8 in DECIMAL(38,0); with
     // per-doc ss ≤ 1e15−1 both sides stay STRICTLY below 1e38

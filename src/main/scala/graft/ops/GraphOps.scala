@@ -60,7 +60,7 @@ object GraphOps {
     // (HDFS-backed); the algorithm is unchanged.
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster_id", col("node"))
-      .localCheckpoint(true)
+      .transform(graft.engine.Barrier.lineageBarrier)
 
     // labels only ever DECREASE (min-propagation is monotone), so the
     // label sum is a strictly-decreasing convergence witness: an
@@ -87,7 +87,7 @@ object GraphOps {
       // two steps per checkpoint: halves the per-round action overhead
       // (the lineage doubles per step, so only a constant number of
       // steps may run between checkpoints)
-      val next = step(step(labels)).localCheckpoint(true)
+      val next = step(step(labels)).transform(graft.engine.Barrier.lineageBarrier)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
@@ -146,12 +146,12 @@ object GraphOps {
     // every endpoint is a node (self-loop-only nodes included: they are
     // their own singleton component, as in connectedComponents)
     val nodes = raw.select(explode(array(col("src"), col("dst"))).as("node"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.engine.Barrier.lineageBarrier)
     def canon(src: Column, dst: Column): Seq[Column] =
       Seq(least(src, dst).as("lo"), greatest(src, dst).as("hi"))
     var edges = raw.filter(col("src") =!= col("dst"))
       .select(canon(col("src"), col("dst")): _*)
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.engine.Barrier.lineageBarrier)
 
     // large-star: m(u) ≤ u < v for every emitted (v, m(u)) pair, so the
     // canonical orientation is immediate and self-loops are impossible
@@ -188,7 +188,7 @@ object GraphOps {
     var converged = w._1 == 0L // no non-loop edges: all singletons
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).transform(graft.engine.Barrier.lineageBarrier)
       val nw = witness(next)
       // distinct sets of equal witness are equal iff the one-sided
       // difference is empty; the anti probe runs only on witness match

@@ -189,7 +189,8 @@ object TextDedup {
     // reads the materialized array — one cheap comparison per row.
     // (r17 profile, x43: a 1.8 s single-task stage ahead of the 0.35 s
     // 32-task signature stage; gone after this reorder.)
-    val sig = sig0.localCheckpoint(false).filter(size(col("el_set")) > 0)
+    val sig = graft.engine.Barrier.pushdownBarrier(sig0)
+      .filter(size(col("el_set")) > 0)
     val slim = sig.select(col("doc_id"),
       posexplode(array(minhashBandKeyExprs(col("mh"), numHashes, bands): _*))
         .as(Seq("band", "key")))
@@ -271,16 +272,21 @@ object TextDedup {
       textCol: String = "text", maxHamming: Int = 6,
       pairKeys: Boolean = false): DataFrame = {
     val keyExprs = simhashKeyExprs(col("sh"), maxHamming, pairKeys)
-    // checkpoint barrier below the band self-join: the join's implicit
+    // Pushdown barrier below the band self-join: the join's implicit
     // isnotnull(cval) null-filters otherwise push below the caller's
     // rebalance exchange with the chunk expression SUBSTITUTED — i.e.
     // the full simhash (a per-word 60-bit vote aggregate) re-evaluated
     // on the un-rebalanced single scan split of each side, the x43
     // pushdown pathology with simhash in place of chargrams. Past the
-    // checkpoint the filter reads the materialized sh column. Lazy
-    // (localCheckpoint(false)): construction stays job-free.
-    val sh = docs.select(col(idCol).as("doc_id"),
-      TF.simhashFast(col(textCol)).as("sh")).localCheckpoint(false)
+    // barrier the filter reads the materialized sh column. Lazy:
+    // construction stays job-free. Storage caveat (same as
+    // [[bandJoinVerify]]'s): in the default local mode the signature
+    // blocks stay pinned executor-local for the session once
+    // materialized — callers on preemptible executors should switch
+    // the barrier mode or persist the signature frame themselves
+    // (see [[graft.engine.Barrier]]).
+    val sh = graft.engine.Barrier.pushdownBarrier(docs.select(
+      col(idCol).as("doc_id"), TF.simhashFast(col(textCol)).as("sh")))
     val chunked = sh.select(col("doc_id"), col("sh"),
       posexplode(array(keyExprs: _*)).as(Seq("chunk", "cval")))
     chunked.as("a").join(chunked.as("b").hint("shuffle_hash"),
@@ -381,7 +387,7 @@ object TextDedup {
       TF.shingleSetFast(TF.words(col(textCol)), shingleK).as("el_set"),
       TF.minhashSigsFast(TF.words(col(textCol)), shingleK, numHashes).as("mh"))
       .filter(size(col("el_set")) > 0) // degenerate empty-set docs can't verify
-      .localCheckpoint(false)
+      .transform(graft.engine.Barrier.pushdownBarrier)
     // rows carry their write generation (per-table counters) — the
     // delete tier's graves kill only gens <= their own, so a deleted
     // doc can be RE-INGESTED by a plain append, no compaction
@@ -414,7 +420,8 @@ object TextDedup {
       TF.shingleSetFast(TF.words(col(textCol)), shingleK).as("in_set"),
       TF.minhashSigsFast(TF.words(col(textCol)), shingleK, numHashes).as("mh"))
       .filter(size(col("in_set")) > 0)
-      .localCheckpoint(false) // feeds the probe and the verify join back
+      // feeds the probe and the verify join back
+      .transform(graft.engine.Barrier.pushdownBarrier)
     val probe = sig.select(col("in_id"),
       explode(minhashBucketKeys(col("mh"), numHashes, bands)).as("bkey"))
     val liveBands =
@@ -454,7 +461,7 @@ object TextDedup {
       TF.shingleSetFast(TF.words(col(textCol)), shingleK).as("el_set"),
       TF.minhashSigsFast(TF.words(col(textCol)), shingleK, numHashes).as("mh"))
       .filter(size(col("el_set")) > 0)
-      .localCheckpoint(false)
+      .transform(graft.engine.Barrier.pushdownBarrier)
     cat.appendBucketed(s"${name}_bands",
       sig.select(col("doc_id"),
         explode(minhashBucketKeys(col("mh"), numHashes, bands)).as("bkey"))
@@ -530,7 +537,8 @@ object TextDedup {
     val decisions = indexDedupDecision(
       dedupAgainstIndex(cat, name, batch, idCol, textCol,
         shingleK, numHashes, bands, threshold))
-      .localCheckpoint(true) // materialize BEFORE the index gains the batch
+      // materialize BEFORE the index gains the batch
+      .transform(graft.engine.Barrier.lineageBarrier)
     val kept = batch.join(
       decisions.select(col("in_id").as(idCol)), Seq(idCol), "left_anti")
     appendToSignatureIndex(cat, name, kept, idCol, textCol,

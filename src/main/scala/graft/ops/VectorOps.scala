@@ -243,7 +243,7 @@ object VectorOps {
       val step = kmeansStepCentroids(
         ivfCells(e, cent, nprobe = 1, idCol = idCol, vecCol = vecCol))
       val next =
-        if (tol > 0 || round % 3 == 2) step.localCheckpoint(true) else step
+        if (tol > 0 || round % 3 == 2) step.transform(graft.engine.Barrier.lineageBarrier) else step
       if (tol > 0) {
         // max L2 shift over surviving cells — one scalar to the driver
         val shift = next.as("n")
@@ -489,11 +489,11 @@ object VectorOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cent = svs.filter(col("vec_id") < ksub)
       .select(col("sub"), col("vec_id").as("c_id"), col("sv").as("c_e"))
-      .localCheckpoint(true)
+      .transform(graft.engine.Barrier.lineageBarrier)
     for (_ <- 1 to iters) {
       cent = pqRecenter(
         pqAssign(svs, cent).select(col("sub"), col("code"), col("sv")))
-        .localCheckpoint(true)
+        .transform(graft.engine.Barrier.lineageBarrier)
     }
     cent
   }
