@@ -58,20 +58,26 @@ object CorpusOps {
     * output) — the composition form that shares one tokenize pass with
     * [[bigramLmScoreFromWords]]. */
   def lmScoreFromWords(words: DataFrame): DataFrame = {
-    // LAZY shared materialization: constructing the returned DataFrame
-    // runs no job (persist defers to the first action — localCheckpoint
-    // would force every shuffle stage at construction under AQE); the
-    // (doc, word) counts cache on the FIRST action and their blocks
-    // stay pinned until unpersisted (sweep via
-    // sparkContext.getPersistentRDDs — the Bench/test hygiene).
-    // Without it, column pruning would re-run the tokenize + groupBy
-    // once per consumer (the corpus counts AND the scoring join both
-    // read it).
+    // Shared-materialization shape (r18; replaces the r17 all-lazy
+    // persists): the (doc, word) tf grain feeds the corpus-count branch
+    // AND the scoring join. All-lazy, AQE raced those consumers' leaf
+    // stages against a cold InMemoryRelation and the tokenize + groupBy
+    // lineage re-ran per consumer (the duplicate-lineage pathology the
+    // r17 verdict flagged). All-eager (checkpoint the tf grain) fixes
+    // the race but row-serializes a string-heavy frame (~6x the
+    // columnar cache size — measured on x59's bigram twin), taxing
+    // every consumer's read. So: LAZY columnar persist on the fat tf
+    // grain + EAGER barrier on the vocab-sized counts table derived
+    // from it — the counts job populates the tf cache race-free (it is
+    // the only consumer running at that point), and the scoring join
+    // then reads the warm compact cache. One compute of every grain,
+    // columnar read amplification, no race.
     val tf = words.select(col("doc_id"), explode(col("ws")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt"))
+    val counts = graft.engine.Barrier.lineageBarrier(
+      tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt")))
     val consts = counts.agg(sum(col("cnt")).as("n_total"),
       count(lit(1)).as("vocab"))
     tf.join(counts, Seq("word"))
@@ -482,15 +488,16 @@ object CorpusOps {
       slice(col("ws"), lit(1), size(col("ws")) - 1),
       slice(col("ws"), lit(2), size(col("ws")) - 1),
       (a, b) => concat(a, lit(" "), b))
-    // lazy shared materialization (tokenize/explode shared by corpus
-    // counts AND the scoring join): no job at construction; caches on
-    // the first action, blocks pinned until unpersisted (sweep via
-    // sparkContext.getPersistentRDDs — the Bench/test hygiene)
+    // shared-materialization shape (r18, see lmScoreFromWords): lazy
+    // columnar persist on the fat (doc, bigram) tf grain + eager
+    // barrier on the vocab-sized cb table — cb's job populates the tf2
+    // cache race-free and the scoring join reads it warm
     val tf2 = words.select(col("doc_id"), explode(bigramArr).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = tf2.groupBy(col("bg")).agg(sum(col("tf")).as("cb"))
+    val cb = graft.engine.Barrier.lineageBarrier(
+      tf2.groupBy(col("bg")).agg(sum(col("tf")).as("cb")))
     val cl = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cb")).as("cl"))
     val vocabDf = vocab.getOrElse(vocabOf(words))
@@ -542,14 +549,20 @@ object CorpusOps {
       slice(col("ws"), lit(1), size(col("ws")) - 1),
       slice(col("ws"), lit(2), size(col("ws")) - 1),
       (a, b) => concat(a, lit(" "), b))
+    // shared-materialization shape (r18, see lmScoreFromWords): lazy
+    // columnar persist on the fat (doc, bigram) tf grain + eager
+    // barrier on the vocab-sized cb table — cb's job populates the tf2
+    // cache race-free (killing the per-consumer tokenize+explode
+    // re-runs the r17 verdict flagged), and the probe join reads the
+    // warm compact cache; left/cont/nb all read cb's tiny blocks.
     val tf2 = words.select(col("doc_id"), explode(bigramArr).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = tf2.groupBy(col("bg")).agg(sum(col("tf")).as("cb"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .withColumn("w2", substring_index(col("bg"), " ", -1))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = graft.engine.Barrier.lineageBarrier(
+      tf2.groupBy(col("bg")).agg(sum(col("tf")).as("cb"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1)))
     val left = cb.groupBy(col("w1"))
       .agg(sum(col("cb")).as("cl"), count(lit(1)).as("n1f"))
     val cont = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
@@ -616,10 +629,16 @@ object CorpusOps {
   def knBigramApply(docs: DataFrame, counts: DataFrame,
       discount: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val cbx = counts
+    // EAGER barrier, not lazy persist: cbx has FOUR consumers (left,
+    // cont, scal, the probe join); lazily cached, AQE materializes
+    // their leaf stages concurrently against a cold cache and the
+    // train-corpus explode+count lineage re-runs per consumer (r18
+    // profile of x111: ~6 copies of the vocab-sized count stage at
+    // 0.3–1.1 s each). cbx is bigram-vocab-sized, so the barrier pays
+    // one small job and every consumer reads materialized blocks.
+    val cbx = graft.engine.Barrier.lineageBarrier(counts
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .withColumn("w2", substring_index(col("bg"), " ", -1))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("w2", substring_index(col("bg"), " ", -1)))
     val left = cbx.groupBy(col("w1"))
       .agg(sum(col("cb")).as("cl"), count(lit(1)).as("n1f"))
     val cont = cbx.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
@@ -678,11 +697,20 @@ object CorpusOps {
       langCol: String = "lang"): DataFrame = {
     // the score column is ALREADY a 1e-4-grid BIGINT (the ExactMath
     // discipline), so the percentile key is the score itself — no
-    // re-quantization, no double anywhere before the cut compare
-    val sc = scores.select(col("doc_id"), col(scoreCol))
-      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
-        Seq("doc_id"))
-      .withColumn("pk", col(scoreCol).cast("long"))
+    // re-quantization, no double anywhere before the cut compare.
+    // EAGER barrier: sc feeds BOTH the cut aggregate and the bucket
+    // probe; un-materialized, AQE races the two consumers' leaf stages
+    // against a cold cache and the ENTIRE upstream scoring chain (the
+    // KN model joins, the corpus tf pass) runs twice (r18 profile of
+    // x111: 12.1 stage-seconds for a 4.2 s wall, the doc-grain rollup
+    // duplicated). sc is doc-grain slim (id, score, lang), so the
+    // barrier materializes the chain ONCE and everything downstream is
+    // langs-sized or map-side.
+    val sc = graft.engine.Barrier.lineageBarrier(
+      scores.select(col("doc_id"), col(scoreCol))
+        .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+          Seq("doc_id"))
+        .withColumn("pk", col(scoreCol).cast("long")))
     val cuts = sc.groupBy(col("lang"))
       .agg(percentile(col("pk"), array(lit(0.25), lit(0.75))).as("cs"))
     sc.join(broadcast(cuts), Seq("lang"))
