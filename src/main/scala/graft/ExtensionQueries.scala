@@ -3385,20 +3385,33 @@ object ExtensionQueries {
     * heavy-hitter tokens. */
   private val x123_corpus_card_v2: QFn = (s, d) => {
     val docs0 = docsR(s, d)
-    // one persisted explode feeds entropy, the hh set, and the per-lang
-    // hh mass (the x61 one-pass discipline); repetition keeps its own
-    // gram-grain pass — 2 tokenize passes total, PipelineSpec-audited
-    val words = docs0.select(col("doc_id"), col("lang"),
+    // ONE (doc, lang, word) count grain feeds all three word-signal
+    // consumers (r18; replaces the r17 persisted raw-word explode that
+    // each consumer re-aggregated at its own grain): entropy rolls up
+    // per doc, the heavy-hitter set is the exact integer gate over the
+    // word totals (cnt·(k+1) > N — identical set to SketchOps
+    // .heavyHitters' sieve+recount, which exists for when no count
+    // grain is at hand), and the hh mass sums the same counts per
+    // lang. The count grain is ~5x smaller than the raw explode, and
+    // the vocab-sized word-total barrier populates its cache
+    // race-free; repetition keeps its own gram-grain pass — 2 tokenize
+    // passes total, PipelineSpec-audited.
+    val tfw = docs0.select(col("doc_id"), col("lang"),
       explode(TF.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("lang"), col("word"))
+      .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ent = graft.ops.CorpusOps.entropySignalFromWords(
-      words.select(col("doc_id"), col("word")))
+    val wcnt = graft.engine.Barrier.lineageBarrier(
+      tfw.groupBy(col("word")).agg(sum(col("c")).as("cnt")))
+    val ent = graft.ops.CorpusOps.entropySignalFromCounts(
+      tfw.select(col("doc_id"), col("word"), col("c")))
     val rep = graft.ops.CorpusOps.repetitionSignals(docs0)
-    val hh = graft.ops.SketchOps
-      .heavyHitters(words.select(col("word")), "word", k = 64)
+    val hh = wcnt
+      .crossJoin(broadcast(wcnt.agg(sum(col("cnt")).as("n_total"))))
+      .filter(col("cnt") * 65 > col("n_total")) // k = 64, x113's gate
       .select(col("word"))
-    val hhMass = words.join(broadcast(hh), Seq("word"))
-      .groupBy(col("lang")).agg(count(lit(1)).as("hh_tokens"))
+    val hhMass = tfw.join(broadcast(hh), Seq("word"))
+      .groupBy(col("lang")).agg(sum(col("c")).as("hh_tokens"))
     docs0.select(col("doc_id"), col("lang"))
       .join(ent.select(col("doc_id"), col("n_words"), col("entropy_q")),
         Seq("doc_id"))

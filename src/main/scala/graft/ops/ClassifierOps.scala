@@ -88,7 +88,14 @@ object ClassifierOps {
       .groupBy(col(labelCol).as("label"), col("w"))
       .agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = cw.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    // EAGER barrier on the labels-sized totals (r18, the CorpusOps
+    // shared-materialization shape): tot's job populates the cw cache
+    // race-free; the other cw consumers (vsize, wl) then read it warm
+    // instead of racing the cold cache and re-tokenizing the train
+    // corpus per consumer (r18 profile of x86: 6.3 stage-seconds for a
+    // 2.3 s wall, model stages duplicated).
+    val tot = graft.engine.Barrier.lineageBarrier(
+      cw.groupBy(col("label")).agg(sum(col("cnt")).as("tot")))
     val vsize = cw.select(col("w")).distinct()
       .agg(count(lit(1)).as("v"))
     // per-label constants: prior and the unseen-(label,word) default

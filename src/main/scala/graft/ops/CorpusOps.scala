@@ -881,9 +881,19 @@ object CorpusOps {
   def exactSpanExcise(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minLen: Int = 32): DataFrame = {
     require(minLen >= 2, s"minLen >= 2, got $minLen")
+    // Shared-materialization shape (r18): toks feeds the sieve, the
+    // candidate re-slice AND the final reassembly join; fps feeds the
+    // dup-fingerprint aggregate AND the candidate semi-join; candWin
+    // feeds the occurrence aggregate AND the cut join. All-lazy, each
+    // consumer raced the cold cache and the tokenize/window-explode
+    // lineage re-ran per consumer (r18 profile: three tokenize passes).
+    // Lazy columnar persists on the fat grains + eager barriers on the
+    // small derived tables (dupFp: duplicated fingerprints only; occ:
+    // duplicated windows only) populate the caches race-free.
     val toks = docs
       .select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws"))
       .withColumn("n", size(col("ws")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sts = toks.filter(col("n") >= minLen)
       .select(col("doc_id"), col("ws"), col("n"),
         explode(sequence(lit(1), col("n") - (minLen - 1))).as("st"))
@@ -892,8 +902,10 @@ object CorpusOps {
     val fps = sts.select(col("doc_id"), col("st"),
       TF.hash60(concat_ws(" ", slice(col("ws"), col("st"), lit(minLen))),
         "exact|").as("fp"))
-    val dupFp = fps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select(col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupFp = graft.engine.Barrier.lineageBarrier(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("fp")))
     val cand = fps.join(dupFp, Seq("fp"), "left_semi")
       .select(col("doc_id"), col("st"))
     // stage 2: true window content for candidates only — exact verify
@@ -901,10 +913,12 @@ object CorpusOps {
     val candWin = cand.join(toks, Seq("doc_id"))
       .select(col("doc_id"), col("st"),
         concat_ws(" ", slice(col("ws"), col("st"), lit(minLen))).as("win"))
-    val occ = candWin.groupBy(col("win"))
-      .agg(count(lit(1)).as("n_occ"),
-        min(struct(col("doc_id"), col("st"))).as("keep"))
-      .filter(col("n_occ") > 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = graft.engine.Barrier.lineageBarrier(
+      candWin.groupBy(col("win"))
+        .agg(count(lit(1)).as("n_occ"),
+          min(struct(col("doc_id"), col("st"))).as("keep"))
+        .filter(col("n_occ") > 1))
     val cut = candWin.join(occ, Seq("win"))
       .filter(!(col("doc_id") === col("keep.doc_id") &&
         col("st") === col("keep.st")))
@@ -2029,11 +2043,18 @@ object CorpusOps {
     * word-grain consumers (the lmScoreFromWords discipline; x123's
     * card feeds entropy, the heavy-hitter set, and the per-lang hh
     * mass from ONE persisted explode). */
-  def entropySignalFromWords(words: DataFrame): DataFrame = {
-    val EM = graft.functions.ExactMath
-    val cnt = words
+  def entropySignalFromWords(words: DataFrame): DataFrame =
+    entropySignalFromCounts(words
       .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** [[entropySignalFromWords]] over a pre-computed (doc_id, c)
+    * word-count grain — the composition form for pipelines that
+    * already hold per-(doc, word) counts (x123's corpus card shares
+    * ONE count grain between entropy, heavy hitters, and the per-lang
+    * heavy-hitter mass). Only `doc_id` and `c` are read. */
+  def entropySignalFromCounts(cnt: DataFrame): DataFrame = {
+    val EM = graft.functions.ExactMath
     // all logs quantized ONCE to BIGINT micro-units (the ExactMath
     // grid); num = lnw_q·nw − Σ c·lnc_q is an exact integer in
     // 1e-6·nat·token units, so norm_entropy is a pure integer rational

@@ -66,9 +66,15 @@ object SketchOps {
     val vals = rows.select(col(valueCol).cast("string").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ds: Dataset[String] = vals.as[String]
-    val cand = ds.mapPartitions(mgSummary(k))
-      .toDF("v", "residual")
-      .select(col("v")).distinct()
+    // EAGER barrier on the candidate set (≤ k·partitions rows): its job
+    // populates the vals cache race-free, so the total count and the
+    // recount join read the warm columnar cache instead of racing the
+    // cold one and re-running the upstream explode per consumer (the
+    // r18 shared-materialization shape).
+    val cand = graft.engine.Barrier.lineageBarrier(
+      ds.mapPartitions(mgSummary(k))
+        .toDF("v", "residual")
+        .select(col("v")).distinct())
     val total = vals.groupBy().agg(count(lit(1)).as("n_total"))
     vals.join(broadcast(cand), Seq("v"))
       .groupBy(col("v"))
