@@ -768,6 +768,10 @@ object ExtensionQueries {
     val words = docsR(s, d)
       .select(explode(TF.words(col("text"))).as("word"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deliberately LAZY (r18 A/B): an eager barrier on the exact
+    // counts measured 0.89x — the sketch and count branches'
+    // duplicated explodes overlap on idle cores and beat the
+    // serialized materialization here
     val exact = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val est = graft.ops.SketchOps.cmEstimate(
       graft.ops.SketchOps.cmSketch(words, "word"), exact, "word")
@@ -981,15 +985,16 @@ object ExtensionQueries {
       .select(col("keep_id").as("doc_id"))
     val pool = ds.join(keep, Seq("doc_id"))
     val w = Window.partitionBy("lang").orderBy(col("quality_q"), col("doc_id"))
-    // lazily cached: temperatureSample reads gated twice (language
-    // counts + the rate join) and the quality join-back reads it a
-    // third time — without the cache each branch re-runs the corpus
-    // quality projection and the per-language window
-    val gated = pool
+    // eager barrier (r18; was a lazy cache): temperatureSample reads
+    // gated twice (language counts + the rate join) and the quality
+    // join-back a third time — lazily cached, the three consumers
+    // raced the cold cache and each re-ran the corpus quality
+    // projection and the per-language window; the barrier pays the
+    // doc-grain-slim materialization once
+    val gated = graft.engine.Barrier.lineageBarrier(pool
       .select(col("doc_id"), col("lang"), qualityQ.as("quality_q"))
       .withColumn("bucket", ntile(3).over(w))
-      .filter(col("bucket") === 3).drop("bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("bucket") === 3).drop("bucket"))
     graft.ops.CorpusOps.temperatureSample(gated, salt = "curate")
       .join(gated, Seq("doc_id", "lang"))
       .select(col("doc_id"), col("lang"), col("quality_q"), col("rate"))
@@ -1166,8 +1171,12 @@ object ExtensionQueries {
       .filter(length(col("word")) > 0)
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = perDocWord.groupBy(col("word"))
-      .agg(sum(col("n")).as("cnt"))
+    // eager barrier on the vocab-sized counts (r18 shared-
+    // materialization shape): populates the perDocWord cache race-free
+    // for the hot/cold join probe
+    val counts = graft.engine.Barrier.lineageBarrier(
+      perDocWord.groupBy(col("word"))
+        .agg(sum(col("n")).as("cnt")))
     // rank hot words by TOKEN weight (counts is pre-aggregated, one
     // row per word carrying its mass): top-16 by (cnt desc, word asc)
     val hotWords = graft.ops.SkewOps.hotKeys(
@@ -2646,9 +2655,13 @@ object ExtensionQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thresholds = Seq(0.7, 0.8, 0.9)
     val th = explode(array(thresholds.map(lit): _*)).as("threshold")
-    val pairCnt = pairs.select(col("jac"), th)
-      .filter(col("jac") >= col("threshold"))
-      .groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    // eager barrier on the thresholds-sized pair counts (r18 shared-
+    // materialization shape): populates the pairs cache race-free for
+    // the drop-count rollup
+    val pairCnt = graft.engine.Barrier.lineageBarrier(
+      pairs.select(col("jac"), th)
+        .filter(col("jac") >= col("threshold"))
+        .groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs")))
     val dropCnt = pairs.groupBy(col("b_id")).agg(max(col("jac")).as("mj"))
       .select(col("mj"), th)
       .filter(col("mj") >= col("threshold"))
@@ -3532,8 +3545,17 @@ object ExtensionQueries {
           graft.ops.TextDedup.simhashBandedPairs(docsR(s, d),
             maxHamming = 6))
           .select(lit("simhash").as("tier"), col("drop_id").as("doc_id")))
+        // drop-set-sized rows; the 4-tier union otherwise caches 128
+        // near-empty partitions that every consumer re-schedules
+        .repartition(4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = drops.groupBy(col("tier")).agg(count(lit(1)).as("n"))
+    // eager barrier on the 4-row tier sizes (r18 shared-materialization
+    // shape): its job populates the drops cache race-free, so the
+    // overlap self-join and the final matrix read it warm instead of
+    // racing the cold cache and re-running all four tier pipelines
+    // (r18 profile: 7.9 stage-seconds for a 3.1 s wall)
+    val sizes = graft.engine.Barrier.lineageBarrier(
+      drops.groupBy(col("tier")).agg(count(lit(1)).as("n")))
     val both = drops.as("a").join(drops.as("b"),
         col("a.doc_id") === col("b.doc_id") &&
           col("a.tier") < col("b.tier"))

@@ -1275,11 +1275,14 @@ object CorpusOps {
         TF.tokenCount(col(textCol)).as("n_tokens"),
         TF.hash60(col(idCol).cast("string"), "mix|").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val plan = mixtureAlloc(
+    // eager barrier on the groups-sized plan (r18 shared-
+    // materialization shape): populates the toks cache race-free for
+    // the blocked prefix-sum and block-offset consumers
+    val plan = graft.engine.Barrier.lineageBarrier(mixtureAlloc(
       toks.groupBy(col(groupCol)).agg(sum(col("n_tokens")).as("n_tokens")),
       budgetFrac, groupCol)
       .select(col(groupCol), col("n_tokens").as("g_tokens"),
-        col("alloc_tokens"))
+        col("alloc_tokens")))
     // two-level per-group prefix sum in (h, doc_id) order: hash60 is
     // 60-bit, so h div 2^53 yields 128 order-compatible blocks
     val blocked = toks.withColumn("blk", expr("h div " + (1L << 53)))
@@ -2106,6 +2109,10 @@ object CorpusOps {
         explode(TF.shingleSetFast(TF.words(col(textCol)), shingleK))
           .as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deliberately LAZY (r18 A/B): an eager barrier on the novelty
+    // rollup measured 0.87x — the two consumers' duplicated shingle
+    // explodes overlap on idle cores and beat the serialized
+    // materialization here
     val nb = sh.groupBy(col("fp")).agg(min(col("batch")).as("batch"))
       .groupBy(col("batch")).agg(count(lit(1)).as("n_new"))
     sh.groupBy(col("batch"))
@@ -2263,7 +2270,11 @@ object CorpusOps {
       .groupBy(col(groupCol), col("word"))
       .agg(count(lit(1)).as("cnt_s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cc = sc.groupBy(col("word")).agg(sum(col("cnt_s")).as("cnt_c"))
+    // eager barrier on the vocab-sized corpus counts (r18 shared-
+    // materialization shape): cc's job populates the sc cache
+    // race-free; ns and the scoring join then read it warm
+    val cc = graft.engine.Barrier.lineageBarrier(
+      sc.groupBy(col("word")).agg(sum(col("cnt_s")).as("cnt_c")))
     val ns = sc.groupBy(col(groupCol)).agg(sum(col("cnt_s")).as("n_s"))
     val nc = broadcast(cc.agg(sum(col("cnt_c")).as("n_c"),
       count(lit(1)).as("vocab")))
