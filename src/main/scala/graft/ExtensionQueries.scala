@@ -2753,7 +2753,9 @@ object ExtensionQueries {
     * ShingleK as the x07 dedup family, so "novel" and "near-dup" are
     * measured on the same unit. */
   private val x93_novelty: QFn = (s, d) =>
-    graft.ops.CorpusOps.noveltyScore(docsR(s, d))
+    // plain docs: noveltyScore rebalances its shingle branch itself,
+    // so the id-only zero-fill branch reads the pruned parquet scan
+    graft.ops.CorpusOps.noveltyScore(docs(s, d))
 
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
     * SIGIR 2009) — the RAG-stack workhorse: for each query doc
@@ -3039,7 +3041,8 @@ object ExtensionQueries {
     val cent = cachedCentroids(s, d, 16)
     graft.ops.VectorOps.marginMine(
       graft.ops.VectorOps.ivfCells(e, cent, nprobe = 1),
-      xSide = _ % 2 === 0, k = 4, minCos = 0.1, minMargin = 1.05)
+      xSide = _ % 2 === 0, k = 4, minCos = 0.1, minMargin = 1.05,
+      dedupProbes = false) // nprobe=1: a pair can't repeat across cells
   }
 
   /** x75's multi-signal fused dedup at the TRAINED k=64 operating point

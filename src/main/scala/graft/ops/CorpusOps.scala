@@ -1082,9 +1082,16 @@ object CorpusOps {
     * ride 1-row broadcasts; the doc rollup partial-aggregates
     * map-side. The target set is curation-sized, so its count table
     * costs nothing next to the pool scan. */
-  def dsirWeights(pool: DataFrame, targetCounts: DataFrame,
-      sourceCounts: DataFrame, idCol: String = "doc_id",
+  def dsirWeights(pool: DataFrame, targetCounts0: DataFrame,
+      sourceCounts0: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // eager barriers on the vocab-sized count models (r18): each is
+    // consumed twice (the word-key join AND the totals broadcast);
+    // un-materialized, both consumers re-ran the model corpus
+    // scan+explode (r18 profile of x84: duplicated single-task count
+    // stages, 3.4 stage-seconds for a 1.8 s wall)
+    val targetCounts = graft.engine.Barrier.lineageBarrier(targetCounts0)
+    val sourceCounts = graft.engine.Barrier.lineageBarrier(sourceCounts0)
     def consts(c: DataFrame, n: String, v: String) = broadcast(
       c.agg(sum(col("cnt")).as(n), count(lit(1)).as(v)))
     def lpw(cnt: Column, n: Column, v: Column) =
@@ -2226,7 +2233,13 @@ object CorpusOps {
     * content-hashed). */
   def noveltyScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3): DataFrame = {
-    val sh = docs
+    // the shingle branch is the compute-heavy per-row pass — rebalance
+    // it HERE (no-op on well-split sources) so callers can hand the
+    // plain frame and the id-only zero-fill branch below reads the
+    // pruned scan instead of the full-payload rebalance exchange (r18
+    // profile: the exchange reuse made the id branch deserialize every
+    // text row, 0.5 s for a doc_id projection)
+    val sh = graft.catalog.Catalog.rebalanced(docs.sparkSession, docs)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TF.shingles(col(textCol), k))).as("s"))
       .select(col("doc_id"), TF.hash60(col("s"), "nov|").as("fp"))

@@ -1104,18 +1104,22 @@ object VectorOps {
 
   def marginMine(cells: DataFrame,
       xSide: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      k: Int, minCos: Double, minMargin: Double): DataFrame = {
+      k: Int, minCos: Double, minMargin: Double,
+      dedupProbes: Boolean = true): DataFrame = {
     val EM = graft.functions.ExactMath
     val minCosQ = Math.round(minCos * 1e6)
     val minMarginQ = Math.round(minMargin * 1e4)
-    val cand = cells.as("a").join(cells.as("b").hint("shuffle_hash"),
+    val raw = cells.as("a").join(cells.as("b").hint("shuffle_hash"),
         col("a.cell") === col("b.cell") &&
           xSide(col("a.vec_id")) && !xSide(col("b.vec_id")))
       .select(col("a.vec_id").as("x_id"), col("b.vec_id").as("y_id"),
         EM.microQ(VF.cosineFast(col("a.embedding"), col("b.embedding")))
           .as("cq"))
       .filter(col("cq") >= minCosQ)
-      .distinct() // multi-probe assignments repeat a pair per shared cell
+    // multi-probe assignments repeat a pair per shared cell; a
+    // single-probe assignment cannot, so callers skip the distinct's
+    // full extra exchange there (the inCellTopK contract)
+    val cand = if (dedupProbes) raw.distinct() else raw
     val wx = Window.partitionBy("x_id").orderBy(col("cq").desc,
       col("y_id").asc)
     val wy = Window.partitionBy("y_id").orderBy(col("cq").desc,
@@ -1124,11 +1128,16 @@ object VectorOps {
     val wya = Window.partitionBy("y_id")
     val best = Window.partitionBy("x_id").orderBy(col("margin_q").desc,
       col("cq").desc, col("y_id").asc)
+    // window passes GROUPED BY partition key (r18; guide §2.4): the
+    // x-keyed rank and neighborhood aggregates run back-to-back on one
+    // x_id exchange, then the y-keyed pair on one y_id exchange —
+    // 3 exchanges total where the interleaved order paid 5. Column
+    // definitions are unchanged, so the output is identical.
     cand
       .withColumn("rx", row_number().over(wx))
-      .withColumn("ry", row_number().over(wy))
       .withColumn("sx", sum(when(col("rx") <= k, col("cq"))).over(wxa))
       .withColumn("kx", sum(when(col("rx") <= k, 1L).otherwise(0L)).over(wxa))
+      .withColumn("ry", row_number().over(wy))
       .withColumn("sy", sum(when(col("ry") <= k, col("cq"))).over(wya))
       .withColumn("ky", sum(when(col("ry") <= k, 1L).otherwise(0L)).over(wya))
       .withColumn("margin_q", EM.divHalfUp(
