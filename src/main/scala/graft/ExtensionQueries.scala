@@ -713,11 +713,17 @@ object ExtensionQueries {
     val e = embs(s, d)
     val anchors = dd.filter(col("doc_id") % 17 === 0)
       .select(col("doc_id").as("anchor_id"))
-    val pr = graft.ops.TextDedup.minhashLshPairs(dd)
-    val posU = pr.select(col("a_id").as("anchor_id"),
-        col("b_id").as("cand_id"), col("jac"))
-      .unionByName(pr.select(col("b_id").as("anchor_id"),
-        col("a_id").as("cand_id"), col("jac")))
+    // docsR: the LSH signature pass is per-row compute-heavy — on the
+    // fixture's single-row-group scan it would serialize on one task.
+    // Both pair orientations come from ONE explode over the pair frame
+    // (r18; the former self-union evaluated the whole LSH chain twice).
+    val pr = graft.ops.TextDedup.minhashLshPairs(docsR(s, d))
+    val posU = pr.select(explode(array(
+        struct(col("a_id").as("anchor_id"), col("b_id").as("cand_id")),
+        struct(col("b_id").as("anchor_id"), col("a_id").as("cand_id"))))
+        .as("p"), col("jac"))
+      .select(col("p.anchor_id").as("anchor_id"),
+        col("p.cand_id").as("cand_id"), col("jac"))
       .join(broadcast(anchors), Seq("anchor_id"))
     val wp = Window.partitionBy("anchor_id")
       .orderBy(col("jac").desc, col("cand_id").asc)

@@ -2406,7 +2406,11 @@ object CorpusOps {
     val M = 1000000L
     val etaQ = eta.movePointRight(6).longValueExact
     val smoothQ = smooth.movePointRight(6).longValueExact
-    val counts = unigramCounts(ref, idCol, textCol)
+    // eager barrier on the vocab-sized reference model (r18, the dsir
+    // shape): consumed by the totals broadcast AND the word-key join —
+    // un-materialized both re-ran the reference scan+explode
+    val counts = graft.engine.Barrier.lineageBarrier(
+      unigramCounts(ref, idCol, textCol))
     val consts = counts.agg(sum(col("cnt")).as("n_total"),
       count(lit(1)).as("vocab"))
     val domLoss = eval

@@ -1119,7 +1119,7 @@ class OpsSpec extends SparkTestBase {
       s"all adjacent pairs unique - no merge may be learned: $merges")
   }
 
-  test("CorpusOps lazy-checkpoint lifecycle: construction runs no job; blocks pin on action and free on sweep") {
+  test("CorpusOps checkpoint lifecycle: single-consumer ops stay construction-lazy; shared-grain ops materialize eagerly; sweep frees every block") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val sc = spark.sparkContext
     val docs = graft.catalog.Catalog(spark, sf).table("documents")
@@ -1131,26 +1131,35 @@ class OpsSpec extends SparkTestBase {
     sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     sc.addSparkListener(l)
     try {
-      val built = Seq(
-        graft.ops.CorpusOps.packSequences(docs, seqLen = 64),
-        graft.ops.CorpusOps.bigramLmScore(docs),
-        graft.ops.CorpusOps.lmScores(docs))
+      // packSequences shares its grain via a lazy persist only —
+      // construction must stay job-free
+      val packed = graft.ops.CorpusOps.packSequences(docs, seqLen = 64)
       Thread.sleep(500) // let any (wrongly) eager job's events land
       assert(jobs == 0,
-        s"constructing CorpusOps frames ran $jobs Spark job(s) — " +
-          "checkpoints must be lazy (localCheckpoint(false))")
-      assert(built.head.count() > 0) // first action materializes
+        s"constructing packSequences ran $jobs Spark job(s) — its " +
+          "shared view is a lazy persist, construction must be job-free")
+      // the LM scorers carry the r18 shared-materialization shape: an
+      // EAGER vocab-sized barrier populates the fat tf cache race-free
+      // at construction (without it, AQE raced each consumer's leaf
+      // stage against the cold cache and re-ran the tokenize lineage
+      // per consumer). Construction therefore RUNS jobs now — pin it.
+      graft.ops.CorpusOps.bigramLmScore(docs)
+      graft.ops.CorpusOps.lmScores(docs)
+      assert(jobs > 0,
+        "the LM scorers' r18 eager small-table barriers must " +
+          "materialize at construction (shared-grain contract)")
+      assert(packed.count() > 0) // first action materializes the lazy op
       def cached() = sc.getRDDStorageInfo.count(_.isCached)
       val deadline = System.currentTimeMillis + 5000
       while (cached() == 0 && System.currentTimeMillis < deadline)
         Thread.sleep(100)
-      assert(cached() > 0, "action must have pinned checkpoint blocks")
+      assert(cached() > 0, "actions must have pinned blocks")
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val d2 = System.currentTimeMillis + 5000
       while (cached() > 0 && System.currentTimeMillis < d2)
         Thread.sleep(100)
       assert(cached() == 0,
-        "storage sweep must free every pinned checkpoint block")
+        "storage sweep must free every pinned block")
     } finally sc.removeSparkListener(l)
   }
 
@@ -1410,6 +1419,58 @@ class OpsSpec extends SparkTestBase {
     assert(out == Set(
       (2L, 1L, 1000000L, 12500L),
       (4L, 3L, 1000000L, 12500L)), out)
+  }
+
+  test("VectorOps.marginMine: dedupProbes=false is row-identical on a single-probe assignment (r18 distinct-skip)") {
+    // single-probe: each vector sits in exactly one cell, so candidate
+    // pairs cannot repeat and skipping the dedup distinct must be a
+    // pure plan change — same fixture as the hand-built spec above
+    val cells = Seq(
+      (1L, Seq(1.0f, 0.0f), 7L), (3L, Seq(0.6f, 0.8f), 7L),
+      (5L, Seq(-1.0f, 0.0f), 7L),
+      (2L, Seq(1.0f, 0.0f), 7L), (4L, Seq(0.6f, 0.8f), 7L),
+      (6L, Seq(0.0f, 1.0f), 8L), (7L, Seq(0.0f, 1.0f), 8L))
+      .toDF("vec_id", "embedding", "cell")
+    def run(dedup: Boolean) = graft.ops.VectorOps.marginMine(cells,
+        xSide = _ % 2 === 0, k = 2, minCos = 0.1, minMargin = 1.05,
+        dedupProbes = dedup)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(run(true) == run(false), "dedupProbes must not change values")
+  }
+
+  test("CorpusOps.entropySignalFromCounts: equals entropySignalFromWords on the same corpus (r18 shared-grain form)") {
+    val words = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "x"), (3L, "y"), (3L, "x"), (3L, "z"))
+      .toDF("doc_id", "word")
+    val fromWords = graft.ops.CorpusOps
+      .entropySignalFromWords(words.select(col("doc_id"),
+        array(col("word")).as("ws")).select(col("doc_id"),
+        explode(col("ws")).as("word")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val fromCounts = graft.ops.CorpusOps.entropySignalFromCounts(
+      words.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("c")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(fromWords == fromCounts, (fromWords, fromCounts))
+  }
+
+  test("integer heavy-hitter gate over word totals equals SketchOps.heavyHitters' set (r18 x123 grain share)") {
+    // 40 'the', 30 'of', 1 each of 30 rare words: N=100, k=4 admits
+    // cnt*5 > 100 ⇒ {the, of}
+    val rows = (Seq.fill(40)("the") ++ Seq.fill(30)("of") ++
+      (1 to 30).map(i => s"w$i")).toDF("word")
+    val viaSketch = graft.ops.SketchOps.heavyHitters(rows, "word", k = 4)
+      .select(col("word")).collect().map(_.getString(0)).toSet
+    val totals = rows.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val viaGate = totals
+      .crossJoin(broadcast(totals.agg(sum(col("cnt")).as("n_total"))))
+      .filter(col("cnt") * 5 > col("n_total"))
+      .select(col("word")).collect().map(_.getString(0)).toSet
+    assert(viaSketch == viaGate && viaGate == Set("the", "of"),
+      (viaSketch, viaGate))
   }
 
   test("VectorOps.semDecontaminate: hit counts and max cosine against a planted benchmark; clean vector absent") {
